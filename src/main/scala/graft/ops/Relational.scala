@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory — SURVEY.md §2.2 (P*), §2.4 (A*),
+  * §2.6 (O*), §2.7 (set ops), §2.9 (scalar functions).
+  *
+  * Every query is a pure declarative plan: filters/projections reach
+  * the parquet scan via Catalyst pushdown, aggregates run
+  * partial+final (map-side combine), and nothing collects to the
+  * driver. Outputs carry a stable total ORDER BY and rounded floats
+  * so the DuckDB-oracle hash compare is deterministic (SURVEY §4.3).
+  *
+  * Reference analogues cited per query; the reference
+  * (/root/reference/main.py) has no SQL layer, so [N] rows follow the
+  * driver contract instead.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** A12/O1 — pricing summary (the canonical first query, SURVEY §7.2
+    * slice 0). Analogue of the reference's first real computation, the
+    * per-class count at main.py:95-101, but over `lineitem`.
+    * Plan shape: Scan(pushed filter) -> partial HashAggregate ->
+    * shuffle(2 keys) -> final HashAggregate -> Sort. One shuffle.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .filter($"l_shipdate" <= ts("2000-12-01"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(avg($"l_extendedprice"), 6).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** P1/P7 — projection + conjunctive predicates (range, IN, <).
+    * All four predicates push to the parquet scan (PushedFilters).
+    */
+  def q2ProjFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .filter(
+        $"l_shipdate".between(ts("1996-01-01"), ts("1998-12-31")) &&
+        $"l_discount".between(0.02, 0.08) &&
+        $"l_quantity" < 30 &&
+        $"l_returnflag".isin("A", "R"))
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_quantity",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("disc_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** A10 — exact distinct counts (single-row result; the approx HLL
+    * variant is benched separately in qApproxDistinct, not oracled —
+    * HLL estimates differ across engines by design).
+    */
+  def q3Distinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir).agg(
+      countDistinct($"l_orderkey").as("n_orders"),
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part_pairs"))
+  }
+
+  /** A11 — ROLLUP with grouping() disambiguation of subtotal rows. */
+  def q4Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy(
+        $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** A11 — CUBE over two low-cardinality dims. */
+  def q5Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** O3 — top-k by measure. Plans as TakeOrderedAndProject (per-partition
+    * heap + single merge — no global sort even at 100 TB). Tie-broken on
+    * o_orderkey for determinism.
+    */
+  def q6TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+  }
+
+  /** §2.7 — union / intersect / except with distinct SQL semantics,
+    * tagged into one relation.
+    */
+  def q7SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Sources.customer(spark, dir)
+    val a = cust.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val b = cust.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+      .orderBy($"op", $"c_custkey")
+  }
+
+  /** §2.9 string family — lower/upper/length/substring/split/concat_ws/
+    * regexp_extract/LIKE/levenshtein, all codegen'd Catalyst expressions
+    * (reference analogue: path-string slicing at main.py:159-167).
+    */
+  def q8ScalarString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.part(spark, dir)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lower"),
+        upper($"p_brand").as("brand_upper"),
+        length($"p_name").as("name_len"),
+        substring($"p_type", 1, 4).as("type_pre"),
+        split($"p_name", " ").getItem(0).as("first_word"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        regexp_extract($"p_brand", "(\\d+)", 1).as("brand_num"),
+        $"p_name".like("%a%").as("has_a"),
+        levenshtein($"p_brand", lit("Brand#10")).as("lev_b10"))
+      .orderBy($"p_partkey")
+  }
+
+  /** §2.9 date/time family over orders. */
+  def q9ScalarDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("yr"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("dom"),
+        quarter($"o_orderdate").as("qtr"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2002"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** §2.9 JSON family — get_json_object over events.props, then a
+    * grouped aggregate of the extracted value.
+    */
+  def q10Json(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.events(spark, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        round(avg($"k"), 6).as("avg_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** §2.9 math family + CASE WHEN banding. */
+  def q11Math(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .filter($"l_orderkey" % 10 === 0)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        round(pow($"l_quantity", 2.0), 2).as("qty_sq"),
+        round(sqrt($"l_extendedprice"), 6).as("price_sqrt"),
+        round(log($"l_extendedprice"), 6).as("price_ln"),
+        when($"l_quantity" < 10, "low")
+          .when($"l_quantity" < 30, "mid")
+          .otherwise("high").as("qty_band"),
+        ($"l_quantity" % 7.0).cast("int").as("qty_mod"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** A3 — multi-statistic summary (the reference's describe() EDA,
+    * main.py:216-220) as explicit aggregates: count/mean/std/min/max
+    * per measure. approx percentiles are excluded from the oracle
+    * (engine-specific estimators) and covered by unit tests instead.
+    */
+  def q12Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir).agg(
+      count(lit(1)).as("cnt"),
+      round(avg($"l_quantity"), 6).as("qty_mean"),
+      round(stddev_samp($"l_quantity"), 6).as("qty_std"),
+      round(min($"l_quantity"), 2).as("qty_min"),
+      round(max($"l_quantity"), 2).as("qty_max"),
+      round(avg($"l_extendedprice"), 4).as("price_mean"),
+      round(stddev_samp($"l_extendedprice"), 4).as("price_std"))
+  }
+
+  /** A1/A2 analogue of the reference's class-distribution count +
+    * global min (main.py:95-101,157-158): group sizes and the minimum
+    * group size, via a single grouped pass + global agg join-free
+    * (cross join of one row is a broadcast).
+    */
+  def q13GroupMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Sources.orders(spark, dir)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(min($"n").as("min_n"))))
+      .select($"o_orderpriority", $"n", $"min_n")
+      .orderBy($"o_orderpriority")
+  }
+}
