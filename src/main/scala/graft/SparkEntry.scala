@@ -1,13 +1,153 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered in
+  * [[queries]]; each SQL-expressible one has a matching DuckDB oracle in
+  * [[oracleSql]] with IDENTICAL output column names (the driver compare
+  * sorts columns by name before hashing). Non-SQL-expressible ops
+  * (rand-sampling, LSH, ML fits, streaming state) appear in `queries`
+  * only → rows-only check.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"    -> (Relational.q1Pricing _),
+    "q2_projfilter" -> (Relational.q2ProjFilter _),
+    "q3_distinct"   -> (Relational.q3Distinct _),
+    "q4_rollup"     -> (Relational.q4Rollup _),
+    "q5_cube"       -> (Relational.q5Cube _),
+    "q6_topk"       -> (Relational.q6TopK _),
+    "q7_setops"     -> (Relational.q7SetOps _),
+    "q8_string"     -> (Relational.q8ScalarString _),
+    "q9_date"       -> (Relational.q9ScalarDate _),
+    "q10_json"      -> (Relational.q10Json _),
+    "q11_math"      -> (Relational.q11Math _),
+    "q12_stats"     -> (Relational.q12Stats _),
+    "q13_groupmin"  -> (Relational.q13GroupMin _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_projfilter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+        | AND l_discount BETWEEN 0.02 AND 0.08
+        | AND l_quantity < 30
+        | AND l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_distinct" ->
+      """SELECT
+        | (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_orders,
+        | (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n_parts,
+        | (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)) AS n_supp_part_pairs""".stripMargin,
+    "q4_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q5_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q6_topk" ->
+      """WITH top10 AS (
+        |  SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM top10 ORDER BY o_orderkey""".stripMargin,
+    "q7_setops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q8_string" ->
+      """SELECT p_partkey,
+        | lower(p_name) AS name_lower,
+        | upper(p_brand) AS brand_upper,
+        | length(p_name) AS name_len,
+        | substring(p_type, 1, 4) AS type_pre,
+        | split_part(p_name, ' ', 1) AS first_word,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+        | (p_name LIKE '%a%') AS has_a,
+        | levenshtein(p_brand, 'Brand#10') AS lev_b10
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q9_date" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS yr,
+        | month(o_orderdate) AS mo,
+        | dayofmonth(o_orderdate) AS dom,
+        | quarter(o_orderdate) AS qtr,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        | datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q10_json" ->
+      """SELECT event_type,
+        | count(k) AS n_with_k,
+        | round(avg(k), 6) AS avg_k,
+        | min(k) AS min_k,
+        | max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q11_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(pow(l_quantity, 2.0), 2) AS qty_sq,
+        | round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        | round(ln(l_extendedprice), 6) AS price_ln,
+        | CASE WHEN l_quantity < 10 THEN 'low'
+        |      WHEN l_quantity < 30 THEN 'mid'
+        |      ELSE 'high' END AS qty_band,
+        | CAST(fmod(l_quantity, 7.0) AS INT) AS qty_mod
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q12_stats" ->
+      """SELECT count(*) AS cnt,
+        | round(avg(l_quantity), 6) AS qty_mean,
+        | round(stddev_samp(l_quantity), 6) AS qty_std,
+        | round(min(l_quantity), 2) AS qty_min,
+        | round(max(l_quantity), 2) AS qty_max,
+        | round(avg(l_extendedprice), 4) AS price_mean,
+        | round(stddev_samp(l_extendedprice), 4) AS price_std
+        |FROM lineitem""".stripMargin,
+    "q13_groupmin" ->
+      """WITH counts AS (
+        |  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, (SELECT min(n) FROM counts) AS min_n
+        |FROM counts ORDER BY o_orderpriority""".stripMargin,
+  )
 }

@@ -28,14 +28,20 @@ object Relational {
     */
   def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Money measures are summed in DECIMAL (exact, order-independent)
+    // and only cast to double at the end — IEEE double partial-agg order
+    // varies with partitioning, which would make the oracle hash flaky.
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val disc  = $"l_discount".cast("decimal(3,2)")
+    val tax   = $"l_tax".cast("decimal(3,2)")
     Sources.lineitem(spark, dir)
       .filter($"l_shipdate" <= ts("2000-12-01"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        sum(price).cast("double").as("sum_base_price"),
+        round(sum(price * (lit(1) - disc)), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * (lit(1) - disc) * (lit(1) + tax)), 2).cast("double").as("sum_charge"),
         round(avg($"l_quantity"), 6).as("avg_qty"),
         round(avg($"l_extendedprice"), 6).as("avg_price"),
         round(avg($"l_discount"), 6).as("avg_disc"),
@@ -79,7 +85,7 @@ object Relational {
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        round(sum($"o_totalprice"), 2).as("total_price"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("total_price"),
         grouping($"o_orderstatus").cast("int").as("g_status"),
         grouping($"o_orderpriority").cast("int").as("g_prio"))
       .orderBy(
@@ -105,6 +111,7 @@ object Relational {
       .orderBy($"o_totalprice".desc, $"o_orderkey")
       .limit(10)
       .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("o_totalprice"))
+      .orderBy($"o_orderkey") // presentation order on the key: rounding-proof
   }
 
   /** §2.7 — union / intersect / except with distinct SQL semantics,

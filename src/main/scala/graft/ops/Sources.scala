@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** S8 parquet loaders for the driver testdata star schema (TESTDATA.md).
@@ -31,24 +32,45 @@ object Sources {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Explicit schema for the `events` table — required by the streaming
-    * file source (S9): `spark.readStream` cannot infer schemas.
-    * NB: parquet stores ts as timestamp[ns]; Spark reads µs precision.
+  /** The events fixture stores `ts` as parquet timestamp[ns], which
+    * Spark 4.x rejects at analysis time ([PARQUET_TYPE_ILLEGAL]) unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — under that conf the
+    * column arrives as LongType nanoseconds. We set the conf here (it is
+    * a runtime-settable legacy conf) and convert to a proper µs
+    * TimestampType, truncating sub-µs digits. All downstream event-time
+    * logic (windows, watermarks, oracle SQL at date_trunc granularity)
+    * operates at µs or coarser, so the truncation is lossless for every
+    * query in the inventory.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Explicit schema for the `events` table as stored on disk — required
+    * by the streaming file source (S9): `spark.readStream` cannot infer
+    * schemas. `ts` is LongType (raw nanos, see [[events]]); callers get
+    * the converted µs timestamp from [[eventsStream]].
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** S9: events as an unbounded stream (file source). */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  /** S9: events as an unbounded stream (file source), ts converted to
+    * TimestampType so watermarks/windows work unchanged.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
       .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }
