@@ -53,7 +53,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_projfilter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
-        | round(l_extendedprice * (1 - l_discount), 2) AS disc_price
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS disc_price
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
         | AND l_discount BETWEEN 0.02 AND 0.08

@@ -62,7 +62,11 @@ object Relational {
         $"l_returnflag".isin("A", "R"))
       .select(
         $"l_orderkey", $"l_linenumber", $"l_quantity",
-        round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 2).as("disc_price"))
+        // Exact-decimal product, rounded in decimal then cast — IEEE
+        // round-half-up ties differ between engines (same fix as q1).
+        round($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1) - $"l_discount".cast("decimal(3,2)")), 2)
+          .cast("double").as("disc_price"))
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 

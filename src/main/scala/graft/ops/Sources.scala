@@ -38,18 +38,32 @@ object Sources {
   /** The events fixture stores `ts` as parquet timestamp[ns], which
     * Spark 4.x rejects at analysis time ([PARQUET_TYPE_ILLEGAL]) unless
     * `spark.sql.legacy.parquet.nanosAsLong=true` — under that conf the
-    * column arrives as LongType nanoseconds. We set the conf here (it is
-    * a runtime-settable legacy conf) and convert to a proper µs
-    * TimestampType, truncating sub-µs digits. All downstream event-time
-    * logic (windows, watermarks, oracle SQL at date_trunc granularity)
+    * column arrives as LongType nanoseconds. The conf must be set at
+    * session construction (a table loader silently flipping a
+    * session-wide legacy flag would change how every later parquet read
+    * treats ns timestamps); [[requireNanosConf]] fails fast if it isn't.
+    * Nanos convert to a proper µs TimestampType via floored division
+    * (`pmod` keeps it exact on longs and correct for pre-epoch values,
+    * where `div` would round up). All downstream event-time logic
+    * (windows, watermarks, oracle SQL at date_trunc granularity)
     * operates at µs or coarser, so the truncation is lossless for every
     * query in the inventory.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    requireNanosConf(spark)
+    table(spark, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))
   }
+
+  /** Floored ns→µs conversion, exact on longs (no double round-trip). */
+  def nanosToTimestamp(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(((ns - pmod(ns, lit(1000L))) / 1000L).cast("long"))
+
+  private def requireNanosConf(spark: SparkSession): Unit =
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores ts as timestamp[ns]: set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build " +
+        "(see Verify/Bench) before loading the events table")
 
   /** Explicit schema for the `events` table as stored on disk — required
     * by the streaming file source (S9): `spark.readStream` cannot infer
@@ -68,9 +82,9 @@ object Sources {
     * TimestampType so watermarks/windows work unchanged.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     spark.readStream.schema(eventsSchema)
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", nanosToTimestamp(col("ts")))
   }
 }
