@@ -31,6 +31,13 @@ object SparkEntry {
     "q11_math"      -> (Relational.q11Math _),
     "q12_stats"     -> (Relational.q12Stats _),
     "q13_groupmin"  -> (Relational.q13GroupMin _),
+    "q14_join_star" -> (Joins.q14JoinStar _),
+    "q15_outer"     -> (Joins.q15Outer _),
+    "q16_semi_anti" -> (Joins.q16SemiAnti _),
+    "q17_band_join" -> (Joins.q17BandJoin _),
+    "q18_asof"      -> (Joins.q18AsOf _),
+    "q19_window"    -> (Windows.q19Window _),
+    "q20_topk_group" -> (Windows.q20TopKGroup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -149,5 +156,70 @@ object SparkEntry {
         |  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority)
         |SELECT o_orderpriority, n, (SELECT min(n) FROM counts) AS min_n
         |FROM counts ORDER BY o_orderpriority""".stripMargin,
+    "q14_join_star" ->
+      """SELECT n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q15_outer" ->
+      """SELECT c_custkey, c_mktsegment,
+        | count(o_orderkey) AS n_orders,
+        | CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS tag FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q17_band_join" ->
+      """SELECT band, count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS band_total
+        |FROM orders JOIN (VALUES
+        |  ('1_low', 0.0, 50000.0), ('2_mid', 50000.0, 150000.0),
+        |  ('3_high', 150000.0, 300000.0), ('4_top', 300000.0, 1000000000.0))
+        |  AS bands(band, lo, hi)
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q18_asof" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, value AS v_value FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, round(v.v_value, 6) AS last_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q19_window" ->
+      """SELECT event_id, user_id,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(lag(value, 1) OVER w, 6) AS prev_value,
+        | round(lead(value, 1) OVER w, 6) AS next_value,
+        | CAST(sum(CAST(value AS DECIMAL(14,6))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q20_topk_group" ->
+      """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+        | round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
   )
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operator inventory — SURVEY.md §2.3 (J1–J8).
+  *
+  * The reference performs no relational joins (its only join-like op is
+  * the positional prediction/label zip at /root/reference/main.py:376,415,
+  * which Spark dissolves into same-row columns); this whole family is
+  * [N] driver-contract surface over the testdata star schema.
+  *
+  * 100 TB posture per join:
+  *  - fact⋈fact (lineitem⋈orders) shuffles on the join key → SortMergeJoin;
+  *    AQE converts to shuffled-hash/broadcast when a side turns out small.
+  *  - fact⋈dim (nation/region, bands) is explicitly `broadcast()` — a
+  *    25-row dim must NEVER shuffle 100 TB of fact rows.
+  *  - The non-equi band join broadcasts the literal band table so the plan
+  *    is BroadcastNestedLoopJoin over 4 rows, not a cross shuffle.
+  *  - The as-of join avoids a range self-join entirely: union + one
+  *    window pass (single shuffle on user_id), the standard scalable
+  *    as-of shape.
+  */
+object Joins {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** J1+J2+J3 — multi-way star join: revenue by nation for one region.
+    * lineitem⋈orders is the large×large SMJ; customer joins on the
+    * shuffled side; nation and region are explicit broadcasts.
+    */
+  def q14JoinStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val disc  = $"l_discount".cast("decimal(3,2)")
+    val asia  = Sources.region(spark, dir).filter($"r_name" === "ASIA")
+    Sources.lineitem(spark, dir)
+      .filter($"l_shipdate" >= ts("1995-01-01"))
+      .join(Sources.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Sources.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Sources.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(
+        round(sum(price * (lit(1) - disc)), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"n_name")
+  }
+
+  /** J4 — left outer join preserving customers with zero orders; null
+    * aggregation semantics (count of null key = 0, sum coalesced).
+    */
+  def q15Outer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.customer(spark, dir)
+      .join(Sources.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        coalesce(sum($"o_totalprice".cast("decimal(12,2)")), lit(0))
+          .cast("double").as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  /** J5 — left semi (customers WITH orders) and left anti (WITHOUT),
+    * tagged into one relation. Semi/anti never duplicate or widen rows —
+    * at scale they beat an inner-join+distinct by the whole dedup shuffle.
+    */
+  def q16SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust   = Sources.customer(spark, dir)
+    val orders = Sources.orders(spark, dir)
+    val has  = cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey").withColumn("tag", lit("has_orders"))
+    val none = cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey").withColumn("tag", lit("no_orders"))
+    has.unionByName(none).orderBy($"tag", $"c_custkey")
+  }
+
+  /** J6+J8 — non-equi range (band) join against a broadcast literal dim:
+    * each order lands in a price band via `lo <= p < hi`. Plans as
+    * BroadcastNestedLoopJoin over 4 rows — the only sane physical shape
+    * for a non-equi predicate at scale.
+    */
+  def q17BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("1_low", 0.0, 50000.0),
+      ("2_mid", 50000.0, 150000.0),
+      ("3_high", 150000.0, 300000.0),
+      ("4_top", 300000.0, 1e9)).toDF("band", "lo", "hi")
+    Sources.orders(spark, dir)
+      .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"band")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast("decimal(12,2)")), 2)
+          .cast("double").as("band_total"))
+      .orderBy($"band")
+  }
+
+  /** J7 — as-of join: each click event enriched with the value of the
+    * same user's most recent view at-or-before the click. Implemented as
+    * the scalable union+window shape (one shuffle on user_id; no range
+    * self-join): tag views 0 / clicks 1, order by (ts, tag) so a view in
+    * the same instant is visible (inclusive as-of), then
+    * last(value, ignoreNulls) over the running frame.
+    */
+  def q18AsOf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Sources.events(spark, dir)
+    val views = ev.filter($"event_type" === "view").select(
+      $"user_id", $"ts", $"value".as("v_value"),
+      lit(0).as("tag"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter($"event_type" === "click").select(
+      $"user_id", $"ts", lit(null).cast("double").as("v_value"),
+      lit(1).as("tag"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("last_view_value", last($"v_value", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"user_id",
+        round($"last_view_value", 6).as("last_view_value"))
+      .orderBy($"event_id")
+  }
+}
