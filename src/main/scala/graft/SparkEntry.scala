@@ -38,6 +38,13 @@ object SparkEntry {
     "q18_asof"      -> (Joins.q18AsOf _),
     "q19_window"    -> (Windows.q19Window _),
     "q20_topk_group" -> (Windows.q20TopKGroup _),
+    "q21_dedup_exact" -> (Text.q21DedupExact _),
+    "q22_cosine_topk" -> (Similarity.q22CosineTopK _),
+    "q23_quality"   -> (Text.q23Quality _),
+    "q24_terms"     -> (Text.q24Terms _),
+    "q25_neardup_minhash" -> (Similarity.q25NearDup _),
+    "q26_ann_lsh"   -> (Similarity.q26AnnLsh _),
+    "q27_fingerprint" -> (Text.q27Fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -221,5 +228,42 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q22_cosine_topk" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |q AS (SELECT vec FROM emb WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_dot_product(e.vec, q.vec) /
+        |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(q.vec, q.vec))) AS cos
+        |  FROM emb e, q WHERE e.vec_id <> 0),
+        |top AS (SELECT * FROM scored ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT vec_id, label, round(cos, 6) AS cosine FROM top ORDER BY vec_id""".stripMargin,
+    "q23_quality" ->
+      """SELECT lang, source,
+        | count(*) AS n_docs,
+        | round(avg(length(text)), 6) AS avg_len,
+        | CAST(min(len(string_split(text, ' '))) AS INT) AS min_tok,
+        | CAST(max(len(string_split(text, ' '))) AS INT) AS max_tok,
+        | round(CAST(sum(len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','of','and','to','in')))) AS DOUBLE)
+        |   / sum(len(string_split(text, ' '))), 6) AS stop_ratio
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q24_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (
+        |  SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |  FROM tok WHERE token NOT IN ('the','a','of','and','to','in')
+        |  GROUP BY token),
+        |top AS (SELECT * FROM agg ORDER BY df DESC, token LIMIT 20)
+        |SELECT token, df, tf FROM top ORDER BY token""".stripMargin,
+    "q27_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        | CAST(length(text) AS INT) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
