@@ -45,6 +45,10 @@ object SparkEntry {
     "q25_neardup_minhash" -> (Similarity.q25NearDup _),
     "q26_ann_lsh"   -> (Similarity.q26AnnLsh _),
     "q27_fingerprint" -> (Text.q27Fingerprint _),
+    "q28_hof"       -> (Arrays.q28Hof _),
+    "q29_timewindow" -> (Streaming.q29TimeWindow _),
+    "q30_session"   -> (Streaming.q30Session _),
+    "q31_sparsity"  -> (Arrays.q31Sparsity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,5 +269,41 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         | CAST(length(text) AS INT) AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_hof" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        |SELECT vec_id,
+        | CAST(len(vec) AS INT) AS n_dims,
+        | CAST(len(list_filter(vec, x -> x < 0)) AS INT) AS n_neg,
+        | round(list_sum(list_transform(vec, x -> abs(x))), 6) AS l1,
+        | round(list_sum(vec[1:8]), 6) AS first8_sum
+        |FROM emb ORDER BY vec_id""".stripMargin,
+    "q29_timewindow" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS hour_start_us,
+        | event_type, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q30_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM e)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE), 6) AS sum_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+    "q31_sparsity" ->
+      """SELECT
+        | CAST(sum(len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) < 0.1))) AS BIGINT) AS n_small_total,
+        | CAST(sum(len(embedding)) AS BIGINT) AS n_cells,
+        | round(CAST(sum(len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) < 0.1))) AS DOUBLE)
+        |   / sum(len(embedding)), 6) AS small_frac
+        |FROM embeddings""".stripMargin,
   )
 }

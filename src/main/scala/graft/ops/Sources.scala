@@ -54,9 +54,14 @@ object Sources {
     table(spark, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))
   }
 
-  /** Floored ns→µs conversion, exact on longs (no double round-trip). */
+  /** Floored ns→µs conversion, exact on longs. `pmod` makes the value an
+    * exact multiple of 1000 (floor semantics even pre-epoch), and integer
+    * `div` keeps the math in longs — Column `/` is DOUBLE division, whose
+    * 53-bit mantissa cannot represent epoch nanoseconds (~1.7e18) and
+    * silently rounds the low microsecond digit.
+    */
   def nanosToTimestamp(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros(((ns - pmod(ns, lit(1000L))) / 1000L).cast("long"))
+    timestamp_micros(call_function("div", ns - pmod(ns, lit(1000L)), lit(1000L)))
 
   private def requireNanosConf(spark: SparkSession): Unit =
     require(

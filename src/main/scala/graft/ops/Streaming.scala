@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators — SURVEY.md §2.10 (T1–T6) over `events`.
+  *
+  * Nothing in the reference is streaming (its closest analogue is the
+  * out-of-core IncrementalPCA batching, /root/reference/main.py:279); this
+  * family is [N] driver-contract surface.
+  *
+  * Design: each event-time transform is written once against a plain
+  * DataFrame, so the SAME code runs on the static `events` parquet (where
+  * it is DuckDB-oracle-checkable, q29/q30) and on `Sources.eventsStream`
+  * / MemoryStream inputs (where watermark/late-data semantics are
+  * verified by ScalaTest). That is the Structured Streaming contract:
+  * batch and stream share one logical plan language.
+  *
+  * 100 TB posture: tumbling/session windows aggregate with partial
+  * map-side combine and shuffle on (window, key); the watermark bounds
+  * state. Sums accumulate in DECIMAL for order-independence.
+  */
+object Streaming {
+
+  /** T1 — tumbling 1-hour windows per event type (works on batch and
+    * streaming inputs alike).
+    */
+  def hourlyTypeAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(14,6)")).cast("double").as("sum_value"))
+  }
+
+  /** T2 — sliding windows: 1-hour window advancing every 15 minutes. */
+  def slidingTypeAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** T3 — session windows: per-user sessions closed by a 30-minute gap. */
+  def sessionAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** T4 — watermarked stream variant of [[hourlyTypeAgg]]: late rows
+    * beyond 10 minutes are dropped, state is bounded.
+    */
+  def hourlyTypeAggStream(events: DataFrame): DataFrame =
+    hourlyTypeAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** T5 — streaming exact dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** T6 — stream-static join: enrich events with a broadcastable static
+    * dimension on user_id.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim(key), "inner")
+
+  /** T1 batch-oracle query — hourly tumbling windows on the static
+    * events table, window start emitted as epoch µs so the DuckDB
+    * time_bucket oracle compares exactly.
+    */
+  def q29TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hourlyTypeAgg(Sources.events(spark, dir))
+      .select(
+        unix_micros($"window.start").as("hour_start_us"),
+        $"event_type", $"n", round($"sum_value", 6).as("sum_value"))
+      .orderBy($"hour_start_us", $"event_type")
+  }
+
+  /** T3 batch-oracle query — per-user 30-minute-gap sessions on the
+    * static events table; the oracle reproduces session semantics with a
+    * gaps-and-islands window SQL. Emits session start/end as epoch µs.
+    */
+  def q30Session(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.events(spark, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(14,6)")).cast("double").as("sum_value"))
+      .select(
+        $"user_id",
+        unix_micros($"session_window.start").as("sess_start_us"),
+        $"n_events", round($"sum_value", 6).as("sum_value"))
+      .orderBy($"user_id", $"sess_start_us")
+  }
+}
