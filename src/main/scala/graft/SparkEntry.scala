@@ -49,6 +49,10 @@ object SparkEntry {
     "q29_timewindow" -> (Streaming.q29TimeWindow _),
     "q30_session"   -> (Streaming.q30Session _),
     "q31_sparsity"  -> (Arrays.q31Sparsity _),
+    "q32_ml_metrics" -> (graft.ml.EmnistPipeline.q32MlMetrics _),
+    "q33_strat_sample" -> (graft.util.Sampling.q33StratSample _),
+    "q34_meanvec"   -> (VectorAggs.q34MeanVec _),
+    "q35_pca_variance" -> (graft.ml.EmnistPipeline.q35PcaVariance _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,5 +309,15 @@ object SparkEntry {
         | round(CAST(sum(len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) < 0.1))) AS DOUBLE)
         |   / sum(len(embedding)), 6) AS small_frac
         |FROM embeddings""".stripMargin,
+    "q33_strat_sample" ->
+      """SELECT o_orderpriority, least(count(*), 10) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q34_meanvec" ->
+      """WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        |SELECT label, count(*) AS n,
+        | round(avg(vec[1]), 6) AS m0,
+        | round(avg(vec[17]), 6) AS m16,
+        | round(avg(vec[64]), 6) AS m63
+        |FROM emb GROUP BY label ORDER BY label""".stripMargin,
   )
 }

@@ -1,0 +1,55 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic EMNIST-analog fixture — FIXTURES.md §B1, standing in
+  * for the reference's Kaggle handwritten-characters corpus
+  * (/root/reference/main.py:28-34: 39 classes A–Z, 1–9, @ # $ &).
+  *
+  * Generation is fully distributed and seed-stable: every cell is a pure
+  * function of (label, row, dim, seed) via xxhash64, so the same rows
+  * materialize regardless of partitioning or cluster size — no driver
+  * staging (the reference vstacks the whole corpus in driver RAM,
+  * main.py:169).
+  *
+  * Shape mirrors the reference: ~80% structural zeros (main.py:229-235
+  * measures sparsity), per-class template + noise so per-class mean
+  * aggregation (A5) recovers the template and classifiers clear chance
+  * by a wide margin, and deliberately imbalanced class counts so the
+  * balanced-load path (P5, main.py:157-165) has work to do.
+  */
+object EmnistFixture {
+
+  val classes: Seq[String] =
+    ('A' to 'Z').map(_.toString) ++ (1 to 9).map(_.toString) ++ Seq("@", "#", "$", "&")
+
+  /** Imbalanced per-class row counts in [20, 60], deterministic. */
+  def classCounts: Seq[(String, Int)] =
+    classes.zipWithIndex.map { case (c, i) => (c, 20 + (i * 7919) % 41) }
+
+  /** The labeled corpus: `label: string, row_id: int, features:
+    * array<double>` with `dim` columns (default 1,024 = 32×32 like the
+    * reference, main.py:123-124).
+    */
+  def df(spark: SparkSession, dim: Int = 1024, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val skeleton = classCounts
+      .flatMap { case (c, n) => (0 until n).map(r => (c, r)) }
+      .toDF("label", "row_id")
+      .repartition(8, $"label", $"row_id")
+    skeleton.withColumn(
+      "features",
+      transform(sequence(lit(0), lit(dim - 1)), d => {
+        // ~20% of dims are active per class (hash-chosen), giving ~80%
+        // zeros; active cells are a class template value in [100, 200)
+        // plus per-cell noise in [-10, 10].
+        val active = pmod(xxhash64($"label", d, lit(seed)), lit(5)) === 0
+        val base = pmod(xxhash64($"label", d, lit(seed + 1)), lit(100))
+          .cast("double") + lit(100.0)
+        val noise = (pmod(xxhash64($"label", $"row_id", d, lit(seed + 2)), lit(2001))
+          .cast("double") - lit(1000.0)) / lit(100.0)
+        when(active, base + noise).otherwise(lit(0.0))
+      }))
+  }
+}

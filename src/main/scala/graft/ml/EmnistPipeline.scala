@@ -1,0 +1,146 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{NaiveBayes, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{PCA, PCAModel, StandardScaler, StringIndexer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core ML pipeline, Spark-native — SURVEY.md §2.8
+  * (M1–M8) and §2.4 (A7–A9).
+  *
+  * Reference: StandardScaler (/root/reference/main.py:270-274) →
+  * IncrementalPCA (main.py:279-285, 330-341) → GaussianNB baseline
+  * (main.py:371-380) + distributed LightGBM (main.py:409-419), scored
+  * with accuracy / macro-F1 (main.py:376-380, 415-419).
+  *
+  * Engine mapping notes:
+  *  - IncrementalPCA's batching is an out-of-core trick; MLlib's PCA is
+  *    already out-of-core (per-partition Gramian + treeAggregate), so a
+  *    plain `PCA(k)` is the faithful equivalent.
+  *  - MLlib's GBTClassifier is binary-only; `RandomForestClassifier` is
+  *    the native multiclass stand-in for the 39-class LightGBM model
+  *    (SURVEY §2.8 M5 decision). `NaiveBayes(modelType=gaussian)`
+  *    accepts the signed post-PCA features.
+  *  - Training runs inside the engine as Spark jobs (treeAggregate per
+  *    tree node) — no side-channel worker mesh like lightgbm.dask.
+  */
+object EmnistPipeline {
+
+  /** M1+M2 feature stages: z-score scaler then PCA(k), on a vector
+    * column produced from the array features.
+    */
+  def featureStages(k: Int): Array[org.apache.spark.ml.PipelineStage] = Array(
+    new StringIndexer().setInputCol("label").setOutputCol("label_idx"),
+    new StandardScaler().setInputCol("fvec").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true),
+    new PCA().setInputCol("scaled").setOutputCol("pca").setK(k))
+
+  /** M4 — gaussian Naive Bayes on PCA features (signed values). */
+  def nbPipeline(k: Int): Pipeline = new Pipeline().setStages(
+    featureStages(k) :+ new NaiveBayes().setModelType("gaussian")
+      .setFeaturesCol("pca").setLabelCol("label_idx"))
+
+  /** M5 — multiclass random forest on PCA features (the reference's
+    * LightGBM max_depth=8 analogue; see scaladoc above).
+    */
+  def rfPipeline(k: Int, numTrees: Int = 20, maxDepth: Int = 8, seed: Long = 42L): Pipeline =
+    new Pipeline().setStages(
+      featureStages(k) :+ new RandomForestClassifier()
+        .setFeaturesCol("pca").setLabelCol("label_idx")
+        .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed))
+
+  /** A9 — accuracy + macro-F1 (the reference's scoring,
+    * main.py:376-380).
+    */
+  def evaluate(predictions: DataFrame): (Double, Double) = {
+    val ev = new MulticlassClassificationEvaluator()
+      .setLabelCol("label_idx").setPredictionCol("prediction")
+    (ev.setMetricName("accuracy").evaluate(predictions),
+      ev.setMetricName("f1").evaluate(predictions))
+  }
+
+  /** A9 — per-class confusion counts as a DataFrame (the
+    * classification_report analogue, main.py:380).
+    */
+  def confusion(predictions: DataFrame): DataFrame = {
+    import predictions.sparkSession.implicits._
+    predictions.groupBy($"label_idx", $"prediction")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"label_idx", $"prediction")
+  }
+
+  /** A8 — min #components whose cumulative explained-variance ratio
+    * exceeds tol (the reference's `find_n` binary search,
+    * main.py:288-320 — a linear scan is exact and the vector is ≤k
+    * elements on the driver).
+    */
+  def chooseK(model: PCAModel, tol: Double): Int = {
+    val idx = model.explainedVariance.toArray
+      .scanLeft(0.0)(_ + _).drop(1).indexWhere(_ >= tol)
+    if (idx < 0) model.getK else idx + 1
+  }
+
+  /** M6 — grid tuning of RF depth on a validation split (grid, not TPE:
+    * public Spark has no adaptive search; SURVEY §2.8 M6).
+    */
+  def tuneRf(k: Int, depths: Array[Int], seed: Long = 42L): TrainValidationSplit = {
+    val rf = new RandomForestClassifier()
+      .setFeaturesCol("pca").setLabelCol("label_idx")
+      .setNumTrees(10).setSeed(seed)
+    val pipeline = new Pipeline().setStages(featureStages(k) :+ rf)
+    new TrainValidationSplit()
+      .setEstimator(pipeline)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label_idx").setPredictionCol("prediction").setMetricName("f1"))
+      .setEstimatorParamMaps(
+        new ParamGridBuilder().addGrid(rf.maxDepth, depths).build())
+      .setTrainRatio(0.8).setSeed(seed)
+  }
+
+  /** End-to-end parity run on the EMNIST-analog fixture: 85/15 split
+    * (P6), fit NB + RF, score both. Registered as the rows-only
+    * `q32_ml_metrics` query (ML fits are not DuckDB-expressible).
+    */
+  def q32MlMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = EmnistFixture.df(spark, dim = 1024)
+      .withColumn("fvec", array_to_vector($"features"))
+      .cache()
+    val (train, test) = graft.util.Sampling.split8515(data, 42L)
+    val rows = Seq(
+      "gaussian_nb" -> nbPipeline(64),
+      "random_forest" -> rfPipeline(64)).map { case (name, pipe) =>
+      val model = pipe.fit(train)
+      val (acc, f1) = evaluate(model.transform(test))
+      (name, math.rint(acc * 1e6) / 1e6, math.rint(f1 * 1e6) / 1e6,
+        train.count(), test.count())
+    }
+    data.unpersist()
+    rows.toDF("model", "accuracy", "f1", "n_train", "n_test")
+      .orderBy($"model")
+  }
+
+  /** A7+A8 over the embeddings table: PCA spectrum with cumulative
+    * ratios and the chosen k for tol 0.90/0.95. Rows-only (eigen
+    * decomposition numerics are engine-specific).
+    */
+  def q35PcaVariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = graft.ops.Sources.embeddings(spark, dir)
+      .select(array_to_vector(transform($"embedding", _.cast("double"))).as("scaled"))
+    val model = new PCA().setInputCol("scaled").setOutputCol("pca").setK(32)
+      .fit(emb)
+    val ratios = model.explainedVariance.toArray
+    val cum = ratios.scanLeft(0.0)(_ + _).drop(1)
+    val k90 = chooseK(model, 0.90)
+    val k95 = chooseK(model, 0.95)
+    ratios.zip(cum).zipWithIndex.map { case ((r, c), i) =>
+      (i, math.rint(r * 1e6) / 1e6, math.rint(c * 1e6) / 1e6, k90, k95)
+    }.toSeq.toDF("component", "var_ratio", "cum_ratio", "k_for_90", "k_for_95")
+      .orderBy($"component")
+  }
+}
