@@ -88,8 +88,11 @@ object Sources {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     requireNanosConf(spark)
+    // The streaming file source monitors a DIRECTORY; events.parquet is a
+    // single file, so stream the sf dir with a glob pinned to it.
     spark.readStream.schema(eventsSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", nanosToTimestamp(col("ts")))
   }
 }

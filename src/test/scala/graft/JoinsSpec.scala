@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Join-family unit tests (SURVEY §2.3) on literal edge cases: null
+  * keys, duplicate keys, empty sides, and as-of semantics.
+  */
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "l")
+  private val right = Seq(
+    (1L, "x"), (1L, "y"), (4L, "z")).toDF("id", "r")
+
+  test("inner join multiplies duplicate keys") {
+    val j = left.join(right, "id")
+    assert(j.count() === 2) // id=1 matches twice, 2/3 unmatched
+  }
+
+  test("left outer keeps unmatched rows with nulls") {
+    val j = left.join(right, Seq("id"), "left")
+    assert(j.count() === 4)
+    assert(j.filter($"r".isNull).select($"id").as[Long].collect().sorted === Array(2L, 3L))
+  }
+
+  test("full outer covers both unmatched sides") {
+    val j = left.join(right, Seq("id"), "full")
+    assert(j.count() === 5) // 2 matches + ids 2,3 left-only + id 4 right-only
+  }
+
+  test("null keys never match (SQL three-valued equality)") {
+    val l = Seq((Some(1L), "a"), (None, "b")).toDF("id", "l")
+    val r = Seq((Some(1L), "x"), (None, "y")).toDF("id", "r")
+    assert(l.join(r, l("id") === r("id")).count() === 1)
+  }
+
+  test("semi returns at most one row per left row; anti is its complement") {
+    val semi = left.join(right, Seq("id"), "left_semi")
+    val anti = left.join(right, Seq("id"), "left_anti")
+    assert(semi.as[(Long, String)].collect().map(_._1).toSeq === Seq(1L))
+    assert(anti.count() === 2)
+    assert(semi.count() + anti.count() === left.count())
+  }
+
+  test("join against an empty side") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "r")
+    assert(left.join(empty, Seq("id"), "inner").count() === 0)
+    assert(left.join(empty, Seq("id"), "left").count() === 3)
+  }
+
+  test("as-of join picks the latest at-or-before row, inclusive on ties") {
+    // user 1: views at t=10 (v=1.0) and t=20 (v=2.0); clicks at t=15, t=20, t=5.
+    // Expected: click@15 -> 1.0 (view@10), click@20 -> 2.0 (same-instant
+    // view is visible), click@5 -> null (no prior view).
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (100L, ts(10), 1L, "view", 1.0, "{}"),
+      (101L, ts(20), 1L, "view", 2.0, "{}"),
+      (102L, ts(15), 1L, "click", 9.0, "{}"),
+      (103L, ts(20), 1L, "click", 9.0, "{}"),
+      (104L, ts(5), 1L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // q18AsOf reads via Sources.events (ns parquet); reproduce its plan
+    // on the literal frame instead.
+    import org.apache.spark.sql.expressions.Window
+    val views = ev.filter($"event_type" === "view").select(
+      $"user_id", $"ts", $"value".as("v_value"), lit(0).as("tag"),
+      lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter($"event_type" === "click").select(
+      $"user_id", $"ts", lit(null).cast("double").as("v_value"),
+      lit(1).as("tag"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = views.unionByName(clicks)
+      .withColumn("lv", last($"v_value", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"event_id", $"lv")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(102L) === Some(1.0))
+    assert(out(103L) === Some(2.0))
+    assert(out(104L) === None)
+  }
+
+  test("band join assigns every order to exactly one band") {
+    val n = ops.Sources.orders(spark, "/root/testdata/sf0.001").count()
+    val banded = ops.Joins.q17BandJoin(spark, "/root/testdata/sf0.001")
+      .agg(sum($"n")).head().getLong(0)
+    assert(banded === n)
+  }
+
+  test("explicit broadcast survives into the physical plan") {
+    val plan = ops.Joins.q14JoinStar(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}

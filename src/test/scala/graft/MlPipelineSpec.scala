@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{PCA, PCAModel, StandardScaler, StandardScalerModel}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.sql.functions._
+
+/** ML-pipeline tests (SURVEY §2.8 M1–M7, §2.4 A7–A9) on a reduced-dim
+  * fixture so the suite stays fast; the full 1,024-dim run is the
+  * driver-exercised q32 query.
+  */
+class MlPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val data = ml.EmnistFixture.df(spark, dim = 64)
+    .withColumn("fvec", array_to_vector($"features"))
+    .cache()
+
+  test("fixture is deterministic, imbalanced, and ~80% sparse") {
+    val counts = ml.EmnistFixture.classCounts.toMap
+    assert(counts.size === 39)
+    assert(counts.values.min >= 20 && counts.values.max <= 60)
+    assert(counts.values.toSet.size > 1) // genuinely imbalanced
+    val zeros = data.select(
+      sum(size(filter($"features", _ === 0.0))).as("z"),
+      sum(size($"features")).as("t")).head()
+    val frac = zeros.getLong(0).toDouble / zeros.getLong(1)
+    assert(frac > 0.7 && frac < 0.9, s"sparsity $frac")
+    // regenerating yields identical bytes
+    val again = ml.EmnistFixture.df(spark, dim = 64)
+    assert(data.select($"label", $"row_id", $"features").except(
+      again.select($"label", $"row_id", $"features")).count() === 0)
+  }
+
+  test("NB pipeline beats chance by a wide margin (accuracy floor 0.8)") {
+    val (train, test) = util.Sampling.split8515(data, 42L)
+    val model = ml.EmnistPipeline.nbPipeline(k = 24).fit(train)
+    val (acc, f1) = ml.EmnistPipeline.evaluate(model.transform(test))
+    assert(acc > 0.8, s"accuracy $acc") // chance is 1/39 ≈ 0.026
+    assert(f1 > 0.8, s"f1 $f1")
+  }
+
+  test("scaler ∘ PCA(full rank) ∘ inverse ≈ identity") {
+    val scaler = new StandardScaler().setInputCol("fvec").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true).fit(data)
+    val scaled = scaler.transform(data)
+    val pca = new PCA().setInputCol("scaled").setOutputCol("pca").setK(64).fit(scaled)
+    val projected = pca.transform(scaled)
+    val inv = new ml.InversePca(pca, scaler, "pca", "reconstructed")
+    val err = inv.transform(projected)
+      .select(aggregate(
+        zip_with(vector_to_array($"reconstructed"), $"features", (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => acc + x).as("l1err"))
+      .agg(max($"l1err")).head().getDouble(0)
+    assert(err < 1e-6, s"max L1 reconstruction error $err")
+  }
+
+  test("chooseK finds the smallest k reaching the variance tolerance") {
+    val scaler = new StandardScaler().setInputCol("fvec").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true).fit(data)
+    val pca = new PCA().setInputCol("scaled").setOutputCol("pca").setK(48)
+      .fit(scaler.transform(data))
+    val k90 = ml.EmnistPipeline.chooseK(pca, 0.90)
+    val cum = pca.explainedVariance.toArray.scanLeft(0.0)(_ + _).drop(1)
+    assert(cum(k90 - 1) >= 0.90)
+    assert(k90 == 1 || cum(k90 - 2) < 0.90)
+  }
+
+  test("confusion matrix row sums equal per-class test counts") {
+    val (train, test) = util.Sampling.split8515(data, 42L)
+    val model = ml.EmnistPipeline.nbPipeline(k = 24).fit(train)
+    val preds = model.transform(test)
+    val fromConfusion = ml.EmnistPipeline.confusion(preds)
+      .groupBy($"label_idx").agg(sum($"n").as("n"))
+      .as[(Double, Long)].collect().toMap
+    val direct = preds.groupBy($"label_idx").count()
+      .as[(Double, Long)].collect().toMap
+    assert(fromConfusion === direct)
+  }
+
+  test("M7 persistence: pipeline model round-trips through disk") {
+    val (train, test) = util.Sampling.split8515(data, 42L)
+    val model = ml.EmnistPipeline.nbPipeline(k = 16).fit(train)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val (accA, _) = ml.EmnistPipeline.evaluate(model.transform(test))
+    val (accB, _) = ml.EmnistPipeline.evaluate(loaded.transform(test))
+    assert(accA === accB)
+  }
+
+  test("M6 tuning: grid search selects a depth and validation metric") {
+    val small = data.filter($"label".isin("A", "B", "C", "D"))
+    val tvs = ml.EmnistPipeline.tuneRf(k = 8, depths = Array(2, 5))
+    val model = tvs.fit(small)
+    assert(model.validationMetrics.length === 2)
+    assert(model.validationMetrics.max > 0.8) // separable classes tune well
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** FIXTURES.md §B3 scripted event (top-level so its Encoder resolves
+  * without an outer scope).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured Streaming tests (SURVEY §2.10 T1–T6, §5.2) via
+  * MemoryStream — windows, watermark late-drop, streaming dedup, and the
+  * stream-static join, with batch/stream plan parity.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(id: Long, time: String, user: Long = 1L,
+      typ: String = "view", v: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(time), user, typ, v, "{}")
+
+  private def withQuery[A](q: StreamingQuery)(body: => A): A =
+    try body finally q.stop()
+
+  test("T1 tumbling window aggregates per hour and type (batch = stream plan)") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+      ev(3, "2024-01-01 11:05:00", typ = "click")).toDF()
+    val out = ops.Streaming.hourlyTypeAgg(batch)
+      .select(date_format($"window.start", "HH:mm").as("h"), $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("10:00", "view", 2L), ("11:00", "click", 1L)))
+  }
+
+  test("T4 watermark drops events later than the delay, keeps in-horizon ones") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ops.Streaming.hourlyTypeAggStream(input.toDF())
+      .select($"window.start".as("start"), $"event_type", $"n")
+      .writeStream.format("memory").queryName("wm_agg").outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      // watermark = 10:20 - 10min = 10:10; 10:00 window still open → no output
+      assert(spark.table("wm_agg").count() === 0)
+      // advance event time past 11:10 so the 10:00 window closes
+      input.addData(ev(3, "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      // a late event for the closed 10:00 window must be dropped
+      input.addData(ev(4, "2024-01-01 10:30:00"))
+      // and a fresh event advances nothing backwards
+      input.addData(ev(5, "2024-01-01 11:40:00"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_agg")
+        .select(date_format($"start", "HH:mm").as("s"), $"n")
+        .as[(String, Long)].collect().toMap
+      assert(rows("10:00") === 2L) // late event 4 did NOT bump the count
+    }
+  }
+
+  test("T5 streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ops.Streaming.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+      assert(ids === Array(1L, 2L, 3L))
+    }
+  }
+
+  test("T3 session window merges events within the gap, splits across it") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:20:00"),
+      ev(3, "2024-01-01 10:49:00"),              // still chained: 29 min gap
+      ev(4, "2024-01-01 12:00:00"),              // new session
+      ev(5, "2024-01-01 09:00:00", user = 2L)).toDF()
+    val out = ops.Streaming.sessionAgg(batch)
+      .select($"user_id", $"n_events")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out(1L) === Seq(1L, 3L))
+    assert(out(2L) === Seq(1L))
+  }
+
+  test("T2 sliding windows assign one event to window_size/slide windows") {
+    val batch = Seq(ev(1, "2024-01-01 10:32:00")).toDF()
+    val out = ops.Streaming.slidingTypeAgg(batch)
+      .select(date_format($"window.start", "HH:mm").as("s"))
+      .as[String].collect().sorted
+    assert(out === Array("09:45", "10:00", "10:15", "10:30"))
+  }
+
+  test("T6 stream-static join enriches stream rows from the broadcast dim") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = ops.Streaming.enrichWithDim(input.toDF(), dim, "cust_id")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00", user = 1L),
+        ev(2, "2024-01-01 10:01:00", user = 9L)) // no dim row → dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.table("enriched").as[(Long, String)].collect().toSet
+      assert(rows === Set((1L, "gold")))
+    }
+  }
+
+  test("file streaming source over events parquet reaches a windowed sink") {
+    val stream = ops.Sources.eventsStream(spark, "/root/testdata/sf0.001")
+    assert(stream.isStreaming)
+    val q = ops.Streaming.hourlyTypeAggStream(stream)
+      .writeStream.format("memory").queryName("file_stream_agg")
+      .outputMode("append").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      // append mode only emits closed windows; the final open window stays
+      // buffered, so compare against the batch result minus the tail.
+      val streamed = spark.table("file_stream_agg").count()
+      val batch = ops.Streaming.hourlyTypeAgg(
+        ops.Sources.events(spark, "/root/testdata/sf0.001")).count()
+      assert(streamed > 0 && streamed <= batch)
+    }
+  }
+}
