@@ -53,6 +53,8 @@ object SparkEntry {
     "q33_strat_sample" -> (graft.util.Sampling.q33StratSample _),
     "q34_meanvec"   -> (VectorAggs.q34MeanVec _),
     "q35_pca_variance" -> (graft.ml.EmnistPipeline.q35PcaVariance _),
+    "q36_approx_distinct" -> (Relational.q36ApproxDistinct _),
+    "q37_from_json" -> (Relational.q37FromJson _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -319,5 +321,13 @@ object SparkEntry {
         | round(avg(vec[17]), 6) AS m16,
         | round(avg(vec[64]), 6) AS m63
         |FROM emb GROUP BY label ORDER BY label""".stripMargin,
+    "q37_from_json" ->
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |SELECT key, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.' || key) AS INT)), 6) AS avg_val,
+        | min(CAST(json_extract_string(props, '$.' || key) AS INT)) AS min_val,
+        | max(CAST(json_extract_string(props, '$.' || key) AS INT)) AS max_val
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
   )
 }

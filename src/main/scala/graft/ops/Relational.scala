@@ -82,6 +82,20 @@ object Relational {
       countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part_pairs"))
   }
 
+  /** A10 scale variant of q3 — approx_count_distinct (HLL++, rsd 1%).
+    * Where exact q3 pays a 3× Expand + wide shuffle
+    * (RewriteDistinctAggregates), this is one pass with fixed-size
+    * sketches — the 100 TB answer. Rows-only: HLL estimates are
+    * engine-specific by design.
+    */
+  def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir).agg(
+      approx_count_distinct($"l_orderkey", 0.01).as("n_orders_approx"),
+      approx_count_distinct($"l_partkey", 0.01).as("n_parts_approx"),
+      approx_count_distinct($"l_suppkey", 0.01).as("n_supps_approx"))
+  }
+
   /** A11 — ROLLUP with grouping() disambiguation of subtotal rows. */
   def q4Rollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -183,6 +197,26 @@ object Relational {
         min($"k").as("min_k"),
         max($"k").as("max_k"))
       .orderBy($"event_type")
+  }
+
+  /** §2.9 map/JSON family (full form): from_json into a typed MapType,
+    * exploded to (key, value) rows, then aggregated per key —
+    * complements q10's path-extraction (`get_json_object`) with the
+    * schema-on-read map surface.
+    */
+  def q37FromJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.events(spark, dir)
+      .select(explode(from_json($"props",
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .as(Seq("key", "val")))
+      .groupBy($"key")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg($"val"), 6).as("avg_val"),
+        min($"val").as("min_val"),
+        max($"val").as("max_val"))
+      .orderBy($"key")
   }
 
   /** §2.9 math family + CASE WHEN banding. */

@@ -94,7 +94,11 @@ object Similarity {
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(16).setSeed(42L)
     val model = mh.fit(tf)
-    model.approxSimilarityJoin(tf, tf, 0.9, "jaccard_dist")
+    // Transform once and cache: approxSimilarityJoin reuses a
+    // pre-hashed input, otherwise the tokenize→shingle→TF→minhash
+    // pipeline is recomputed on BOTH sides of the self-join.
+    val hashed = model.transform(tf).persist()
+    model.approxSimilarityJoin(hashed, hashed, 0.9, "jaccard_dist")
       .select(
         $"datasetA.doc_id".as("doc_a"),
         $"datasetB.doc_id".as("doc_b"),

@@ -60,6 +60,24 @@ object Streaming {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** T5 — arbitrary stateful processing: running per-user event counts
+    * via flatMapGroupsWithState (update mode, unbounded keys kept —
+    * production would add a timeout to bound state).
+    */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "n_events")
+  }
+
   /** T6 — stream-static join: enrich events with a broadcastable static
     * dimension on user_id.
     */

@@ -79,6 +79,37 @@ class MlPipelineSpec extends SparkTestBase {
     assert(fromConfusion === direct)
   }
 
+  test("P4+M3: mismatch filter + head reconstructs misclassified rows (main.py:443-446)") {
+    val (train, test) = util.Sampling.split8515(data, 42L)
+    val model = ml.EmnistPipeline.nbPipeline(k = 24).fit(train)
+    val preds = model.transform(test).cache()
+    val mismatches = preds.filter($"prediction" =!= $"label_idx")
+    val correct = preds.filter($"prediction" === $"label_idx")
+    assert(mismatches.count() + correct.count() === preds.count())
+    val head15 = mismatches.limit(15)
+    val scaler = model.stages(1).asInstanceOf[StandardScalerModel]
+    val pca = model.stages(2).asInstanceOf[PCAModel]
+    val recon = new ml.InversePca(pca, scaler, "pca", "reconstructed")
+      .transform(head15)
+    assert(recon.count() <= 15)
+    if (recon.count() > 0) {
+      // reconstructed vectors live in the original 64-dim space
+      val v = recon.select(vector_to_array($"reconstructed")).head().getSeq[Double](0)
+      assert(v.length === 64)
+    }
+    preds.unpersist()
+  }
+
+  test("A6 scaler fit matches column-wise mean and sample stddev") {
+    val scaler = new StandardScaler().setInputCol("fvec").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true).fit(data)
+    val (m0, s0) = data
+      .select(avg(element_at($"features", 1)), stddev_samp(element_at($"features", 1)))
+      .as[(Double, Double)].head()
+    assert(math.abs(scaler.mean(0) - m0) < 1e-9)
+    assert(math.abs(scaler.std(0) - s0) < 1e-9)
+  }
+
   test("M7 persistence: pipeline model round-trips through disk") {
     val (train, test) = util.Sampling.split8515(data, 42L)
     val model = ml.EmnistPipeline.nbPipeline(k = 16).fit(train)

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink tests (SURVEY §2.1 S5–S8). */
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("S5 in-memory rows to DataFrame with explicit schema") {
+    val schema = StructType(Seq(
+      StructField("label", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("A", Seq(1f, 2f)),
+      org.apache.spark.sql.Row("B", Seq(3f, 4f)))
+    val df = spark.createDataFrame(rows, schema)
+    assert(df.schema === schema)
+    assert(df.count() === 2)
+  }
+
+  test("S6+S7 parquet sink/source round-trip preserves rows and schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = ops.Relational.q1Pricing(spark, "/root/testdata/sf0.001")
+    out.write.mode("overwrite").parquet(s"$dir/q1")
+    val back = spark.read.parquet(s"$dir/q1")
+    // parquet reload relaxes nullability; names and types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      out.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy($"l_returnflag", $"l_linestatus").collect().toSeq ===
+      out.collect().toSeq)
+  }
+
+  test("S8 all ten testdata tables load with their expected columns") {
+    val expected = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    expected.foreach { case (name, keyCol) =>
+      val df =
+        if (name == "events") ops.Sources.events(spark, "/root/testdata/sf0.001")
+        else ops.Sources.table(spark, "/root/testdata/sf0.001", name)
+      assert(df.columns.contains(keyCol), name)
+      assert(df.limit(1).count() === 1, name)
+    }
+  }
+
+  test("events ts converts ns to us by flooring, losslessly for query granularity") {
+    val df = ops.Sources.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType === TimestampType)
+    val (lo, hi) = df.agg(min($"ts").cast("string"), max($"ts").cast("string"))
+      .as[(String, String)].head()
+    // matches DuckDB's CAST(ts AS TIMESTAMP) on the same fixture
+    assert(lo === "2024-01-01 00:09:58.778549")
+    assert(hi === "2024-01-30 23:26:16.220708")
+  }
+}

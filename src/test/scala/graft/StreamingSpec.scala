@@ -116,6 +116,27 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("T5 flatMapGroupsWithState accumulates per-user counts across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ops.Streaming.runningUserCounts(input.toDF())
+      .writeStream.format("memory").queryName("state_out").outputMode("update").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00", user = 1L),
+        ev(2, "2024-01-01 10:01:00", user = 1L),
+        ev(3, "2024-01-01 10:02:00", user = 2L))
+      q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 10:03:00", user = 1L))
+      q.processAllAvailable()
+      // update mode appends one row per key per batch; the latest row
+      // per user carries the running total
+      val latest = spark.table("state_out")
+        .groupBy($"user_id").agg(max($"n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(latest === Map(1L -> 3L, 2L -> 1L))
+    }
+  }
+
   test("file streaming source over events parquet reaches a windowed sink") {
     val stream = ops.Sources.eventsStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
