@@ -55,6 +55,9 @@ object SparkEntry {
     "q35_pca_variance" -> (graft.ml.EmnistPipeline.q35PcaVariance _),
     "q36_approx_distinct" -> (Relational.q36ApproxDistinct _),
     "q37_from_json" -> (Relational.q37FromJson _),
+    "q38_simhash"   -> (Text.q38Simhash _),
+    "q39_ngram_jaccard" -> (Similarity.q39NgramJaccard _),
+    "q40_embed_neardup" -> (Similarity.q40EmbeddingNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -329,5 +332,27 @@ object SparkEntry {
         | min(CAST(json_extract_string(props, '$.' || key) AS INT)) AS min_val,
         | max(CAST(json_extract_string(props, '$.' || key) AS INT)) AS max_val
         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+    "q39_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
+        |FROM (
+        |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jacc
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id)
+        |WHERE jacc >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -106,4 +106,63 @@ object Similarity {
       .filter($"doc_a" < $"doc_b")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** L2 (exact n-gram Jaccard) — token-3-gram Jaccard similarity for
+    * all pairs sharing at least one shingle, via an inverted-index
+    * self-join (posting lists), NOT a crossJoin: the join key is the
+    * shingle, so only genuinely overlapping pairs materialize. Exact and
+    * DuckDB-oracle-checkable. At 100 TB the one addition would be
+    * dropping stop-shingles (df above a cap) to bound posting-list skew.
+    */
+  def q39NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Sources.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val sh = toks.select($"doc_id",
+      explode(array_distinct(transform(sequence(lit(0), size($"t") - 3),
+        i => concat_ws(" ", element_at($"t", i + 1),
+          element_at($"t", i + 2), element_at($"t", i + 3))))).as("s"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val shared = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.as("na"), $"doc_a" === $"na.doc_id")
+      .join(sizes.as("nb"), $"doc_b" === $"nb.doc_id")
+      .withColumn("jacc", $"c".cast("double") / ($"na.n" + $"nb.n" - $"c"))
+      .filter($"jacc" >= 0.1)
+      .select($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** L2/L3 (embedding near-dup) — cosine near-duplicate PAIRS over the
+    * embedding space via the same normalized-Euclidean LSH bucketing as
+    * [[q26AnnLsh]] (unit vectors: cos = 1 - d²/2). Bucketed candidate
+    * join, no all-pairs; rows-only (LSH internals are engine-specific).
+    */
+  def q40EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, dir)
+      .withColumn("vec", array_to_vector(transform($"embedding", _.cast("double"))))
+    val normalize = udf { v: MlVector =>
+      val n = Vectors.norm(v, 2.0)
+      if (n == 0.0) v else Vectors.dense(v.toArray.map(_ / n))
+    }
+    val unit = emb.select($"vec_id", normalize($"vec").as("unit"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("unit").setOutputCol("buckets")
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(unit)
+    val hashed = model.transform(unit).persist()
+    model.approxSimilarityJoin(hashed, hashed, 1.2, "l2_dist")
+      .select(
+        $"datasetA.vec_id".as("vec_a"),
+        $"datasetB.vec_id".as("vec_b"),
+        round(lit(1.0) - $"l2_dist" * $"l2_dist" / 2.0, 6).as("cosine"))
+      .filter($"vec_a" < $"vec_b")
+      .orderBy($"cosine".desc, $"vec_a", $"vec_b")
+      .limit(100)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline text operators — SURVEY.md §2.11 (L1, L5, L6) and
@@ -94,5 +95,91 @@ object Text {
         sha2($"text", 256).as("sha256_hex"),
         length($"text").as("len"))
       .orderBy($"doc_id")
+  }
+
+  /** L2 (SimHash variant) — 64-bit token-level SimHash per document,
+    * then near-dup candidates from 16-bit band collisions, verified by
+    * Hamming distance (bit_count of xor). All shuffles move 8-byte
+    * fingerprints; candidate generation is a band-bucket join, never
+    * all-pairs. Rows-only: xxhash64 is not available to the oracle.
+    */
+  def q38Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Sources.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+      .select($"doc_id", xxhash64($"token").as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val simhash = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val fp = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id", simhash.as("simhash"))
+    val bands = fp.select($"doc_id", $"simhash",
+      posexplode(array((0 until 4).map(b =>
+        shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bval")))
+    bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bval" === $"y.bval" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        call_function("bit_count", $"x.simhash".bitwiseXOR($"y.simhash")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 16)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** L5 — TF-IDF featurization with an inspectable vocabulary:
+    * whitespace tokenize → CountVectorizer (vocab on the driver, sized
+    * for introspection/tests; HashingTF is the fixed-memory choice at
+    * 100 TB vocab) → IDF. Returns (model stages, featurized frame).
+    */
+  def tfidf(docs: DataFrame, textCol: String = "text", vocabSize: Int = 1 << 16):
+      (org.apache.spark.ml.PipelineModel, DataFrame) = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{CountVectorizer, IDF, Tokenizer}
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol(textCol).setOutputCol("tokens"),
+      new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+        .setVocabSize(vocabSize),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val model = pipe.fit(docs)
+    (model, model.transform(docs))
+  }
+
+  /** Character bigrams of a string column (the n-gram unit for language
+    * ID), deduplicated.
+    */
+  def charBigrams(c: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - 1),
+      i => c.substr(i, lit(2))))
+
+  /** L5 — n-gram-heuristic language ID, profile side: the topN most
+    * frequent character bigrams per language from a labeled corpus.
+    */
+  def langProfiles(labeled: DataFrame, topN: Int = 50): DataFrame = {
+    import labeled.sparkSession.implicits._
+    val counts = labeled
+      .select($"lang", explode(charBigrams(lower($"text"))).as("bigram"))
+      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    counts.withColumn("rk", row_number().over(w)).filter($"rk" <= topN)
+      .select($"lang", $"bigram")
+  }
+
+  /** L5 — classify each document to the language whose bigram profile
+    * it overlaps most (ties broken lexicographically). A broadcast join
+    * against the (languages × topN)-row profile table — no shuffle of
+    * the corpus beyond the per-doc aggregate.
+    */
+  def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hits = docs
+      .select($"doc_id", explode(charBigrams(lower($"text"))).as("bigram"))
+      .join(broadcast(profiles), "bigram")
+      .groupBy($"doc_id", $"lang").agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"lang")
+    hits.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"doc_id", $"lang".as("predicted_lang"), $"overlap")
   }
 }

@@ -43,6 +43,77 @@ class TextSpec extends SparkTestBase {
     assert(got === "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
 
+  test("simhash: identical docs collide, disjoint docs stay far apart") {
+    import org.apache.spark.sql.expressions.Window
+    // reproduce q38's fingerprint math on a literal corpus
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa lambda")).toDF("doc_id", "text")
+    val toks = docs
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
+      .select($"doc_id", xxhash64($"token").as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val simhash = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val fp = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id", simhash.as("sh")).as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L)) // identical text -> identical fingerprint
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming > 16, s"disjoint docs at hamming $hamming")
+  }
+
+  test("n-gram jaccard: identical docs score 1, half-overlapping docs score correctly") {
+    val out = withTempDocs(Seq(
+      (1L, "a b c d e"),       // shingles: abc bcd cde
+      (2L, "a b c d e"),       // identical -> jaccard 1.0
+      (3L, "a b c x y"),       // shares only abc -> 1/(3+3-1) = 0.2
+      (4L, "p q r s t"))) { dir =>
+      ops.Similarity.q39NgramJaccard(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(out === Set((1L, 2L, 1.0), (1L, 3L, 0.2), (2L, 3L, 0.2)))
+  }
+
+  test("tf-idf: ubiquitous terms get idf 0, rare terms get positive weight") {
+    import org.apache.spark.ml.feature.{CountVectorizerModel, IDFModel}
+    val docs = Seq("common rare", "common", "common other").toDF("text")
+    val (model, _) = ops.Text.tfidf(docs)
+    val vocab = model.stages(1).asInstanceOf[CountVectorizerModel].vocabulary
+    val idf = model.stages(2).asInstanceOf[IDFModel].idf.toArray
+    val byTerm = vocab.zip(idf).toMap
+    assert(byTerm("common") === 0.0) // log((n+1)/(df+1)) = log(4/4)
+    assert(math.abs(byTerm("rare") - math.log(4.0 / 2.0)) < 1e-12)
+  }
+
+  test("language ID classifies a bigram-discriminable corpus correctly") {
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog then runs there"),
+      ("en", "this is another english sentence with the usual letters"),
+      ("xx", "zxqv zxwk zxpj qvzx wkzx pjzx zxqv qvwk"),
+      ("xx", "zx qv wk pj zxqv qvwk wkpj pjzx")).toDF("lang", "text")
+    val profiles = ops.Text.langProfiles(train, topN = 30)
+    val docs = Seq(
+      (1L, "the brown dog runs there"),
+      (2L, "zxqv wkpj qvzx")).toDF("doc_id", "text")
+    val out = ops.Text.classifyLang(docs, profiles)
+      .select($"doc_id", $"predicted_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "en", 2L -> "xx"))
+  }
+
+  /** Writes literal docs as a parquet `documents` table in a temp sf dir. */
+  private def withTempDocs[A](docs: Seq[(Long, String)])(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    body(dir)
+  }
+
   test("term stats: document frequency counts distinct docs, tf counts occurrences") {
     val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
     val out = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
