@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column operators — SURVEY.md §2.11 L4, extending
+  * the image path (ops.Images) to audio and video shapes.
+  *
+  * A multimodal asset is one row: `asset_id: long, modality: string,
+  * content: binary, meta: map<string,string>` — binary payload plus
+  * typed metadata in a single schema, exactly the pattern the image
+  * source produces (Images.scan).
+  *
+  * Codec scope (offline build, no media libraries in the container):
+  * container/codec parsing (WAV/MP3/MP4) is STUBBED — `content` is
+  * assumed to be RAW little-endian PCM16 for audio and raw 8-bit
+  * grayscale frames for video. The raw-format decode, the UDF
+  * signatures, the schema, and the frame/window batch shapes are real
+  * and tested; swapping in a genuine codec changes only the two decode
+  * functions below.
+  *
+  * 100 TB posture: decode and feature extraction run task-parallel next
+  * to the bytes; windows/frames explode to bounded per-asset row counts
+  * and aggregate map-side. No driver collection anywhere.
+  */
+object Multimodal {
+
+  // ---------------------------------------------------------------- audio
+
+  /** RAW PCM16LE → float samples in [-1, 1). This part is a real
+    * decode; WAV/MP3 container parsing is the stubbed step (see object
+    * scaladoc).
+    */
+  def decodePcm16(bytes: Array[Byte]): Array[Float] = {
+    val n = bytes.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i) & 0xff
+      val hi = bytes(2 * i + 1).toInt // sign-extends
+      out(i) = ((hi << 8) | lo) / 32768.0f
+      i += 1
+    }
+    out
+  }
+
+  private val decodePcmUdf = udf(decodePcm16 _)
+
+  /** Audio feature extraction: decode → fixed windows (length `win`,
+    * hop `hop`) → per-window RMS + zero-crossing-rate rows. One row per
+    * (asset, frame); the explode is immediately bounded by the asset's
+    * sample count.
+    */
+  def audioFeatures(assets: DataFrame, win: Int, hop: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    val samples = assets
+      .filter($"modality" === "audio")
+      .withColumn("samples", decodePcmUdf($"content"))
+      .filter(size($"samples") >= win) // sequence() rejects empty ranges
+    val nFrames = (((size($"samples") - win) / hop).cast("int") + 1)
+    samples
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame",
+        slice($"samples", $"frame_idx" * hop + 1, lit(win)))
+      .select(
+        $"asset_id", $"frame_idx",
+        round(sqrt(aggregate($"frame", lit(0.0),
+          (acc, x) => acc + x * x) / win), 6).as("rms"),
+        aggregate(
+          zip_with($"frame", slice($"frame", 2, win - 1),
+            (a, b) => when(signum(a) =!= signum(b), 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("zero_crossings"))
+  }
+
+  // ---------------------------------------------------------------- video
+
+  /** Deterministic frame sampler over a raw grayscale byte stream:
+    * frames are `frameBytes`-sized slices; keep every `everyK`-th.
+    * Pure column math (substring on binary) — no UDF needed to sample,
+    * only to decode the kept frames.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    val nFrames = (length($"content") / frameBytes).cast("int")
+    assets
+      .filter($"modality" === "video" && length($"content") >= frameBytes)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), nFrames - 1, lit(everyK))))
+      .select(
+        $"asset_id", $"frame_idx",
+        $"content".substr($"frame_idx" * frameBytes + 1, lit(frameBytes))
+          .as("frame_bytes"))
+  }
+
+  /** Raw 8-bit grayscale frame → float vector (the video analogue of
+    * Images.decodeToVector; container parsing stubbed per scaladoc).
+    */
+  def decodeGrayFrame(bytes: Array[Byte]): Array[Float] =
+    bytes.map(b => (b & 0xff).toFloat)
+
+  private val decodeFrameUdf = udf(decodeGrayFrame _)
+
+  /** Sampled frames → per-frame feature vectors + mean intensity. */
+  def frameFeatures(frames: DataFrame): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames
+      .withColumn("pixels", decodeFrameUdf($"frame_bytes"))
+      .select(
+        $"asset_id", $"frame_idx", $"pixels",
+        round(aggregate($"pixels", lit(0.0), (acc, x) => acc + x) /
+          size($"pixels"), 6).as("mean_intensity"))
+  }
+}
