@@ -71,15 +71,24 @@ object Relational {
   }
 
   /** A10 — exact distinct counts (single-row result; the approx HLL
-    * variant is benched separately in qApproxDistinct, not oracled —
-    * HLL estimates differ across engines by design).
+    * variant is q36, not oracled — HLL estimates differ across engines
+    * by design).
+    *
+    * Plan shape: THREE single-distinct aggregates cross-joined as 1-row
+    * broadcasts, NOT one agg with three countDistincts — multiple
+    * distinct groups make RewriteDistinctAggregates plan an Expand that
+    * triples every input row before the shuffle (the round-2 bench's
+    * dominant cost; fatal at 100 TB). Each single-distinct agg is a
+    * partial-dedup → shuffle-of-distinct-keys → count, so the shuffle
+    * carries keys, not 3× rows.
     */
   def q3Distinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Sources.lineitem(spark, dir).agg(
-      countDistinct($"l_orderkey").as("n_orders"),
-      countDistinct($"l_partkey").as("n_parts"),
-      countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part_pairs"))
+    val li = Sources.lineitem(spark, dir)
+    li.agg(countDistinct($"l_orderkey").as("n_orders"))
+      .crossJoin(broadcast(li.agg(countDistinct($"l_partkey").as("n_parts"))))
+      .crossJoin(broadcast(
+        li.agg(countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part_pairs"))))
   }
 
   /** A10 scale variant of q3 — approx_count_distinct (HLL++, rsd 1%).

@@ -33,19 +33,20 @@ object Similarity {
 
   /** L3 (exact baseline) — cosine top-10 neighbors of vec_id 0, computed
     * entirely in double (embedding cast float→double first so Spark and
-    * the oracle accumulate identically).
+    * the oracle accumulate identically). The kernel is the custom
+    * codegen'd [[graft.expressions.CosineSimilarity]] — one fused loop
+    * instead of four interpreted HOF array walks (CosineExprSpec asserts
+    * bit-equality with the HOF composition).
     */
   def q22CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     val emb = Sources.embeddings(spark, dir)
       .withColumn("vec", transform($"embedding", _.cast("double")))
     val query = emb.filter($"vec_id" === 0).select($"vec".as("qv"))
     emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(query))
-      .select(
-        $"vec_id", $"label",
-        (dot($"vec", $"qv") /
-          (sqrt(dot($"vec", $"vec")) * sqrt(dot($"qv", $"qv")))).as("cos"))
+      .select($"vec_id", $"label", cosineSimilarity($"vec", $"qv").as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
       .select($"vec_id", $"label", round($"cos", 6).as("cosine"))

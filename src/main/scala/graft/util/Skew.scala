@@ -1,0 +1,38 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation — the salting pattern from the builder brief's 100 TB
+  * posture (AQE's skew-join split handles sort-merge joins
+  * automatically; explicit salting is the tool when a hot key must be
+  * spread BEFORE an aggregation or a shuffled join).
+  */
+object Skew {
+
+  /** Skew-resilient equi-join: the large side is salted with a seeded
+    * uniform salt in [0, salts); the small side is replicated across all
+    * salt values (explode of a literal range — rows × salts, acceptable
+    * when `small` is dimension-sized). The hot key's rows then spread
+    * over `salts` reducers instead of one.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int,
+      seed: Long = 42L): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = large.withColumn("__salt", (rand(seed) * salts).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase skew-resilient aggregation: count per (key, salt) first
+    * (spreading a hot key over `salts` partial groups), then combine the
+    * partials. Identical result to a direct groupBy-count.
+    */
+  def saltedCount(df: DataFrame, key: String, salts: Int, seed: Long = 42L): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__salt", (rand(seed) * salts).cast("int"))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
+  }
+}

@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+
+import graft.expressions.CosineSimilarity
+
+/** Column wrappers for graft's custom Catalyst expressions.
+  *
+  * Lives under `org.apache.spark.sql` solely because Spark 4's
+  * Column↔Expression bridge (`classic.ExpressionUtils`) is
+  * `private[sql]` — the standard shim pattern for third-party
+  * expression libraries. No Spark internals are modified.
+  */
+object GraftColumns {
+
+  /** Fused single-pass cosine similarity of two array<double> columns
+    * (see [[graft.expressions.CosineSimilarity]]).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

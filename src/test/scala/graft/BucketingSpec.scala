@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join (100 TB posture): matching bucket specs on
+  * both sides eliminate the join shuffle entirely.
+  */
+class BucketingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed-by-key tables join without an Exchange") {
+    val d = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    ops.Sources.orders(spark, d)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    ops.Sources.lineitem(spark, d)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the JOIN itself is shuffle-free: the only Exchange allowed is the
+      // one-column aggregation above it
+      val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(plan.contains("SortMergeJoin"))
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucketed join still shuffles:\n$joinSubtree")
+      // and it is still correct
+      val viaBuckets = joined.as[(String, Double)].collect().toMap
+      val direct = ops.Sources.lineitem(spark, d)
+        .join(ops.Sources.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity").as("q"))
+        .as[(String, Double)].collect().toMap
+      assert(viaBuckets === direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
