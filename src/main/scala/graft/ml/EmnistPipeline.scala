@@ -53,6 +53,17 @@ object EmnistPipeline {
         .setFeaturesCol("pca").setLabelCol("label_idx")
         .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed))
 
+  /** M5 (true boosting) — One-vs-Rest over binary GBTs: the faithful
+    * gradient-boosting option for the 39-class problem, at #classes ×
+    * training cost (documented SURVEY §2.8 trade-off; RF is the default).
+    */
+  def ovrGbtPipeline(k: Int, maxIter: Int = 10, maxDepth: Int = 4, seed: Long = 42L): Pipeline =
+    new Pipeline().setStages(
+      featureStages(k) :+ new org.apache.spark.ml.classification.OneVsRest()
+        .setClassifier(new org.apache.spark.ml.classification.GBTClassifier()
+          .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed))
+        .setFeaturesCol("pca").setLabelCol("label_idx"))
+
   /** A9 — accuracy + macro-F1 (the reference's scoring,
     * main.py:376-380).
     */
@@ -111,15 +122,25 @@ object EmnistPipeline {
       .withColumn("fvec", array_to_vector($"features"))
       .cache()
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
-    val rows = Seq(
-      "gaussian_nb" -> nbPipeline(64),
-      "random_forest" -> rfPipeline(64)).map { case (name, pipe) =>
-      val model = pipe.fit(train)
-      val (acc, f1) = evaluate(model.transform(test))
+    // Fit the (indexer → scaler → PCA) feature stages ONCE and share the
+    // projected frames across both classifiers — fitting them per
+    // classifier pipeline would redo the 1,024-dim PCA twice.
+    val features = new Pipeline().setStages(featureStages(64)).fit(train)
+    val trainF = features.transform(train).select($"label_idx", $"pca").cache()
+    val testF = features.transform(test).select($"label_idx", $"pca").cache()
+    val classifiers = Seq[(String, org.apache.spark.ml.PipelineStage)](
+      "gaussian_nb" -> new NaiveBayes().setModelType("gaussian")
+        .setFeaturesCol("pca").setLabelCol("label_idx"),
+      "random_forest" -> new RandomForestClassifier()
+        .setFeaturesCol("pca").setLabelCol("label_idx")
+        .setNumTrees(20).setMaxDepth(8).setSeed(42L))
+    val rows = classifiers.map { case (name, est) =>
+      val model = new Pipeline().setStages(Array(est)).fit(trainF)
+      val (acc, f1) = evaluate(model.transform(testF))
       (name, math.rint(acc * 1e6) / 1e6, math.rint(f1 * 1e6) / 1e6,
-        train.count(), test.count())
+        trainF.count(), testF.count())
     }
-    data.unpersist()
+    Seq(data, trainF, testF).foreach(_.unpersist())
     rows.toDF("model", "accuracy", "f1", "n_train", "n_test")
       .orderBy($"model")
   }

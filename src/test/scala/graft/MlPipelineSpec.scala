@@ -121,6 +121,14 @@ class MlPipelineSpec extends SparkTestBase {
     assert(accA === accB)
   }
 
+  test("M5 OneVsRest(GBT) true-boosting option trains and beats chance") {
+    val small = data.filter($"label".isin("A", "B", "C"))
+    val (train, test) = util.Sampling.split8515(small, 42L)
+    val model = ml.EmnistPipeline.ovrGbtPipeline(k = 8, maxIter = 5).fit(train)
+    val (acc, _) = ml.EmnistPipeline.evaluate(model.transform(test))
+    assert(acc > 0.8, s"OvR-GBT accuracy $acc") // chance is 1/3
+  }
+
   test("M6 tuning: grid search selects a depth and validation metric") {
     val small = data.filter($"label".isin("A", "B", "C", "D"))
     val tvs = ml.EmnistPipeline.tuneRf(k = 8, depths = Array(2, 5))
