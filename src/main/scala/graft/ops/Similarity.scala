@@ -120,10 +120,14 @@ object Similarity {
     val toks = Sources.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
+    // The posting list feeds BOTH self-join sides and the size table —
+    // without a persist the tokenize+shingle+explode subtree runs 4×
+    // (no ReusedExchange across differently-partitioned consumers).
     val sh = toks.select($"doc_id",
       explode(array_distinct(transform(sequence(lit(0), size($"t") - 3),
         i => concat_ws(" ", element_at($"t", i + 1),
           element_at($"t", i + 2), element_at($"t", i + 3))))).as("s"))
+      .persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")

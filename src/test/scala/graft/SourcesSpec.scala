@@ -47,6 +47,26 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("partition pruning: a partition-column filter prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    ops.Sources.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("yr", year($"o_orderdate"))
+      .write.partitionBy("yr").mode("overwrite").parquet(s"$dir/orders_by_year")
+    val pruned = spark.read.parquet(s"$dir/orders_by_year").filter($"yr" === 1995)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(yr"), scan)
+    // only 1995's directory is read
+    val files = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("yr=1995")))
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val plan = ops.Sources.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
+  }
+
   test("events ts converts ns to us by flooring, losslessly for query granularity") {
     val df = ops.Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)
