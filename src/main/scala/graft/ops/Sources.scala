@@ -83,6 +83,23 @@ object Sources {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Typed row for the `events` table — the `Dataset[T]` boundary from
+    * SURVEY §1.4 (rows are self-describing; no positional alignment like
+    * the reference's parallel label array, /root/reference/main.py:168-171).
+    */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Typed events view. Note the trade-off documented in SURVEY §1.4:
+    * typed lambdas (`ds.filter(_.event_type == ...)`) are opaque to
+    * Catalyst (no pushdown), so the DataFrame surface stays the default;
+    * the typed boundary is for case-class-shaped application logic.
+    */
+  def eventsDs(spark: SparkSession, d: String): org.apache.spark.sql.Dataset[Event] = {
+    import spark.implicits._
+    events(spark, d).as[Event]
+  }
+
   /** S9: events as an unbounded stream (file source), ts converted to
     * TimestampType so watermarks/windows work unchanged.
     */

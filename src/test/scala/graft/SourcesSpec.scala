@@ -67,6 +67,17 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), plan)
   }
 
+  test("typed Dataset[Event] boundary agrees with the DataFrame surface") {
+    val d = "/root/testdata/sf0.001"
+    val typed = ops.Sources.eventsDs(spark, d)
+      .filter(_.event_type == "click") // typed lambda (no pushdown, by design)
+      .map(_.user_id).distinct().count()
+    val untyped = ops.Sources.events(spark, d)
+      .filter($"event_type" === "click")
+      .select($"user_id").distinct().count()
+    assert(typed === untyped)
+  }
+
   test("events ts converts ns to us by flooring, losslessly for query granularity") {
     val df = ops.Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)
