@@ -116,6 +116,25 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("T3 streaming session window closes sessions once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = ops.Streaming.sessionAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .select($"user_id", $"n_events")
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    withQuery(q) {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() === 0) // session still open
+      // jump event time far ahead: watermark passes the session end
+      input.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream").as[(Long, Long)].collect().toSeq
+      assert(rows === Seq((1L, 2L))) // the merged 2-event session emitted once
+    }
+  }
+
   test("T5 flatMapGroupsWithState accumulates per-user counts across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
