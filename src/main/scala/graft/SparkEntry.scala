@@ -58,6 +58,8 @@ object SparkEntry {
     "q38_simhash"   -> (Text.q38Simhash _),
     "q39_ngram_jaccard" -> (Similarity.q39NgramJaccard _),
     "q40_embed_neardup" -> (Similarity.q40EmbeddingNearDup _),
+    "q41_sliding"   -> (Streaming.q41Sliding _),
+    "q42_percentiles" -> (Relational.q42Percentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,5 +356,21 @@ object SparkEntry {
         |  JOIN sizes nb ON doc_b = nb.doc_id)
         |WHERE jacc >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q41_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |   time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * i) AS wstart
+        |  FROM e, range(0, 4) AS r(i))
+        |SELECT epoch_us(wstart) AS win_start_us, event_type, count(*) AS n
+        |FROM w GROUP BY wstart, event_type
+        |ORDER BY win_start_us, event_type""".stripMargin,
+    "q42_percentiles" ->
+      """SELECT
+        | round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem""".stripMargin,
   )
 }

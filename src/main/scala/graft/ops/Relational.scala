@@ -262,6 +262,22 @@ object Relational {
       round(stddev_samp($"l_extendedprice"), 4).as("price_std"))
   }
 
+  /** A3 completion — EXACT quartiles via Spark's `percentile` (full
+    * sort-based, vs the approx sketch in summary()/q12's test coverage).
+    * Both engines use linear interpolation between adjacent order
+    * statistics. At 100 TB you'd use approx_percentile (q12 / A3 notes);
+    * the exact form exists for parity with the reference's describe()
+    * (/root/reference/main.py:219-220, 25/50/75%).
+    */
+  def q42Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir).agg(
+      round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+      round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
+      round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+  }
+
   /** A1/A2 analogue of the reference's class-distribution count +
     * global min (main.py:95-101,157-158): group sizes and the minimum
     * group size, via a single grouped pass + global agg join-free

@@ -97,6 +97,19 @@ object Streaming {
       .orderBy($"hour_start_us", $"event_type")
   }
 
+  /** T2 batch-oracle query — sliding 1-hour windows advancing every 15
+    * minutes: each event lands in 4 windows. The oracle reproduces the
+    * window assignment by generating the 4 candidate starts per event.
+    */
+  def q41Sliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    slidingTypeAgg(Sources.events(spark, dir))
+      .select(
+        unix_micros($"window.start").as("win_start_us"),
+        $"event_type", $"n")
+      .orderBy($"win_start_us", $"event_type")
+  }
+
   /** T3 batch-oracle query — per-user 30-minute-gap sessions on the
     * static events table; the oracle reproduces session semantics with a
     * gaps-and-islands window SQL. Emits session start/end as epoch µs.
