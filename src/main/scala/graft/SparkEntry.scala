@@ -60,6 +60,7 @@ object SparkEntry {
     "q40_embed_neardup" -> (Similarity.q40EmbeddingNearDup _),
     "q41_sliding"   -> (Streaming.q41Sliding _),
     "q42_percentiles" -> (Relational.q42Percentiles _),
+    "q43_dedup_clusters" -> (Similarity.q43DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,5 +373,36 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
         |FROM lineitem""".stripMargin,
+    // q39's pair list -> undirected edges -> transitive closure
+    // (recursive CTE) -> min reachable id per node = cluster survivor.
+    "q43_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(node, peer) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer)
+        |SELECT node AS doc_id, min(peer) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

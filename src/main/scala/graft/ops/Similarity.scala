@@ -81,13 +81,31 @@ object Similarity {
     * 5-shingles (HashingTF to a 2^18 binary space). Self-join touches
     * only colliding buckets; pairs deduped by (a<b). Rows-only (LSH
     * internals are engine-specific); deterministic under the seed.
+    *
+    * `maxJaccardDist` gates the verified candidate set. The old 0.9
+    * admitted pairs down to 0.1 similarity — on a skewed corpus the
+    * candidate count is quadratic in bucket occupancy and the gate
+    * filtered almost nothing (the round-3 bench's 36 s outlier). The
+    * corpus's pair-distance distribution is sharply bimodal (true
+    * near-dups ≤0.3, coincidental shingle-sharers ≈1.0 at every SF
+    * measured), so 0.4 keeps every true near-dup and drops the noise
+    * tail before the exact-distance verification.
     */
-  def q25NearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Sources.documents(spark, dir)
-      .select($"doc_id", split($"text", " ").as("tokens"))
+  def q25NearDup(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDup(Sources.documents(spark, dir), maxJaccardDist = 0.4)
+
+  /** [[q25NearDup]] core, parameterized on the input frame and the
+    * distance gate. The hashed frame is persisted only for the duration
+    * of the self-join: the result is eagerly materialized via
+    * localCheckpoint, then the persist is released — no cached block
+    * outlives the call (round-3 leaked persists piled up across the
+    * 40-query bench session until trivial queries ran 6× slow).
+    */
+  def minhashNearDup(docs: DataFrame, maxJaccardDist: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", split($"text", " ").as("tokens"))
     val shingled = new NGram().setN(5).setInputCol("tokens").setOutputCol("shingles")
-      .transform(docs)
+      .transform(toks)
       .filter(size($"shingles") > 0)
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
@@ -99,47 +117,79 @@ object Similarity {
     // pre-hashed input, otherwise the tokenize→shingle→TF→minhash
     // pipeline is recomputed on BOTH sides of the self-join.
     val hashed = model.transform(tf).persist()
-    model.approxSimilarityJoin(hashed, hashed, 0.9, "jaccard_dist")
+    val out = model.approxSimilarityJoin(hashed, hashed, maxJaccardDist, "jaccard_dist")
       .select(
         $"datasetA.doc_id".as("doc_a"),
         $"datasetB.doc_id".as("doc_b"),
         round($"jaccard_dist", 6).as("jaccard_dist"))
       .filter($"doc_a" < $"doc_b")
       .orderBy($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    hashed.unpersist(false)
+    out
   }
 
   /** L2 (exact n-gram Jaccard) — token-3-gram Jaccard similarity for
     * all pairs sharing at least one shingle, via an inverted-index
     * self-join (posting lists), NOT a crossJoin: the join key is the
     * shingle, so only genuinely overlapping pairs materialize. Exact and
-    * DuckDB-oracle-checkable. At 100 TB the one addition would be
-    * dropping stop-shingles (df above a cap) to bound posting-list skew.
+    * DuckDB-oracle-checkable.
     */
-  def q39NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = Sources.documents(spark, dir)
+  def q39NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Sources.documents(spark, dir))
+
+  /** [[q39NgramJaccard]] core over any (doc_id, text) frame.
+    *
+    * `dfCap` is the stop-shingle guard: a shingle present in more than
+    * `dfCap` documents contributes a quadratic posting-list self-join
+    * (one ubiquitous shingle at 100 TB would dominate the whole query),
+    * yet carries ~zero similarity signal (boilerplate). Hot shingles
+    * are few by definition, so they're removed with a broadcast
+    * anti-join (no extra shuffle of the posting list). The default 100
+    * sits far above the fixture's max df (25 at sf0.1), so the oracle
+    * result is unchanged while the bound is real.
+    *
+    * Approximation note: dropping a shared hot shingle removes one
+    * element from both the intersection and the union, which lowers the
+    * pair's measured Jaccard slightly — a pair whose similarity rests
+    * mostly on boilerplate shingles may fall under the threshold. That
+    * is the standard (and intended) trade: boilerplate overlap is not
+    * near-duplication.
+    */
+  def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-    // The posting list feeds BOTH self-join sides and the size table —
-    // without a persist the tokenize+shingle+explode subtree runs 4×
-    // (no ReusedExchange across differently-partitioned consumers).
-    val sh = toks.select($"doc_id",
+    // The posting list feeds the hot-shingle agg, BOTH self-join sides
+    // and the size table — without a persist the
+    // tokenize+shingle+explode subtree runs 5× (no ReusedExchange
+    // across differently-partitioned consumers).
+    val allSh = toks.select($"doc_id",
       explode(array_distinct(transform(sequence(lit(0), size($"t") - 3),
         i => concat_ws(" ", element_at($"t", i + 1),
           element_at($"t", i + 2), element_at($"t", i + 3))))).as("s"))
       .persist()
+    val hot = allSh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"s")
+    val sh = allSh.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val shared = sh.as("a").join(sh.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
-    shared
+    val out = shared
       .join(sizes.as("na"), $"doc_a" === $"na.doc_id")
       .join(sizes.as("nb"), $"doc_b" === $"nb.doc_id")
       .withColumn("jacc", $"c".cast("double") / ($"na.n" + $"nb.n" - $"c"))
       .filter($"jacc" >= 0.1)
       .select($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
+      // Materialize now, then release the posting list: a persist that
+      // outlives the query accumulates across a bench session.
+      .localCheckpoint(true)
+    allSh.unpersist(false)
+    out
   }
 
   /** L2/L3 (embedding near-dup) — cosine near-duplicate PAIRS over the
@@ -165,7 +215,7 @@ object Similarity {
       .setBucketLength(0.15).setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(unit)
     val hashed = model.transform(unit).persist()
-    model.approxSimilarityJoin(hashed, hashed, 1.2, "l2_dist")
+    val out = model.approxSimilarityJoin(hashed, hashed, 1.2, "l2_dist")
       .select(
         $"datasetA.vec_id".as("vec_a"),
         $"datasetB.vec_id".as("vec_b"),
@@ -173,5 +223,63 @@ object Similarity {
       .filter($"vec_a" < $"vec_b")
       .orderBy($"cosine".desc, $"vec_a", $"vec_b")
       .limit(100)
+      // Materialize, then release the hashed frame (see minhashNearDup).
+      .localCheckpoint(true)
+    hashed.unpersist(false)
+    out
+  }
+
+  /** L2 (cluster step) — connected components over near-dup PAIRS via
+    * iterative smallest-id label propagation (SURVEY §2.11 L2): each
+    * node starts labeled with its own id and repeatedly adopts the
+    * minimum label among itself and its neighbors until a fixpoint.
+    *
+    * 100 TB posture: each iteration is one (edges ⋈ labels) shuffle on
+    * node id plus a min-aggregate — no driver-side graph, no adjacency
+    * materialization beyond the edge list. Iteration count is the
+    * cluster diameter (near-dup clusters are shallow — boilerplate
+    * families, mirror copies — so a handful of rounds). Every round is
+    * cut from its lineage with an eager localCheckpoint, so plans stay
+    * O(1) deep and no persisted block outlives the call.
+    *
+    * Returns (doc_id, cluster_id): one row per node that appears in at
+    * least one pair, cluster_id = smallest doc_id in its component (the
+    * deterministic dedup survivor).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), labels("label").as("nbr_label"))
+        .groupBy($"node").agg(min($"nbr_label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select($"node",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"),
+          (coalesce($"nbr_label", $"label") < $"label").as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter($"chg").count()
+      labels = next.select($"node", $"label")
+    }
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
+  /** L2 (end-to-end dedup clustering) — q39's exact-Jaccard pairs
+    * collapsed into duplicate clusters with one deterministic survivor
+    * each. Oracled in DuckDB with a recursive CTE over the same pair
+    * list.
+    */
+  def q43DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    connectedComponents(ngramJaccardPairs(Sources.documents(spark, dir)),
+        "doc_a", "doc_b")
+      .orderBy($"doc_id")
   }
 }

@@ -20,4 +20,12 @@ object GraftColumns {
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** True when the session's CacheManager holds no cached plans — the
+    * test probe for "no persist outlives its query" (the CacheManager is
+    * `private[sql]`, hence exposed through this shim).
+    */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

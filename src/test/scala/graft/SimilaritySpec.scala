@@ -48,7 +48,80 @@ class SimilaritySpec extends SparkTestBase {
   test("minhash near-dup pairs are symmetric-deduped and self-free") {
     val pairs = ops.Similarity.q25NearDup(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, _) => a < b })
     assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+    // The tightened 0.4 distance gate keeps only verified near-dups.
+    assert(pairs.forall(_._3 <= 0.4))
+  }
+
+  test("near-dup queries leave no cached blocks behind (persist released)") {
+    spark.catalog.clearCache() // isolate from other suites' caches
+    ops.Similarity.q25NearDup(spark, "/root/testdata/sf0.001").count()
+    ops.Similarity.q39NgramJaccard(spark, "/root/testdata/sf0.001").count()
+    ops.Similarity.q40EmbeddingNearDup(spark, "/root/testdata/sf0.001").count()
+    // CacheManager must be empty: a persist that outlives its query
+    // accumulates across a bench session (round-3 defect).
+    assert(org.apache.spark.sql.graftshim.GraftColumns.cacheIsEmpty(spark),
+      "a similarity query leaked a persisted DataFrame")
+  }
+
+  test("connected components: min-id propagation over a known graph") {
+    // {1-2, 2-3, 3-4} chain + {7-9} pair + untouched singleton 5 (absent).
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = ops.Similarity.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components of an empty pair list is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(ops.Similarity.connectedComponents(pairs, "doc_a", "doc_b").count() === 0)
+  }
+
+  test("dedup clustering is idempotent: survivors contain no near-dup pairs") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val clusters = ops.Similarity.connectedComponents(
+      ops.Similarity.ngramJaccardPairs(docs), "doc_a", "doc_b")
+    assert(clusters.count() > 0)
+    // Drop every non-survivor member; survivors of distinct components
+    // cannot share a >=0.1-Jaccard edge (else they'd be one component),
+    // so a second dedup pass must find nothing.
+    val losers = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
+    assert(ops.Similarity.ngramJaccardPairs(survivors).count() === 0)
+  }
+
+  test("stop-shingle df cap drops boilerplate-only pairs, keeps true near-dups") {
+    // 6 docs sharing one ubiquitous header shingle; docs 0/1 are real
+    // near-dups (long shared body), the rest differ entirely after the
+    // header.
+    val header = "common header line"
+    val body = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 6L).map { i =>
+      val text =
+        if (i <= 1) s"$header $body extra$i"
+        else s"$header " + (0 until 30).map(j => s"doc${i}w$j").mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    // Uncapped: the hot header shingle joins all 15 pairs (quadratic).
+    val uncapped = ops.Similarity.ngramJaccardPairs(docs, dfCap = Int.MaxValue)
+      .as[(Long, Long, Double)].collect()
+    // Capped at 3 (< 6 docs sharing the header): only the true near-dup
+    // pair survives; boilerplate-only pairs never reach the join.
+    val capped = ops.Similarity.ngramJaccardPairs(docs, dfCap = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    assert(uncapped.map(p => (p._1, p._2)).toSet.contains((0L, 1L)))
+  }
+
+  test("default df cap leaves the fixture result unchanged (oracle safety)") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val withCap = ops.Similarity.ngramJaccardPairs(docs)
+      .as[(Long, Long, Double)].collect().toSet
+    val noCap = ops.Similarity.ngramJaccardPairs(docs, dfCap = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(withCap === noCap)
+    assert(withCap.nonEmpty)
   }
 }
