@@ -73,9 +73,9 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
         | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
-        | round(avg(l_quantity), 6) AS avg_qty,
-        | round(avg(l_extendedprice), 6) AS avg_price,
-        | round(avg(l_discount), 6) AS avg_disc,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -165,14 +165,20 @@ object SparkEntry {
         | CAST(fmod(l_quantity, 7.0) AS INT) AS qty_mod
         |FROM lineitem WHERE l_orderkey % 10 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // mean/std from exact decimal sums, double math mirrored verbatim
+    // against q12Stats (see its scaladoc).
     "q12_stats" ->
       """SELECT count(*) AS cnt,
-        | round(avg(l_quantity), 6) AS qty_mean,
-        | round(stddev_samp(l_quantity), 6) AS qty_std,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS qty_mean,
+        | round(sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+        |   / (count(*) - 1)), 6) AS qty_std,
         | round(min(l_quantity), 2) AS qty_min,
         | round(max(l_quantity), 2) AS qty_max,
-        | round(avg(l_extendedprice), 4) AS price_mean,
-        | round(stddev_samp(l_extendedprice), 4) AS price_std
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS price_mean,
+        | round(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |   - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*))
+        |   / (count(*) - 1)), 4) AS price_std
         |FROM lineitem""".stripMargin,
     "q13_groupmin" ->
       """WITH counts AS (

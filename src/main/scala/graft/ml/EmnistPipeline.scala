@@ -113,8 +113,19 @@ object EmnistPipeline {
   }
 
   /** End-to-end parity run on the EMNIST-analog fixture: 85/15 split
-    * (P6), fit NB + RF, score both. Registered as the rows-only
+    * (P6), fit NB + RF + OvR-GBT at comparable budgets, score all three
+    * with per-model fit wall-clock. Registered as the rows-only
     * `q32_ml_metrics` query (ML fits are not DuckDB-expressible).
+    *
+    * This is the MEASURED form of the SURVEY §2.8 M5 decision: the
+    * reference's DaskLGBMClassifier (39-class boosting,
+    * /root/reference/main.py:411-413, "low 80s" accuracy anchor at
+    * main.py:431-433) has no multiclass MLlib equivalent, so the engine
+    * ships RandomForest as the default stand-in and OneVsRest(GBT) as
+    * the true-boosting option — this query records accuracy/F1/cost for
+    * both (plus the NB baseline, main.py:371-380) so the trade-off is
+    * data, not argument. OvR cost scales with #classes; parallelism 8
+    * trains independent binary GBTs concurrently as normal Spark jobs.
     */
   def q32MlMetrics(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -123,25 +134,37 @@ object EmnistPipeline {
       .cache()
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
     // Fit the (indexer → scaler → PCA) feature stages ONCE and share the
-    // projected frames across both classifiers — fitting them per
-    // classifier pipeline would redo the 1,024-dim PCA twice.
+    // projected frames across the classifiers — fitting them per
+    // classifier pipeline would redo the 1,024-dim PCA three times.
     val features = new Pipeline().setStages(featureStages(64)).fit(train)
     val trainF = features.transform(train).select($"label_idx", $"pca").cache()
     val testF = features.transform(test).select($"label_idx", $"pca").cache()
+    val nTrain = trainF.count(); val nTest = testF.count()
     val classifiers = Seq[(String, org.apache.spark.ml.PipelineStage)](
       "gaussian_nb" -> new NaiveBayes().setModelType("gaussian")
         .setFeaturesCol("pca").setLabelCol("label_idx"),
       "random_forest" -> new RandomForestClassifier()
         .setFeaturesCol("pca").setLabelCol("label_idx")
-        .setNumTrees(20).setMaxDepth(8).setSeed(42L))
+        .setNumTrees(20).setMaxDepth(8).setSeed(42L),
+      // 39 binary GBTs (one per class): already 312 total trees vs the
+      // RF's 20 — OvR multiplies cost by #classes by construction, which
+      // is the recorded finding. Parallelism 16 trains the independent
+      // binary problems concurrently (Bench runs local[32]).
+      "ovr_gbt" -> new org.apache.spark.ml.classification.OneVsRest()
+        .setClassifier(new org.apache.spark.ml.classification.GBTClassifier()
+          .setMaxIter(8).setMaxDepth(4).setSeed(42L))
+        .setFeaturesCol("pca").setLabelCol("label_idx")
+        .setParallelism(16))
     val rows = classifiers.map { case (name, est) =>
+      val t0 = System.nanoTime()
       val model = new Pipeline().setStages(Array(est)).fit(trainF)
+      val fitSecs = (System.nanoTime() - t0) / 1e9
       val (acc, f1) = evaluate(model.transform(testF))
       (name, math.rint(acc * 1e6) / 1e6, math.rint(f1 * 1e6) / 1e6,
-        trainF.count(), testF.count())
+        math.rint(fitSecs * 1e3) / 1e3, nTrain, nTest)
     }
     Seq(data, trainF, testF).foreach(_.unpersist())
-    rows.toDF("model", "accuracy", "f1", "n_train", "n_test")
+    rows.toDF("model", "accuracy", "f1", "fit_secs", "n_train", "n_test")
       .orderBy($"model")
   }
 
@@ -151,9 +174,12 @@ object EmnistPipeline {
     */
   def q35PcaVariance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Raw (unscaled) embeddings by design: PCA on the embedding space
+    // itself. The column is named accordingly — labeling it "scaled"
+    // invited a future double-scaling bug (round-3 verdict).
     val emb = graft.ops.Sources.embeddings(spark, dir)
-      .select(array_to_vector(transform($"embedding", _.cast("double"))).as("scaled"))
-    val model = new PCA().setInputCol("scaled").setOutputCol("pca").setK(32)
+      .select(array_to_vector(transform($"embedding", _.cast("double"))).as("raw_vec"))
+    val model = new PCA().setInputCol("raw_vec").setOutputCol("pca").setK(32)
       .fit(emb)
     val ratios = model.explainedVariance.toArray
     val cum = ratios.scanLeft(0.0)(_ + _).drop(1)

@@ -34,6 +34,10 @@ object Relational {
     val price = $"l_extendedprice".cast("decimal(12,2)")
     val disc  = $"l_discount".cast("decimal(3,2)")
     val tax   = $"l_tax".cast("decimal(3,2)")
+    // Averages derive from the exact decimal sums (sum(dec)→double,
+    // one scalar divide) instead of avg(double): IEEE partial-agg order
+    // varies with partitioning, and the oracle hash must not.
+    val qty = $"l_quantity".cast("decimal(12,2)")
     Sources.lineitem(spark, dir)
       .filter($"l_shipdate" <= ts("2000-12-01"))
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -42,9 +46,9 @@ object Relational {
         sum(price).cast("double").as("sum_base_price"),
         round(sum(price * (lit(1) - disc)), 2).cast("double").as("sum_disc_price"),
         round(sum(price * (lit(1) - disc) * (lit(1) + tax)), 2).cast("double").as("sum_charge"),
-        round(avg($"l_quantity"), 6).as("avg_qty"),
-        round(avg($"l_extendedprice"), 6).as("avg_price"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        round(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(disc).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -252,14 +256,27 @@ object Relational {
     */
   def q12Stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Mean and stddev from EXACT decimal sums (Σx, Σx² are
+    // order-independent decimals; the remaining double math is a fixed
+    // scalar sequence mirrored verbatim in the oracle SQL) — avg/stddev
+    // over IEEE doubles would hash-flake with partial-agg order. The
+    // cancellation in Σx² − (Σx)²/n happens on exact sums, so the only
+    // float error is the final representable-double rounding, identical
+    // in both engines.
+    val qty = $"l_quantity".cast("decimal(12,2)")
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val n = count(lit(1))
+    def std(x: Column, digits: Int) = round(
+      sqrt((sum(x * x).cast("double") -
+        sum(x).cast("double") * sum(x).cast("double") / n) / (n - lit(1))), digits)
     Sources.lineitem(spark, dir).agg(
       count(lit(1)).as("cnt"),
-      round(avg($"l_quantity"), 6).as("qty_mean"),
-      round(stddev_samp($"l_quantity"), 6).as("qty_std"),
+      round(sum(qty).cast("double") / n, 6).as("qty_mean"),
+      std(qty, 6).as("qty_std"),
       round(min($"l_quantity"), 2).as("qty_min"),
       round(max($"l_quantity"), 2).as("qty_max"),
-      round(avg($"l_extendedprice"), 4).as("price_mean"),
-      round(stddev_samp($"l_extendedprice"), 4).as("price_std"))
+      round(sum(price).cast("double") / n, 4).as("price_mean"),
+      std(price, 4).as("price_std"))
   }
 
   /** A3 completion — EXACT quartiles via Spark's `percentile` (full

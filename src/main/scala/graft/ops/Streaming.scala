@@ -84,6 +84,33 @@ object Streaming {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim(key), "inner")
 
+  /** J7 (streaming variant, SURVEY §2.3) — stream-stream interval join:
+    * each click matches the same user's views within
+    * `[click_ts − lookback, click_ts]`, watermarked on BOTH sides.
+    *
+    * State posture: the interval condition plus the two watermarks give
+    * Spark a state watermark for each side — buffered views older than
+    * `watermark` and clicks that can no longer match are evicted, so
+    * join state is bounded by (rate × (delay + lookback)), not by the
+    * stream length. Inner matches emit immediately (append mode).
+    */
+  def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame,
+      lookback: String = "10 minutes", delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.select(
+        col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val v = views.select(
+        col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", delay)
+    c.join(v,
+        c("user_id") === v("v_user_id") &&
+        v("view_ts") >= c("click_ts") - expr(s"INTERVAL $lookback") &&
+        v("view_ts") <= c("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_id"), col("view_ts"), col("view_value"))
+  }
+
   /** T1 batch-oracle query — hourly tumbling windows on the static
     * events table, window start emitted as epoch µs so the DuckDB
     * time_bucket oracle compares exactly.

@@ -129,6 +129,20 @@ class MlPipelineSpec extends SparkTestBase {
     assert(acc > 0.8, s"OvR-GBT accuracy $acc") // chance is 1/3
   }
 
+  test("M5 measured: q32 emits NB/RF/OvR-GBT rows and all clear the 0.8 floor") {
+    // The full measured comparison (the SURVEY §2.8 M5 decision as data,
+    // reference anchor main.py:431-433 "low 80s"). Runs the registered
+    // query itself so what's asserted is exactly what the driver sees.
+    val rows = ml.EmnistPipeline.q32MlMetrics(spark, "/root/testdata/sf0.001")
+      .as[(String, Double, Double, Double, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq === Seq("gaussian_nb", "ovr_gbt", "random_forest"))
+    rows.foreach { case (name, acc, f1, fitSecs, _, _) =>
+      assert(acc > 0.8, s"$name accuracy $acc below the reference's low-80s anchor")
+      assert(f1 > 0.8, s"$name f1 $f1")
+      assert(fitSecs > 0.0, s"$name fit_secs not recorded")
+    }
+  }
+
   test("M6 tuning: grid search selects a depth and validation metric") {
     val small = data.filter($"label".isin("A", "B", "C", "D"))
     val tvs = ml.EmnistPipeline.tuneRf(k = 8, depths = Array(2, 5))

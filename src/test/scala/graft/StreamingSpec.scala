@@ -156,6 +156,86 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J7 stream-stream interval join matches in-window, drops out-of-window and cross-user") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = ops.Streaming.clickViewIntervalJoin(clicks.toDF(), views.toDF())
+      .select($"click_id", $"view_id")
+      .writeStream.format("memory").queryName("interval_join").outputMode("append").start()
+    withQuery(q) {
+      views.addData(
+        ev(100, "2024-01-01 10:00:00", user = 1L, v = 5.0),  // in window for click@10:05
+        ev(101, "2024-01-01 09:50:00", user = 1L, v = 6.0),  // 15 min before → outside
+        ev(102, "2024-01-01 10:01:00", user = 2L, v = 7.0))  // other user
+      clicks.addData(ev(1, "2024-01-01 10:05:00", user = 1L, typ = "click"))
+      q.processAllAvailable()
+      val matches = spark.table("interval_join").as[(Long, Long)].collect().toSet
+      assert(matches === Set((1L, 100L)))
+      // A view AFTER the click must not match (interval is [ts-10m, ts]).
+      views.addData(ev(103, "2024-01-01 10:06:00", user = 1L, v = 8.0))
+      q.processAllAvailable()
+      assert(spark.table("interval_join").count() === 1)
+    }
+  }
+
+  test("J7 interval join evicts state past the watermark (late click finds nothing)") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val q = ops.Streaming.clickViewIntervalJoin(clicks.toDF(), views.toDF())
+      .select($"click_id", $"view_id")
+      .writeStream.format("memory").queryName("interval_state").outputMode("append").start()
+    withQuery(q) {
+      views.addData(ev(100, "2024-01-01 10:00:00", user = 1L))
+      clicks.addData(ev(1, "2024-01-01 10:02:00", user = 1L, typ = "click"))
+      q.processAllAvailable()
+      assert(spark.table("interval_state").count() === 1)
+      // Advance BOTH watermarks far past 10:00 so the buffered view is
+      // evicted from join state (distinct users so the advancers can't
+      // match each other)...
+      views.addData(ev(200, "2024-01-01 12:00:00", user = 8L))
+      clicks.addData(ev(2, "2024-01-01 12:00:00", user = 9L, typ = "click"))
+      q.processAllAvailable()
+      // ...then a late click that WOULD have matched view 100 must find
+      // nothing: its match window is behind the watermark.
+      clicks.addData(ev(3, "2024-01-01 10:05:00", user = 1L, typ = "click"))
+      q.processAllAvailable()
+      val got = spark.table("interval_state").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L)), s"late click must not match evicted state: $got")
+    }
+  }
+
+  test("S9 parquet file sink + checkpoint recovers exactly-once across restart") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft-s9").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val schema = implicitly[org.apache.spark.sql.Encoder[Ev]].schema
+    def addFile(tag: String, evs: Ev*): Unit = {
+      val tmp = s"$base/stage_$tag"
+      evs.toDF().coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.createDirectories(Paths.get(inDir))
+      Files.move(part, Paths.get(s"$inDir/$tag.parquet"))
+    }
+    def startQuery() = spark.readStream.schema(schema).parquet(inDir)
+      .select($"event_id", $"user_id", $"value")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    addFile("batch1", ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+    val q1 = startQuery()
+    withQuery(q1) { q1.processAllAvailable() }
+    // kill (q1 stopped), add more input, restart from the SAME checkpoint
+    addFile("batch2", ev(3, "2024-01-01 10:02:00"))
+    val q2 = startQuery()
+    withQuery(q2) { q2.processAllAvailable() }
+    val ids = spark.read.parquet(outDir).select($"event_id").as[Long].collect().sorted
+    // exactly-once: batch1 not re-emitted after recovery, batch2 present once
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("file streaming source over events parquet reaches a windowed sink") {
     val stream = ops.Sources.eventsStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
