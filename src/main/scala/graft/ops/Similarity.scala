@@ -282,4 +282,19 @@ object Similarity {
         "doc_a", "doc_b")
       .orderBy($"doc_id")
   }
+
+  /** L2 (the user-facing dedup): drop every non-survivor cluster member
+    * from the corpus — pairs → components → anti-join. Idempotent by
+    * construction (survivors of distinct components share no
+    * above-threshold pair; see the idempotence test). The anti-join
+    * side is the (small) loser list, broadcastable at any corpus size
+    * where the duplicate fraction is sane.
+    */
+  def dedupCorpus(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    val clusters = connectedComponents(ngramJaccardPairs(docs, dfCap),
+      "doc_a", "doc_b")
+    val losers = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+  }
 }

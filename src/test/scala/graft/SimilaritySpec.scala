@@ -81,15 +81,14 @@ class SimilaritySpec extends SparkTestBase {
 
   test("dedup clustering is idempotent: survivors contain no near-dup pairs") {
     val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
-    val clusters = ops.Similarity.connectedComponents(
-      ops.Similarity.ngramJaccardPairs(docs), "doc_a", "doc_b")
-    assert(clusters.count() > 0)
-    // Drop every non-survivor member; survivors of distinct components
-    // cannot share a >=0.1-Jaccard edge (else they'd be one component),
-    // so a second dedup pass must find nothing.
-    val losers = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
-    val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
-    assert(ops.Similarity.ngramJaccardPairs(survivors).count() === 0)
+    val deduped = ops.Similarity.dedupCorpus(docs)
+    // something was actually removed...
+    assert(deduped.count() < docs.count())
+    // ...and survivors of distinct components cannot share a
+    // >=0.1-Jaccard edge (else they'd be one component), so a second
+    // dedup pass finds nothing and removes nothing.
+    assert(ops.Similarity.ngramJaccardPairs(deduped).count() === 0)
+    assert(ops.Similarity.dedupCorpus(deduped).count() === deduped.count())
   }
 
   test("stop-shingle df cap drops boilerplate-only pairs, keeps true near-dups") {
