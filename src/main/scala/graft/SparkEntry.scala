@@ -61,6 +61,7 @@ object SparkEntry {
     "q41_sliding"   -> (Streaming.q41Sliding _),
     "q42_percentiles" -> (Relational.q42Percentiles _),
     "q43_dedup_clusters" -> (Similarity.q43DedupClusters _),
+    "q44_interval_join" -> (Streaming.q44IntervalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,5 +411,22 @@ object SparkEntry {
         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer)
         |SELECT node AS doc_id, min(peer) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "q44_interval_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.event_id AS click_id, c.user_id,
+        | epoch_us(c.ts) AS click_ts_us,
+        | v.event_id AS view_id,
+        | epoch_us(v.ts) AS view_ts_us,
+        | round(v.value, 6) AS view_value
+        |FROM clicks c JOIN views v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 10 MINUTE
+        | AND v.ts <= c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
   )
 }

@@ -111,6 +111,27 @@ object Streaming {
         col("view_id"), col("view_ts"), col("view_value"))
   }
 
+  /** J7-streaming batch-oracle query — the SAME [[clickViewIntervalJoin]]
+    * code on the static events table (`withWatermark` is a no-op in
+    * batch), so the interval-join semantics the streaming tests pin are
+    * ALSO hash-checked against a plain SQL join oracle. Timestamps
+    * emitted as epoch µs.
+    */
+  def q44IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Sources.events(spark, dir)
+    val out = clickViewIntervalJoin(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "view"))
+    out.select(
+        $"click_id", $"user_id",
+        unix_micros($"click_ts").as("click_ts_us"),
+        $"view_id",
+        unix_micros($"view_ts").as("view_ts_us"),
+        round($"view_value", 6).as("view_value"))
+      .orderBy($"click_id", $"view_id")
+  }
+
   /** T1 batch-oracle query — hourly tumbling windows on the static
     * events table, window start emitted as epoch µs so the DuckDB
     * time_bucket oracle compares exactly.

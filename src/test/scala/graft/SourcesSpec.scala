@@ -78,6 +78,27 @@ class SourcesSpec extends SparkTestBase {
     assert(typed === untyped)
   }
 
+  test("S6/S7 format breadth: csv and json round-trips with explicit schemas") {
+    // The engine's sources are plain Spark DataSources, so every format
+    // Spark ships works; explicit schemas on read (inference costs a
+    // full extra scan at 100 TB — and csv/json would widen types).
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, null, 0.0))
+      .toDF("id", "name", "score")
+    for (fmt <- Seq("csv", "json")) {
+      val path = s"$base/$fmt"
+      df.write.mode("overwrite").option("header", "true").format(fmt).save(path)
+      val back = spark.read.schema(df.schema)
+        .option("header", "true").format(fmt).load(path)
+      // file-source reads are always nullable (Spark can't trust text
+      // files), so compare name+type, not nullability
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        df.schema.map(f => (f.name, f.dataType)), s"$fmt schema drift")
+      assert(back.orderBy($"id").collect().toSeq ===
+        df.orderBy($"id").collect().toSeq, s"$fmt values drift")
+    }
+  }
+
   test("events ts converts ns to us by flooring, losslessly for query granularity") {
     val df = ops.Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)
