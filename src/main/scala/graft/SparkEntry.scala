@@ -62,6 +62,7 @@ object SparkEntry {
     "q42_percentiles" -> (Relational.q42Percentiles _),
     "q43_dedup_clusters" -> (Similarity.q43DedupClusters _),
     "q44_interval_join" -> (Streaming.q44IntervalJoin _),
+    "q45_ann_ivf"   -> (Similarity.q45AnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -124,7 +124,7 @@ object EmnistPipeline {
     * ships RandomForest as the default stand-in and OneVsRest(GBT) as
     * the true-boosting option — this query records accuracy/F1/cost for
     * both (plus the NB baseline, main.py:371-380) so the trade-off is
-    * data, not argument. OvR cost scales with #classes; parallelism 8
+    * data, not argument. OvR cost scales with #classes; parallelism 16
     * trains independent binary GBTs concurrently as normal Spark jobs.
     */
   def q32MlMetrics(spark: SparkSession, dir: String): DataFrame = {

@@ -77,6 +77,69 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** L3 (scale path #2) — IVF top-k: inverted-file ANN with a KMeans
+    * coarse quantizer, the standard large-scale alternative to LSH
+    * ([[q26AnnLsh]]). Index: cluster the corpus into `nLists` cells and
+    * tag every vector with its cell. Query: rank cells by centroid
+    * distance to the query (driver-side — `nLists` centroids, bounded),
+    * then run EXACT cosine only inside the `nProbe` nearest cells —
+    * a `nProbe/nLists` fraction of the corpus feeds the top-k heap.
+    *
+    * 100 TB posture: the cell tag is the partition/bucket key — written
+    * out `partitionBy("ivf_list")`, a query scans only the probed
+    * cells' files (partition pruning), which is how IVF indexes shard
+    * in production. Centroids broadcast; no shuffle at query time; the
+    * exact re-rank is [[graft.expressions.CosineSimilarity]] feeding
+    * TakeOrderedAndProject. Rows-only (KMeans cell assignment is
+    * engine-specific); deterministic under the fixed seed.
+    */
+  def q45AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Sources.embeddings(spark, dir), queryVecId = 0L, k = 10,
+      nLists = 16, nProbe = 4)
+
+  /** [[q45AnnIvf]] core. `embeddings` needs (vec_id, label, embedding).
+    * Vectors are L2-normalized before clustering: on unit vectors
+    * Euclidean KMeans approximates spherical KMeans (‖a−b‖² = 2−2cosθ),
+    * so cells are cosine-coherent — clustering raw magnitudes would
+    * split directionally-close vectors across cells and crater recall.
+    */
+  def ivfTopK(emb: DataFrame, queryVecId: Long, k: Int,
+      nLists: Int, nProbe: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val norm = sqrt(aggregate(transform($"vec", x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
+      .withColumn("unit",
+        transform($"vec", x => x / when(norm === 0.0, 1.0).otherwise(norm)))
+      .withColumn("mlvec", array_to_vector($"unit"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(42L).setFeaturesCol("mlvec").setPredictionCol("ivf_list")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs)
+    val qv = vecs.filter($"vec_id" === queryVecId).select($"vec").head().getSeq[Double](0)
+    // rank cells by centroid cosine to the query — driver-side over
+    // nLists centroids (bounded by design)
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val ca = c.toArray
+        val dot = ca.zip(qv).map { case (a, b) => a * b }.sum
+        val den = math.sqrt(ca.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
+        (i, if (den == 0.0) -1.0 else dot / den)
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    val query = vecs.filter($"vec_id" === queryVecId).select($"vec".as("qv"))
+    assigned
+      .filter($"ivf_list".isin(probed: _*) && $"vec_id" =!= queryVecId)
+      .crossJoin(broadcast(query))
+      .select($"vec_id", $"label", $"ivf_list",
+        cosineSimilarity($"vec", $"qv").as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", $"ivf_list", round($"cos", 6).as("cosine"))
+      .orderBy($"vec_id")
+  }
+
   /** L2 — near-duplicate candidate pairs via MinHashLSH over token
     * 5-shingles (HashingTF to a 2^18 binary space). Self-join touches
     * only colliding buckets; pairs deduped by (a<b). Rows-only (LSH

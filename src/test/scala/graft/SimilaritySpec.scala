@@ -66,6 +66,49 @@ class SimilaritySpec extends SparkTestBase {
       "a similarity query leaked a persisted DataFrame")
   }
 
+  test("IVF top-k: near-perfect recall on clusterable data probing 2/8 cells") {
+    // IVF's contract is clusterable data (that's what the coarse
+    // quantizer exploits). 8 well-separated direction clusters x 40
+    // points: the true neighbors of any query share its cell, so
+    // probing 2 of 8 cells must recover the full exact top-10. (On
+    // isotropic data — like the embeddings fixture, measured
+    // same-label mean cos ≈ 0 — ANY partition-based ANN degrades to
+    // recall ≈ nProbe/nLists; that regime belongs to multi-table LSH,
+    // q26.)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 8; i <- 0 until 40) yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (c * 40L + i, s"c$c", v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val ivf = ops.Similarity.ivfTopK(emb, queryVecId = 0L, k = 10,
+      nLists = 8, nProbe = 2).collect()
+    assert(ivf.length === 10)
+    // exact top-10 via the oracle-grade brute force on the same frame
+    val exact = {
+      import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+      val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
+      val q = vecs.filter($"vec_id" === 0L).select($"vec".as("qv"))
+      vecs.filter($"vec_id" =!= 0L).crossJoin(broadcast(q))
+        .select($"vec_id", cosineSimilarity($"vec", $"qv").as("c"))
+        .orderBy($"c".desc, $"vec_id").limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val overlap = (ivf.map(_.getLong(0)).toSet intersect exact).size
+    assert(overlap >= 9, s"IVF recall too low on clustered data: $overlap/10")
+    // and the probe bound held: hits came from at most nProbe cells
+    assert(ivf.map(_.getInt(2)).distinct.length <= 2)
+  }
+
+  test("IVF registered query returns k deterministic rows on the fixture") {
+    val out = ops.Similarity.q45AnnIvf(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length === 10)
+    assert(!out.map(_.getLong(0)).contains(0L))
+    val again = ops.Similarity.q45AnnIvf(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
   test("connected components: min-id propagation over a known graph") {
     // {1-2, 2-3, 3-4} chain + {7-9} pair + untouched singleton 5 (absent).
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
