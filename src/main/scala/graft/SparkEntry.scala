@@ -63,6 +63,7 @@ object SparkEntry {
     "q43_dedup_clusters" -> (Similarity.q43DedupClusters _),
     "q44_interval_join" -> (Streaming.q44IntervalJoin _),
     "q45_ann_ivf"   -> (Similarity.q45AnnIvf _),
+    "q46_token_counts" -> (Text.q46TokenCounts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -429,5 +430,16 @@ object SparkEntry {
         | AND v.ts >= c.ts - INTERVAL 10 MINUTE
         | AND v.ts <= c.ts
         |ORDER BY click_id, view_id""".stripMargin,
+    // pattern uses only character classes so Java regex (Spark) and RE2
+    // (DuckDB) segment identically
+    "q46_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpeish_tokens,
+        | CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |   p -> regexp_matches(p, '^[0-9]+$'))) AS INT) AS n_number_runs,
+        | CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+        |   p -> regexp_matches(p, '^[^A-Za-z0-9]$'))) AS INT) AS n_symbols
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -129,6 +129,27 @@ object Text {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** L5 — BPE-ish token counting: word-piece-style segmentation by
+    * regex (letter runs / digit runs / single non-space symbols — the
+    * class shape GPT-2-era pre-tokenizers use before merges), counted
+    * per document alongside the whitespace count. The pattern uses only
+    * character classes so Spark's Java regex and the oracle's RE2 agree
+    * exactly. One scan, all codegen'd expressions; the per-doc token
+    * blowup collapses inside `size()` without materializing.
+    */
+  def q46TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pieces = regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+    Sources.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("n_ws_tokens"),
+        size(pieces).as("n_bpeish_tokens"),
+        size(filter(pieces, p => p.rlike("^[0-9]+$"))).as("n_number_runs"),
+        size(filter(pieces, p => p.rlike("^[^A-Za-z0-9]$"))).as("n_symbols"))
+      .orderBy($"doc_id")
+  }
+
   /** L5 — TF-IDF featurization with an inspectable vocabulary:
     * whitespace tokenize → CountVectorizer (vocab on the driver, sized
     * for introspection/tests; HashingTF is the fixed-memory choice at

@@ -101,6 +101,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.map(_.getInt(2)).distinct.length <= 2)
   }
 
+  test("IVF index written partitionBy(ivf_list) prunes to the probed cells") {
+    // The scale claim behind q45: persisting the index partitioned by
+    // cell means a query reads ONLY the probed cells' files.
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map(i => (i, s"l$i", Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("mlvec", org.apache.spark.ml.functions.array_to_vector(
+        transform($"embedding", _.cast("double"))))
+    val km = new org.apache.spark.ml.clustering.KMeans().setK(4).setSeed(42L)
+      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
+    val assigned = km.fit(emb).transform(emb).drop("mlvec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(s"$dir/index")
+    val probed = spark.read.parquet(s"$dir/index").filter($"ivf_list".isin(0, 2))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    val files = probed.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("ivf_list=0") || f.contains("ivf_list=2")), files.mkString(","))
+  }
+
   test("IVF registered query returns k deterministic rows on the fixture") {
     val out = ops.Similarity.q45AnnIvf(spark, "/root/testdata/sf0.001").collect()
     assert(out.length === 10)

@@ -124,4 +124,21 @@ class TextSpec extends SparkTestBase {
     assert(out("y") === ((1L, 1L)))
     assert(out("z") === ((1L, 1L)))
   }
+
+  test("BPE-ish regex segmentation splits letter runs, digit runs, and symbols") {
+    // The documents fixture is clean lowercase prose (digit/symbol
+    // columns are 0 there; the oracle still pins cross-engine regex
+    // parity) — the segmentation semantics are proven here.
+    withTempDocs(Seq((1L, "GPT-4 costs $20, v2.5 beta!"))) { dir =>
+      val row = ops.Text.q46TokenCounts(spark, dir).head()
+      // ws: ["GPT-4","costs","$20,","v2.5","beta!"] = 5
+      assert(row.getInt(1) === 5)
+      // pieces: GPT - 4 costs $ 20 , v 2 . 5 beta ! = 13
+      assert(row.getInt(2) === 13)
+      // number runs: 4, 20, 2, 5
+      assert(row.getInt(3) === 4)
+      // symbols: - $ , . !
+      assert(row.getInt(4) === 5)
+    }
+  }
 }
