@@ -64,6 +64,7 @@ object SparkEntry {
     "q44_interval_join" -> (Streaming.q44IntervalJoin _),
     "q45_ann_ivf"   -> (Similarity.q45AnnIvf _),
     "q46_token_counts" -> (Text.q46TokenCounts _),
+    "q47_winnow_fingerprint" -> (Text.q47WinnowFingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,5 +442,30 @@ object SparkEntry {
         | CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
         |   p -> regexp_matches(p, '^[^A-Za-z0-9]$'))) AS INT) AS n_symbols
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // winnowing (MOSS) fingerprints from a base-131 poly rolling hash
+    // mod 2^31-1 — integer math identical across engines; DuckDB's
+    // list_reduce seeds with the first element, which equals Spark's
+    // 0-seeded aggregate because (0*131 + c0) = c0.
+    "q47_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text)-7),
+        |      i -> list_reduce(
+        |             list_transform(generate_series(0,7),
+        |               j -> CAST(ascii(text[i+j:i+j]) AS BIGINT)),
+        |             (acc, c) -> (acc * 131 + c) % 2147483647)) AS gh
+        |  FROM documents WHERE length(text) >= 11),
+        |f AS (
+        |  SELECT doc_id, gh,
+        |    list_distinct(list_transform(generate_series(1, len(gh)-3),
+        |      j -> list_min(gh[j:j+3]))) AS fps
+        |  FROM g)
+        |SELECT doc_id,
+        | CAST(len(gh) AS INT) AS n_grams,
+        | CAST(len(fps) AS INT) AS n_fps,
+        | list_min(fps) AS fp_min,
+        | list_max(fps) AS fp_max,
+        | CAST(list_sum(fps) AS BIGINT) AS fp_sum
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -150,6 +150,46 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** L5/L2 — winnowing document fingerprints (Schleimer et al.,
+    * SIGMOD'03, the MOSS algorithm) built from a polynomial rolling
+    * hash: hash every char 8-gram (base-131 poly mod 2^31−1 — integer
+    * math both engines reproduce bit-for-bit, unlike xxhash64 which the
+    * oracle lacks), then keep the minimum hash of every 4-hash window.
+    * Near-identical documents share most selected fingerprints even
+    * under insertion/shift (the winnowing guarantee), so the distinct
+    * fingerprint set is the plagiarism/near-dup index unit. Emitted as
+    * per-doc summary (count/min/max/sum of the fingerprint set — all
+    * integer-exact, hash-stable); the exploded (fp → doc) posting-list
+    * form feeds the same bucket-join shape as q39.
+    *
+    * All computation is per-row Catalyst HOFs — no shuffle at all until
+    * the final ORDER BY; at 100 TB this is a pure map stage.
+    */
+  def q47WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (k, w) = (8, 4)
+    val B = lit(131L); val M = lit(2147483647L)
+    val gramHashes = transform(sequence(lit(1), length($"text") - (k - 1)), i =>
+      aggregate(
+        transform(sequence(lit(0), lit(k - 1)),
+          j => ascii($"text".substr(i + j, lit(1))).cast("long")),
+        lit(0L), (acc, c) => (acc * B + c) % M))
+    Sources.documents(spark, dir)
+      .filter(length($"text") >= k + w - 1) // >=1 full window
+      .withColumn("gh", gramHashes)
+      .withColumn("fps", array_distinct(
+        transform(sequence(lit(1), size($"gh") - (w - 1)),
+          j => array_min(slice($"gh", j, lit(w))))))
+      .select(
+        $"doc_id",
+        size($"gh").as("n_grams"),
+        size($"fps").as("n_fps"),
+        array_min($"fps").as("fp_min"),
+        array_max($"fps").as("fp_max"),
+        aggregate($"fps", lit(0L), (a, x) => a + x).as("fp_sum"))
+      .orderBy($"doc_id")
+  }
+
   /** L5 — TF-IDF featurization with an inspectable vocabulary:
     * whitespace tokenize → CountVectorizer (vocab on the driver, sized
     * for introspection/tests; HashingTF is the fixed-memory choice at

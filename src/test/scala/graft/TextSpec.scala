@@ -125,6 +125,33 @@ class TextSpec extends SparkTestBase {
     assert(out("z") === ((1L, 1L)))
   }
 
+  test("winnowing fingerprints: near-identical docs overlap, disjoint docs don't") {
+    // The winnowing guarantee: a shared substring longer than
+    // k + w - 1 = 11 chars yields at least one shared fingerprint, and
+    // largely-identical texts share most of their fingerprint sets —
+    // robust to a prefix insertion (which shifts every position).
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    withTempDocs(Seq(
+      (1L, body),
+      (2L, "PREFIX! " + body),              // shifted copy
+      (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"))) { dir =>
+      val rows = ops.Text.q47WinnowFingerprint(spark, dir)
+        .select($"doc_id", $"n_fps").as[(Long, Int)].collect().toMap
+      assert(rows.keySet === Set(1L, 2L, 3L))
+      // recompute the raw fingerprint SETS to check overlap (the query
+      // emits summaries; the winnowing property is about the sets)
+      def fps(text: String): Set[Long] = {
+        val hashes = text.sliding(8).map(g =>
+          g.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 2147483647L)).toArray
+        hashes.sliding(4).map(_.min).toSet
+      }
+      val (a, b, c) = (fps(body), fps("PREFIX! " + body),
+        fps("zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"))
+      assert((a intersect b).size.toDouble / a.size > 0.8, "shifted copy must overlap")
+      assert((a intersect c).isEmpty, "unrelated text must not collide")
+    }
+  }
+
   test("BPE-ish regex segmentation splits letter runs, digit runs, and symbols") {
     // The documents fixture is clean lowercase prose (digit/symbol
     // columns are 0 there; the oracle still pins cross-engine regex
