@@ -113,8 +113,13 @@ object Similarity {
       .withColumn("unit",
         transform($"vec", x => x / when(norm === 0.0, 1.0).otherwise(norm)))
       .withColumn("mlvec", array_to_vector($"unit"))
+    // 10 Lloyd iterations: the quantizer only needs coarse cells, not a
+    // converged clustering — recall is governed by nProbe, not cell
+    // polish (default 20 iterations doubles index-build cost for
+    // nothing measurable).
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setFeaturesCol("mlvec").setPredictionCol("ivf_list")
+      .setK(nLists).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
     val model = km.fit(vecs)
     val assigned = model.transform(vecs)
     val qv = vecs.filter($"vec_id" === queryVecId).select($"vec").head().getSeq[Double](0)

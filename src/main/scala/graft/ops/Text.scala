@@ -167,22 +167,19 @@ object Text {
     */
   def q47WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.winnowFingerprints
     val (k, w) = (8, 4)
-    val B = lit(131L); val M = lit(2147483647L)
-    val gramHashes = transform(sequence(lit(1), length($"text") - (k - 1)), i =>
-      aggregate(
-        transform(sequence(lit(0), lit(k - 1)),
-          j => ascii($"text".substr(i + j, lit(1))).cast("long")),
-        lit(0L), (acc, c) => (acc * B + c) % M))
+    // The kernel is the custom codegen'd expression (a true O(1)-per-
+    // gram rolling hash; the HOF composition re-folded k chars per gram
+    // through interpreted lambdas with per-gram allocations — 13 s at
+    // sf0.1 vs ~1 s). n_grams is arithmetic: every position yields a
+    // gram, so it is len - k + 1, no gram array needed.
     Sources.documents(spark, dir)
       .filter(length($"text") >= k + w - 1) // >=1 full window
-      .withColumn("gh", gramHashes)
-      .withColumn("fps", array_distinct(
-        transform(sequence(lit(1), size($"gh") - (w - 1)),
-          j => array_min(slice($"gh", j, lit(w))))))
+      .withColumn("fps", winnowFingerprints($"text", k, w))
       .select(
         $"doc_id",
-        size($"gh").as("n_grams"),
+        (length($"text") - (k - 1)).as("n_grams"),
         size($"fps").as("n_fps"),
         array_min($"fps").as("fp_min"),
         array_max($"fps").as("fp_max"),

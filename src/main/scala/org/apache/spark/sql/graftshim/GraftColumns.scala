@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -20,6 +20,13 @@ object GraftColumns {
   def cosineSimilarity(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Winnowing fingerprints of a string column — sorted distinct
+    * window-minima of a rolling k-gram hash (see
+    * [[graft.expressions.WinnowFingerprints]]).
+    */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c), k, w))
 
   /** True when the session's CacheManager holds no cached plans — the
     * test probe for "no persist outlives its query" (the CacheManager is
