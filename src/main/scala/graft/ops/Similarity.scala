@@ -113,12 +113,12 @@ object Similarity {
       .withColumn("unit",
         transform($"vec", x => x / when(norm === 0.0, 1.0).otherwise(norm)))
       .withColumn("mlvec", array_to_vector($"unit"))
-    // 10 Lloyd iterations: the quantizer only needs coarse cells, not a
-    // converged clustering — recall is governed by nProbe, not cell
-    // polish (default 20 iterations doubles index-build cost for
-    // nothing measurable).
+    // Coarse-quantizer budget: 10 Lloyd iterations from RANDOM init.
+    // The default k-means|| init alone costs several full passes
+    // (initSteps × oversampling), and recall is governed by nProbe, not
+    // cell polish — a converged clustering buys nothing measurable.
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(10)
+      .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
       .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
     val model = km.fit(vecs)
     val assigned = model.transform(vecs)
