@@ -65,32 +65,31 @@ object WinnowFingerprints {
     val n = str.length
     if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
     val nGrams = n - k + 1
-    val gh = new Array[Long](nGrams)
-    // first gram: plain fold
-    var h = 0L
-    var i = 0
-    while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
-    gh(0) = h
     // B^(k-1) mod M for the rolling drop-leading-char step
     var bk = 1L
-    i = 0
+    var i = 0
     while (i < k - 1) { bk = bk * B % M; i += 1 }
-    i = 1
-    while (i < nGrams) {
-      // ((h − c_out·B^(k−1)) · B + c_in) mod M, kept non-negative
-      h = ((h - str.charAt(i - 1) * bk % M + M) % M * B + str.charAt(i + k - 1)) % M
-      gh(i) = h
-      i += 1
-    }
+    // Ring buffer of the last w gram hashes — auxiliary memory is O(w),
+    // not O(len): a per-row array of every gram hash would be the
+    // memory hazard on pathologically long documents.
+    val ring = new Array[Long](w)
     val selected = new java.util.TreeSet[java.lang.Long]()
-    var j = 0
-    val nWindows = nGrams - w + 1
-    while (j < nWindows) {
-      var m = gh(j)
-      var t = 1
-      while (t < w) { if (gh(j + t) < m) m = gh(j + t); t += 1 }
-      selected.add(m)
-      j += 1
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
+    ring(0) = h
+    var g = 1 // index of the NEXT gram to hash
+    while (g < nGrams) {
+      // ((h − c_out·B^(k−1)) · B + c_in) mod M, kept non-negative
+      h = ((h - str.charAt(g - 1) * bk % M + M) % M * B + str.charAt(g + k - 1)) % M
+      ring(g % w) = h
+      if (g >= w - 1) {
+        var m = ring(0)
+        var t = 1
+        while (t < w) { if (ring(t) < m) m = ring(t); t += 1 }
+        selected.add(m)
+      }
+      g += 1
     }
     val out = new Array[Long](selected.size)
     val it = selected.iterator()

@@ -354,15 +354,18 @@ object Similarity {
   /** L2 (the user-facing dedup): drop every non-survivor cluster member
     * from the corpus — pairs → components → anti-join. Idempotent by
     * construction (survivors of distinct components share no
-    * above-threshold pair; see the idempotence test). The anti-join
-    * side is the (small) loser list, broadcastable at any corpus size
-    * where the duplicate fraction is sane.
+    * above-threshold pair; see the idempotence test). No broadcast
+    * hint on the anti-join: the loser list is usually small, but a
+    * high-duplication corpus (mirrors, boilerplate farms) can make it a
+    * large fraction of 100 TB — AQE already converts the join to
+    * broadcast when the built side is actually small, and forcing it
+    * would OOM exactly when dedup matters most.
     */
   def dedupCorpus(docs: DataFrame, dfCap: Int = 100): DataFrame = {
     import docs.sparkSession.implicits._
     val clusters = connectedComponents(ngramJaccardPairs(docs, dfCap),
       "doc_a", "doc_b")
     val losers = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
-    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 }
