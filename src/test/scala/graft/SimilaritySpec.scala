@@ -138,6 +138,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components resolves a deep chain (pointer-doubling path)") {
+    // 0-1-2-...-63 single chain: one-hop-per-round propagation needs 63
+    // rounds; with doubling this must converge in ~log2(64) rounds (the
+    // test asserts correctness; depth exercises the doubling join).
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = ops.Similarity.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(got.length === 64)
+    assert(got.forall(_._2 == 0L), s"all 64 nodes must label to 0")
+  }
+
   test("connected components of an empty pair list is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(ops.Similarity.connectedComponents(pairs, "doc_a", "doc_b").count() === 0)
