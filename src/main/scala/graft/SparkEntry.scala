@@ -65,6 +65,7 @@ object SparkEntry {
     "q45_ann_ivf"   -> (Similarity.q45AnnIvf _),
     "q46_token_counts" -> (Text.q46TokenCounts _),
     "q47_winnow_fingerprint" -> (Text.q47WinnowFingerprint _),
+    "q48_group_percentiles" -> (Relational.q48GroupPercentiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -467,5 +468,12 @@ object SparkEntry {
         | list_max(fps) AS fp_max,
         | CAST(list_sum(fps) AS BIGINT) AS fp_sum
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q48_group_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

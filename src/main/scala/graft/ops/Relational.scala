@@ -295,6 +295,27 @@ object Relational {
       round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
   }
 
+  /** A3 (grouped) — exact per-group quartiles: `percentile` inside a
+    * groupBy, the per-class analogue of the reference's global
+    * describe() (main.py:216-220 samples columns; a real EDA wants the
+    * distribution per segment). One grouped sort-based aggregate;
+    * the 100 TB posture note from q42 applies (exact percentile sorts
+    * within groups — switch to approx_percentile when group
+    * cardinality × group size makes that the bottleneck).
+    */
+  def q48GroupPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A1/A2 analogue of the reference's class-distribution count +
     * global min (main.py:95-101,157-158): group sizes and the minimum
     * group size, via a single grouped pass + global agg join-free

@@ -206,6 +206,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("J7 left-outer interval join emits unmatched clicks once the watermark closes them") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val c = clicks.toDF().select($"event_id".as("click_id"), $"user_id",
+      $"ts".as("click_ts")).withWatermark("click_ts", "10 minutes")
+    val v = views.toDF().select($"event_id".as("view_id"),
+      $"user_id".as("v_user_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val joined = c.join(v,
+      c("user_id") === v("v_user_id") &&
+      v("view_ts") >= c("click_ts") - expr("INTERVAL 10 minutes") &&
+      v("view_ts") <= c("click_ts"), "left_outer")
+    val q = joined.select($"click_id", $"view_id")
+      .writeStream.format("memory").queryName("outer_interval").outputMode("append").start()
+    withQuery(q) {
+      views.addData(ev(100, "2024-01-01 10:00:00", user = 1L))
+      clicks.addData(
+        ev(1, "2024-01-01 10:05:00", user = 1L, typ = "click"),  // matches view 100
+        ev(2, "2024-01-01 10:05:00", user = 2L, typ = "click"))  // no view
+      q.processAllAvailable()
+      // the unmatched click cannot emit yet: a matching view may still arrive
+      val early = spark.table("outer_interval").as[(Long, Option[Long])].collect().toSet
+      assert(early === Set((1L, Some(100L))))
+      // advance both watermarks far past the click's match window
+      views.addData(ev(200, "2024-01-01 12:00:00", user = 8L))
+      clicks.addData(ev(3, "2024-01-01 12:00:00", user = 9L, typ = "click"))
+      q.processAllAvailable()
+      val late = spark.table("outer_interval").as[(Long, Option[Long])].collect().toSet
+      // click 2 now emitted with a null view side (outer semantics)
+      assert(late.contains((2L, None)), s"unmatched click must emit null-padded: $late")
+    }
+  }
+
   test("S9 parquet file sink + checkpoint recovers exactly-once across restart") {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory("graft-s9").toString
