@@ -346,15 +346,21 @@ object SparkEntry {
         | min(CAST(json_extract_string(props, '$.' || key) AS INT)) AS min_val,
         | max(CAST(json_extract_string(props, '$.' || key) AS INT)) AS max_val
         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+    // the stop-shingle df cap (<=100, mirroring ngramJaccardPairs'
+    // default) is part of the operator's semantics, so the oracle
+    // applies it too — parity must not silently depend on the corpus
+    // max-df staying under the cap
     "q39_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |   unnest(list_transform(generate_series(1, len(t) - 2),
         |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |  FROM tok),
+        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -384,17 +390,20 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
         |FROM lineitem""".stripMargin,
-    // q39's pair list -> undirected edges -> transitive closure
-    // (recursive CTE) -> min reachable id per node = cluster survivor.
+    // q39's pair list (incl. its df cap) -> undirected edges ->
+    // transitive closure (recursive CTE) -> min reachable id per node
+    // = cluster survivor.
     "q43_dedup_clusters" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |   unnest(list_transform(generate_series(1, len(t) - 2),
         |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
         |  FROM tok),
+        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c

@@ -32,6 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  require(k >= 1, s"gram size k must be >= 1, got $k")
+  require(w >= 1, s"window size w must be >= 1, got $w")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -78,6 +81,9 @@ object WinnowFingerprints {
     i = 0
     while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
     ring(0) = h
+    // w=1 degenerates to "select every gram hash": gram 0's window is
+    // complete immediately (the loop below only selects from gram 1 on)
+    if (w == 1) selected.add(h)
     var g = 1 // index of the NEXT gram to hash
     while (g < nGrams) {
       // ((h − c_out·B^(k−1)) · B + c_in) mod M, kept non-negative

@@ -31,6 +31,14 @@ object Similarity {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** L2-normalize an MLlib vector (zero vector passes through) — the
+    * shared unit-sphere projection for the LSH cosine paths (q26, q40).
+    */
+  private val normalizeVec = udf { v: MlVector =>
+    val n = Vectors.norm(v, 2.0)
+    if (n == 0.0) v else Vectors.dense(v.toArray.map(_ / n))
+  }
+
   /** L3 (exact baseline) — cosine top-10 neighbors of vec_id 0, computed
     * entirely in double (embedding cast float→double first so Spark and
     * the oracle accumulate identically). The kernel is the custom
@@ -62,11 +70,7 @@ object Similarity {
     import spark.implicits._
     val emb = Sources.embeddings(spark, dir)
       .withColumn("vec", array_to_vector(transform($"embedding", _.cast("double"))))
-    val normalize = udf { v: MlVector =>
-      val n = Vectors.norm(v, 2.0)
-      if (n == 0.0) v else Vectors.dense(v.toArray.map(_ / n))
-    }
-    val unit = emb.select($"vec_id", normalize($"vec").as("unit"))
+    val unit = emb.select($"vec_id", normalizeVec($"vec").as("unit"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("unit").setOutputCol("buckets")
       .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
@@ -109,10 +113,15 @@ object Similarity {
     import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     val norm = sqrt(aggregate(transform($"vec", x => x * x),
       lit(0.0), (acc, x) => acc + x))
+    // Persisted for the call: KMeans.fit, the assignment transform, and
+    // the query-vector lookup would otherwise each re-run the
+    // read+normalize subtree. Released before returning (same pattern
+    // as minhashNearDup).
     val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
       .withColumn("unit",
         transform($"vec", x => x / when(norm === 0.0, 1.0).otherwise(norm)))
       .withColumn("mlvec", array_to_vector($"unit"))
+      .persist()
     // Coarse-quantizer budget: 10 Lloyd iterations from RANDOM init.
     // The default k-means|| init alone costs several full passes
     // (initSteps × oversampling), and recall is governed by nProbe, not
@@ -122,7 +131,10 @@ object Similarity {
       .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
     val model = km.fit(vecs)
     val assigned = model.transform(vecs)
-    val qv = vecs.filter($"vec_id" === queryVecId).select($"vec").head().getSeq[Double](0)
+    val qRows = vecs.filter($"vec_id" === queryVecId).select($"vec").take(1)
+    require(qRows.nonEmpty,
+      s"ivfTopK: queryVecId=$queryVecId not present in the input frame")
+    val qv = qRows.head.getSeq[Double](0)
     // rank cells by centroid cosine to the query — driver-side over
     // nLists centroids (bounded by design)
     val probed = model.clusterCenters.zipWithIndex
@@ -133,16 +145,19 @@ object Similarity {
         (i, if (den == 0.0) -1.0 else dot / den)
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
-    val query = vecs.filter($"vec_id" === queryVecId).select($"vec".as("qv"))
-    assigned
+    // the query vector is already on the driver — inline it as a
+    // literal instead of joining a second scan of the input
+    val out = assigned
       .filter($"ivf_list".isin(probed: _*) && $"vec_id" =!= queryVecId)
-      .crossJoin(broadcast(query))
       .select($"vec_id", $"label", $"ivf_list",
-        cosineSimilarity($"vec", $"qv").as("cos"))
+        cosineSimilarity($"vec", typedlit(qv)).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(k)
       .select($"vec_id", $"label", $"ivf_list", round($"cos", 6).as("cosine"))
       .orderBy($"vec_id")
+      .localCheckpoint(true)
+    vecs.unpersist(false)
+    out
   }
 
   /** L2 — near-duplicate candidate pairs via MinHashLSH over token
@@ -269,11 +284,7 @@ object Similarity {
     import spark.implicits._
     val emb = Sources.embeddings(spark, dir)
       .withColumn("vec", array_to_vector(transform($"embedding", _.cast("double"))))
-    val normalize = udf { v: MlVector =>
-      val n = Vectors.norm(v, 2.0)
-      if (n == 0.0) v else Vectors.dense(v.toArray.map(_ / n))
-    }
-    val unit = emb.select($"vec_id", normalize($"vec").as("unit"))
+    val unit = emb.select($"vec_id", normalizeVec($"vec").as("unit"))
     // Narrow buckets (0.15 of a unit-sphere projection) cut coincidental
     // bucket collisions ~2.4× in wall-clock while keeping ~90% of
     // candidates; truly close pairs still collide in ≥1 of 4 tables, and

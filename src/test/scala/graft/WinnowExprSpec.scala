@@ -36,6 +36,30 @@ class WinnowExprSpec extends SparkTestBase {
     }
   }
 
+  test("w=1 selects every gram hash including gram 0 (degenerate window)") {
+    val rnd = new scala.util.Random(5)
+    val cases = (0 until 30).map { i =>
+      (i.toLong, (0 until 4 + rnd.nextInt(20)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    val got = cases.toDF("id", "text")
+      .select($"id", winnowFingerprints($"text", 4, 1).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.foreach { case (id, text) =>
+      assert(got(id) === reference(text, 4, 1), s"w=1 mismatch for '$text'")
+    }
+  }
+
+  test("invalid k or w is rejected at construction") {
+    intercept[IllegalArgumentException] {
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 0, 3)
+    }
+  }
+
   test("strings shorter than k+w-1 yield an empty array, null stays null") {
     val out = Seq((1L, "short"), (2L, null.asInstanceOf[String]))
       .toDF("id", "text")
