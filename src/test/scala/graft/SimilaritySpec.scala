@@ -154,6 +154,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.forall(_._2 == 0L), s"all 64 nodes must label to 0")
   }
 
+  test("connected components matches union-find on random graphs (property)") {
+    // The pointer-doubling loop is the subtlest code here: pit it
+    // against a trivially-correct driver-side union-find on randomized
+    // graphs (mixed shapes: chains, stars, cliques emerge at random).
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 8) {
+      val n = 5 + rnd.nextInt(25)
+      val edges = (0 until n + rnd.nextInt(2 * n)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        // reference: union-find with path compression
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val expected = inEdges.map(v => v -> {
+          // min node id in v's component, restricted to nodes seen in edges
+          val root = find(v.toInt)
+          inEdges.filter(u => find(u.toInt) == root).min
+        }).toMap
+        val got = ops.Similarity.connectedComponents(
+            edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"trial $trial, n=$n, edges=$edges")
+      }
+    }
+  }
+
   test("connected components of an empty pair list is empty") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(ops.Similarity.connectedComponents(pairs, "doc_a", "doc_b").count() === 0)
