@@ -224,9 +224,16 @@ object SparkEntry {
         |  AS bands(band, lo, hi)
         | ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    // views pre-deduped to the max-event_id row per (user_id, ts): with
+    // tied view timestamps both engines would otherwise pick an
+    // arbitrary row (see q18AsOf scaladoc)
     "q18_asof" ->
       """WITH views AS (
-        |  SELECT user_id, ts, value AS v_value FROM events WHERE event_type = 'view'),
+        |  SELECT user_id, ts, value AS v_value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'view')
+        |  WHERE rn = 1),
         |clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, round(v.v_value, 6) AS last_view_value

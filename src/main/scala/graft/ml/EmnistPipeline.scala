@@ -64,14 +64,23 @@ object EmnistPipeline {
           .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed))
         .setFeaturesCol("pca").setLabelCol("label_idx"))
 
-  /** A9 — accuracy + macro-F1 (the reference's scoring,
-    * main.py:376-380).
+  /** A9 — accuracy + MACRO-F1 (the reference scores with
+    * f1_score(average='macro'), main.py:376-380).
+    * MulticlassClassificationEvaluator's "f1" is the WEIGHTED
+    * (support-averaged) F1 — on the deliberately imbalanced fixture the
+    * two genuinely differ, so macro is computed explicitly as the
+    * unweighted mean of per-class F1 via MulticlassMetrics.
     */
   def evaluate(predictions: DataFrame): (Double, Double) = {
+    import predictions.sparkSession.implicits._
     val ev = new MulticlassClassificationEvaluator()
       .setLabelCol("label_idx").setPredictionCol("prediction")
-    (ev.setMetricName("accuracy").evaluate(predictions),
-      ev.setMetricName("f1").evaluate(predictions))
+    val acc = ev.setMetricName("accuracy").evaluate(predictions)
+    val metrics = new org.apache.spark.mllib.evaluation.MulticlassMetrics(
+      predictions.select($"prediction", $"label_idx".cast("double"))
+        .as[(Double, Double)].rdd)
+    val macroF1 = metrics.labels.map(metrics.fMeasure).sum / metrics.labels.length
+    (acc, macroF1)
   }
 
   /** A9 — per-class confusion counts as a DataFrame (the

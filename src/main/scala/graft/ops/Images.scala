@@ -68,7 +68,10 @@ object Images {
     */
   def scan(spark: SparkSession, root: String): DataFrame = {
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
+      // every format the ImageIO decode path accepts — a png-only glob
+      // would silently skip jpeg/bmp/gif members and under-count their
+      // classes in the balanced load
+      .option("pathGlobFilter", "*.{png,jpg,jpeg,bmp,gif}")
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(

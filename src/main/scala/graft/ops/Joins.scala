@@ -106,13 +106,22 @@ object Joins {
     * self-join): tag views 0 / clicks 1, order by (ts, tag) so a view in
     * the same instant is visible (inclusive as-of), then
     * last(value, ignoreNulls) over the running frame.
+    *
+    * Tie rule: two views with identical (user_id, ts) — possible after
+    * ns→µs truncation — would make "most recent view" ambiguous (and
+    * DuckDB's ASOF would pick its own arbitrary row), so views are
+    * pre-deduped to the max-event_id row per (user_id, ts), mirrored in
+    * the oracle SQL. Determinism is part of the operator's contract.
     */
   def q18AsOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Sources.events(spark, dir)
-    val views = ev.filter($"event_type" === "view").select(
-      $"user_id", $"ts", $"value".as("v_value"),
-      lit(0).as("tag"), lit(null).cast("long").as("event_id"))
+    val tieW = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+    val views = ev.filter($"event_type" === "view")
+      .withColumn("rn", row_number().over(tieW)).filter($"rn" === 1)
+      .select(
+        $"user_id", $"ts", $"value".as("v_value"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"))
     val clicks = ev.filter($"event_type" === "click").select(
       $"user_id", $"ts", lit(null).cast("double").as("v_value"),
       lit(1).as("tag"), $"event_id")

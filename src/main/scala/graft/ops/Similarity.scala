@@ -75,7 +75,9 @@ object Similarity {
       .setInputCol("unit").setOutputCol("buckets")
       .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
     val model = lsh.fit(unit)
-    val key = unit.filter($"vec_id" === 0).head().getAs[MlVector]("unit")
+    val keyRows = unit.filter($"vec_id" === 0).take(1)
+    require(keyRows.nonEmpty, "q26AnnLsh: query vector vec_id=0 not present")
+    val key = keyRows.head.getAs[MlVector]("unit")
     model.approxNearestNeighbors(unit.filter($"vec_id" =!= 0), key, 10)
       .select($"vec_id", round($"distCol", 6).as("l2_dist"))
       .orderBy($"vec_id")
@@ -116,10 +118,13 @@ object Similarity {
     // Persisted for the call: KMeans.fit, the assignment transform, and
     // the query-vector lookup would otherwise each re-run the
     // read+normalize subtree. Released before returning (same pattern
-    // as minhashNearDup).
+    // as minhashNearDup). The norm is materialized as its own column
+    // FIRST — referencing the aggregate inside the per-element divide
+    // lambda would re-evaluate it for every element (O(d²) per row).
     val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
-      .withColumn("unit",
-        transform($"vec", x => x / when(norm === 0.0, 1.0).otherwise(norm)))
+      .withColumn("nrm", when(norm === 0.0, 1.0).otherwise(norm))
+      .withColumn("unit", transform($"vec", x => x / $"nrm"))
+      .drop("nrm")
       .withColumn("mlvec", array_to_vector($"unit"))
       .persist()
     // Coarse-quantizer budget: 10 Lloyd iterations from RANDOM init.

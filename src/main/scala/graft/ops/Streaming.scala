@@ -56,9 +56,15 @@ object Streaming {
   def hourlyTypeAggStream(events: DataFrame): DataFrame =
     hourlyTypeAgg(events.withWatermark("ts", "10 minutes"))
 
-  /** T5 — streaming exact dedup on event_id within the watermark horizon. */
+  /** T5 — streaming exact dedup on event_id within the watermark horizon.
+    * MUST be dropDuplicatesWithinWatermark: plain dropDuplicates("event_id")
+    * only evicts state when the event-time column is part of the dedup
+    * key, so its per-key state would grow unboundedly forever despite
+    * the watermark — an OOM at stream scale, not a semantics choice.
+    */
   def dedupStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** T5 — arbitrary stateful processing: running per-user event counts
     * via flatMapGroupsWithState (update mode, unbounded keys kept —

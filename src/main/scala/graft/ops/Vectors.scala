@@ -18,25 +18,48 @@ import org.apache.spark.sql.functions.udaf
   */
 object VectorAggs {
 
-  /** Accumulator: elementwise sums + row count. `sums` is empty until
-    * the first row so the aggregator is dimension-agnostic.
+  /** Accumulator: elementwise Kahan sums (running sum + compensation)
+    * + row count. `sums` is sized from the first row; all rows must
+    * share that dimension (enforced — silently padding/truncating
+    * ragged input would corrupt means nondeterministically).
     */
-  case class MeanBuf(var sums: Array[Double], var n: Long)
+  case class MeanBuf(var sums: Array[Double], var comps: Array[Double], var n: Long)
 
   /** Output wrapper so the result uses the public product encoder; the
     * column comes back as a struct with a single `values` field.
     */
   case class MeanVec(values: Seq[Double])
 
-  /** A5 — elementwise mean of an array column. */
+  /** A5 — elementwise mean of an array column.
+    *
+    * Sums are Kahan-compensated: plain double accumulation depends on
+    * the partition merge order (the q1/q12 oracle-hash flake class —
+    * a mean within one accumulated ulp of a 0.5e-6 rounding boundary
+    * would flip digits run-to-run). Compensation shrinks the error to
+    * ~1 ulp of the true sum regardless of row count, which puts
+    * boundary flips out of reach at any scale, while keeping the
+    * buffer a flat pair of double arrays (the 100 TB shuffle payload).
+    */
   class VectorMean extends Aggregator[Seq[Double], MeanBuf, MeanVec] {
-    override def zero: MeanBuf = MeanBuf(Array.empty, 0L)
+    override def zero: MeanBuf = MeanBuf(Array.empty, Array.empty, 0L)
+
+    private def kahanAdd(b: MeanBuf, i: Int, x: Double): Unit = {
+      val y = x - b.comps(i)
+      val t = b.sums(i) + y
+      b.comps(i) = (t - b.sums(i)) - y
+      b.sums(i) = t
+    }
 
     override def reduce(b: MeanBuf, v: Seq[Double]): MeanBuf = {
       if (v == null) return b
-      if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+      if (b.sums.isEmpty) {
+        b.sums = new Array[Double](v.length)
+        b.comps = new Array[Double](v.length)
+      }
+      require(v.length == b.sums.length,
+        s"VectorMean requires fixed-dimension input: got ${v.length} after ${b.sums.length}")
       var i = 0
-      while (i < v.length) { b.sums(i) += v(i); i += 1 }
+      while (i < v.length) { kahanAdd(b, i, v(i)); i += 1 }
       b.n += 1
       b
     }
@@ -44,14 +67,22 @@ object VectorAggs {
     override def merge(a: MeanBuf, b: MeanBuf): MeanBuf = {
       if (a.sums.isEmpty) return b
       if (b.sums.isEmpty) return a
+      require(a.sums.length == b.sums.length,
+        s"VectorMean requires fixed-dimension input: got ${b.sums.length} vs ${a.sums.length}")
       var i = 0
-      while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+      while (i < a.sums.length) {
+        // fold b's compensated total (sum − comp) into a
+        kahanAdd(a, i, b.sums(i))
+        kahanAdd(a, i, -b.comps(i))
+        i += 1
+      }
       a.n += b.n
       a
     }
 
     override def finish(b: MeanBuf): MeanVec =
-      if (b.n == 0) MeanVec(Seq.empty) else MeanVec(b.sums.map(_ / b.n).toSeq)
+      if (b.n == 0) MeanVec(Seq.empty)
+      else MeanVec(Array.tabulate(b.sums.length)(i => (b.sums(i) - b.comps(i)) / b.n).toSeq)
 
     override def bufferEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
     override def outputEncoder: Encoder[MeanVec] = Encoders.product[MeanVec]
