@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM zone too: tests build java.sql.Timestamps via
+  // Timestamp.valueOf (JVM-default-zone wall clock) and assert against
+  // UTC-rendered session output — on a non-UTC host they'd diverge.
+  "-Duser.timezone=UTC",
   // Local mode = one JVM: driver heap is the ONLY memory knob. 8g is
   // MEASURED faster than 48g here (48g cost q32 +13 s: default GC
   // geometry scales the young gen with the heap and the MLlib fits'

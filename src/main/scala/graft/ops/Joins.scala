@@ -115,7 +115,15 @@ object Joins {
     */
   def q18AsOf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Sources.events(spark, dir)
+    asOfLastView(Sources.events(spark, dir)).orderBy($"event_id")
+  }
+
+  /** [[q18AsOf]] core over any (event_id, ts, user_id, event_type,
+    * value) frame — the unit under test for the literal edge cases
+    * (inclusive ties, no-prior-view nulls, same-instant view dedup).
+    */
+  def asOfLastView(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val tieW = Window.partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
     val views = ev.filter($"event_type" === "view")
       .withColumn("rn", row_number().over(tieW)).filter($"rn" === 1)
@@ -132,6 +140,5 @@ object Joins {
       .filter($"tag" === 1)
       .select($"event_id", $"user_id",
         round($"last_view_value", 6).as("last_view_value"))
-      .orderBy($"event_id")
   }
 }

@@ -101,7 +101,8 @@ object Streaming {
     * stream length. Inner matches emit immediately (append mode).
     */
   def clickViewIntervalJoin(clicks: DataFrame, views: DataFrame,
-      lookback: String = "10 minutes", delay: String = "10 minutes"): DataFrame = {
+      lookback: String = "10 minutes", delay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(
         col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", delay)
@@ -109,10 +110,14 @@ object Streaming {
         col("event_id").as("view_id"), col("user_id").as("v_user_id"),
         col("ts").as("view_ts"), col("value").as("view_value"))
       .withWatermark("view_ts", delay)
+    // joinType "left_outer" emits unmatched clicks null-padded once
+    // both watermarks close their match window (outer results cannot
+    // emit earlier — a matching view might still arrive)
     c.join(v,
         c("user_id") === v("v_user_id") &&
         v("view_ts") >= c("click_ts") - expr(s"INTERVAL $lookback") &&
-        v("view_ts") <= c("click_ts"))
+        v("view_ts") <= c("click_ts"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("view_id"), col("view_ts"), col("view_value"))
   }

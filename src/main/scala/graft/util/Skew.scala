@@ -25,14 +25,21 @@ object Skew {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Phase 1 of [[saltedCount]]: per-(key, salt) partial counts — the
+    * spread stage, exposed so tests can assert the implementation
+    * actually splits a hot key (not a re-derived copy of the salting).
+    */
+  def saltedPartials(df: DataFrame, key: String, salts: Int, seed: Long = 42L): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__salt", (rand(seed) * salts).cast("int"))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+  }
+
   /** Two-phase skew-resilient aggregation: count per (key, salt) first
     * (spreading a hot key over `salts` partial groups), then combine the
     * partials. Identical result to a direct groupBy-count.
     */
-  def saltedCount(df: DataFrame, key: String, salts: Int, seed: Long = 42L): DataFrame = {
-    require(salts > 0, "salts must be positive")
-    df.withColumn("__salt", (rand(seed) * salts).cast("int"))
-      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+  def saltedCount(df: DataFrame, key: String, salts: Int, seed: Long = 42L): DataFrame =
+    saltedPartials(df, key, salts, seed)
       .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
-  }
 }

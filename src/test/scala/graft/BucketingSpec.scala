@@ -27,8 +27,10 @@ class BucketingSpec extends SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       // the JOIN itself is shuffle-free: the only Exchange allowed is the
       // one-column aggregation above it
+      // assert BEFORE substring: indexOf(-1) would throw and mask the
+      // real diagnostic if the join strategy ever changes
+      assert(plan.contains("SortMergeJoin"), plan)
       val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
-      assert(plan.contains("SortMergeJoin"))
       assert(!joinSubtree.contains("Exchange"),
         s"bucketed join still shuffles:\n$joinSubtree")
       // and it is still correct

@@ -23,7 +23,10 @@ class CosineExprSpec extends SparkTestBase {
     val diff = vecs
       .select(cosineSimilarity($"vec", $"qv").as("fast"),
         hofCosine($"vec", $"qv").as("slow"))
-      .filter($"fast" =!= $"slow") // exact double comparison
+      // null-safe inequality: a plain =!= is NULL when either side is
+      // NULL, which would DROP rows where the custom expression
+      // regressed to null — exactly the bug this test exists to catch
+      .filter(!($"fast" <=> $"slow"))
       .count()
     assert(diff === 0)
   }

@@ -61,25 +61,26 @@ class JoinsSpec extends SparkTestBase {
       (103L, ts(20), 1L, "click", 9.0, "{}"),
       (104L, ts(5), 1L, "click", 9.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    // q18AsOf reads via Sources.events (ns parquet); reproduce its plan
-    // on the literal frame instead.
-    import org.apache.spark.sql.expressions.Window
-    val views = ev.filter($"event_type" === "view").select(
-      $"user_id", $"ts", $"value".as("v_value"), lit(0).as("tag"),
-      lit(null).cast("long").as("event_id"))
-    val clicks = ev.filter($"event_type" === "click").select(
-      $"user_id", $"ts", lit(null).cast("double").as("v_value"),
-      lit(1).as("tag"), $"event_id")
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = views.unionByName(clicks)
-      .withColumn("lv", last($"v_value", ignoreNulls = true).over(w))
-      .filter($"tag" === 1)
-      .select($"event_id", $"lv")
+    // exercise the REAL operator core (not a hand copy of its plan)
+    val out = ops.Joins.asOfLastView(ev)
+      .select($"event_id", $"last_view_value")
       .as[(Long, Option[Double])].collect().toMap
     assert(out(102L) === Some(1.0))
     assert(out(103L) === Some(2.0))
     assert(out(104L) === None)
+  }
+
+  test("as-of tie rule: among views sharing (user_id, ts) the max event_id wins") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (100L, ts(10), 1L, "view", 1.0, "{}"),
+      (105L, ts(10), 1L, "view", 7.0, "{}"),  // same instant, higher id
+      (102L, ts(15), 1L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = ops.Joins.asOfLastView(ev)
+      .select($"event_id", $"last_view_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(102L) === Some(7.0))
   }
 
   test("band join assigns every order to exactly one band") {

@@ -17,6 +17,12 @@ class MlPipelineSpec extends SparkTestBase {
     .withColumn("fvec", array_to_vector($"features"))
     .cache()
 
+  // one shared fit of the deterministic (split, NB k=24) pipeline —
+  // three tests score/inspect the same model; re-fitting per test was
+  // pure redundant compute
+  private lazy val (nbTrain, nbTest) = util.Sampling.split8515(data, 42L)
+  private lazy val nbModel = ml.EmnistPipeline.nbPipeline(k = 24).fit(nbTrain)
+
   test("fixture is deterministic, imbalanced, and ~80% sparse") {
     val counts = ml.EmnistFixture.classCounts.toMap
     assert(counts.size === 39)
@@ -34,9 +40,7 @@ class MlPipelineSpec extends SparkTestBase {
   }
 
   test("NB pipeline beats chance by a wide margin (accuracy floor 0.8)") {
-    val (train, test) = util.Sampling.split8515(data, 42L)
-    val model = ml.EmnistPipeline.nbPipeline(k = 24).fit(train)
-    val (acc, f1) = ml.EmnistPipeline.evaluate(model.transform(test))
+    val (acc, f1) = ml.EmnistPipeline.evaluate(nbModel.transform(nbTest))
     assert(acc > 0.8, s"accuracy $acc") // chance is 1/39 ≈ 0.026
     assert(f1 > 0.8, s"f1 $f1")
   }
@@ -68,9 +72,7 @@ class MlPipelineSpec extends SparkTestBase {
   }
 
   test("confusion matrix row sums equal per-class test counts") {
-    val (train, test) = util.Sampling.split8515(data, 42L)
-    val model = ml.EmnistPipeline.nbPipeline(k = 24).fit(train)
-    val preds = model.transform(test)
+    val preds = nbModel.transform(nbTest)
     val fromConfusion = ml.EmnistPipeline.confusion(preds)
       .groupBy($"label_idx").agg(sum($"n").as("n"))
       .as[(Double, Long)].collect().toMap
@@ -80,15 +82,13 @@ class MlPipelineSpec extends SparkTestBase {
   }
 
   test("P4+M3: mismatch filter + head reconstructs misclassified rows (main.py:443-446)") {
-    val (train, test) = util.Sampling.split8515(data, 42L)
-    val model = ml.EmnistPipeline.nbPipeline(k = 24).fit(train)
-    val preds = model.transform(test).cache()
+    val preds = nbModel.transform(nbTest).cache()
     val mismatches = preds.filter($"prediction" =!= $"label_idx")
     val correct = preds.filter($"prediction" === $"label_idx")
     assert(mismatches.count() + correct.count() === preds.count())
     val head15 = mismatches.limit(15)
-    val scaler = model.stages(1).asInstanceOf[StandardScalerModel]
-    val pca = model.stages(2).asInstanceOf[PCAModel]
+    val scaler = nbModel.stages(1).asInstanceOf[StandardScalerModel]
+    val pca = nbModel.stages(2).asInstanceOf[PCAModel]
     val recon = new ml.InversePca(pca, scaler, "pca", "reconstructed")
       .transform(head15)
     assert(recon.count() <= 15)

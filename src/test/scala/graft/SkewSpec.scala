@@ -26,9 +26,11 @@ class SkewSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(out(1L) === 900L)
     assert(out.size === 101)
-    // the intermediate spread really splits key 1 into multiple partials
-    val partials = skewed.withColumn("__salt", (rand(42L) * 8).cast("int"))
-      .filter($"k" === 1).select($"__salt").distinct().count()
+    // the IMPLEMENTATION's intermediate really splits key 1 into
+    // multiple partials (asserting on a locally rebuilt salt column
+    // would pass even if saltedCount stopped salting)
+    val partials = util.Skew.saltedPartials(skewed, "k", salts = 8)
+      .filter($"k" === 1).count()
     assert(partials > 1)
   }
 }

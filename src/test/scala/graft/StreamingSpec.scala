@@ -210,15 +210,9 @@ class StreamingSpec extends SparkTestBase {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[Ev]
     val views = MemoryStream[Ev]
-    val c = clicks.toDF().select($"event_id".as("click_id"), $"user_id",
-      $"ts".as("click_ts")).withWatermark("click_ts", "10 minutes")
-    val v = views.toDF().select($"event_id".as("view_id"),
-      $"user_id".as("v_user_id"), $"ts".as("view_ts"))
-      .withWatermark("view_ts", "10 minutes")
-    val joined = c.join(v,
-      c("user_id") === v("v_user_id") &&
-      v("view_ts") >= c("click_ts") - expr("INTERVAL 10 minutes") &&
-      v("view_ts") <= c("click_ts"), "left_outer")
+    // the REAL operator with joinType — not an inline copy of its plan
+    val joined = ops.Streaming.clickViewIntervalJoin(
+      clicks.toDF(), views.toDF(), joinType = "left_outer")
     val q = joined.select($"click_id", $"view_id")
       .writeStream.format("memory").queryName("outer_interval").outputMode("append").start()
     withQuery(q) {

@@ -53,7 +53,6 @@ class WindowsSpec extends SparkTestBase {
     val out = ops.Windows.q20TopKGroup(spark, "/root/testdata/sf0.001")
     val counts = out.groupBy($"o_orderpriority").count()
       .as[(String, Long)].collect().toMap
-    assert(counts.values.forall(_ <= 3))
     // sf0.001 has >=3 orders in every priority class
     assert(counts.values.forall(_ === 3))
   }
