@@ -30,14 +30,19 @@ object EmnistFixture {
 
   /** The labeled corpus: `label: string, row_id: int, features:
     * array<double>` with `dim` columns (default 1,024 = 32×32 like the
-    * reference, main.py:123-124).
+    * reference, main.py:123-124). `scale` multiplies every class count
+    * (cells stay pure functions of (label, row, dim, seed), so scale=1
+    * rows are a prefix of scale=N rows): scale≈110 reproduces the
+    * reference's 170,820-image working set (main.py:192) for
+    * reference-scale throughput runs.
     */
-  def df(spark: SparkSession, dim: Int = 1024, seed: Long = 42L): DataFrame = {
+  def df(spark: SparkSession, dim: Int = 1024, seed: Long = 42L,
+      scale: Int = 1): DataFrame = {
     import spark.implicits._
     val skeleton = classCounts
-      .flatMap { case (c, n) => (0 until n).map(r => (c, r)) }
+      .flatMap { case (c, n) => (0 until n * scale).map(r => (c, r)) }
       .toDF("label", "row_id")
-      .repartition(8, $"label", $"row_id")
+      .repartition(8 * scale, $"label", $"row_id")
     skeleton.withColumn(
       "features",
       transform(sequence(lit(0), lit(dim - 1)), d => {
