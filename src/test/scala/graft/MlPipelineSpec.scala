@@ -39,6 +39,21 @@ class MlPipelineSpec extends SparkTestBase {
       again.select($"label", $"row_id", $"features")).count() === 0)
   }
 
+  test("fixture scale multiplier keeps small-scale rows as an exact prefix") {
+    // the reference-scale throughput run (BASELINE.md) relies on this:
+    // scaling up adds rows without perturbing existing ones
+    val s1 = ml.EmnistFixture.df(spark, dim = 16, scale = 1)
+      .select($"label", $"row_id", $"features")
+    val s2 = ml.EmnistFixture.df(spark, dim = 16, scale = 2)
+    val counts1 = ml.EmnistFixture.classCounts.toMap
+    val prefix = s2.join(counts1.toSeq.toDF("label", "n_base"), "label")
+      .filter($"row_id" < $"n_base")
+      .select($"label", $"row_id", $"features")
+    assert(prefix.except(s1).count() === 0)
+    assert(s1.except(prefix).count() === 0)
+    assert(s2.count() === 2L * s1.count())
+  }
+
   test("NB pipeline beats chance by a wide margin (accuracy floor 0.8)") {
     val (acc, f1) = ml.EmnistPipeline.evaluate(nbModel.transform(nbTest))
     assert(acc > 0.8, s"accuracy $acc") // chance is 1/39 ≈ 0.026
