@@ -16,7 +16,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q32_ml_metrics,q43_dedup_clusters benches a subset
+    // during local iteration; unset (the driver's mode) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row/column — a count() action lets
       // Catalyst prune projections and sorts, under-measuring

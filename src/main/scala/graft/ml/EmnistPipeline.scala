@@ -133,7 +133,7 @@ object EmnistPipeline {
     * ships RandomForest as the default stand-in and OneVsRest(GBT) as
     * the true-boosting option — this query records accuracy/F1/cost for
     * both (plus the NB baseline, main.py:371-380) so the trade-off is
-    * data, not argument. OvR cost scales with #classes; parallelism 16
+    * data, not argument. OvR cost scales with #classes; parallelism 32
     * trains independent binary GBTs concurrently as normal Spark jobs.
     */
   def q32MlMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -141,13 +141,22 @@ object EmnistPipeline {
     val data = EmnistFixture.df(spark, dim = 1024)
       .withColumn("fvec", array_to_vector($"features"))
       .cache()
+    // Right-size partitions for the tree fits that follow: each GBT/RF
+    // level is a treeAggregate JOB over these partitions, and OvR(GBT)
+    // runs ~#classes × #iters × #levels of them — per-task overhead, not
+    // data volume, dominates when partitions are near-empty. ~16k rows
+    // per partition keeps task count proportional to data (the same
+    // sizing logic spark.sql.files.maxPartitionBytes applies to scans).
+    val parts = math.max(2, math.ceil(data.count() / 16384.0).toInt)
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
     // Fit the (indexer → scaler → PCA) feature stages ONCE and share the
     // projected frames across the classifiers — fitting them per
     // classifier pipeline would redo the 1,024-dim PCA three times.
     val features = new Pipeline().setStages(featureStages(64)).fit(train)
-    val trainF = features.transform(train).select($"label_idx", $"pca").cache()
-    val testF = features.transform(test).select($"label_idx", $"pca").cache()
+    val trainF = features.transform(train).select($"label_idx", $"pca")
+      .repartition(parts).cache()
+    val testF = features.transform(test).select($"label_idx", $"pca")
+      .repartition(parts).cache()
     val nTrain = trainF.count(); val nTest = testF.count()
     val classifiers = Seq[(String, org.apache.spark.ml.PipelineStage)](
       "gaussian_nb" -> new NaiveBayes().setModelType("gaussian")
@@ -157,18 +166,24 @@ object EmnistPipeline {
         .setNumTrees(20).setMaxDepth(8).setSeed(42L),
       // 39 binary GBTs (one per class): already 312 total trees vs the
       // RF's 20 — OvR multiplies cost by #classes by construction, which
-      // is the recorded finding. Parallelism 16 trains the independent
+      // is the recorded finding. Parallelism 32 trains the independent
       // binary problems concurrently (Bench runs local[32]).
       "ovr_gbt" -> new org.apache.spark.ml.classification.OneVsRest()
         .setClassifier(new org.apache.spark.ml.classification.GBTClassifier()
           .setMaxIter(8).setMaxDepth(4).setSeed(42L))
         .setFeaturesCol("pca").setLabelCol("label_idx")
-        .setParallelism(16))
+        .setParallelism(32))
     val rows = classifiers.map { case (name, est) =>
       val t0 = System.nanoTime()
       val model = new Pipeline().setStages(Array(est)).fit(trainF)
       val fitSecs = (System.nanoTime() - t0) / 1e9
-      val (acc, f1) = evaluate(model.transform(testF))
+      // Persist the scored frame: evaluate() runs TWO actions (accuracy,
+      // then MulticlassMetrics) and the OvR transform is 39 chained
+      // model applications — without the persist that whole plan
+      // executes twice per model.
+      val pred = model.transform(testF).select($"prediction", $"label_idx").persist()
+      val (acc, f1) = evaluate(pred)
+      pred.unpersist(false)
       (name, math.rint(acc * 1e6) / 1e6, math.rint(f1 * 1e6) / 1e6,
         math.rint(fitSecs * 1e3) / 1e3, nTrain, nTest)
     }

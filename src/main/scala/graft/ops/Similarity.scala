@@ -334,20 +334,40 @@ object Similarity {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     import pairs.sparkSession.implicits._
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    import org.apache.spark.sql.graftshim.GraftColumns.checkpointRdd
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("label"))
+    // Initialize each node at min(self, min neighbor) — the first
+    // neighbor-min round folded into initialization saves a full
+    // two-join iteration on shallow graphs (the common near-dup case:
+    // small star/clique clusters converge after ONE loop pass).
+    var labels = edges.groupBy($"src")
+      .agg(min($"dst").as("mn"))
+      .select($"src".as("node"), least($"src", $"mn").as("label"))
       .localCheckpoint(true)
+    // Change detection rides the checkpoint's materialization job via an
+    // accumulator instead of a separate count() pass over the result.
+    // Task retries can only inflate the count when real changes exist
+    // (a no-change round adds nothing from any attempt), so the
+    // fixpoint test — zero — is retry-safe.
+    val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+    val noteChange = udf { (l: Long, o: Long) =>
+      if (l < o) changedAcc.add(1L); l
+    }.asNondeterministic()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), labels("label").as("nbr_label"))
         .groupBy($"node").agg(min($"nbr_label").as("nbr_label"))
+      // old_label threads through the iteration as a column, so no
+      // end-of-round join against the previous labels is needed.
       val hopped = labels.join(nbrMin, Seq("node"), "left")
-        .select($"node",
+        .select($"node", $"label".as("old_label"),
           least($"label", coalesce($"nbr_label", $"label")).as("label"))
       // pointer doubling: chase label -> label(label). A label is
       // always a node of the same component (it entered via an edge or
@@ -355,14 +375,18 @@ object Similarity {
       // monotonically non-increasing.
       val parents = hopped.select($"node".as("p_node"), $"label".as("p_label"))
       val doubled = hopped.join(parents, hopped("label") === parents("p_node"))
-        .select(hopped("node"), least(hopped("label"), $"p_label").as("label"))
-      val next = labels.select($"node", $"label".as("old_label"))
-        .join(doubled, Seq("node"))
-        .select($"node", $"label", ($"label" < $"old_label").as("chg"))
-        .localCheckpoint(true)
-      changed = next.filter($"chg").count()
-      labels = next.select($"node", $"label")
+        .select(hopped("node"),
+          noteChange(least(hopped("label"), $"p_label"), $"old_label").as("label"))
+      changedAcc.reset()
+      val next = doubled.localCheckpoint(true)
+      changed = changedAcc.value
+      // The new round is materialized; the previous round's checkpoint
+      // blocks are dead — release them instead of letting them pile up
+      // for the ContextCleaner across a long session.
+      checkpointRdd(labels).foreach(_.unpersist(false))
+      labels = next
     }
+    checkpointRdd(edges).foreach(_.unpersist(false))
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
   }
 

@@ -35,4 +35,17 @@ object GraftColumns {
   def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** The checkpointed RDD backing a `localCheckpoint`'d Dataset, if that
+    * is what the Dataset is. Lets iterative algorithms release each
+    * round's checkpoint blocks as soon as the next round is materialized
+    * (`Dataset` itself exposes no unpersist for checkpoint storage, and
+    * leaving every round's blocks to the ContextCleaner piles them up
+    * across a long session — the round-3 bench's `Block ... already
+    * exists` tail). `LogicalRDD` is `private[sql]`, hence this shim.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
