@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.{NaiveBayes, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
-import org.apache.spark.ml.feature.{PCA, PCAModel, StandardScaler, StringIndexer}
+import org.apache.spark.ml.feature.{PCAModel, StandardScaler, StringIndexer}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -37,7 +37,10 @@ object EmnistPipeline {
     new StringIndexer().setInputCol("label").setOutputCol("label_idx"),
     new StandardScaler().setInputCol("fvec").setOutputCol("scaled")
       .setWithMean(true).setWithStd(true),
-    new PCA().setInputCol("scaled").setOutputCol("pca").setK(k))
+    // FastPCA = stock PCA semantics (it emits a standard PCAModel) with
+    // a top-k ARPACK eigensolve instead of the full O(d³) LAPACK SVD —
+    // see its scaladoc for the equivalence argument.
+    new FastPCA().setInputCol("scaled").setOutputCol("pca").setK(k))
 
   /** M4 — gaussian Naive Bayes on PCA features (signed values). */
   def nbPipeline(k: Int): Pipeline = new Pipeline().setStages(
@@ -203,7 +206,7 @@ object EmnistPipeline {
     // invited a future double-scaling bug (round-3 verdict).
     val emb = graft.ops.Sources.embeddings(spark, dir)
       .select(array_to_vector(transform($"embedding", _.cast("double"))).as("raw_vec"))
-    val model = new PCA().setInputCol("raw_vec").setOutputCol("pca").setK(32)
+    val model = new FastPCA().setInputCol("raw_vec").setOutputCol("pca").setK(32)
       .fit(emb)
     val ratios = model.explainedVariance.toArray
     val cum = ratios.scanLeft(0.0)(_ + _).drop(1)
