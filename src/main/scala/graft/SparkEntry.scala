@@ -66,6 +66,9 @@ object SparkEntry {
     "q46_token_counts" -> (Text.q46TokenCounts _),
     "q47_winnow_fingerprint" -> (Text.q47WinnowFingerprint _),
     "q48_group_percentiles" -> (Relational.q48GroupPercentiles _),
+    "q49_langid"    -> (Text.q49LangId _),
+    "q50_salted_agg" -> (graft.util.Skew.q50SaltedAgg _),
+    "q51_salted_join" -> (graft.util.Skew.q51SaltedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,5 +494,42 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // profiles = top-50 bigrams per lang (ties lexicographic), classify
+    // = argmax profile overlap (ties lexicographic) — mirrors
+    // Text.langProfiles/classifyLang exactly
+    "q49_langid" ->
+      """WITH big AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1]))) AS bigram
+        |  FROM documents WHERE length(text) >= 2),
+        |prof AS (
+        |  SELECT lang, bigram FROM (
+        |    SELECT lang, bigram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rk
+        |    FROM big GROUP BY lang, bigram)
+        |  WHERE rk <= 50),
+        |hits AS (
+        |  SELECT b.doc_id, p.lang, count(*) AS overlap
+        |  FROM (SELECT DISTINCT doc_id, bigram FROM big) b
+        |  JOIN prof p USING (bigram)
+        |  GROUP BY b.doc_id, p.lang)
+        |SELECT doc_id, lang AS predicted_lang, overlap FROM (
+        |  SELECT doc_id, lang, overlap,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rk
+        |  FROM hits)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // the salt is internal to the two-phase aggregation; the result is
+    // the plain GROUP BY
+    "q50_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // salting replicates the dim and spreads the fact; the join RESULT
+    // is the plain equi-join
+    "q51_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -206,11 +206,23 @@ object Text {
   }
 
   /** Character bigrams of a string column (the n-gram unit for language
-    * ID), deduplicated.
+    * ID), deduplicated. Splits to a char array ONCE and pairs adjacent
+    * elements — `substr(i, 2)` mapped over positions re-walks the UTF-8
+    * string per position (O(len²) per row, a scale-killer on long
+    * documents). The `slice` drops the trailing empty string Java's
+    * limit=-1 regex split can emit. Returns an empty array below 2
+    * chars (callers should filter, mirroring the oracle's length guard).
     */
-  def charBigrams(c: Column): Column =
-    array_distinct(transform(sequence(lit(1), length(c) - 1),
-      i => c.substr(i, lit(2))))
+  def charBigrams(c: Column): Column = {
+    val chars = slice(split(c, ""), lit(1), length(c))
+    // guard: sequence(1, 0) DESCENDS in Spark, so a <2-char string must
+    // short-circuit to an empty array, matching generate_series in the
+    // oracle
+    val pairs = transform(sequence(lit(1), size(chars) - 1),
+      i => concat(element_at(chars, i), element_at(chars, i + 1)))
+    array_distinct(when(size(chars) >= 2, pairs)
+      .otherwise(array().cast("array<string>")))
+  }
 
   /** L5 — n-gram-heuristic language ID, profile side: the topN most
     * frequent character bigrams per language from a labeled corpus.
@@ -239,5 +251,24 @@ object Text {
     val w = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"lang")
     hits.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
       .select($"doc_id", $"lang".as("predicted_lang"), $"overlap")
+  }
+
+  /** L5 (lang-ID, end-to-end + ORACLED) — [[langProfiles]] trained on
+    * the corpus's own `lang` labels, then every document classified by
+    * [[classifyLang]]. Every step is deterministic relational algebra
+    * (bigram explode → count → row_number profiles → broadcast join →
+    * argmax with lexicographic ties), so the full pipeline is
+    * DuckDB-checkable — the mechanism is verified exactly even though
+    * the synthetic corpus carries no real language signal (accuracy on
+    * the fixture is not the point; the dataflow is).
+    *
+    * 100 TB posture: the profile table is (languages × topN) rows —
+    * broadcast; the corpus side is one explode→aggregate pass with an
+    * 8-byte-ish (doc_id, lang) shuffle key; no self-join anywhere.
+    */
+  def q49LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir).filter(length($"text") >= 2)
+    classifyLang(docs, langProfiles(docs)).orderBy($"doc_id")
   }
 }

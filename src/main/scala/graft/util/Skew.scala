@@ -42,4 +42,38 @@ object Skew {
   def saltedCount(df: DataFrame, key: String, salts: Int, seed: Long = 42L): DataFrame =
     saltedPartials(df, key, salts, seed)
       .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
+
+  /** Skew demo query (ORACLED) — [[saltedCount]] over `l_returnflag`,
+    * a GENUINELY hot key (3 distinct values across all of lineitem: at
+    * 100 TB a plain groupBy funnels ~33 TB through single reducers; the
+    * salt spreads each flag over 32 partial groups first). The salt is
+    * internal, so the result — and therefore the DuckDB oracle — is the
+    * plain GROUP BY count.
+    */
+  def q50SaltedAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    saltedCount(graft.ops.Sources.lineitem(spark, dir), "l_returnflag", salts = 32)
+      .orderBy($"l_returnflag")
+  }
+
+  /** Skew demo query (ORACLED) — [[saltedJoin]] of orders against the
+    * customer dimension on custkey, aggregated to revenue per market
+    * segment. The dimension is replicated `salts`× (dimension-sized, so
+    * cheap) while each hot custkey's fact rows spread over `salts`
+    * reducers. Result is identical to the unsalted join — the oracle is
+    * the plain SQL join. Money sums in DECIMAL for hash stability.
+    */
+  def q51SaltedJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.ops.Sources.orders(spark, dir)
+      .select($"o_custkey".as("custkey"), $"o_totalprice")
+    val cust = graft.ops.Sources.customer(spark, dir)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    saltedJoin(orders, cust, "custkey", salts = 8)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
 }

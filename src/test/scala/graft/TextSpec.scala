@@ -88,6 +88,20 @@ class TextSpec extends SparkTestBase {
     assert(math.abs(byTerm("rare") - math.log(4.0 / 2.0)) < 1e-12)
   }
 
+  test("charBigrams: edge lengths and no trailing-empty artifacts") {
+    val out = Seq("", "a", "ab", "abc", "aba")
+      .toDF("s").select(ops.Text.charBigrams($"s").as("b"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq.empty) // sequence(1,0) would DESCEND without the guard
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq("ab"))
+    assert(out(3) === Seq("ab", "bc"))
+    assert(out(4) === Seq("ab", "ba")) // deduplicated
+    // every bigram is exactly 2 chars: the split("") trailing empty
+    // string never leaks into a pair
+    assert(out.flatten.forall(_.length == 2))
+  }
+
   test("language ID classifies a bigram-discriminable corpus correctly") {
     val train = Seq(
       ("en", "the quick brown fox jumps over the lazy dog then runs there"),
