@@ -69,6 +69,7 @@ object SparkEntry {
     "q49_langid"    -> (Text.q49LangId _),
     "q50_salted_agg" -> (graft.util.Skew.q50SaltedAgg _),
     "q51_salted_join" -> (graft.util.Skew.q51SaltedJoin _),
+    "q52_multimodal_join" -> (Multimodal.q52MultimodalJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,5 +532,18 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // per-row norms rounded then summed in DECIMAL, avgs from exact
+    // sums — mirrors q52MultimodalJoin's hash-stability discipline
+    "q52_multimodal_join" ->
+      """WITH j AS (
+        |  SELECT d.lang, e.label,
+        |    CAST(length(d.text) AS BIGINT) AS len,
+        |    CAST(round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[]))), 6) AS DECIMAL(18,6)) AS nrm
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT lang, label, count(*) AS n,
+        | round(CAST(sum(len) AS DOUBLE) / count(*), 6) AS avg_len,
+        | round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS avg_l2_norm
+        |FROM j GROUP BY lang, label ORDER BY lang, label""".stripMargin,
   )
 }

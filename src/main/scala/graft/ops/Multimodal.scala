@@ -110,4 +110,38 @@ object Multimodal {
         round(aggregate($"pixels", lit(0.0), (acc, x) => acc + x) /
           size($"pixels"), 6).as("mean_intensity"))
   }
+
+  /** L4 (ORACLED) — the multimodal-schema join: text docs and their
+    * embedding vectors united into one frame on id, then profiled per
+    * (lang, embedding-label) group. This is the core L4 claim — typed
+    * columns of different modalities (string text, array<float> vector,
+    * scalar metadata) coexisting in one schema and queried relationally.
+    *
+    * Hash-stability: per-row L2 norms are rounded then summed in
+    * DECIMAL (a double sum's partial-agg order varies run to run); text
+    * lengths sum exactly as longs. Both avgs derive from exact sums,
+    * mirrored verbatim in the oracle.
+    *
+    * 100 TB posture: equi-join on the 8-byte id (SMJ/shuffled-hash at
+    * fact×fact scale — both sides here are corpus-sized, so no
+    * broadcast hint), then a partial+final aggregate on a low-card key.
+    */
+  def q52MultimodalJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val emb = Sources.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", _.cast("double")).as("vec"))
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select($"lang", $"label",
+        length($"text").cast("long").as("len"),
+        round(sqrt(aggregate(transform($"vec", x => x * x), lit(0.0),
+          (acc, x) => acc + x)), 6).cast("decimal(18,6)").as("nrm"))
+      .groupBy($"lang", $"label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"len").cast("double") / count(lit(1)), 6).as("avg_len"),
+        round(sum($"nrm").cast("double") / count(lit(1)), 6).as("avg_l2_norm"))
+      .orderBy($"lang", $"label")
+  }
 }
