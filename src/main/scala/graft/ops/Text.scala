@@ -213,16 +213,14 @@ object Text {
     * limit=-1 regex split can emit. Returns an empty array below 2
     * chars (callers should filter, mirroring the oracle's length guard).
     */
-  def charBigrams(c: Column): Column = {
-    val chars = slice(split(c, ""), lit(1), length(c))
-    // guard: sequence(1, 0) DESCENDS in Spark, so a <2-char string must
-    // short-circuit to an empty array, matching generate_series in the
-    // oracle
-    val pairs = transform(sequence(lit(1), size(chars) - 1),
-      i => concat(element_at(chars, i), element_at(chars, i + 1)))
-    array_distinct(when(size(chars) >= 2, pairs)
-      .otherwise(array().cast("array<string>")))
-  }
+  def charBigrams(c: Column): Column =
+    // The codegen'd kernel ([[graft.expressions.CharBigrams]]). Two HOF
+    // drafts both lost badly: transform(sequence, i => element_at(chars,
+    // i)...) inlines the split() subtree into the lambda and re-evaluates
+    // it per ELEMENT (O(len²)/row — 174 s for q49 at sf0.1), and the
+    // zip_with(adjacent slices) fix still paid interpreted-lambda +
+    // per-element allocation costs for ~half the query's wall-clock.
+    org.apache.spark.sql.graftshim.GraftColumns.charBigrams(c)
 
   /** L5 — n-gram-heuristic language ID, profile side: the topN most
     * frequent character bigrams per language from a labeled corpus.
@@ -269,6 +267,27 @@ object Text {
   def q49LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Sources.documents(spark, dir).filter(length($"text") >= 2)
-    classifyLang(docs, langProfiles(docs)).orderBy($"doc_id")
+    // One tokenize+explode pass shared by BOTH consumers (profile build
+    // and classification) — [[langProfiles]]∘[[classifyLang]] each scan
+    // the corpus; at 100 TB the explode is the dominant cost and paying
+    // it twice is the difference between one pass and two. Persist is
+    // released before returning (same discipline as minhashNearDup).
+    val big = docs
+      .select($"doc_id", $"lang", explode(charBigrams(lower($"text"))).as("bigram"))
+      .persist()
+    val profiles = big.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")))
+      .filter($"rk" <= 50).select($"lang", $"bigram")
+    val hits = big.select($"doc_id", $"bigram")
+      .join(broadcast(profiles), "bigram")
+      .groupBy($"doc_id", $"lang").agg(count(lit(1)).as("overlap"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"lang")
+    val out = hits.withColumn("rk", row_number().over(wDoc)).filter($"rk" === 1)
+      .select($"doc_id", $"lang".as("predicted_lang"), $"overlap")
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    big.unpersist(false)
+    out
   }
 }

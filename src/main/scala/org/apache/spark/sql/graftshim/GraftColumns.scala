@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CosineSimilarity, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -27,6 +27,12 @@ object GraftColumns {
     */
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c), k, w))
+
+  /** Distinct adjacent char bigrams, first-appearance order (see
+    * [[graft.expressions.CharBigrams]]).
+    */
+  def charBigrams(c: Column): Column =
+    ExpressionUtils.column(CharBigrams(ExpressionUtils.expression(c)))
 
   /** True when the session's CacheManager holds no cached plans — the
     * test probe for "no persist outlives its query" (the CacheManager is
