@@ -18,8 +18,15 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // SPARK_GRAFT_ONLY=q32_ml_metrics,q43_dedup_clusters benches a subset
     // during local iteration; unset (the driver's mode) runs everything.
+    // Unknown names fail fast — a typo would otherwise bench nothing and
+    // still print a well-formed success JSON.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries

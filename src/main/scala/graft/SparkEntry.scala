@@ -532,18 +532,20 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    // per-row norms rounded then summed in DECIMAL, avgs from exact
-    // sums — mirrors q52MultimodalJoin's hash-stability discipline
+    // per-row norms as floor(x*1e6+0.5) micro-unit LONGS (integer-exact
+    // sums; both engines round the identical IEEE double — round()
+    // diverges on representational ties); avgs from the exact sums via
+    // the same floor form — mirrors q52MultimodalJoin verbatim
     "q52_multimodal_join" ->
       """WITH j AS (
         |  SELECT d.lang, e.label,
         |    CAST(length(d.text) AS BIGINT) AS len,
-        |    CAST(round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-        |      CAST(e.embedding AS DOUBLE[]))), 6) AS DECIMAL(18,6)) AS nrm
+        |    CAST(floor(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[]))) * 1e6 + 0.5) AS BIGINT) AS nrm_micro
         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
         |SELECT lang, label, count(*) AS n,
-        | round(CAST(sum(len) AS DOUBLE) / count(*), 6) AS avg_len,
-        | round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS avg_l2_norm
+        | floor(CAST(sum(len) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_len,
+        | floor(CAST(sum(nrm_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_l2_norm
         |FROM j GROUP BY lang, label ORDER BY lang, label""".stripMargin,
   )
 }

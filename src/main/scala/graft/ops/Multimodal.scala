@@ -117,9 +117,12 @@ object Multimodal {
     * columns of different modalities (string text, array<float> vector,
     * scalar metadata) coexisting in one schema and queried relationally.
     *
-    * Hash-stability: per-row L2 norms are rounded then summed in
-    * DECIMAL (a double sum's partial-agg order varies run to run); text
-    * lengths sum exactly as longs. Both avgs derive from exact sums,
+    * Hash-stability: per-row L2 norms are scaled to integer micro-units
+    * with the tie-proof floor(x*1e6+0.5) form and summed as LONGS (a
+    * double sum's partial-agg order varies run to run; round() diverges
+    * between engines on representational ties — the 74098.385
+    * incident); text lengths sum exactly as longs. Both avgs derive
+    * from the exact integer sums via identical IEEE double ops,
     * mirrored verbatim in the oracle.
     *
     * 100 TB posture: equi-join on the 8-byte id (SMJ/shuffled-hash at
@@ -135,13 +138,18 @@ object Multimodal {
     docs.join(emb, docs("doc_id") === emb("vec_id"))
       .select($"lang", $"label",
         length($"text").cast("long").as("len"),
-        round(sqrt(aggregate(transform($"vec", x => x * x), lit(0.0),
-          (acc, x) => acc + x)), 6).cast("decimal(18,6)").as("nrm"))
+        // micro-units as a LONG: integer-exact under any agg order, and
+        // floor(x*1e6+0.5) rounds the IDENTICAL IEEE double in both
+        // engines (norm ≤ ~20, far below 2^53/1e6)
+        floor(sqrt(aggregate(transform($"vec", x => x * x), lit(0.0),
+          (acc, x) => acc + x)) * 1e6 + 0.5).cast("long").as("nrm_micro"))
       .groupBy($"lang", $"label")
       .agg(
         count(lit(1)).as("n"),
-        round(sum($"len").cast("double") / count(lit(1)), 6).as("avg_len"),
-        round(sum($"nrm").cast("double") / count(lit(1)), 6).as("avg_l2_norm"))
+        (floor(sum($"len").cast("double") / count(lit(1)) * 1e6 + 0.5) / 1e6)
+          .as("avg_len"),
+        (floor(sum($"nrm_micro").cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("avg_l2_norm"))
       .orderBy($"lang", $"label")
   }
 }

@@ -222,28 +222,42 @@ object Text {
     // per-element allocation costs for ~half the query's wall-clock.
     org.apache.spark.sql.graftshim.GraftColumns.charBigrams(c)
 
-  /** L5 — n-gram-heuristic language ID, profile side: the topN most
-    * frequent character bigrams per language from a labeled corpus.
+  /** Exploded (…, bigram) frame from a text column — the shared first
+    * stage of [[langProfiles]] and [[classifyLang]]; q49 computes it
+    * once and feeds both.
     */
-  def langProfiles(labeled: DataFrame, topN: Int = 50): DataFrame = {
-    import labeled.sparkSession.implicits._
-    val counts = labeled
-      .select($"lang", explode(charBigrams(lower($"text"))).as("bigram"))
-      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+  private[ops] def bigramFrame(df: DataFrame, keep: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(keep.map(col) :+ explode(charBigrams(lower($"text"))).as("bigram"): _*)
+  }
+
+  /** [[langProfiles]] core over a pre-exploded (lang, bigram) frame. */
+  private[ops] def profilesFromBigrams(big: DataFrame, topN: Int): DataFrame = {
+    import big.sparkSession.implicits._
+    val counts = big.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
     counts.withColumn("rk", row_number().over(w)).filter($"rk" <= topN)
       .select($"lang", $"bigram")
   }
+
+  /** L5 — n-gram-heuristic language ID, profile side: the topN most
+    * frequent character bigrams per language from a labeled corpus.
+    */
+  def langProfiles(labeled: DataFrame, topN: Int = 50): DataFrame =
+    profilesFromBigrams(bigramFrame(labeled, Seq("lang")), topN)
 
   /** L5 — classify each document to the language whose bigram profile
     * it overlaps most (ties broken lexicographically). A broadcast join
     * against the (languages × topN)-row profile table — no shuffle of
     * the corpus beyond the per-doc aggregate.
     */
-  def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val hits = docs
-      .select($"doc_id", explode(charBigrams(lower($"text"))).as("bigram"))
+  def classifyLang(docs: DataFrame, profiles: DataFrame): DataFrame =
+    classifyFromBigrams(bigramFrame(docs, Seq("doc_id")), profiles)
+
+  /** [[classifyLang]] core over a pre-exploded (doc_id, bigram) frame. */
+  private[ops] def classifyFromBigrams(big: DataFrame, profiles: DataFrame): DataFrame = {
+    import big.sparkSession.implicits._
+    val hits = big.select($"doc_id", $"bigram")
       .join(broadcast(profiles), "bigram")
       .groupBy($"doc_id", $"lang").agg(count(lit(1)).as("overlap"))
     val w = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"lang")
@@ -267,24 +281,14 @@ object Text {
   def q49LangId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Sources.documents(spark, dir).filter(length($"text") >= 2)
-    // One tokenize+explode pass shared by BOTH consumers (profile build
-    // and classification) — [[langProfiles]]∘[[classifyLang]] each scan
-    // the corpus; at 100 TB the explode is the dominant cost and paying
-    // it twice is the difference between one pass and two. Persist is
-    // released before returning (same discipline as minhashNearDup).
-    val big = docs
-      .select($"doc_id", $"lang", explode(charBigrams(lower($"text"))).as("bigram"))
-      .persist()
-    val profiles = big.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")))
-      .filter($"rk" <= 50).select($"lang", $"bigram")
-    val hits = big.select($"doc_id", $"bigram")
-      .join(broadcast(profiles), "bigram")
-      .groupBy($"doc_id", $"lang").agg(count(lit(1)).as("overlap"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"lang")
-    val out = hits.withColumn("rk", row_number().over(wDoc)).filter($"rk" === 1)
-      .select($"doc_id", $"lang".as("predicted_lang"), $"overlap")
+    // ONE tokenize+explode pass ([[bigramFrame]]) shared by both
+    // consumers — calling [[langProfiles]] then [[classifyLang]]
+    // directly would scan + explode the corpus twice, and at 100 TB the
+    // explode is the dominant cost. The cores are the SAME functions the
+    // public API composes, so the query and its oracle cannot drift from
+    // them. Persist released before returning (minhashNearDup pattern).
+    val big = bigramFrame(docs, Seq("doc_id", "lang")).persist()
+    val out = classifyFromBigrams(big, profilesFromBigrams(big, topN = 50))
       .orderBy($"doc_id")
       .localCheckpoint(true)
     big.unpersist(false)
