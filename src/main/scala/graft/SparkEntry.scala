@@ -70,6 +70,7 @@ object SparkEntry {
     "q50_salted_agg" -> (graft.util.Skew.q50SaltedAgg _),
     "q51_salted_join" -> (graft.util.Skew.q51SaltedJoin _),
     "q52_multimodal_join" -> (Multimodal.q52MultimodalJoin _),
+    "q53_bloom_join" -> (Joins.q53BloomJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,5 +548,14 @@ object SparkEntry {
         | floor(CAST(sum(len) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_len,
         | floor(CAST(sum(nrm_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_l2_norm
         |FROM j GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    // the bloom prefilter admits no false negatives and the exact
+    // semi-join removes false positives, so the result is the plain
+    // semi-join
+    "q53_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -141,4 +141,49 @@ object Joins {
       .select($"event_id", $"user_id",
         round($"last_view_value", 6).as("last_view_value"))
   }
+
+  /** Bloom-prefiltered semi-join: build a Bloom filter over the dim
+    * side's keys (one `df.stat.bloomFilter` aggregate — bounded bits on
+    * the driver), broadcast it, and drop non-candidate fact rows AT THE
+    * SCAN, before any shuffle; the exact left-semi join then removes the
+    * false positives. No false negatives is the Bloom guarantee, so the
+    * result is EXACTLY the plain semi-join — which is what makes the
+    * pattern oracle-able.
+    *
+    * 100 TB posture: this is the standard shuffle-pruning trick for a
+    * selective fact⋈dim semi-join — a 1% fpp filter over 10⁸ keys is
+    * ~120 MB broadcast, and every pruned fact row is a row that never
+    * enters the exchange. (Spark's own runtime row-level bloom rewrite
+    * exists behind AQE flags; doing it explicitly keeps the plan
+    * deterministic and the fpp/size budget chosen, not inferred.)
+    */
+  def bloomSemiJoin(fact: DataFrame, dimKeys: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dimKeys.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
+      .join(dimKeys.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+
+  /** J5 at scale (ORACLED) — revenue of lineitems belonging to URGENT
+    * orders via [[bloomSemiJoin]]: the bloom prunes ~4/5 of lineitem
+    * before the shuffle, the exact semi-join scrubs the fpp tail, and
+    * the result equals the plain `l_orderkey IN (urgent orders)` SQL.
+    */
+  def q53BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Sources.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val price = $"l_extendedprice".cast("decimal(12,2)")
+    val disc  = $"l_discount".cast("decimal(3,2)")
+    bloomSemiJoin(Sources.lineitem(spark, dir), urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 400000L)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(price * (lit(1) - disc)), 2).cast("double").as("revenue"))
+      .orderBy($"l_returnflag")
+  }
 }

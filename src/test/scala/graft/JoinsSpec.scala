@@ -95,4 +95,22 @@ class JoinsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("bloom semi-join: exact result, and the prefilter actually prunes") {
+    val fact = (0L until 2000L).map(k => (k, s"row$k")).toDF("fk", "payload")
+    val dim = Seq(3L, 7L, 1999L, 500L).toDF("dk")
+    val out = ops.Joins.bloomSemiJoin(fact, dim, "fk", "dk", expectedItems = 10L)
+    // exactness: equals the plain semi-join (bloom has no false negatives;
+    // the exact join scrubs false positives)
+    val expected = fact.join(dim, $"fk" === $"dk", "left_semi")
+      .as[(Long, String)].collect().toSet
+    assert(out.as[(Long, String)].collect().toSet === expected)
+    assert(expected.map(_._1) === Set(3L, 7L, 1999L, 500L))
+    // pruning: the bloom prefilter alone (before the exact join) must
+    // drop the vast majority of the 2000 fact rows at 1% fpp
+    val bf = dim.stat.bloomFilter("dk", 10L, 0.01)
+    val candidates = fact.as[(Long, String)].collect()
+      .count { case (k, _) => bf.mightContain(k) }
+    assert(candidates < 100, s"bloom kept $candidates of 2000 rows")
+  }
 }
