@@ -71,6 +71,7 @@ object SparkEntry {
     "q51_salted_join" -> (graft.util.Skew.q51SaltedJoin _),
     "q52_multimodal_join" -> (Multimodal.q52MultimodalJoin _),
     "q53_bloom_join" -> (Joins.q53BloomJoin _),
+    "q54_approx_quantiles" -> (Relational.q54ApproxQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

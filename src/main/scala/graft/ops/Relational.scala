@@ -316,6 +316,28 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** A3 (scale path) — the approx quantile sketch q42/q48's scaladocs
+    * point to: `approx_percentile` (Greenwald-Khanna) per group at
+    * accuracy 10,000 (error ≤ 1/accuracy of rank). One streaming pass,
+    * FIXED memory per group regardless of row count — the form that
+    * replaces the exact within-group sort at 100 TB. Rows-only (DuckDB's
+    * approx_quantile is a different sketch (t-digest), so values differ
+    * by construction); `RelationalSpec` bounds it against the exact
+    * percentiles instead.
+    */
+  def q54ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("approx_percentile(l_quantity, 0.25, 10000)"), 6).as("qty_p25"),
+        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 6).as("qty_p50"),
+        round(expr("approx_percentile(l_quantity, 0.75, 10000)"), 6).as("qty_p75"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("price_p50"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A1/A2 analogue of the reference's class-distribution count +
     * global min (main.py:95-101,157-158): group sizes and the minimum
     * group size, via a single grouped pass + global agg join-free

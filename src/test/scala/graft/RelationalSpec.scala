@@ -91,4 +91,22 @@ class RelationalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
   }
+
+  test("q54 approx quantiles bound the exact per-group quartiles (A3 scale path)") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) = r.getString(0)
+    val exact = ops.Relational.q48GroupPercentiles(spark, dir).collect()
+      .map(r => key(r) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val approx = ops.Relational.q54ApproxQuantiles(spark, dir).collect()
+      .map(r => key(r) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (a25, a50, a75, ap)) =>
+      val (e25, e50, e75, ep) = exact(k)
+      // GK rank error ≤ n/accuracy; quantity is integer-valued 1..50 so
+      // a 1-unit value band is generous, price within 2% relative
+      assert(math.abs(a25 - e25) <= 1.0 && math.abs(a50 - e50) <= 1.0 &&
+        math.abs(a75 - e75) <= 1.0, s"group $k quantity quartiles drifted")
+      assert(math.abs(ap - ep) / ep <= 0.02, s"group $k price median drifted")
+    }
+  }
 }
