@@ -102,6 +102,13 @@ object Text {
     * Hamming distance (bit_count of xor). All shuffles move 8-byte
     * fingerprints; candidate generation is a band-bucket join, never
     * all-pairs. Rows-only: xxhash64 is not available to the oracle.
+    *
+    * The fingerprint frame is persisted for the self-join — the planner
+    * does NOT reuse the exchange across the two join sides (verified:
+    * no ReusedExchange; both sides re-ran the explode + 64-vote
+    * aggregation), so without it the expensive pipeline executes twice.
+    * Hash-once-and-persist, released before returning (minhashNearDup
+    * pattern).
     */
   def q38Simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -119,7 +126,8 @@ object Text {
       posexplode(array((0 until 4).map(b =>
         shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "bval")))
-    bands.as("x").join(bands.as("y"),
+      .persist()
+    val out = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bval" === $"y.bval" &&
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
@@ -127,6 +135,9 @@ object Text {
       .distinct()
       .filter($"hamming" <= 16)
       .orderBy($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    bands.unpersist(false)
+    out
   }
 
   /** L5 — BPE-ish token counting: word-piece-style segmentation by
