@@ -71,6 +71,22 @@ class SimilaritySpec extends SparkTestBase {
       "a similarity query leaked a persisted DataFrame")
   }
 
+  test("connected components releases every intermediate checkpoint block") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 6-node path graph forces >1 propagation round, so intermediate
+    // round checkpoints exist and must be freed by the loop itself (the
+    // final labels RDD legitimately backs the returned frame)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = ops.Similarity.connectedComponents(pairs, "doc_a", "doc_b")
+    assert(out.collect().map(_.getLong(1)).toSet === Set(1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // exactly the final round's checkpoint may remain (it IS the result)
+    assert(leaked.size <= 1,
+      s"connectedComponents left ${leaked.size} persisted RDDs behind")
+  }
+
   test("IVF top-k: near-perfect recall on clusterable data probing 2/8 cells") {
     // IVF's contract is clusterable data (that's what the coarse
     // quantizer exploits). 8 well-separated direction clusters x 40
