@@ -96,6 +96,28 @@ class JoinsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("bloom semi-join equals the plain semi-join on random key sets (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.zip(
+      Gen.listOfN(200, Gen.choose(0L, 300L)), // fact keys, with duplicates
+      Gen.listOfN(12, Gen.choose(0L, 300L)))  // dim keys, overlapping range
+    val cases = (0 until 6).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(cases.nonEmpty)
+    cases.foreach { case (factKeys, dimKeys) =>
+      val fact = factKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("fk", "rowid")
+      val dim = dimKeys.toDF("dk")
+      val out = ops.Joins.bloomSemiJoin(fact, dim, "fk", "dk",
+        expectedItems = dimKeys.size.toLong.max(1L))
+        .as[(Long, Long)].collect().toSet
+      val expected = fact.join(dim, $"fk" === $"dk", "left_semi")
+        .as[(Long, Long)].collect().toSet
+      assert(out === expected, s"dimKeys=$dimKeys")
+    }
+  }
+
   test("bloom semi-join: exact result, and the prefilter actually prunes") {
     val fact = (0L until 2000L).map(k => (k, s"row$k")).toDF("fk", "payload")
     val dim = Seq(3L, 7L, 1999L, 500L).toDF("dk")
