@@ -72,6 +72,7 @@ object SparkEntry {
     "q52_multimodal_join" -> (Multimodal.q52MultimodalJoin _),
     "q53_bloom_join" -> (Joins.q53BloomJoin _),
     "q54_approx_quantiles" -> (Relational.q54ApproxQuantiles _),
+    "q55_dedup_corpus" -> (Similarity.q55DedupCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,6 +550,43 @@ object SparkEntry {
         | floor(CAST(sum(len) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_len,
         | floor(CAST(sum(nrm_micro) AS DOUBLE) / count(*) + 0.5) / 1e6 AS avg_l2_norm
         |FROM j GROUP BY lang, label ORDER BY lang, label""".stripMargin,
+    // q43's transitive closure re-derived, then survivors = docs minus
+    // non-survivor cluster members (node != its component min)
+    "q55_dedup_corpus" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(node, peer) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+        |losers AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY node
+        |  HAVING node <> min(peer))
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

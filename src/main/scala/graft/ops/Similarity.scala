@@ -419,4 +419,18 @@ object Similarity {
     val losers = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** L2 end-to-end (ORACLED) — the full dedup pipeline as one query:
+    * exact-Jaccard pairs → connected components → survivors only.
+    * Emits the surviving documents' metadata (not the text — the
+    * oracle compares hashes, and the corpus body adds nothing to the
+    * check). The DuckDB oracle re-derives the same survivors with the
+    * recursive-CTE transitive closure and an anti-join.
+    */
+  def q55DedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupCorpus(Sources.documents(spark, dir))
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
 }
