@@ -43,18 +43,16 @@ object EmnistFixture {
       .flatMap { case (c, n) => (0 until n * scale).map(r => (c, r)) }
       .toDF("label", "row_id")
       .repartition(8 * scale, $"label", $"row_id")
+    // ~20% of dims are active per class (hash-chosen), giving ~80%
+    // zeros; active cells are a class template value in [100, 200) plus
+    // per-cell noise in [-10, 10]. The kernel is the codegen'd
+    // [[graft.expressions.EmnistFeatures]] — bit-identical to the HOF
+    // xxhash64 formulation (asserted in ImagesSpec), but one JVM loop
+    // per row with the (label, d)-only template terms cached per label
+    // instead of 3 interpreted hash lambdas per cell per row.
     skeleton.withColumn(
       "features",
-      transform(sequence(lit(0), lit(dim - 1)), d => {
-        // ~20% of dims are active per class (hash-chosen), giving ~80%
-        // zeros; active cells are a class template value in [100, 200)
-        // plus per-cell noise in [-10, 10].
-        val active = pmod(xxhash64($"label", d, lit(seed)), lit(5)) === 0
-        val base = pmod(xxhash64($"label", d, lit(seed + 1)), lit(100))
-          .cast("double") + lit(100.0)
-        val noise = (pmod(xxhash64($"label", $"row_id", d, lit(seed + 2)), lit(2001))
-          .cast("double") - lit(1000.0)) / lit(100.0)
-        when(active, base + noise).otherwise(lit(0.0))
-      }))
+      org.apache.spark.sql.graftshim.GraftColumns
+        .emnistFeatures($"label", $"row_id", dim, seed))
   }
 }

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CosineSimilarity, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -33,6 +33,14 @@ object GraftColumns {
     */
   def charBigrams(c: Column): Column =
     ExpressionUtils.column(CharBigrams(ExpressionUtils.expression(c)))
+
+  /** One EMNIST-fixture feature row from (label, row_id) — bit-identical
+    * to the xxhash64 HOF formulation (see
+    * [[graft.expressions.EmnistFeatures]]).
+    */
+  def emnistFeatures(label: Column, rowId: Column, dim: Int, seed: Long): Column =
+    ExpressionUtils.column(EmnistFeatures(
+      ExpressionUtils.expression(label), ExpressionUtils.expression(rowId), dim, seed))
 
   /** True when the session's CacheManager holds no cached plans — the
     * test probe for "no persist outlives its query" (the CacheManager is

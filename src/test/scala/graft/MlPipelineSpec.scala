@@ -23,6 +23,35 @@ class MlPipelineSpec extends SparkTestBase {
   private lazy val (nbTrain, nbTest) = util.Sampling.split8515(data, 42L)
   private lazy val nbModel = ml.EmnistPipeline.nbPipeline(k = 24).fit(nbTrain)
 
+  test("EmnistFeatures expression is bit-identical to the HOF xxhash64 formulation") {
+    // the original generator formula, kept verbatim as the reference
+    val seed = 42L
+    val skeleton = ml.EmnistFixture.classCounts.take(5)
+      .flatMap { case (c, n) => (0 until math.min(n, 4)).map(r => (c, r)) }
+      .toDF("label", "row_id")
+    val hof = skeleton.withColumn("features",
+      transform(sequence(lit(0), lit(64 - 1)), d => {
+        val active = pmod(xxhash64($"label", d, lit(seed)), lit(5)) === 0
+        val base = pmod(xxhash64($"label", d, lit(seed + 1)), lit(100))
+          .cast("double") + lit(100.0)
+        val noise = (pmod(xxhash64($"label", $"row_id", d, lit(seed + 2)), lit(2001))
+          .cast("double") - lit(1000.0)) / lit(100.0)
+        when(active, base + noise).otherwise(lit(0.0))
+      }))
+    val fast = skeleton.withColumn("features",
+      org.apache.spark.sql.graftshim.GraftColumns
+        .emnistFeatures($"label", $"row_id", 64, seed))
+    val h = hof.orderBy($"label", $"row_id")
+      .as[(String, Int, Seq[Double])].collect()
+    val f = fast.orderBy($"label", $"row_id")
+      .as[(String, Int, Seq[Double])].collect()
+    assert(h.length === f.length && h.nonEmpty)
+    h.zip(f).foreach { case ((hl, hr, hv), (fl, fr, fv)) =>
+      assert(hl === fl && hr === fr)
+      assert(hv === fv, s"row ($hl, $hr) diverged")
+    }
+  }
+
   test("fixture is deterministic, imbalanced, and ~80% sparse") {
     val counts = ml.EmnistFixture.classCounts.toMap
     assert(counts.size === 39)
