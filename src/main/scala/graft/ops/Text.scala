@@ -97,22 +97,17 @@ object Text {
       .orderBy($"doc_id")
   }
 
-  /** L2 (SimHash variant) — 64-bit token-level SimHash per document,
-    * then near-dup candidates from 16-bit band collisions, verified by
-    * Hamming distance (bit_count of xor). All shuffles move 8-byte
-    * fingerprints; candidate generation is a band-bucket join, never
-    * all-pairs. Rows-only: xxhash64 is not available to the oracle.
-    *
-    * The fingerprint frame is persisted for the self-join — the planner
-    * does NOT reuse the exchange across the two join sides (verified:
-    * no ReusedExchange; both sides re-ran the explode + 64-vote
-    * aggregation), so without it the expensive pipeline executes twice.
-    * Hash-once-and-persist, released before returning (minhashNearDup
-    * pattern).
+  /** Reference formulation of the per-document SimHash — the
+    * relational explode → xxhash64 → 64 conditional-sum bit votes →
+    * `vote > 0` pipeline q38 executed through round 5. Kept as the
+    * independent cross-check for the fused [[graft.expressions.SimHash64]]
+    * kernel (`SimHashExprSpec` asserts bit-identical fingerprints); not
+    * on the query path — it shuffles one row per (doc, token) for a
+    * value that is derivable inside the map task.
     */
-  def q38Simhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val toks = Sources.documents(spark, dir)
+  private[graft] def simhashViaAggregation(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
       .select($"doc_id", explode(array_distinct(split($"text", " "))).as("token"))
       .select($"doc_id", xxhash64($"token").as("h"))
     val votes = (0 until 64).map(i =>
@@ -120,8 +115,34 @@ object Text {
     val simhash = (0 until 64)
       .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val fp = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
       .select($"doc_id", simhash.as("simhash"))
+  }
+
+  /** L2 (SimHash variant) — 64-bit token-level SimHash per document,
+    * then near-dup candidates from 16-bit band collisions, verified by
+    * Hamming distance (bit_count of xor). Candidate generation is a
+    * band-bucket join, never all-pairs. Rows-only: xxhash64 is not
+    * available to the oracle.
+    *
+    * Fingerprinting is the fused [[graft.expressions.SimHash64]] kernel
+    * — a pure MAP stage (SimHash is a per-document reduction; the
+    * round-5 explode + groupBy formulation, kept as
+    * [[simhashViaAggregation]] for the parity test, shuffled one row
+    * per (doc, token) and was ~4× this query's wall-clock). The first
+    * shuffle in the plan is now the band self-join, which moves only
+    * 8-byte fingerprints.
+    *
+    * The banded frame is persisted for the self-join — the planner does
+    * NOT reuse the exchange across the two join sides, so without it
+    * the scan + fingerprint pipeline executes twice. Released before
+    * returning (minhashNearDup pattern).
+    */
+  def q38Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.simHash64
+    val fp = Sources.documents(spark, dir)
+      .select($"doc_id", simHash64($"text").as("simhash"))
     val bands = fp.select($"doc_id", $"simhash",
       posexplode(array((0 until 4).map(b =>
         shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL)): _*))

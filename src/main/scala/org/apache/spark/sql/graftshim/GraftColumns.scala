@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, SimHash64, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -33,6 +33,12 @@ object GraftColumns {
     */
   def charBigrams(c: Column): Column =
     ExpressionUtils.column(CharBigrams(ExpressionUtils.expression(c)))
+
+  /** 64-bit token-level SimHash of a string column, map-only (see
+    * [[graft.expressions.SimHash64]]).
+    */
+  def simHash64(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
 
   /** One EMNIST-fixture feature row from (label, row_id) — bit-identical
     * to the xxhash64 HOF formulation (see
