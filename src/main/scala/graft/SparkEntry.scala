@@ -73,6 +73,12 @@ object SparkEntry {
     "q53_bloom_join" -> (Joins.q53BloomJoin _),
     "q54_approx_quantiles" -> (Relational.q54ApproxQuantiles _),
     "q55_dedup_corpus" -> (Similarity.q55DedupCorpus _),
+    "q56_repetition" -> (Quality.q56Repetition _),
+    "q57_pivot"     -> (Relational.q57Pivot _),
+    "q58_unpivot"   -> (Relational.q58Unpivot _),
+    "q59_shared_shingles" -> (Quality.q59SharedShingles _),
+    "q60_bow_dedup" -> (Quality.q60BowDedup _),
+    "q61_grouping_sets" -> (Relational.q61GroupingSets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -587,6 +593,99 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    // Gopher-style repetition signals; ratios are the tie-proof
+    // floor(x*1e6+0.5)/1e6 micro-unit form (q52 precedent) — both
+    // engines floor the identical IEEE double
+    "q56_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bi AS (
+        |  SELECT doc_id, CAST(len(t) AS INT) AS n_tok,
+        |   unnest(list_transform(generate_series(1, len(t) - 1),
+        |     i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM tok),
+        |bic AS (SELECT doc_id, n_tok, g, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |bstat AS (
+        |  SELECT doc_id, n_tok, sum(c) AS n_2grams, max(c) AS top2_count
+        |  FROM bic GROUP BY doc_id, n_tok),
+        |tri AS (
+        |  SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM tok),
+        |tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        |tstat AS (
+        |  SELECT doc_id, sum(c) AS n_3grams,
+        |   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup3
+        |  FROM tric GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tok,
+        | CAST(b.n_2grams AS BIGINT) AS n_2grams,
+        | CAST(b.top2_count AS BIGINT) AS top2_count,
+        | floor(CAST(b.top2_count AS DOUBLE) * 1e6 / b.n_2grams + 0.5) / 1e6 AS top2_frac,
+        | CAST(t.n_3grams AS BIGINT) AS n_3grams,
+        | CAST(t.n_dup3 AS BIGINT) AS n_dup3,
+        | floor(CAST(t.n_dup3 AS DOUBLE) * 1e6 / t.n_3grams + 0.5) / 1e6 AS dup3_frac
+        |FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // declared pivot values (F/O/P); missing cells coalesce to 0 like
+    // the conditional aggregation
+    "q57_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        | CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS rev_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // melt = UNION ALL; metric names are the source column names,
+    // matching Spark's unpivot variable column
+    "q58_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n, min(value) AS vmin, max(value) AS vmax,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+    // distinct-shingle posting list -> shingle document frequency ->
+    // per-doc shared fraction (no self-join anywhere)
+    "q59_shared_shingles" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        |SELECT doc_id, count(*) AS n_shingles,
+        | CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        | floor(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) * 1e6
+        |   / count(*) + 0.5) / 1e6 AS shared_frac
+        |FROM sh JOIN df USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // bag-of-words canonical key: sorted distinct tokens (binary order
+    // on ASCII — array_sort and list_sort agree); survivor = min id
+    "q60_bow_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |   array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bow_key
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_docs,
+        | CAST(len(string_split(bow_key, ' ')) AS INT) AS n_uniq_tokens
+        |FROM k GROUP BY bow_key ORDER BY doc_id""".stripMargin,
+    "q61_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality and repetition signals for LLM training-data curation
+  * (SURVEY §2.11 L5/L6 extensions) — the Gopher-style repetition
+  * filters (Rae et al. 2021, "Scaling Language Models", §A1.1) and
+  * cross-document contamination stats real pipelines gate on before
+  * training. All DuckDB-oracled.
+  *
+  * 100 TB posture: every query is explode → immediate aggregate (the
+  * n-gram blowup never outlives its stage; partial map-side combine
+  * reduces per (doc, gram) before any exchange), and every ratio ships
+  * the tie-proof floor(x·1e6+0.5) micro-unit form (q52 precedent) so
+  * results are independent of engine rounding and aggregation order.
+  */
+object Quality {
+
+  /** Word n-gram array of a token-array column: positions i..i+n-1
+    * joined by single spaces (q39's shingle construction generalized).
+    */
+  private[ops] def wordGrams(t: org.apache.spark.sql.Column, n: Int) =
+    transform(sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+
+  /** Tie-proof 6-decimal ratio: floor(p·1e6/q + 0.5)/1e6 — both engines
+    * floor the IDENTICAL IEEE double, so no round()-tie divergence.
+    */
+  private def microRatio(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+    floor(p.cast("double") * 1e6 / q + 0.5) / 1e6
+
+  /** L6 (repetition signals) — per-document duplicate-n-gram stats, the
+    * Gopher repetition filters: the fraction of word 2-grams taken by
+    * the single most frequent 2-gram, and the fraction of word 3-gram
+    * OCCURRENCES whose gram appears more than once in the document.
+    * High values mark boilerplate/spam documents a curation pipeline
+    * drops before training.
+    *
+    * Shape: two explode → (doc, gram) count → per-doc aggregate passes
+    * (2-grams and 3-grams), joined on doc_id. The shuffle key is
+    * (doc_id, gram) with map-side combine; nothing materializes the
+    * gram lists past their stage. At 100 TB this is the same posture as
+    * q24's term stats — linear in corpus size, no self-joins.
+    */
+  def q56Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Sources.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val bi = toks
+      .select($"doc_id", size($"t").as("n_tok"), explode(wordGrams($"t", 2)).as("g"))
+      .groupBy($"doc_id", $"n_tok", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tok")
+      .agg(sum($"c").as("n_2grams"), max($"c").as("top2_count"))
+    val tri = toks
+      .select($"doc_id", explode(wordGrams($"t", 3)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_3grams"),
+        sum(when($"c" > 1, $"c").otherwise(lit(0L))).as("n_dup3"))
+    bi.join(tri, "doc_id")
+      .select(
+        $"doc_id", $"n_tok".cast("int").as("n_tok"),
+        $"n_2grams", $"top2_count",
+        microRatio($"top2_count", $"n_2grams").as("top2_frac"),
+        $"n_3grams", $"n_dup3",
+        microRatio($"n_dup3", $"n_3grams").as("dup3_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** L2/L5 (cross-document contamination) — for every document, how
+    * much of it is "seen elsewhere": the count and fraction of its
+    * DISTINCT word 3-gram shingles that also occur in at least one
+    * other document. The per-document signal behind
+    * exact-substring-overlap decontamination (train/test leakage
+    * checks) and boilerplate detection.
+    *
+    * Shape: distinct (doc, shingle) posting list (q39's first stage,
+    * persisted — it feeds both the document-frequency aggregate and the
+    * join back), then shingle-df join + per-doc aggregate. Unlike
+    * q39's pair join there is NO self-join: a ubiquitous shingle costs
+    * one aggregate row, not a quadratic posting-list blowup, so this
+    * query needs no df cap to survive skew.
+    */
+  def q59SharedShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Sources.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(array_distinct(wordGrams($"t", 3))).as("s"))
+      .persist()
+    val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
+    val out = sh.join(df, "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        microRatio($"n_shared", $"n_shingles").as("shared_frac"))
+      .orderBy($"doc_id")
+      // materialize, then release the posting list (minhashNearDup pattern)
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
+  /** L1 (order-insensitive exact dedup) — dedup on a bag-of-words key:
+    * the sorted distinct token set. Catches duplicates that exact-hash
+    * dedup (q21) misses because tokens were reordered or repeated —
+    * the cheap canonicalization step ahead of near-dup LSH in curation
+    * pipelines. Survivor = min doc_id (deterministic), like q21.
+    *
+    * The groupBy key is the canonicalized string; at 100 TB the shuffle
+    * should move xxhash64(key) instead — q21 shows that form. Here the
+    * key stays textual so the DuckDB oracle can reproduce it exactly
+    * (array_sort/list_sort agree on ASCII binary order).
+    */
+  def q60BowDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.documents(spark, dir)
+      .select($"doc_id",
+        concat_ws(" ", array_sort(array_distinct(split($"text", " ")))).as("bow_key"))
+      .groupBy($"bow_key")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_docs"))
+      .select($"doc_id", $"n_docs",
+        size(split($"bow_key", " ")).cast("int").as("n_uniq_tokens"))
+      .orderBy($"doc_id")
+  }
+}

@@ -338,6 +338,82 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** A11 extension — pivot (long → wide): order counts and DECIMAL
+    * revenue per priority, pivoted on the three order statuses. The
+    * pivot values are DECLARED (`Seq("F","O","P")`) — the
+    * values-unspecified overload runs an extra distinct job over the
+    * pivot column and caps cardinality at
+    * `spark.sql.pivotMaxValues` (1e4), the wrong trade at 100 TB when
+    * the domain is known. Physical shape: one partial+final aggregate
+    * on the (priority, status) pair, then a width-|statuses|
+    * projection — no extra shuffle vs the plain GROUP BY. Missing
+    * cells surface as null → coalesced to 0 like the oracle's
+    * conditional aggregation.
+    */
+  def q57Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val statuses = Seq("F", "O", "P")
+    val wide = Sources.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(12, 2))).as("rev"))
+    wide.select(
+      $"o_orderpriority" +:
+        statuses.flatMap(st => Seq(
+          coalesce(col(s"${st}_n"), lit(0L)).as(s"n_${st.toLowerCase}"),
+          coalesce(col(s"${st}_rev").cast("double"), lit(0.0))
+            .as(s"rev_${st.toLowerCase}"))): _*)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** A11 extension — unpivot/melt (wide → long): the four lineitem
+    * measures melted to (metric, value) rows, then per-metric count /
+    * min / max / DECIMAL-exact sum. Uses the native `unpivot` operator
+    * (an Expand node — |measures|× row multiply in the map stage,
+    * before the |metrics|-key aggregate; no shuffle beyond the final
+    * grouped exchange).
+    */
+  def q58Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.lineitem(spark, dir)
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "value")
+      .groupBy($"metric")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"value").as("vmin"),
+        max($"value").as("vmax"),
+        sum($"value".cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 2))).cast("double").as("vsum"))
+      .orderBy($"metric")
+  }
+
+  /** A11 extension — GROUPING SETS beyond rollup/cube (q4/q5): the two
+    * single-column marginals plus the grand total, WITHOUT the
+    * (status, priority) cross cells a cube would add. Registered
+    * through `spark.sql` — the SQL entry point is part of the engine
+    * surface, and grouping sets this shape has no DataFrame-API
+    * equivalent. Same Expand → partial agg → one grouped shuffle
+    * physical plan as rollup; DECIMAL sums keep the hash
+    * aggregation-order-proof.
+    */
+  def q61GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Sources.orders(spark, dir).createOrReplaceTempView("orders_gsets")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders_gsets
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** A1/A2 analogue of the reference's class-distribution count +
     * global min (main.py:95-101,157-158): group sizes and the minimum
     * group size, via a single grouped pass + global agg join-free

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality / repetition signal tests (SURVEY §2.11 L5/L6
+  * extensions): Gopher-style repetition stats, cross-document shingle
+  * contamination, bag-of-words dedup, and the pivot/unpivot/grouping
+  * sets relational extensions.
+  */
+class QualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Writes literal docs as a parquet `documents` table in a temp sf dir. */
+  private def withTempDocs[A](docs: Seq[(Long, String)])(body: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    body(dir)
+  }
+
+  test("repetition: top-2-gram and duplicate-3-gram fractions on a known-repetitive doc") {
+    withTempDocs(Seq(
+      (1L, "a b a b a b"),   // 2-grams: "a b"x3 "b a"x2; 3-grams: "a b a"x2 "b a b"x2
+      (2L, "p q r s"))) { dir =>  // all grams unique
+      val out = ops.Quality.q56Repetition(spark, dir)
+        .select($"doc_id", $"n_tok", $"n_2grams", $"top2_count", $"top2_frac",
+          $"n_3grams", $"n_dup3", $"dup3_frac")
+        .as[(Long, Int, Long, Long, Double, Long, Long, Double)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(out(1L) === ((1L, 6, 5L, 3L, 0.6, 4L, 4L, 1.0)))
+      assert(out(2L) === ((2L, 4, 3L, 1L, 0.333333, 2L, 0L, 0.0)))
+    }
+  }
+
+  test("shared shingles: fraction of a doc's distinct 3-grams seen in any other doc") {
+    withTempDocs(Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x"),   // shingles: "a b c", "b c x" -> shares "a b c" with doc 1
+      (3L, "p q r s t"))) { dir =>  // disjoint
+      val out = ops.Quality.q59SharedShingles(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(out(1L) === ((1L, 2L, 1L, 0.5)))
+      assert(out(2L) === ((2L, 2L, 1L, 0.5)))
+      assert(out(3L) === ((3L, 3L, 0L, 0.0)))
+    }
+  }
+
+  test("bow dedup: token order and multiplicity do not defeat the canonical key") {
+    withTempDocs(Seq(
+      (5L, "a b c"),
+      (2L, "c b a"),       // reordered -> same bag
+      (9L, "a b b c c"),   // repeated tokens -> same bag
+      (4L, "x y"))) { dir =>
+      val out = ops.Quality.q60BowDedup(spark, dir)
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+      assert(out(2L) === ((2L, 3L, 3)))  // min-id survivor of {5,2,9}
+      assert(out(4L) === ((4L, 1L, 2)))
+      assert(out.size === 2)
+    }
+  }
+
+  test("bow dedup is idempotent on its survivors") {
+    withTempDocs(Seq((5L, "a b c"), (2L, "c b a"), (4L, "x y"))) { dir =>
+      val once = ops.Quality.q60BowDedup(spark, dir)
+      // survivors all have distinct bag keys, so deduping them again is a no-op
+      assert(once.count() === once.select($"doc_id").distinct().count())
+    }
+  }
+
+  test("unpivot plans an Expand (map-side row multiply), not a shuffle per metric") {
+    val plan = ops.Relational.q58Unpivot(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand in:\n$plan")
+    // exactly one grouped exchange over the |metrics|-key aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+  }
+
+  test("pivot equals the conditional-aggregation formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val viaPivot = ops.Relational.q57Pivot(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val viaCase = ops.Sources.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+        coalesce(sum(when($"o_orderstatus" === "F",
+          $"o_totalprice".cast("decimal(12,2)"))), lit(0).cast("decimal(12,2)"))
+          .cast("double").as("rev_f"),
+        count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+        coalesce(sum(when($"o_orderstatus" === "O",
+          $"o_totalprice".cast("decimal(12,2)"))), lit(0).cast("decimal(12,2)"))
+          .cast("double").as("rev_o"),
+        count(when($"o_orderstatus" === "P", 1)).as("n_p"),
+        coalesce(sum(when($"o_orderstatus" === "P",
+          $"o_totalprice".cast("decimal(12,2)"))), lit(0).cast("decimal(12,2)"))
+          .cast("double").as("rev_p"))
+      .select($"o_orderpriority", $"n_f", $"rev_f", $"n_o", $"rev_o", $"n_p", $"rev_p")
+      .collect().map(_.toSeq).toSet
+    assert(viaPivot === viaCase)
+  }
+
+  test("grouping sets emits exactly the two marginals plus the grand total") {
+    val out = ops.Relational.q61GroupingSets(spark, "/root/testdata/sf0.001")
+      .select($"g_status", $"g_prio").as[(Int, Int)].collect()
+    // (status) rows: g=(0,1); (priority) rows: g=(1,0); (): g=(1,1); never (0,0)
+    assert(out.count(_ == ((1, 1))) === 1)
+    assert(!out.contains((0, 0)))
+    assert(out.count(_ == ((0, 1))) > 0 && out.count(_ == ((1, 0))) > 0)
+  }
+}
