@@ -31,6 +31,18 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
+    // Warmup pass OUTSIDE any query's timer: one scan + shuffle + sort
+    // + noop write absorbs the JVM/JIT/codegen/parquet-footer session
+    // costs that otherwise land entirely on whichever query the map
+    // iterates first (~5 s that made q3 look 3x its steady-state cost).
+    // Recorded methodology change — the baseline is re-recorded with it
+    // (BASELINE.md v4); per-query numbers are comparable after it.
+    {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).count().orderBy(col("l_returnflag"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row/column — a count() action lets

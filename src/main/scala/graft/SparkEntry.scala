@@ -79,6 +79,8 @@ object SparkEntry {
     "q59_shared_shingles" -> (Quality.q59SharedShingles _),
     "q60_bow_dedup" -> (Quality.q60BowDedup _),
     "q61_grouping_sets" -> (Relational.q61GroupingSets _),
+    "q62_tfidf_terms" -> (Text.q62TfidfTerms _),
+    "q63_normalize_text" -> (Relational.q63NormalizeText _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -678,6 +680,37 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, count(*) AS n_docs,
         | CAST(len(string_split(bow_key, ' ')) AS INT) AS n_uniq_tokens
         |FROM k GROUP BY bow_key ORDER BY doc_id""".stripMargin,
+    // smoothed idf on integer-ratio inputs: both engines ln() the same
+    // IEEE double; ties within a doc have identical (tf, df), hence
+    // identical tfidf, and break deterministically on term
+    "q62_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term,
+        | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    // character-class-only patterns: Java regex and RE2 agree; 'g' flag
+    // mirrors Spark's replace-all default
+    "q63_normalize_text" ->
+      """SELECT p_partkey,
+        | trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS norm_name,
+        | trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g')) AS norm_brand,
+        | trim(regexp_replace(lower(p_type), '[^a-z0-9]+', ' ', 'g')) AS norm_type,
+        | CAST(len(string_split(trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')), ' ')) AS INT) AS n_name_tokens
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q61_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,

@@ -414,6 +414,27 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** §2.9 string (regexp_replace) — CCNet-style text canonicalization:
+    * lowercase, non-alphanumeric runs collapsed to single spaces,
+    * trimmed — the normalization step curation pipelines apply before
+    * hash-dedup so that punctuation/case variants collide. Pure
+    * map-stage scalar expressions (all codegen'd); patterns use only
+    * character classes so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  def q63NormalizeText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def norm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    Sources.part(spark, dir)
+      .select(
+        $"p_partkey",
+        norm($"p_name").as("norm_name"),
+        norm($"p_brand").as("norm_brand"),
+        norm($"p_type").as("norm_type"),
+        size(split(norm($"p_name"), " ")).cast("int").as("n_name_tokens"))
+      .orderBy($"p_partkey")
+  }
+
   /** A1/A2 analogue of the reference's class-distribution count +
     * global min (main.py:95-101,157-158): group sizes and the minimum
     * group size, via a single grouped pass + global agg join-free

@@ -153,8 +153,13 @@ object Text {
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         call_function("bit_count", $"x.simhash".bitwiseXOR($"y.simhash")).as("hamming"))
-      .distinct()
+      // hamming is functionally dependent on the pair, so filtering
+      // BEFORE the dedup shuffle is equivalent — and shrinks the
+      // distinct()'s exchange to near-duplicate pairs only, instead of
+      // every band-collision candidate (the corpus is dup-heavy, so
+      // candidates >> survivors).
       .filter($"hamming" <= 16)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
       .localCheckpoint(true)
     bands.unpersist(false)
@@ -217,6 +222,40 @@ object Text {
         array_max($"fps").as("fp_max"),
         aggregate($"fps", lit(0L), (a, x) => a + x).as("fp_sum"))
       .orderBy($"doc_id")
+  }
+
+  /** L5 (TF-IDF, end-to-end + ORACLED) — the top-3 TF-IDF terms per
+    * document as pure relational algebra: term frequency per (doc,
+    * term), document frequency per term, idf = ln((N+1)/(df+1))
+    * (the add-one-smoothed form, so a corpus-universal term still gets
+    * a finite weight), ranked per document with deterministic ties
+    * (term ascending). The [[tfidf]] ML stage produces vectors for
+    * model pipelines; this query is the inspectable, DuckDB-checkable
+    * dataflow equivalent.
+    *
+    * 100 TB posture: three keyed shuffles — (doc, term) aggregate with
+    * map-side combine, term-df aggregate over the already-reduced tf
+    * frame (one row per (doc, term), not per occurrence), tf⋈df on
+    * term; the corpus row count joins as a 1-row broadcast; the final
+    * top-k is one window pass per doc partition.
+    */
+  def q62TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        $"tf" * log(($"n_docs" + 1).cast("double") / ($"df" + 1)))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("int").as("rk"), $"term", $"tf", $"df",
+        round($"tfidf", 6).as("tfidf"))
+      .orderBy($"doc_id", $"rk")
   }
 
   /** L5 — TF-IDF featurization with an inspectable vocabulary:

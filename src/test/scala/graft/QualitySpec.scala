@@ -102,6 +102,38 @@ class QualitySpec extends SparkTestBase {
     assert(viaPivot === viaCase)
   }
 
+  test("tf-idf top terms: smoothed idf zeroes corpus-universal terms, ranks rare terms first") {
+    withTempDocs(Seq((1L, "x x y"), (2L, "x z"))) { dir =>
+      val out = ops.Text.q62TfidfTerms(spark, dir)
+        .as[(Long, Int, String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._6))).toMap
+      // N=2: idf(x) = ln(3/3) = 0; idf(y) = idf(z) = ln(3/2)
+      assert(out((1L, 1)) === (("y", 0.405465)))
+      assert(out((1L, 2)) === (("x", 0.0)))
+      assert(out((2L, 1)) === (("z", 0.405465)))
+      assert(out((2L, 2)) === (("x", 0.0)))
+    }
+  }
+
+  test("text normalization collapses case and punctuation runs to canonical spaced form") {
+    val norm = Seq(("Brand#13", "PROMO BURNISHED   Tin!", "a--b"))
+      .toDF("b", "t", "x")
+      .select(
+        trim(regexp_replace(lower($"b"), "[^a-z0-9]+", " ")).as("nb"),
+        trim(regexp_replace(lower($"t"), "[^a-z0-9]+", " ")).as("nt"),
+        trim(regexp_replace(lower($"x"), "[^a-z0-9]+", " ")).as("nx"))
+      .as[(String, String, String)].head()
+    assert(norm === (("brand 13", "promo burnished tin", "a b")))
+    // full query on the fixture: every normalized column is canonical
+    // (no leading/trailing/double spaces, [a-z0-9 ] alphabet only)
+    val canonical = "^[a-z0-9]+( [a-z0-9]+)*$"
+    val bad = ops.Relational.q63NormalizeText(spark, "/root/testdata/sf0.001")
+      .filter(!$"norm_name".rlike(canonical) || !$"norm_brand".rlike(canonical) ||
+        !$"norm_type".rlike(canonical))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("grouping sets emits exactly the two marginals plus the grand total") {
     val out = ops.Relational.q61GroupingSets(spark, "/root/testdata/sf0.001")
       .select($"g_status", $"g_prio").as[(Int, Int)].collect()
