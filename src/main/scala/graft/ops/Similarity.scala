@@ -253,10 +253,20 @@ object Similarity {
     // and the size table — without a persist the
     // tokenize+shingle+explode subtree runs 5× (no ReusedExchange
     // across differently-partitioned consumers).
+    //
+    // Shingles are REDUCED TO 8-BYTE HASHES before the posting list
+    // exists: set intersection/union sizes are identical on hashed
+    // elements (modulo a 2^-64 collision), so the Jaccard values are
+    // unchanged, while every downstream shuffle — the df aggregate,
+    // both self-join sides, the pair exchange — carries a long instead
+    // of ~20 bytes of shingle text. Same posture as q21's
+    // hash-the-body-before-the-shuffle dedup key.
     val allSh = toks.select($"doc_id",
-      explode(array_distinct(transform(sequence(lit(0), size($"t") - 3),
-        i => concat_ws(" ", element_at($"t", i + 1),
-          element_at($"t", i + 2), element_at($"t", i + 3))))).as("s"))
+      explode(transform(
+        array_distinct(transform(sequence(lit(0), size($"t") - 3),
+          i => concat_ws(" ", element_at($"t", i + 1),
+            element_at($"t", i + 2), element_at($"t", i + 3)))),
+        s => xxhash64(s))).as("s"))
       .persist()
     val hot = allSh.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap).select($"s")
