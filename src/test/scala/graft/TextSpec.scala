@@ -77,6 +77,25 @@ class TextSpec extends SparkTestBase {
     assert(out === Set((1L, 2L, 1.0), (1L, 3L, 0.2), (2L, 3L, 0.2)))
   }
 
+  test("lang-ID accuracy: >=95% on a synthetic corpus with real character-distribution signal") {
+    // The driver fixture's `lang` labels carry no textual signal, so the
+    // oracled q49 proves the DATAFLOW only. This corpus has the signal:
+    // two "languages" drawn from disjoint character alphabets with
+    // distinct bigram structure, generated deterministically.
+    val rng = new scala.util.Random(7L)
+    def word(alpha: String): String =
+      Seq.fill(3 + rng.nextInt(4))(alpha(rng.nextInt(alpha.length))).mkString
+    def doc(alpha: String): String = Seq.fill(20)(word(alpha)).mkString(" ")
+    val docs = (0 until 100).map { i =>
+      if (i % 2 == 0) (i.toLong, doc("abcdef"), "aa") else (i.toLong, doc("uvwxyz"), "zz")
+    }.toDF("doc_id", "text", "lang")
+    val profiles = ops.Text.langProfiles(docs, topN = 20)
+    val pred = ops.Text.classifyLang(docs, profiles)
+    val acc = pred.join(docs, "doc_id")
+      .filter($"predicted_lang" === $"lang").count() / 100.0
+    assert(acc >= 0.95, s"lang-ID accuracy $acc on separable synthetic corpus")
+  }
+
   test("tf-idf: ubiquitous terms get idf 0, rare terms get positive weight") {
     import org.apache.spark.ml.feature.{CountVectorizerModel, IDFModel}
     val docs = Seq("common rare", "common", "common other").toDF("text")
