@@ -35,6 +35,25 @@ class SimHashExprSpec extends SparkTestBase {
     assert(viaKernel === viaAgg)
   }
 
+  test("property: kernel == aggregation on random token soup (spaces, empties, repeats, unicode)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // scalatest-plus bridge absent offline -> draw cases explicitly
+    val token = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaLowerChar),
+      Gen.oneOf("", " ", "  "),          // separator pile-ups -> empty tokens
+      Gen.oneOf("a", "ab", "naïve", "日本語", "x9!"))
+    val docGen = Gen.listOfN(12, token).map(_.mkString(" "))
+    val docs = (0 until 40).flatMap(i => docGen(Gen.Parameters.default, Seed(i.toLong)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    assert(docs.size === 40)
+    val df = docs.toDF("doc_id", "text")
+    val viaAgg = ops.Text.simhashViaAggregation(df).as[(Long, Long)].collect().toMap
+    val viaKernel = df.select($"doc_id", simHash64($"text").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaKernel === viaAgg)
+  }
+
   test("fingerprinting is a map-only stage: no shuffle below the fingerprint projection") {
     val fp = ops.Sources.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", simHash64($"text").as("simhash"))
