@@ -81,6 +81,7 @@ object SparkEntry {
     "q61_grouping_sets" -> (Relational.q61GroupingSets _),
     "q62_tfidf_terms" -> (Text.q62TfidfTerms _),
     "q63_normalize_text" -> (Relational.q63NormalizeText _),
+    "q64_source_overlap" -> (Similarity.q64SourceOverlap _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -680,6 +681,37 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, count(*) AS n_docs,
         | CAST(len(string_split(bow_key, ' ')) AS INT) AS n_uniq_tokens
         |FROM k GROUP BY bow_key ORDER BY doc_id""".stripMargin,
+    // q39's pair list joined to each side's source label; unordered
+    // (least/greatest) source pair counts
+    "q64_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1)
+        |SELECT least(da.source, db.source) AS source_x,
+        | greatest(da.source, db.source) AS source_y,
+        | count(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents da ON doc_a = da.doc_id
+        |JOIN documents db ON doc_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // smoothed idf on integer-ratio inputs: both engines ln() the same
     // IEEE double; ties within a doc have identical (tf, df), hence
     // identical tfidf, and break deterministically on term

@@ -430,6 +430,32 @@ object Similarity {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** L2/L6 (cross-source duplication matrix, ORACLED) — where do the
+    * duplicates come from: q39's near-dup pairs joined back to each
+    * side's `source` label, aggregated to an unordered source×source
+    * pair count. The curation report that decides which feeds to
+    * de-prioritize (mirrors, scraper overlap) — and the train/test
+    * leakage check when `source` encodes the split.
+    *
+    * 100 TB posture: two id-keyed equi joins of the (small) pair list
+    * against a 2-column pruned documents scan, then a
+    * |sources|²-cardinality aggregate; the unordered key uses
+    * least/greatest so (A,B) and (B,A) collapse without a second pass.
+    */
+  def q64SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Sources.documents(spark, dir).select($"doc_id", $"source")
+    ngramJaccardPairs(Sources.documents(spark, dir))
+      .join(src.as("da"), $"doc_a" === $"da.doc_id")
+      .join(src.as("db"), $"doc_b" === $"db.doc_id")
+      .select(
+        least($"da.source", $"db.source").as("source_x"),
+        greatest($"da.source", $"db.source").as("source_y"))
+      .groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_x", $"source_y")
+  }
+
   /** L2 end-to-end (ORACLED) — the full dedup pipeline as one query:
     * exact-Jaccard pairs → connected components → survivors only.
     * Emits the surviving documents' metadata (not the text — the

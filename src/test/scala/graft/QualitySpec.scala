@@ -69,6 +69,23 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("source-overlap matrix: near-dup pairs roll up to unordered source pair counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq(
+      (1L, "a b c d e", "web"),   // 1-2 dup across web/books; 1-3 dup within web
+      (2L, "a b c d e", "books"),
+      (3L, "a b c d x", "web"),
+      (4L, "p q r s t", "books")) // no partner
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Similarity.q64SourceOverlap(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    // pairs: (1,2) jacc 1.0 web/books; (1,3) 2/(3+3-2)=0.5 web/web;
+    // (2,3) 0.5 books/web
+    assert(out === Set(("books", "web", 2L), ("web", "web", 1L)))
+  }
+
   test("unpivot plans an Expand (map-side row multiply), not a shuffle per metric") {
     val plan = ops.Relational.q58Unpivot(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
