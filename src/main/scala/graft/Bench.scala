@@ -37,11 +37,16 @@ object Bench {
     // iterates first (~5 s that made q3 look 3x its steady-state cost).
     // Recorded methodology change — the baseline is re-recorded with it
     // (BASELINE.md v4); per-query numbers are comparable after it.
-    {
-      import org.apache.spark.sql.functions._
+    // Best-effort: a missing/corrupt warmup table must not abort the
+    // bench — per-query failures are recorded in the JSON, and a dead
+    // warmup just means the first query re-absorbs session warmup.
+    try {
+      import org.apache.spark.sql.functions.col
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).count().orderBy(col("l_returnflag"))
         .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

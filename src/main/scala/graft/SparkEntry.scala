@@ -731,7 +731,7 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, CAST(rk AS INT) AS rk, term,
         | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-        | round(tfidf, 6) AS tfidf
+        | floor(tfidf * 1e6 + 0.5) / 1e6 AS tfidf
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
     // character-class-only patterns: Java regex and RE2 agree; 'g' flag

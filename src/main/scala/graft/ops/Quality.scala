@@ -37,29 +37,33 @@ object Quality {
     * High values mark boilerplate/spam documents a curation pipeline
     * drops before training.
     *
-    * Shape: two explode → (doc, gram) count → per-doc aggregate passes
-    * (2-grams and 3-grams), joined on doc_id. The shuffle key is
-    * (doc_id, gram) with map-side combine; nothing materializes the
-    * gram lists past their stage. At 100 TB this is the same posture as
-    * q24's term stats — linear in corpus size, no self-joins.
+    * Shape: ONE scan and ONE explode emit both gram families as
+    * (doc, n, xxhash64(gram)) rows — grams reduce to 8-byte hashes
+    * before any exchange (counts are invariant under injective key
+    * hashing; q39's posting-list precedent, 2⁻⁶⁴ collision caveat) —
+    * then one (doc, n, hash) count with map-side combine and one
+    * per-doc conditional aggregate. Two keyed exchanges total, no
+    * joins, no second corpus pass. At 100 TB this is q24's
+    * explode-aggregate posture, linear in corpus size.
     */
   def q56Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Sources.documents(spark, dir)
+    def tagged(t: org.apache.spark.sql.Column, n: Int) =
+      transform(wordGrams(t, n), g => struct(lit(n).as("n"), xxhash64(g).as("g")))
+    val grams = Sources.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-    val bi = toks
-      .select($"doc_id", size($"t").as("n_tok"), explode(wordGrams($"t", 2)).as("g"))
-      .groupBy($"doc_id", $"n_tok", $"g").agg(count(lit(1)).as("c"))
+      .select($"doc_id", size($"t").as("n_tok"),
+        explode(concat(tagged($"t", 2), tagged($"t", 3))).as("gr"))
+      .select($"doc_id", $"n_tok", $"gr.n".as("n"), $"gr.g".as("g"))
+    grams
+      .groupBy($"doc_id", $"n_tok", $"n", $"g").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id", $"n_tok")
-      .agg(sum($"c").as("n_2grams"), max($"c").as("top2_count"))
-    val tri = toks
-      .select($"doc_id", explode(wordGrams($"t", 3)).as("g"))
-      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_3grams"),
-        sum(when($"c" > 1, $"c").otherwise(lit(0L))).as("n_dup3"))
-    bi.join(tri, "doc_id")
+      .agg(
+        sum(when($"n" === 2, $"c")).as("n_2grams"),
+        max(when($"n" === 2, $"c")).as("top2_count"),
+        sum(when($"n" === 3, $"c")).as("n_3grams"),
+        sum(when($"n" === 3 && $"c" > 1, $"c").otherwise(lit(0L))).as("n_dup3"))
       .select(
         $"doc_id", $"n_tok".cast("int").as("n_tok"),
         $"n_2grams", $"top2_count",
@@ -78,17 +82,20 @@ object Quality {
     *
     * Shape: distinct (doc, shingle) posting list (q39's first stage,
     * persisted — it feeds both the document-frequency aggregate and the
-    * join back), then shingle-df join + per-doc aggregate. Unlike
-    * q39's pair join there is NO self-join: a ubiquitous shingle costs
-    * one aggregate row, not a quadratic posting-list blowup, so this
-    * query needs no df cap to survive skew.
+    * join back), then shingle-df join + per-doc aggregate. Shingles
+    * reduce to xxhash64 longs before the posting list exists (counts
+    * are hash-invariant; q39 precedent). Unlike q39's pair join there
+    * is NO self-join: a ubiquitous shingle costs one aggregate row,
+    * not a quadratic posting-list blowup, so this query needs no df
+    * cap to survive skew.
     */
   def q59SharedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Sources.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", explode(array_distinct(wordGrams($"t", 3))).as("s"))
+      .select($"doc_id",
+        explode(array_distinct(transform(wordGrams($"t", 3), s => xxhash64(s)))).as("s"))
       .persist()
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val out = sh.join(df, "s")

@@ -262,11 +262,8 @@ object Similarity {
     // of ~20 bytes of shingle text. Same posture as q21's
     // hash-the-body-before-the-shuffle dedup key.
     val allSh = toks.select($"doc_id",
-      explode(transform(
-        array_distinct(transform(sequence(lit(0), size($"t") - 3),
-          i => concat_ws(" ", element_at($"t", i + 1),
-            element_at($"t", i + 2), element_at($"t", i + 3)))),
-        s => xxhash64(s))).as("s"))
+      explode(array_distinct(transform(Quality.wordGrams($"t", 3),
+        s => xxhash64(s)))).as("s"))
       .persist()
     val hot = allSh.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap).select($"s")

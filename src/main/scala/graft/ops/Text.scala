@@ -254,7 +254,10 @@ object Text {
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
       .select($"doc_id", $"rk".cast("int").as("rk"), $"term", $"tf", $"df",
-        round($"tfidf", 6).as("tfidf"))
+        // tie-proof floor(x*1e6+0.5)/1e6 (q52/q56 form), NOT round():
+        // Spark rounds the shortest decimal repr HALF_UP while DuckDB
+        // rounds the binary double — divergent on representational ties
+        (floor($"tfidf" * 1e6 + 0.5) / 1e6).as("tfidf"))
       .orderBy($"doc_id", $"rk")
   }
 

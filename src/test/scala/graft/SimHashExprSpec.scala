@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.GraftColumns.simHash64
 
@@ -57,11 +56,13 @@ class SimHashExprSpec extends SparkTestBase {
   test("fingerprinting is a map-only stage: no shuffle below the fingerprint projection") {
     val fp = ops.Sources.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", simHash64($"text").as("simhash"))
-    val exchanges = fp.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
-    assert(exchanges.isEmpty,
-      s"expected zero exchanges under the fingerprint projection, got:\n${fp.queryExecution.executedPlan}")
+    // String-match the plan (q58-test pattern): a typed collect for
+    // ShuffleExchangeLike cannot descend into AdaptiveSparkPlanExec
+    // (a leaf), so with AQE on it would pass VACUOUSLY if a shuffle
+    // were ever reintroduced — the printed plan always shows it.
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"expected zero exchanges under the fingerprint projection, got:\n$plan")
   }
 
   test("identical docs collide; hamming respects single-token edits") {
