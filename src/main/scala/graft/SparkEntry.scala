@@ -82,6 +82,7 @@ object SparkEntry {
     "q62_tfidf_terms" -> (Text.q62TfidfTerms _),
     "q63_normalize_text" -> (Relational.q63NormalizeText _),
     "q64_source_overlap" -> (Similarity.q64SourceOverlap _),
+    "q65_window_dist" -> (Windows.q65WindowDist _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -681,6 +682,20 @@ object SparkEntry {
         |SELECT min(doc_id) AS doc_id, count(*) AS n_docs,
         | CAST(len(string_split(bow_key, ' ')) AS INT) AS n_uniq_tokens
         |FROM k GROUP BY bow_key ORDER BY doc_id""".stripMargin,
+    // rank spec deliberately orders on a tied key (year) so dense_rank
+    // collapses ties; nth_value spec orders uniquely (it reads a row)
+    "q65_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(dense_rank() OVER w1 AS INT) AS drk,
+        | percent_rank() OVER w1 AS prk,
+        | cume_dist() OVER w1 AS cd,
+        | nth_value(o_orderkey, 2) OVER (
+        |   PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY year(o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin,
     // q39's pair list joined to each side's source label; unordered
     // (least/greatest) source pair counts
     "q64_source_overlap" ->

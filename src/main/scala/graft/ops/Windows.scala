@@ -40,6 +40,43 @@ object Windows {
       .orderBy($"event_id")
   }
 
+  /** W1/W2 completion — the distribution-rank family (dense_rank,
+    * percent_rank, cume_dist) plus nth_value, the members q19/q20 don't
+    * touch. Two window specs over the SAME partition key:
+    *
+    *  - the rank spec orders by a low-cardinality key (order year) ON
+    *    PURPOSE, so ties exist and dense_rank genuinely collapses them
+    *    (with a unique ordering it degenerates to row_number); rank
+    *    functions are tie-deterministic, so the oracle hash still holds.
+    *  - the nth_value spec orders uniquely (totalprice desc, orderkey)
+    *    with an explicit ROWS running frame — nth_value READS a row, so
+    *    under ties its result would be engine-dependent.
+    *
+    * percent_rank/cume_dist emit unrounded doubles: both engines divide
+    * the same small integers ((rank−1)/(n−1), rows≤current/n), which is
+    * IEEE-identical — no rounding needed, no tie risk.
+    *
+    * 100 TB posture: same partition key for both specs → ONE exchange,
+    * two sorts (Catalyst cannot share the sort across different
+    * orderings; the exchange is the expensive part).
+    */
+  def q65WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byYear = Window.partitionBy($"o_orderpriority")
+      .orderBy(year($"o_orderdate"))
+    val byPrice = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.orders(spark, dir)
+      .select(
+        $"o_orderkey", $"o_orderpriority",
+        dense_rank().over(byYear).cast("int").as("drk"),
+        percent_rank().over(byYear).as("prk"),
+        cume_dist().over(byYear).as("cd"),
+        nth_value($"o_orderkey", 2).over(byPrice).as("second_key"))
+      .orderBy($"o_orderkey")
+  }
+
   /** W4 — top-k per group: 3 highest-value orders per priority class,
     * deterministically tie-broken on the key. The filter on row_number
     * keeps the shuffle bounded to one window pass — never a self-join

@@ -56,4 +56,23 @@ class WindowsSpec extends SparkTestBase {
     // sf0.001 has >=3 orders in every priority class
     assert(counts.values.forall(_ === 3))
   }
+
+  test("distribution ranks: dense_rank collapses year ties; percent_rank/cume_dist bounded; nth_value runs") {
+    val out = ops.Windows.q65WindowDist(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Int, Double, Double, Option[Long])].collect()
+    val byPrio = out.groupBy(_._2)
+    byPrio.values.foreach { rows =>
+      val n = rows.length
+      // dense ranks are contiguous 1..#distinct-years, far fewer than rows
+      val drks = rows.map(_._3).distinct.sorted.toSeq
+      assert(drks.head === 1 && drks === (1 to drks.max))
+      assert(drks.max < n, "ordering by year must actually tie")
+      // rank-based distributions stay in their defined ranges
+      assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+      assert(rows.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+      // running nth_value: null only while fewer than 2 rows seen; the
+      // global 2nd-by-price key eventually appears for every later row
+      assert(rows.count(_._6.isEmpty) === 1)
+    }
+  }
 }
