@@ -83,6 +83,11 @@ object SparkEntry {
     "q63_normalize_text" -> (Relational.q63NormalizeText _),
     "q64_source_overlap" -> (Similarity.q64SourceOverlap _),
     "q65_window_dist" -> (Windows.q65WindowDist _),
+    "q66_pii_redact" -> (Text.q66PiiRedact _),
+    "q67_binned_band_join" -> (Joins.q67BinnedBandJoin _),
+    "q68_gapfill"   -> (TimeSeries.q68GapFill _),
+    "q69_histogram" -> (Relational.q69Histogram _),
+    "q70_trailing_window" -> (TimeSeries.q70TrailingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -766,6 +771,84 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    // PII planted deterministically from doc_id (the fixture has none);
+    // patterns are character-class-only so Java regex and RE2 agree;
+    // 'g' mirrors Spark's replace-all default
+    "q66_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' or admin' || CAST(doc_id % 100 AS VARCHAR) || '@example.org' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(aug, '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g') AS redacted
+        |  FROM aug)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        | CAST(length(redacted) AS INT) AS clean_len,
+        | md5(redacted) AS redacted_md5
+        |FROM red ORDER BY doc_id""".stripMargin,
+    // the binning is internal execution strategy; the RESULT is the
+    // plain inequality band join (bands disjoint, domain fully covered)
+    "q67_binned_band_join" ->
+      """SELECT band, count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS band_total
+        |FROM orders JOIN (VALUES
+        |  ('b1_micro', 0.0, 40000.0), ('b2_small', 40000.0, 95000.0),
+        |  ('b3_mid', 95000.0, 180000.0), ('b4_large', 180000.0, 320000.0),
+        |  ('b5_jumbo', 320000.0, 2000000.0)) AS bands(band, lo, hi)
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    // spine = distinct users x hourly generate_series over the observed
+    // range; forward fill via last_value IGNORE NULLS (default running
+    // RANGE frame matches Spark's last(ignoreNulls) default frame)
+    "q68_gapfill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM e),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM u, b),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2)
+        |SELECT s.user_id, epoch_us(s.hour) AS hour_us,
+        | coalesce(h.n, 0) AS n,
+        | round(last_value(h.sv IGNORE NULLS) OVER (
+        |   PARTITION BY s.user_id ORDER BY s.hour), 6) AS ffill_value
+        |FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+        |ORDER BY s.user_id, hour_us""".stripMargin,
+    // bin math is identical IEEE floor-division; cumulative ratios in
+    // the tie-proof micro-unit form over integer inputs
+    "q69_histogram" ->
+      """WITH binned AS (
+        |  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |    count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS price_sum
+        |  FROM orders GROUP BY 1)
+        |SELECT bin, bin * 25000.0 AS bin_lo, n,
+        | CAST(price_sum AS DOUBLE) AS price_sum,
+        | CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+        | floor(CAST(sum(n) OVER w AS DOUBLE) * 1e6
+        |   / CAST(sum(n) OVER () AS DOUBLE) + 0.5) / 1e6 AS cum_frac
+        |FROM binned
+        |WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bin""".stripMargin,
+    // RANGE frame on epoch-us longs: identical peer semantics under
+    // tied timestamps; DECIMAL window sum is order-independent
+    "q70_trailing_window" ->
+      """SELECT event_id, user_id, ts_us,
+        | count(*) OVER w AS n_1h,
+        | round(CAST(sum(CAST(value AS DECIMAL(14,6))) OVER w AS DOUBLE), 6) AS sum_1h
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

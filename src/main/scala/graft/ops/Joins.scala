@@ -100,6 +100,56 @@ object Joins {
       .orderBy($"band")
   }
 
+  /** J6 at scale (ORACLED) — the same band-join semantics as [[q17BandJoin]]
+    * but executed as an EQUI-join via binning, the shape that survives
+    * when the band table is too large to nested-loop: decompose the
+    * value domain into fixed-width bins, explode each band into the
+    * bins it overlaps (bounded by the observed max, fetched as a 1-row
+    * broadcast aggregate), equi-join fact rows on `bin =
+    * floor(value/w)`, and re-check the exact `lo <= v < hi` predicate
+    * as a residual filter. Each fact row matches at most one band here
+    * (bands are disjoint), so no dedup pass is needed; with overlapping
+    * bands the residual keeps semantics and a distinct on (row, band)
+    * would follow.
+    *
+    * 100 TB posture: the plan is a hash join on an 8-byte bin key —
+    * shuffle-free when the exploded band side broadcasts (asserted in
+    * JoinsSpec), a keyed shuffle otherwise — instead of q17's
+    * BroadcastNestedLoopJoin, which is only sane while the band table
+    * stays tiny. Bin width trades band-side blowup (≤ bands ×
+    * domain/w bins) against residual selectivity; result is identical
+    * for any w.
+    */
+  def q67BinnedBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 20000.0
+    val bands = Seq(
+      ("b1_micro", 0.0, 40000.0),
+      ("b2_small", 40000.0, 95000.0),
+      ("b3_mid", 95000.0, 180000.0),
+      ("b4_large", 180000.0, 320000.0),
+      ("b5_jumbo", 320000.0, 2000000.0)).toDF("band", "lo", "hi")
+    val orders = Sources.orders(spark, dir)
+    // Observed max bounds the bin expansion of the open-topped band —
+    // without it the b5 band would explode 2e6/w bins for no matches.
+    val maxp = orders.agg(max($"o_totalprice").as("maxp"))
+    val binnedBands = bands.crossJoin(broadcast(maxp))
+      .select($"band", $"lo", $"hi",
+        explode(sequence(
+          floor($"lo" / w).cast("long"),
+          floor(least($"hi", $"maxp") / w).cast("long"))).as("bin"))
+    orders
+      .withColumn("bin", floor($"o_totalprice" / w).cast("long"))
+      .join(broadcast(binnedBands), Seq("bin"))
+      .filter($"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"band")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast("decimal(12,2)")), 2)
+          .cast("double").as("band_total"))
+      .orderBy($"band")
+  }
+
   /** J7 — as-of join: each click event enriched with the value of the
     * same user's most recent view at-or-before the click. Implemented as
     * the scalable union+window shape (one shuffle on user_id; no range

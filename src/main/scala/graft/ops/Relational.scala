@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator inventory — SURVEY.md §2.2 (P*), §2.4 (A*),
@@ -448,5 +449,44 @@ object Relational {
       .crossJoin(broadcast(counts.agg(min($"n").as("min_n"))))
       .select($"o_orderpriority", $"n", $"min_n")
       .orderBy($"o_orderpriority")
+  }
+
+  /** A3/A11 completion (ORACLED) — fixed-width histogram of order value
+    * with cumulative counts and fractions: bin = floor(v/w) (identical
+    * IEEE division + floor on both engines), per-bin count and DECIMAL
+    * sum, then ONE window pass over the ~dozens-of-bins AGGREGATE for
+    * the running totals. Fractions use the floor(x·1e6+0.5)/1e6
+    * micro-unit form (q52 precedent) — integer-ratio inputs, tie-proof.
+    *
+    * 100 TB posture: the histogram itself is a single map-side-combined
+    * aggregate on a numeric bin key; the cumulative window runs on the
+    * REDUCED frame (#bins rows), so the unpartitioned ordering is a
+    * non-issue — never window raw rows for a cumulative histogram.
+    */
+  def q69Histogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = 25000.0
+    val binned = Sources.orders(spark, dir)
+      .withColumn("bin", floor($"o_totalprice" / w).cast("long"))
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).as("price_sum"))
+    val cum = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The grand total comes from a full-frame window over the SAME
+    // reduced histogram — one pass, no second scan of the fact table.
+    val total = Window.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .select(
+        $"bin",
+        ($"bin" * w).as("bin_lo"),
+        $"n",
+        $"price_sum".cast("double").as("price_sum"),
+        sum($"n").over(cum).as("cum_n"),
+        (floor(sum($"n").over(cum).cast("double") * 1e6
+          / sum($"n").over(total) + 0.5) / 1e6).as("cum_frac"))
+      .orderBy($"bin")
   }
 }

@@ -368,4 +368,59 @@ object Text {
     big.unpersist(false)
     out
   }
+
+  /** Email/phone patterns for [[redactPii]]: character classes and
+    * escaped literals ONLY, so Spark's Java regex and the oracle's RE2
+    * match byte-identically (no lookaround, no \b, no shorthand classes
+    * with locale-dependent semantics).
+    */
+  val emailPattern: String = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val phonePattern: String = "\\+1-555-[0-9]{4}"
+
+  /** L5/L6 (PII scrub) — count and redact email/phone substrings.
+    * Replace-all in one pass per pattern; counts come from
+    * `regexp_extract_all` so "how much PII" is recorded before the
+    * destructive rewrite. Pure map-stage scalar expressions — at 100 TB
+    * this fuses into the scan with zero shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, phonePattern, "<PHONE>"),
+      emailPattern, "<EMAIL>")
+
+  /** PII detect + redact, ORACLED (q66). The driver fixture's word-soup
+    * text contains no PII, so the query plants it DETERMINISTICALLY from
+    * doc_id (doc_id%3≠0 → an email, doc_id%5=0 → a second one,
+    * doc_id%2=0 → a phone) before scrubbing — the operator is exercised
+    * with real signal (0/1/2 emails, 0/1 phones per doc) and the oracle
+    * rebuilds the identical input from the same table. Output carries
+    * the counts, the redacted length, and the md5 of the redacted text
+    * (byte-parity proof without shipping the body twice).
+    */
+  def q66PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = $"doc_id"
+    val aug = concat(
+      $"text",
+      when(id % 3 =!= 0,
+        concat(lit(" contact user"), id.cast("string"),
+          lit("@mail"), (id % 7).cast("string"), lit(".com")))
+        .otherwise(""),
+      when(id % 5 === 0,
+        concat(lit(" or admin"), (id % 100).cast("string"),
+          lit("@example.org")))
+        .otherwise(""),
+      when(id % 2 === 0,
+        concat(lit(" call +1-555-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(""))
+    Sources.documents(spark, dir)
+      .select($"doc_id", aug.as("aug"))
+      .select(
+        $"doc_id",
+        size(regexp_extract_all($"aug", lit(emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"aug", lit(phonePattern), lit(0))).as("n_phones"),
+        length(redactPii($"aug")).as("clean_len"),
+        md5(redactPii($"aug")).as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
 }

@@ -135,4 +135,36 @@ class JoinsSpec extends SparkTestBase {
       .count { case (k, _) => bf.mightContain(k) }
     assert(candidates < 100, s"bloom kept $candidates of 2000 rows")
   }
+
+  test("binned band join equals the direct inequality join") {
+    val dir = "/root/testdata/sf0.001"
+    import spark.implicits._
+    val binned = ops.Joins.q67BinnedBandJoin(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    val bands = Seq(
+      ("b1_micro", 0.0, 40000.0), ("b2_small", 40000.0, 95000.0),
+      ("b3_mid", 95000.0, 180000.0), ("b4_large", 180000.0, 320000.0),
+      ("b5_jumbo", 320000.0, 2000000.0)).toDF("band", "lo", "hi")
+    val direct = ops.Sources.orders(spark, dir)
+      .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast("decimal(12,2)")), 2)
+          .cast("double").as("band_total"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(binned === direct)
+    // every order lands in exactly one band (disjoint, full coverage)
+    assert(binned.toSeq.map(_._2).sum ===
+      ops.Sources.orders(spark, dir).count())
+  }
+
+  test("binned band join plans a hash join on the bin key, not a nested loop") {
+    val plan = ops.Joins.q67BinnedBandJoin(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the fact-side join must be an equi hash join keyed on the bin;
+    // the single allowed nested loop is the 5-row bands x 1-row
+    // max-bound cross that prepares the broadcast side
+    assert(plan.contains("BroadcastHashJoin [bin"))
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1)
+  }
 }

