@@ -88,6 +88,7 @@ object SparkEntry {
     "q68_gapfill"   -> (TimeSeries.q68GapFill _),
     "q69_histogram" -> (Relational.q69Histogram _),
     "q70_trailing_window" -> (TimeSeries.q70TrailingWindow _),
+    "q71_auto_band_join" -> (Joins.q71AutoBandJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -849,6 +850,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // the binning is done by an optimizer RULE (BandJoinToBinned), not
+    // the query text; the result is the plain inequality band join
+    "q71_auto_band_join" ->
+      """SELECT tier, count(*) AS n,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS tier_total
+        |FROM lineitem JOIN (VALUES
+        |  ('t1_budget', 0.0, 20000.0), ('t2_value', 20000.0, 45000.0),
+        |  ('t3_core', 45000.0, 70000.0), ('t4_premium', 70000.0, 100000.0),
+        |  ('t5_luxury', 100000.0, 200000.0)) AS tiers(tier, lo, hi)
+        | ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

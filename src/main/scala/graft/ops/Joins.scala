@@ -150,6 +150,40 @@ object Joins {
       .orderBy($"band")
   }
 
+  /** J6 via the OPTIMIZER (ORACLED) — the same band-join semantics as
+    * [[q17BandJoin]]/[[q67BinnedBandJoin]], but written as the PLAIN
+    * range join and rewritten into the binned equi-join automatically by
+    * [[graft.plans.BandJoinToBinned]] (installed through
+    * [[graft.plans.GraftExtensions]]). The query author states `lo <= v
+    * < hi`; the rule picks the bin width from the literal band bounds,
+    * explodes the band side, and plans a BroadcastHashJoin on an 8-byte
+    * bin key (plan-asserted in ExtensionsSpec) — q67's hand-written
+    * shape, derived mechanically.
+    *
+    * 100 TB posture: identical to q67's (hash join on the bin key,
+    * residual range filter), with the strategy moved out of user code —
+    * every band join in the workload gets the scalable plan, not just
+    * the ones whose author knew the trick.
+    */
+  def q71AutoBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftExtensions.install(spark)
+    val tiers = Seq(
+      ("t1_budget", 0.0, 20000.0),
+      ("t2_value", 20000.0, 45000.0),
+      ("t3_core", 45000.0, 70000.0),
+      ("t4_premium", 70000.0, 100000.0),
+      ("t5_luxury", 100000.0, 200000.0)).toDF("tier", "lo", "hi")
+    Sources.lineitem(spark, dir)
+      .join(tiers, $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+      .groupBy($"tier")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_extendedprice".cast("decimal(12,2)")), 2)
+          .cast("double").as("tier_total"))
+      .orderBy($"tier")
+  }
+
   /** J7 — as-of join: each click event enriched with the value of the
     * same user's most recent view at-or-before the click. Implemented as
     * the scalable union+window shape (one shuffle on user_id; no range

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions.{CharBigrams, CosineSimilarity, SimHash64, WinnowFingerprints}
+
+/** Session extensions for the graft engine — the standard third-party
+  * integration point (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  *
+  *  - registers the custom codegen'd Catalyst expressions as SQL
+  *    functions (`cosine_sim`, `simhash64`, `char_bigrams`,
+  *    `winnow_fingerprints`), so `spark.sql("...")` users get the fused
+  *    kernels without touching the Scala column API;
+  *  - injects [[BandJoinToBinned]], which turns literal band joins into
+  *    binned equi hash joins instead of nested loops.
+  *
+  * [[GraftExtensions.install]] applies the same surface to an ALREADY
+  * RUNNING session (the extensions config is creation-time only) via the
+  * supported dynamic hooks: `experimental.extraOptimizations` and the
+  * session `FunctionRegistry`. Idempotent — safe to call per query.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+    ext.injectOptimizerRule(_ => BandJoinToBinned)
+  }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be an integer literal, got ${other.sql}")
+  }
+
+  /** (identifier, info, builder) triples shared by the creation-time
+    * and dynamic registration paths.
+    */
+  private[plans] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(arr, arr) takes 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(text) takes 1 argument")
+        SimHash64(args(0))
+      }),
+    (FunctionIdentifier("char_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "char_bigrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_bigrams(text) takes 1 argument")
+        CharBigrams(args(0))
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "winnow_fingerprints(text, k, w) takes 3 arguments")
+        WinnowFingerprints(args(0),
+          intLit(args(1), "winnow_fingerprints k"),
+          intLit(args(2), "winnow_fingerprints w"))
+      }))
+
+  /** Dynamically apply the graft surface to a live session. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(BandJoinToBinned)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BandJoinToBinned
+    }
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
+    }
+  }
+}

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftColumns
+
+import graft.plans.GraftExtensions
+
+/** [[graft.plans.GraftExtensions]] + [[graft.plans.BandJoinToBinned]]:
+  * SQL-function registration of the custom codegen'd expressions, and
+  * the automatic band-join → binned-equi-join optimizer rewrite.
+  *
+  * All tests run against an ISOLATED `newSession()` — the install
+  * mutates session state (function registry + extra optimizations),
+  * which must not leak into the other suites' shared session.
+  */
+class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+
+  private lazy val ext: SparkSession = {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    s
+  }
+
+  private def hashJoins(p: SparkPlan) = collectWithSubqueries(p) { case j: BroadcastHashJoinExec => j }
+  private def nestedLoops(p: SparkPlan) = collectWithSubqueries(p) { case j: BroadcastNestedLoopJoinExec => j }
+
+  // ---- SQL function registration -----------------------------------------
+
+  test("install registers cosine_sim and it matches the column API") {
+    val viaSql = ext.sql(
+      "SELECT cosine_sim(array(3.0D, 4.0D), array(4.0D, 3.0D)) AS c").head.getDouble(0)
+    assert(math.abs(viaSql - 24.0 / 25.0) < 1e-15)
+    val viaCol = ext.range(1)
+      .select(GraftColumns.cosineSimilarity(
+        array(lit(3.0), lit(4.0)), array(lit(4.0), lit(3.0))).as("c"))
+      .head.getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("install registers simhash64 / char_bigrams / winnow_fingerprints") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val viaSql = ext.sql(s"SELECT simhash64('$text') AS h").head.getLong(0)
+    val viaCol = ext.range(1)
+      .select(GraftColumns.simHash64(lit(text)).as("h")).head.getLong(0)
+    assert(viaSql == viaCol)
+
+    val bg = ext.sql("SELECT char_bigrams('abab') AS g").head.getSeq[String](0)
+    assert(bg == Seq("ab", "ba"))
+
+    val fpSql = ext.sql(s"SELECT winnow_fingerprints('$text', 5, 4) AS f")
+      .head.getSeq[Long](0)
+    val fpCol = ext.range(1)
+      .select(GraftColumns.winnowFingerprints(lit(text), 5, 4).as("f"))
+      .head.getSeq[Long](0)
+    assert(fpSql == fpCol && fpSql.nonEmpty)
+  }
+
+  test("winnow_fingerprints rejects non-literal k/w") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT winnow_fingerprints('abc', CAST(id AS INT), 4) FROM range(1)").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    assert(chain.contains("integer literal"))
+  }
+
+  test("install is idempotent") {
+    GraftExtensions.install(ext)
+    GraftExtensions.install(ext)
+    assert(ext.experimental.extraOptimizations.count(_ == graft.plans.BandJoinToBinned) == 1)
+    assert(ext.sql("SELECT cosine_sim(array(1.0D), array(1.0D)) c").head.getDouble(0) == 1.0)
+  }
+
+  // ---- BandJoinToBinned rewrite ------------------------------------------
+
+  /** Deterministic fact frame: 20k rows, values dense in [0, 1000). */
+  private def fact(s: SparkSession) = {
+    import s.implicits._
+    s.range(0, 20000).select($"id", (($"id" * 37) % 1000).cast("double").as("v"))
+  }
+
+  private def bandsDf(s: SparkSession, rows: Seq[(String, Double, Double)]) = {
+    import s.implicits._
+    rows.toDF("band", "lo", "hi")
+  }
+
+  private val disjoint = Seq(("a", 0.0, 100.0), ("b", 100.0, 420.0), ("c", 420.0, 1000.0))
+
+  test("band join plans as BroadcastHashJoin under the rule, nested-loop without it") {
+    import ext.implicits._
+    val joined = fact(ext).join(bandsDf(ext, disjoint), $"v" >= $"lo" && $"v" < $"hi")
+    joined.collect() // force the (possibly adaptive) final plan
+    assert(hashJoins(joined.queryExecution.executedPlan).nonEmpty, "rule did not fire")
+    assert(nestedLoops(joined.queryExecution.executedPlan).isEmpty)
+
+    val plain = fact(spark).join(bandsDf(spark, disjoint),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    plain.collect()
+    assert(nestedLoops(plain.queryExecution.executedPlan).nonEmpty,
+      "control session unexpectedly avoided the nested loop")
+  }
+
+  test("rewrite preserves the exact join result (disjoint bands)") {
+    import ext.implicits._
+    val got = fact(ext).join(bandsDf(ext, disjoint), $"v" >= $"lo" && $"v" < $"hi")
+      .select($"id", $"band").as[(Long, String)].collect().sorted.toSeq
+    val want = {
+      import spark.implicits._
+      fact(spark).join(bandsDf(spark, disjoint), $"v" >= $"lo" && $"v" < $"hi")
+        .select($"id", $"band").as[(Long, String)].collect().sorted.toSeq
+    }
+    assert(got == want && got.size == 20000)
+  }
+
+  test("overlapping bands: one output row per (row, band) match, never per bin") {
+    import ext.implicits._
+    val overlapping = Seq(("x", 0.0, 500.0), ("y", 250.0, 750.0))
+    val got = fact(ext).join(bandsDf(ext, overlapping), $"v" >= $"lo" && $"v" < $"hi")
+      .groupBy($"band").count().as[(String, Long)].collect().toMap
+    // v = (id*37) % 1000 is uniform over 0..999 (gcd(37,1000)=1, 20 full cycles)
+    assert(got == Map("x" -> 10000L, "y" -> 10000L))
+  }
+
+  test("strict and non-strict bounds both keep exact edge semantics") {
+    import ext.implicits._
+    // band edge 100.0 is a real v value; flip the bound shapes
+    val bands = bandsDf(ext, Seq(("lo_in", 100.0, 200.0)))
+    val in = fact(ext).join(bands, $"v" >= $"lo" && $"v" < $"hi")
+    val ex = fact(ext).join(bands, $"v" > $"lo" && $"v" <= $"hi")
+    in.collect(); ex.collect()
+    assert(hashJoins(in.queryExecution.executedPlan).nonEmpty)
+    assert(hashJoins(ex.queryExecution.executedPlan).nonEmpty)
+    val nIn = in.count()
+    val nEx = ex.count()
+    // 100 values/cycle in [100,200), 20 cycles; swapping the closed end
+    // moves exactly the v=100 rows (20) out and the v=200 rows (20) in
+    assert(nIn == 2000 && nEx == 2000)
+    assert(in.filter($"v" === 100.0).count() == 20 && ex.filter($"v" === 100.0).count() == 0)
+    assert(in.filter($"v" === 200.0).count() == 0 && ex.filter($"v" === 200.0).count() == 20)
+  }
+
+  test("rule declines a single-bound theta join") {
+    import ext.implicits._
+    val oneSided = fact(ext).limit(100)
+      .join(bandsDf(ext, disjoint), $"v" >= $"lo")
+    oneSided.collect()
+    assert(nestedLoops(oneSided.queryExecution.executedPlan).nonEmpty)
+    assert(hashJoins(oneSided.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("rule declines when an equi conjunct already hash-plans the join") {
+    import ext.implicits._
+    val keyed = Seq(("a", 1L, 0.0, 100.0)).toDF("band", "k", "lo", "hi")
+    val j = fact(ext).join(keyed, $"id" === $"k" && $"v" >= $"lo" && $"v" < $"hi")
+    j.collect()
+    // already an equi join; no graft_band_bin column may be introduced
+    assert(!j.queryExecution.optimizedPlan.toString.contains("graft_band_bin"))
+  }
+
+  test("null and inverted band rows produce no matches and no crash") {
+    import ext.implicits._
+    val bands = Seq(
+      ("ok", java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(100.0)),
+      ("null_lo", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(50.0)),
+      ("inverted", java.lang.Double.valueOf(90.0), java.lang.Double.valueOf(10.0)))
+      .toDF("band", "lo", "hi")
+    val got = fact(ext).join(bands, $"v" >= $"lo" && $"v" < $"hi")
+      .groupBy($"band").count().as[(String, Long)].collect().toMap
+    assert(got == Map("ok" -> 2000L))
+  }
+
+  // ---- q71 end-to-end -----------------------------------------------------
+
+  test("q71 runs the rewrite on real testdata with a broadcast hash plan") {
+    val s = spark.newSession()
+    val df = SparkEntry.queries("q71_auto_band_join")(s, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length >= 4 && rows.map(_.getLong(1)).sum > 5000)
+    assert(hashJoins(df.queryExecution.executedPlan).nonEmpty)
+    assert(nestedLoops(df.queryExecution.executedPlan).isEmpty)
+  }
+}
