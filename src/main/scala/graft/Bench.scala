@@ -13,6 +13,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same session posture as Verify: every query benches under the
+      // graft extensions, so band joins get the rewritten plan and the
+      // other queries carry the (measured-nil) rule-matching overhead.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ArrayBuffer[String]()

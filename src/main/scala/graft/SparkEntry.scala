@@ -89,6 +89,8 @@ object SparkEntry {
     "q69_histogram" -> (Relational.q69Histogram _),
     "q70_trailing_window" -> (TimeSeries.q70TrailingWindow _),
     "q71_auto_band_join" -> (Joins.q71AutoBandJoin _),
+    "q72_int_band_join" -> (Joins.q72IntBandJoin _),
+    "q73_parquet_band_join" -> (Joins.q73ParquetBandJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -861,6 +863,28 @@ object SparkEntry {
         |  ('t5_luxury', 100000.0, 200000.0)) AS tiers(tier, lo, hi)
         | ON l_extendedprice >= lo AND l_extendedprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    // integral-domain variant of q71: the rule bins int bounds with
+    // exact 64-bit div, never through a double
+    "q72_int_band_join" ->
+      """SELECT tier, count(*) AS n, sum(qty) AS tier_qty
+        |FROM (SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem) li
+        |JOIN (VALUES
+        |  ('s1_unit', 1, 5), ('s2_case', 6, 15),
+        |  ('s3_bulk', 16, 30), ('s4_pallet', 31, 50)) AS tiers(tier, lo, hi)
+        | ON qty >= lo AND qty <= hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    // the band side ships from parquet (non-literal); the rule
+    // materializes it with a bounded plan-time read — the result is
+    // still the plain inequality band join
+    "q73_parquet_band_join" ->
+      """SELECT band, count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS band_total
+        |FROM orders JOIN (
+        |  SELECT n_name AS band, n_nationkey * 12000.0 AS lo,
+        |    (n_nationkey + 1) * 12000.0 AS hi
+        |  FROM nation) bands
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The engine's honest posture: every query runs under the graft
+      // extensions (BandJoinToBinned + SQL functions), which also
+      // verifies the rule is semantics-preserving or a no-op on every
+      // oracled plan, not just the band-join queries.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

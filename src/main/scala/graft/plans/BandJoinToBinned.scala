@@ -1,15 +1,19 @@
 package graft.plans
 
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.graftshim.GraftPlans
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite a non-equi "band join" — an inner join whose
   * only cross-side predicates bound one fact-side value between a
-  * lower and an upper attribute of a LITERAL band table — into a binned
+  * lower and an upper expression of a SMALL band table — into a binned
   * EQUI-join, automatically.
   *
   * This is the (c)-tier escalation of the q67 pattern (see
@@ -20,14 +24,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * when the band table has thousands of rows at 100 TB of fact. The
   * rewrite:
   *
-  *  1. picks a bin width `w` so that the band table explodes into at
-  *     most ~1k extra rows (driver-side arithmetic over the literal
-  *     lo/hi values — the band table is a `LocalRelation`, so the
-  *     bounds are known at optimization time);
-  *  2. explodes each band row into one copy per overlapped bin
-  *     (`floor(lo/w) .. floor(hi/w)`);
-  *  3. adds `floor(v/w)` to the fact side as an 8-byte join key;
-  *  4. joins on bin EQUALITY, keeping the original range predicate as
+  *  1. materializes the band rows at planning time — directly for a
+  *     `LocalRelation`, via a bounded driver read (`executeTake`, the
+  *     same materialization a broadcast join does at execution) for a
+  *     small deterministic non-literal side such as a parquet band dim;
+  *  2. picks a bin width `w` so that the band table explodes into at
+  *     most ~1k extra rows;
+  *  3. explodes each band row into one copy per overlapped bin;
+  *  4. adds the same bin function of `v` to the fact side as an 8-byte
+  *     join key;
+  *  5. joins on bin EQUALITY, keeping the original range predicate as
   *     a residual filter on the join, and restores the original output.
   *
   * A (fact row, band row) pair can meet in at most one bin — the fact
@@ -39,36 +45,82 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * rewrite would fall back to a keyed shuffle join — still O(rows),
   * never O(rows × bands).
   *
-  * Fire conditions (all required — the rule declines anything else):
-  *  - inner join, band side is a `LocalRelation` of ≤ `maxBandRows`;
+  * Bin function by comparison type — the driver-side enumeration and
+  * the fact-side Catalyst expression MUST be the same mapping, which
+  * each branch pins to a probed Catalyst identity (ExtensionsSpec +
+  * BandJoinPropertySpec assert rewrite ≡ nested-loop over randomized
+  * band sets, negatives and extremes included):
+  *
+  *  - byte/short/int/long: `v div w` (`IntegralDivide`), truncating
+  *    toward zero exactly like Scala `Long./` — bins stay in the exact
+  *    integral domain, so 64-bit epoch-micros never round through a
+  *    double;
+  *  - float/double/decimal: `floor((v cast double) / w)`; decimal and
+  *    float go through the SAME cast-to-double both sides, which is
+  *    monotone, so a value inside [lo, hi] can never bin outside
+  *    [bin(lo), bin(hi)].
+  *
+  * Fire conditions (all required — the rule declines anything else,
+  * leaving the original join untouched):
+  *  - inner join; one side's rows are obtainable at planning time and
+  *    number ≤ `maxBandRows` (any `LocalRelation`, or a non-streaming
+  *    deterministic plan whose stats say ≤ `maxMaterializeBytes`);
   *  - the condition's cross-side conjuncts are exactly one lower and
-  *    one upper bound on the SAME deterministic double-typed fact
-  *    expression, each against a double attribute of the band side
-  *    (fact-only / band-only conjuncts ride along untouched);
+  *    one upper bound on the SAME deterministic numeric fact
+  *    expression, each against a deterministic same-typed expression
+  *    over the band side (fact-only / band-only conjuncts ride along
+  *    untouched);
   *  - no cross-side equi conjunct already exists (then the join is
   *    already hash-joinable, and this also makes the rule a fixpoint:
-  *    its own output contains the bin equality).
+  *    its own output contains the bin equality);
+  *  - every band bound is orderable under the rewrite: a NaN or ±Inf
+  *    bound declines the WHOLE rewrite (such a row matches fact rows
+  *    in the original join — e.g. `v < +Inf` is true for all finite v —
+  *    so dropping it would silently change results); NULL bounds match
+  *    nothing in both shapes and are safely dropped;
+  *  - floating bin ids stay below 2^62 in magnitude, far from the
+  *    `floor` saturation edge at ±2^63.
   */
 object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
 
   private val maxBandRows = 10000
   private val targetBins = 1024
+  /** Decline floating rewrites whose bin ids would approach the Long
+    * saturation edge of `(long) Math.floor(x)`.
+    */
+  private val maxBinMagnitude = math.pow(2, 62)
+  /** Largest non-literal band side (by plan stats) we are willing to
+    * materialize with a bounded driver read at planning time.
+    */
+  private val maxMaterializeBytes = BigInt(8L << 20)
+  /** Backstop on the exploded band relation — with `w` derived from the
+    * total span this sits near `targetBins + 2·|bands|`, but degenerate
+    * float spans are declined rather than reasoned about.
+    */
+  private val maxExplodedRows = 8 * maxBandRows
 
-  /** (factValueExpr, bandBoundAttr, isLowerBound) for a single
-    * comparison conjunct, if it is a cross-side range bound.
+  private def supportedType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** (factValueExpr, bandBoundExpr, isLowerBound) for a single
+    * comparison conjunct, if it is a cross-side range bound between
+    * deterministic same-typed numeric expressions.
     */
   private def asBound(
       e: Expression,
       fact: LogicalPlan,
-      band: LogicalPlan): Option[(Expression, Attribute, Boolean)] = {
-    def split(v: Expression, b: Expression, lower: Boolean) = b match {
-      case a: Attribute
-          if v.references.subsetOf(fact.outputSet) &&
-            band.outputSet.contains(a) && v.deterministic &&
-            v.dataType == DoubleType && a.dataType == DoubleType =>
-        Some((v, a, lower))
-      case _ => None
-    }
+      band: LogicalPlan): Option[(Expression, Expression, Boolean)] = {
+    def split(v: Expression, b: Expression, lower: Boolean) =
+      if (v.references.nonEmpty && v.references.subsetOf(fact.outputSet) &&
+          b.references.nonEmpty && b.references.subsetOf(band.outputSet) &&
+          v.deterministic && b.deterministic &&
+          v.dataType == b.dataType && supportedType(v.dataType)) {
+        Some((v, b, lower))
+      } else None
     // which operand is the fact value and which the band bound is
     // decided by attribute ownership, not pattern position: x >= y is a
     // LOWER bound when x is the fact side (v >= lo) and an UPPER bound
@@ -91,63 +143,160 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
       e.references.intersect(band.outputSet).nonEmpty
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(fact, band: LocalRelation, Inner, Some(cond), hint)
-        if band.data.length <= maxBandRows =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val cross = conjuncts.filter(crossSide(_, fact, band))
-      val bounds = cross.map(asBound(_, fact, band))
-      // every cross-side conjunct must be a range bound: one lower, one
-      // upper, on the same fact expression
-      if (cross.size != 2 || bounds.exists(_.isEmpty)) j
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      tryRewrite(j, fact = left, band = right, cond, hint)
+        .orElse(tryRewrite(j, fact = right, band = left, cond, hint))
+        .getOrElse(j)
+  }
+
+  private def tryRewrite(
+      j: Join,
+      fact: LogicalPlan,
+      band: LogicalPlan,
+      cond: Expression,
+      hint: JoinHint): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val cross = conjuncts.filter(crossSide(_, fact, band))
+    // every cross-side conjunct must be a range bound: one lower, one
+    // upper, on the same fact expression (an equi conjunct fails
+    // asBound, which both declines already-hash-joinable conditions and
+    // makes the rule its own fixpoint)
+    if (cross.size != 2) return None
+    val bounds = cross.map(asBound(_, fact, band))
+    if (bounds.exists(_.isEmpty)) return None
+    val (v, loE, hiE) = (bounds(0).get, bounds(1).get) match {
+      case ((v1, lo, true), (v2, hi, false)) if v1.semanticEquals(v2) => (v1, lo, hi)
+      case ((v1, hi, false), (v2, lo, true)) if v1.semanticEquals(v2) => (v1, lo, hi)
+      case _ => return None
+    }
+    bandRowsOf(band).flatMap(rows => rewrite(j, fact, band, rows, cond, v, loE, hiE, hint))
+  }
+
+  /** The band side's rows, if obtainable at planning time within
+    * budget: a `LocalRelation` reads free; a deterministic batch plan
+    * whose stats fit `maxMaterializeBytes` is executed with a bounded
+    * `executeTake` (> `maxBandRows` rows declines). Non-deterministic
+    * plans must not be materialized at plan time — the snapshot would
+    * disagree with an execution-time evaluation.
+    */
+  private def bandRowsOf(band: LogicalPlan): Option[Seq[InternalRow]] = band match {
+    case lr: LocalRelation =>
+      if (lr.data.length <= maxBandRows) Some(lr.data) else None
+    case p =>
+      val deterministic = !p.exists(_.expressions.exists(!_.deterministic))
+      val small = p.stats.sizeInBytes <= maxMaterializeBytes ||
+        p.stats.rowCount.exists(_ <= maxBandRows)
+      if (p.isStreaming || !deterministic || !small) None
       else {
-        (bounds(0).get, bounds(1).get) match {
-          case ((v1, lo, true), (v2, hi, false)) if v1.semanticEquals(v2) =>
-            rewrite(j, fact, band, cond, v1, lo, hi, hint)
-          case ((v1, hi, false), (v2, lo, true)) if v1.semanticEquals(v2) =>
-            rewrite(j, fact, band, cond, v1, lo, hi, hint)
-          case _ => j
-        }
+        try {
+          SparkSession.getActiveSession.flatMap { s =>
+            val taken = GraftPlans.executeTake(s, p, maxBandRows + 1)
+            if (taken.length > maxBandRows) None else Some(taken.toSeq)
+          }
+        } catch { case NonFatal(_) => None }
       }
   }
 
   private def rewrite(
       j: Join,
       fact: LogicalPlan,
-      band: LocalRelation,
+      band: LogicalPlan,
+      rows: Seq[InternalRow],
       cond: Expression,
       v: Expression,
-      lo: Attribute,
-      hi: Attribute,
-      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): LogicalPlan = {
-    val loIdx = band.output.indexWhere(_.exprId == lo.exprId)
-    val hiIdx = band.output.indexWhere(_.exprId == hi.exprId)
-    val rows = band.data
-    def finite(d: Double) = !d.isNaN && !d.isInfinite
-    val spans = rows.flatMap { r =>
-      if (r.isNullAt(loIdx) || r.isNullAt(hiIdx)) None
-      else {
-        val l = r.getDouble(loIdx)
-        val h = r.getDouble(hiIdx)
-        if (finite(l) && finite(h) && h >= l) Some((r, l, h)) else None
-      }
+      loE: Expression,
+      hiE: Expression,
+      hint: JoinHint): Option[LogicalPlan] = {
+    val loB = BindReferences.bindReference(loE, band.output)
+    val hiB = BindReferences.bindReference(hiE, band.output)
+    val fieldTypes = band.output.map(_.dataType)
+
+    def buildJoin(binnedRows: Seq[InternalRow], factBinChild: Expression): Option[LogicalPlan] = {
+      if (binnedRows.size > maxExplodedRows) return None
+      val binAttr = AttributeReference("graft_band_bin", LongType, nullable = false)()
+      val binnedBand = LocalRelation(band.output :+ binAttr, binnedRows)
+      val factBin = Alias(factBinChild, "graft_band_bin_f")()
+      val factWithBin = Project(fact.output :+ factBin, fact)
+      val newJoin = Join(
+        factWithBin, binnedBand, Inner,
+        Some(And(EqualTo(factBin.toAttribute, binAttr), cond)), hint)
+      Some(Project(j.output, newJoin))
     }
-    val totalSpan = spans.map { case (_, l, h) => h - l }.sum
-    if (totalSpan <= 0.0 || spans.isEmpty) return j
-    val w = totalSpan / targetBins
-    // driver-side bin math mirrors Catalyst Floor(Divide) on doubles
-    // exactly — both are IEEE division + math.floor
-    val binAttr = AttributeReference("graft_band_bin", LongType, nullable = false)()
-    val binnedRows: Seq[InternalRow] = spans.flatMap { case (r, l, h) =>
-      val b0 = math.floor(l / w).toLong
-      val b1 = math.floor(h / w).toLong
-      (b0 to b1).map(b => InternalRow.fromSeq(r.toSeq(band.schema) :+ b))
+
+    v.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        def toLong(a: Any): Long = a match {
+          case b: java.lang.Byte => b.toLong
+          case s: java.lang.Short => s.toLong
+          case i: java.lang.Integer => i.toLong
+          case l: java.lang.Long => l
+        }
+        val pairs = rows.flatMap { r =>
+          val lv = loB.eval(r)
+          val hv = hiB.eval(r)
+          if (lv == null || hv == null) None // null bound matches nothing in both shapes
+          else {
+            val l = toLong(lv)
+            val h = toLong(hv)
+            if (h >= l) Some((r, l, h)) else None
+          }
+        }
+        if (pairs.isEmpty) return None
+        // span in BigInt: h-l alone can overflow Long at extreme bounds
+        val span = pairs.iterator.map { case (_, l, h) => BigInt(h) - BigInt(l) }.sum
+        val w = (span / targetBins).max(1).min(BigInt(Long.MaxValue / 4)).toLong
+        val binnedRows = pairs.flatMap { case (r, l, h) =>
+          // Scala Long division truncates toward zero — the probed
+          // identity of Catalyst's IntegralDivide (`-7 div 2 == -3`),
+          // and trunc-div is monotone for w > 0, so bins l/w..h/w cover
+          // every v in [l, h]
+          (l / w to h / w).map(b => InternalRow.fromSeq(r.toSeq(fieldTypes) :+ b))
+        }
+        buildJoin(binnedRows, IntegralDivide(Cast(v, LongType), Literal(w, LongType)))
+
+      case FloatType | DoubleType | _: DecimalType =>
+        def toDbl(a: Any): Double = a match {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d
+          case dec: Decimal => dec.toDouble // same conversion Cast(dec, double) applies
+        }
+        var nonFinite = false
+        val pairs = rows.flatMap { r =>
+          val lv = loB.eval(r)
+          val hv = hiB.eval(r)
+          if (lv == null || hv == null) None // null bound matches nothing in both shapes
+          else {
+            val l = toDbl(lv)
+            val h = toDbl(hv)
+            if (l.isNaN || l.isInfinite || h.isNaN || h.isInfinite) {
+              nonFinite = true
+              None
+            } else if (h >= l) Some((r, l, h)) else None
+          }
+        }
+        // a NaN/Inf bound matches fact rows in the original join
+        // (v < +Inf is true for finite v; NaN sorts above all doubles),
+        // so it cannot be dropped — decline the whole rewrite
+        if (nonFinite || pairs.isEmpty) return None
+        val totalSpan = pairs.iterator.map { case (_, l, h) => h - l }.sum
+        if (!(totalSpan > 0.0) || totalSpan.isInfinite) return None
+        val w = totalSpan / targetBins
+        if (!(w > 0.0)) return None
+        val maxAbs = pairs.iterator
+          .flatMap { case (_, l, h) => Iterator(math.abs(l), math.abs(h)) }.max
+        if (maxAbs / w > maxBinMagnitude) return None
+        // driver-side bin math mirrors Catalyst Floor(Divide) on doubles
+        // exactly — both are IEEE division + Math.floor + (long) cast
+        val binnedRows = pairs.flatMap { case (r, l, h) =>
+          val b0 = math.floor(l / w).toLong
+          val b1 = math.floor(h / w).toLong
+          (b0 to b1).map(b => InternalRow.fromSeq(r.toSeq(fieldTypes) :+ b))
+        }
+        val factDbl =
+          if (v.dataType == DoubleType) v else Cast(v, DoubleType)
+        buildJoin(binnedRows, Floor(Divide(factDbl, Literal(w, DoubleType))))
+
+      case _ => None
     }
-    val binnedBand = LocalRelation(band.output :+ binAttr, binnedRows)
-    val factBin = Alias(Floor(Divide(v, Literal(w, DoubleType))), "graft_band_bin_f")()
-    val factWithBin = Project(fact.output :+ factBin, fact)
-    val newJoin = Join(
-      factWithBin, binnedBand, Inner,
-      Some(And(EqualTo(factBin.toAttribute, binAttr), cond)), hint)
-    Project(j.output, newJoin)
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.plans.GraftExtensions
+
+/** Property check: [[graft.plans.BandJoinToBinned]] is
+  * result-identical to the nested-loop band join over RANDOMIZED band
+  * sets — overlapping, inverted, null, huge-magnitude, NaN/Inf bounds —
+  * in both the floating and the exact integral domain, against fact
+  * values that include the same pathologies. Whether the rule fires or
+  * declines on a given band set is not asserted here (ExtensionsSpec
+  * pins the plans); what this suite pins is that EITHER WAY the answer
+  * matches a control session without the rule, row for row.
+  *
+  * Deterministic: cases are drawn from seeded ScalaCheck generators
+  * (same explicit-seed style as SamplingSpec), no forAll.
+  */
+class BandJoinPropertySpec extends SparkTestBase {
+
+  private lazy val ext: SparkSession = {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    s
+  }
+
+  private val nCases = 12
+
+  // bounds: mostly ordinary, sometimes extreme / special / null —
+  // inverted and overlapping bands arise naturally from independent draws
+  private val dblBound: Gen[Option[Double]] = Gen.frequency(
+    8 -> Gen.choose(-1000.0, 1000.0).map(Some(_)),
+    1 -> Gen.oneOf(1.0e19, -1.0e19, java.lang.Double.MIN_VALUE,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN).map(Some(_)),
+    1 -> Gen.const(None))
+
+  private val lngBound: Gen[Option[Long]] = Gen.frequency(
+    8 -> Gen.choose(-1000L, 1000L).map(Some(_)),
+    1 -> Gen.oneOf(Long.MinValue, Long.MaxValue, Long.MaxValue - 3,
+      4000000000000000000L).map(Some(_)),
+    1 -> Gen.const(None))
+
+  private def bandsGen[T](bound: Gen[Option[T]]): Gen[List[(Option[T], Option[T])]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.zip(bound, bound)))
+
+  private def draw[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val factDoubles: Seq[Option[Double]] =
+    (0 until 300).map(i => Some((i * 37 % 600 - 300).toDouble)) ++
+      Seq(Some(Double.NaN), Some(Double.PositiveInfinity),
+        Some(Double.NegativeInfinity), Some(1.0e300), Some(-1.0e300),
+        Some(0.0), Some(-0.0), None)
+
+  private val factLongs: Seq[Option[Long]] =
+    (0 until 300).map(i => Some((i * 37 % 600 - 300).toLong)) ++
+      Seq(Some(Long.MinValue), Some(Long.MaxValue),
+        Some(4000000000000000123L), Some(0L), None)
+
+  private def df[T](s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
+    s.createDataFrame(rows.asJava, schema)
+
+  private def run[T](
+      s: SparkSession,
+      dt: DataType,
+      facts: Seq[Option[T]],
+      bands: List[(Option[T], Option[T])]): Seq[(Long, String)] = {
+    val factSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", dt, nullable = true)))
+    val bandSchema = StructType(Seq(
+      StructField("band", StringType, nullable = false),
+      StructField("lo", dt, nullable = true),
+      StructField("hi", dt, nullable = true)))
+    val factRows = facts.zipWithIndex.map { case (v, i) => Row(i.toLong, v.orNull) }
+    val bandRows = bands.zipWithIndex.map { case ((l, h), i) =>
+      Row(s"b$i", l.orNull, h.orNull)
+    }
+    df(s, factRows, factSchema)
+      .join(df(s, bandRows, bandSchema), col("v") >= col("lo") && col("v") < col("hi"))
+      .select(col("id"), col("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+  }
+
+  for (seed <- 0 until nCases) {
+    test(s"double bands case $seed: rewrite ≡ nested loop") {
+      val bands = draw(bandsGen(dblBound), seed.toLong)
+      val got = run(ext, DoubleType, factDoubles, bands)
+      val want = run(spark, DoubleType, factDoubles, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"long bands case $seed: rewrite ≡ nested loop") {
+      val bands = draw(bandsGen(lngBound), 1000L + seed)
+      val got = run(ext, LongType, factLongs, bands)
+      val want = run(spark, LongType, factLongs, bands)
+      assert(got == want, s"bands=$bands")
+    }
+  }
+}

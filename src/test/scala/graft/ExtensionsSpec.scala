@@ -161,6 +161,160 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!j.queryExecution.optimizedPlan.toString.contains("graft_band_bin"))
   }
 
+  // ---- type matrix: int/long/decimal/double × strict/non-strict ----------
+
+  /** Same 20k-row fact frame with the band value in each supported
+    * type. Long values sit far above 2^53 so a double round-trip would
+    * corrupt them — the integral path must bin in the exact 64-bit
+    * domain.
+    */
+  private def typedFact(s: SparkSession, dt: String) = {
+    import s.implicits._
+    val base = ($"id" * 37) % 1000
+    val v = dt match {
+      case "int"     => base.cast("int")
+      case "long"    => lit(4000000000000000000L) + base.cast("long") * 1000000L
+      case "decimal" => (base.cast("double") / 10.0).cast("decimal(10,2)")
+      case "double"  => base.cast("double")
+    }
+    s.range(0, 20000).select($"id", v.as("v"))
+  }
+
+  private def typedBands(s: SparkSession, dt: String) = {
+    import s.implicits._
+    val raw = Seq(("a", 0.0, 100.0), ("b", 100.0, 420.0), ("c", 420.0, 1000.0))
+      .toDF("band", "rawlo", "rawhi")
+    val (lo, hi) = dt match {
+      case "int" => ($"rawlo".cast("int"), $"rawhi".cast("int"))
+      case "long" =>
+        (lit(4000000000000000000L) + $"rawlo".cast("long") * 1000000L,
+          lit(4000000000000000000L) + $"rawhi".cast("long") * 1000000L)
+      case "decimal" =>
+        (($"rawlo" / 10.0).cast("decimal(10,2)"), ($"rawhi" / 10.0).cast("decimal(10,2)"))
+      case "double" => ($"rawlo", $"rawhi")
+    }
+    raw.select($"band", lo.as("lo"), hi.as("hi"))
+  }
+
+  for (dt <- Seq("int", "long", "decimal", "double"); strict <- Seq(true, false)) {
+    test(s"type matrix: $dt bands, ${if (strict) "strict" else "non-strict"} upper bound") {
+      def joined(s: SparkSession) = {
+        val (f, b) = (typedFact(s, dt), typedBands(s, dt))
+        val cond =
+          if (strict) f("v") >= b("lo") && f("v") < b("hi")
+          else f("v") > b("lo") && f("v") <= b("hi")
+        f.join(b, cond).select(f("id"), b("band"))
+      }
+      val got = joined(ext)
+      val gotRows = got.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(hashJoins(got.queryExecution.executedPlan).nonEmpty,
+        s"rule did not fire for $dt")
+      assert(nestedLoops(got.queryExecution.executedPlan).isEmpty)
+      val want = joined(spark).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(gotRows == want && gotRows.nonEmpty)
+    }
+  }
+
+  test("integral bands spanning negative values bin exactly (trunc-div parity)") {
+    def j(s: SparkSession) = {
+      import s.implicits._
+      val f = s.range(0, 4000).select($"id", (($"id" * 37) % 1000 - 500).cast("long").as("v"))
+      val bands = Seq(("neg", -500L, -100L), ("mid", -100L, 200L), ("pos", 200L, 500L))
+        .toDF("band", "lo", "hi")
+      f.join(bands, $"v" >= $"lo" && $"v" < $"hi").groupBy($"band").count()
+    }
+    val got = j(ext)
+    val gotMap = got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hashJoins(got.queryExecution.executedPlan).nonEmpty)
+    val want = j(spark).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMap == want && gotMap.values.sum > 0)
+  }
+
+  // ---- decline paths ------------------------------------------------------
+
+  test("a non-finite band bound declines the whole rewrite, results intact") {
+    import ext.implicits._
+    // an open-topped +Inf band matches every row >= lo under the
+    // nested loop; silently dropping it from a binned rewrite would
+    // lose those matches — the rule must decline instead (ADVICE r8)
+    val bands = Seq(("low", 0.0, 500.0), ("top", 500.0, Double.PositiveInfinity))
+      .toDF("band", "lo", "hi")
+    val j = fact(ext).join(bands, $"v" >= $"lo" && $"v" < $"hi")
+    val counts = j.groupBy($"band").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("low" -> 10000L, "top" -> 10000L))
+    j.collect()
+    assert(nestedLoops(j.queryExecution.executedPlan).nonEmpty, "rewrite should decline on +Inf")
+    assert(hashJoins(j.queryExecution.executedPlan).isEmpty)
+
+    val nanBands = Seq(("n", Double.NaN, 500.0)).toDF("band", "lo", "hi")
+    val jn = fact(ext).join(nanBands, $"v" >= $"lo" && $"v" < $"hi")
+    jn.collect()
+    assert(nestedLoops(jn.queryExecution.executedPlan).nonEmpty, "rewrite should decline on NaN")
+  }
+
+  test("huge-magnitude double bounds decline (bin ids near Long saturation)") {
+    import ext.implicits._
+    val bands = Seq(("x", 1.0e19, 1.0e19 + 2048.0)).toDF("band", "lo", "hi")
+    val j = fact(ext).join(bands, $"v" >= $"lo" && $"v" < $"hi")
+    j.collect()
+    assert(nestedLoops(j.queryExecution.executedPlan).nonEmpty,
+      "rewrite should decline when |bound|/w exceeds 2^62")
+  }
+
+  test("huge fact values under normal bands stay consistent (saturation side)") {
+    import ext.implicits._
+    val f = Seq(0.0, 50.0, 999.0, 1.0e300, -1.0e300, Double.NaN).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val bands = bandsDf(ext, disjoint)
+    val got = f.join(bands, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"id", $"band").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((0L, "a"), (1L, "a"), (2L, "c")))
+  }
+
+  // ---- non-literal (parquet-backed) band sides ----------------------------
+
+  test("parquet-backed band side fires via bounded plan-time read") {
+    import ext.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bands").toString
+    Seq(("a", 0.0, 100.0), ("b", 100.0, 420.0), ("c", 420.0, 1000.0))
+      .toDF("band", "lo", "hi").write.mode("overwrite").parquet(dir)
+    val bands = ext.read.parquet(dir)
+    val j = fact(ext).join(bands, $"v" >= $"lo" && $"v" < $"hi")
+      .select($"id", $"band")
+    val got = j.as[(Long, String)].collect().sorted.toSeq
+    assert(hashJoins(j.queryExecution.executedPlan).nonEmpty,
+      "rule did not fire on a parquet band side")
+    assert(nestedLoops(j.queryExecution.executedPlan).isEmpty)
+    val want = {
+      import spark.implicits._
+      fact(spark).join(spark.read.parquet(dir),
+          col("v") >= col("lo") && col("v") < col("hi"))
+        .select(col("id"), col("band")).as[(Long, String)].collect().sorted.toSeq
+    }
+    assert(got == want && got.size == 20000)
+  }
+
+  test("a non-deterministic band side is never materialized at plan time") {
+    import ext.implicits._
+    val bands = ext.range(3).select(
+      concat(lit("b"), $"id").as("band"),
+      (rand(7) * 500.0).as("lo"),
+      (rand(7) * 500.0 + 500.0).as("hi"))
+    val j = fact(ext).join(bands, $"v" >= $"lo" && $"v" < $"hi")
+    j.collect() // must not throw; plan must stay a nested loop
+    assert(nestedLoops(j.queryExecution.executedPlan).nonEmpty)
+    assert(hashJoins(j.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("band side on the LEFT of the join fires too") {
+    import ext.implicits._
+    val j = bandsDf(ext, disjoint).join(fact(ext), $"v" >= $"lo" && $"v" < $"hi")
+    j.collect()
+    assert(hashJoins(j.queryExecution.executedPlan).nonEmpty)
+    assert(j.count() == 20000)
+  }
+
   test("null and inverted band rows produce no matches and no crash") {
     import ext.implicits._
     val bands = Seq(
@@ -182,5 +336,28 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(rows.length >= 4 && rows.map(_.getLong(1)).sum > 5000)
     assert(hashJoins(df.queryExecution.executedPlan).nonEmpty)
     assert(nestedLoops(df.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("q72 int-band join rewrites on real testdata; quantities fully covered") {
+    val df = SparkEntry.queries("q72_int_band_join")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(hashJoins(df.queryExecution.executedPlan).nonEmpty)
+    assert(nestedLoops(df.queryExecution.executedPlan).isEmpty)
+    // tiers 1..50 cover the whole l_quantity domain — every lineitem
+    // lands in exactly one tier
+    val total = rows.map(_.getLong(1)).sum
+    val nLineitem = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert(rows.length == 4 && total == nLineitem)
+  }
+
+  test("q73 parquet-band join rewrites on real testdata with a hash plan") {
+    val df = SparkEntry.queries("q73_parquet_band_join")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(hashJoins(df.queryExecution.executedPlan).nonEmpty)
+    assert(nestedLoops(df.queryExecution.executedPlan).isEmpty)
+    // the 25 nation bands cover [0, 300k); the rest of the price domain
+    // is intentionally unmatched (inner join), so not all 1500 orders land
+    assert(rows.length > 10 && rows.map(_.getLong(1)).sum > 500)
   }
 }

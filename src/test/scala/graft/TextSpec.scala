@@ -230,12 +230,19 @@ class TextSpec extends SparkTestBase {
       assert(ne === expEmails, s"doc $id emails")
       assert(np === (if (id % 2 == 0) 1 else 0), s"doc $id phones")
     }
-    // redaction is total: scrubbing the redacted text again is a no-op,
-    // i.e. no pattern survives (idempotence of the scrub)
-    val survivors = ops.Sources.documents(spark, dir).limit(0) // type anchor only
-    assert(survivors.count() === 0)
-    val again = ops.Text.q66PiiRedact(spark, dir)
+    // redaction is total: no email/phone pattern survives in the
+    // redacted text, so a second scrub is the identity
+    val redacted = ops.Sources.documents(spark, dir)
+      .select(ops.Text.redactPii(concat($"text",
+        lit(" bob1@mail2.com +1-555-0042 x9@y7.org"))).as("clean"))
+    val survivors = redacted.agg(sum(
+      size(regexp_extract_all($"clean", lit(ops.Text.emailPattern), lit(0))) +
+        size(regexp_extract_all($"clean", lit(ops.Text.phonePattern), lit(0)))))
+      .head().getLong(0)
+    assert(survivors === 0)
+    assert(redacted.filter(ops.Text.redactPii($"clean") =!= $"clean").count() === 0)
+    val planted = ops.Text.q66PiiRedact(spark, dir)
       .select(sum($"n_emails") + sum($"n_phones")).head().getLong(0)
-    assert(again > 0) // the planted PII was really there pre-scrub
+    assert(planted > 0) // the planted PII was really there pre-scrub
   }
 }
