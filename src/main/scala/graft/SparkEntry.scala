@@ -91,6 +91,9 @@ object SparkEntry {
     "q71_auto_band_join" -> (Joins.q71AutoBandJoin _),
     "q72_int_band_join" -> (Joins.q72IntBandJoin _),
     "q73_parquet_band_join" -> (Joins.q73ParquetBandJoin _),
+    "q74_hll_bounds" -> (Relational.q74HllBounds _),
+    "q75_gk_bounds" -> (Relational.q75GkBounds _),
+    "q76_ann_recall" -> (Similarity.q76AnnRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -885,6 +888,30 @@ object SparkEntry {
         |  FROM nation) bands
         | ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    // bounds check for the rows-only HLL query (q36): the oracle
+    // reproduces the exact counts and asserts the 3*rsd envelope HELD —
+    // a sketch regression flips the boolean and hash-fails
+    "q74_hll_bounds" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_suppkey) AS exact_supps,
+        | true AS hll_within_3rsd
+        |FROM lineitem""".stripMargin,
+    // bounds check for the rows-only GK query (q54): exact group
+    // medians (oracle-reproducible) plus GK's rank guarantee as a
+    // boolean the oracle asserts to be true
+    "q75_gk_bounds" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50_exact,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50_exact,
+        | true AS gk_within_rank_eps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bounds check for the rows-only ANN queries (q26 LSH, q45 IVF):
+    // recall@10 vs the exact top-k is deterministic under the fixed
+    // seeds; the oracle asserts the thresholds held
+    "q76_ann_recall" ->
+      """SELECT 'ivf' AS method, true AS recall_ok
+        |UNION ALL SELECT 'lsh', true ORDER BY method""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

@@ -339,6 +339,67 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Cross-query BOUNDS CHECK for the rows-only HLL query (ORACLED,
+    * q74) — the sketch itself is engine-specific (q36 stays rows-only
+    * by design), but its GUARANTEE is oracle-checkable: the output
+    * carries the exact distinct counts (DuckDB reproduces those) plus a
+    * boolean asserting every q36 HLL estimate (rsd 0.01) landed within
+    * 3·rsd of the exact count; the oracle states `true`. A sketch
+    * regression flips the boolean and hash-fails the round — a real
+    * verdict instead of a bare `no_oracle`. One extra pass over
+    * lineitem; exact and approx aggregates share the scan.
+    */
+  def q74HllBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rsd = 0.01
+    def ok(approx: Column, exact: Column): Column =
+      abs(approx.cast("double") - exact.cast("double")) <=
+        lit(3 * rsd) * exact.cast("double")
+    Sources.lineitem(spark, dir)
+      .agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_suppkey").as("exact_supps"),
+        approx_count_distinct($"l_orderkey", rsd).as("a_orders"),
+        approx_count_distinct($"l_partkey", rsd).as("a_parts"),
+        approx_count_distinct($"l_suppkey", rsd).as("a_supps"))
+      .select(
+        $"exact_orders", $"exact_parts", $"exact_supps",
+        (ok($"a_orders", $"exact_orders") &&
+          ok($"a_parts", $"exact_parts") &&
+          ok($"a_supps", $"exact_supps")).as("hll_within_3rsd"))
+  }
+
+  /** Cross-query BOUNDS CHECK for the rows-only GK-sketch query
+    * (ORACLED, q75) — q54's `approx_percentile` values can't match
+    * DuckDB's t-digest, but GK's RANK guarantee can be stated exactly:
+    * at accuracy 10,000 the returned value's rank is within ε = 1e-4·n
+    * of the target, so it must lie between the exact percentiles at
+    * q ∓ 0.001 (10× slack on ε). Output: the exact group percentiles
+    * (oracle-reproducible) plus the per-group guarantee boolean; the
+    * oracle states `true`. Exact and sketch aggregates share one
+    * grouped pass.
+    */
+  def q75GkBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eps = 0.001
+    def within(gk: Column, loQ: Double, hiQ: Double, col: String): Column =
+      gk >= expr(s"percentile($col, ${loQ - eps})") &&
+        gk <= expr(s"percentile($col, ${hiQ + eps})")
+    Sources.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50_exact"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50_exact"),
+        (within(expr("approx_percentile(l_quantity, 0.25, 10000)"), 0.25, 0.25, "l_quantity") &&
+          within(expr("approx_percentile(l_quantity, 0.5, 10000)"), 0.5, 0.5, "l_quantity") &&
+          within(expr("approx_percentile(l_quantity, 0.75, 10000)"), 0.75, 0.75, "l_quantity") &&
+          within(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 0.5, 0.5, "l_extendedprice"))
+          .as("gk_within_rank_eps"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A11 extension — pivot (long → wide): order counts and DECIMAL
     * revenue per priority, pivoted on the three order statuses. The
     * pivot values are DECLARED (`Seq("F","O","P")`) — the

@@ -466,4 +466,33 @@ object Similarity {
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
+
+  /** Cross-query BOUNDS CHECK for the rows-only ANN queries (ORACLED,
+    * q76) — LSH buckets and KMeans cells are engine-specific (q26/q45
+    * stay rows-only by design), but RECALL against the exact top-k is
+    * oracle-checkable: both ANN variants are deterministic under their
+    * fixed seeds, so their recall@10 vs [[q22CosineTopK]] is a fixed
+    * number per dataset; the output states `recall@10 ≥ threshold` and
+    * the oracle states `true`. Thresholds sit below the measured
+    * recalls with margin — LSH 0.9–1.0 and IVF 0.6–0.8 across
+    * sf0.001/0.01/0.1 (IVF probes 4/16 cells of an isotropic fixture,
+    * the known hard mode for coarse quantization), so bars of 0.6/0.5
+    * hold at every driver SF while an index regression (recall ≈
+    * probe fraction or worse) still flips the boolean. The
+    * intersection is a 10-row broadcast join, recall math in one
+    * 1-row aggregate each.
+    */
+  def q76AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = q22CosineTopK(spark, dir).select($"vec_id")
+    def recallRow(method: String, ann: DataFrame, threshold: Double) =
+      ann.select($"vec_id").join(broadcast(exact), Seq("vec_id"))
+        .agg((count(lit(1)) / 10.0).as("recall"))
+        .select(
+          lit(method).as("method"),
+          ($"recall" >= threshold).as("recall_ok"))
+    recallRow("ivf", q45AnnIvf(spark, dir), 0.5)
+      .unionByName(recallRow("lsh", q26AnnLsh(spark, dir), 0.6))
+      .orderBy($"method")
+  }
 }
