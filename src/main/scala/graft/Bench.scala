@@ -64,14 +64,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 2-decimal (10 ms) precision: the driver captures only the last 2000
+    // chars of stdout, and 9-decimal seconds across 76 queries pushed the
+    // JSON line past that window (BENCH_r08.json arrived truncated,
+    // unparseable). 2 decimals keeps the full 76-query line ~1.8k chars
+    // with headroom for more queries; BASELINE.md carries run medians.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // failures are flagged IN the JSON: a broken query otherwise records
     // its fast failure time and makes the bench look better, with the
     // only evidence on stderr where the JSON consumer never looks
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
