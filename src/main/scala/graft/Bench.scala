@@ -31,10 +31,15 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
-    val selected = only match {
+    // Alphabetical execution order: SparkEntry.queries is a hash Map, so
+    // its iteration order RESHUFFLES whenever a query is added — between
+    // rounds 7 and 8 that silently moved session-warmup costs onto
+    // different queries (q32 +9 s, q1 -4 s, code unchanged) and made
+    // per-query baselines uncomparable. Sorted order pins attribution.
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     // Warmup pass OUTSIDE any query's timer: one scan + shuffle + sort
     // + noop write absorbs the JVM/JIT/codegen/parquet-footer session
     // costs that otherwise land entirely on whichever query the map
@@ -49,6 +54,25 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).count().orderBy(col("l_returnflag"))
         .write.format("noop").mode("overwrite").save()
+      // MLlib warmup, same rationale: the tree-ensemble and LSH fit paths
+      // JIT ~8-10 s of interpreter time on their first use, which landed
+      // on whichever ML query the old map order ran first (isolated q32
+      // measures 28.5 s cold vs ~17 s warm on identical code). A 256-row
+      // GBT/NB/LSH fit compiles those paths off-timer in ~2 s.
+      import org.apache.spark.ml.classification.{GBTClassifier, NaiveBayes}
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.linalg.Vectors
+      val rnd = new scala.util.Random(7)
+      val tiny = spark.createDataFrame((0 until 512).map { i =>
+        ((i % 2).toDouble, Vectors.dense(Array.fill(64)(rnd.nextDouble())))
+      }).toDF("label", "features")
+      new GBTClassifier().setMaxIter(3).setMaxDepth(3).setSeed(7L)
+        .fit(tiny).transform(tiny).count()
+      new NaiveBayes().setModelType("gaussian")
+        .fit(tiny).transform(tiny).count()
+      new BucketedRandomProjectionLSH().setInputCol("features")
+        .setOutputCol("h").setBucketLength(0.5).setNumHashTables(2)
+        .setSeed(7L).fit(tiny).transform(tiny).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
     }
@@ -71,7 +95,7 @@ object Bench {
     // with headroom for more queries; BASELINE.md carries run medians.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // failures are flagged IN the JSON: a broken query otherwise records
     // its fast failure time and makes the bench look better, with the
     // only evidence on stderr where the JSON consumer never looks

@@ -346,23 +346,35 @@ object Relational {
     * boolean asserting every q36 HLL estimate (rsd 0.01) landed within
     * 3·rsd of the exact count; the oracle states `true`. A sketch
     * regression flips the boolean and hash-fails the round — a real
-    * verdict instead of a bare `no_oracle`. One extra pass over
-    * lineitem; exact and approx aggregates share the scan.
+    * verdict instead of a bare `no_oracle`.
+    *
+    * The exact and approx families run as SEPARATE 1-row aggregates
+    * cross-joined at the end (1-row broadcast), NOT one combined
+    * `agg(...)`: mixing multi-column `countDistinct` with
+    * `approx_count_distinct` plans an Expand whose stage-1 groups are
+    * the distinct VALUES — and every non-distinct aggregate's buffer is
+    * allocated per group, so each of ~600k value-groups at sf0.1
+    * carried three 16 KB HLL register arrays (tens of GB of buffer →
+    * spill). Measured: 86.6 s combined vs ~4 s split, and the split
+    * grows linearly with rows while the combined shape's buffer volume
+    * grows with DISTINCT values — unusable at 100 TB.
     */
   def q74HllBounds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rsd = 0.01
-    def ok(approx: Column, exact: Column): Column =
-      abs(approx.cast("double") - exact.cast("double")) <=
-        lit(3 * rsd) * exact.cast("double")
-    Sources.lineitem(spark, dir)
-      .agg(
-        countDistinct($"l_orderkey").as("exact_orders"),
-        countDistinct($"l_partkey").as("exact_parts"),
-        countDistinct($"l_suppkey").as("exact_supps"),
-        approx_count_distinct($"l_orderkey", rsd).as("a_orders"),
-        approx_count_distinct($"l_partkey", rsd).as("a_parts"),
-        approx_count_distinct($"l_suppkey", rsd).as("a_supps"))
+    val li = Sources.lineitem(spark, dir)
+    val exact = li.agg(
+      countDistinct($"l_orderkey").as("exact_orders"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      countDistinct($"l_suppkey").as("exact_supps"))
+    val approx = li.agg(
+      approx_count_distinct($"l_orderkey", rsd).as("a_orders"),
+      approx_count_distinct($"l_partkey", rsd).as("a_parts"),
+      approx_count_distinct($"l_suppkey", rsd).as("a_supps"))
+    def ok(a: Column, exactCnt: Column): Column =
+      abs(a.cast("double") - exactCnt.cast("double")) <=
+        lit(3 * rsd) * exactCnt.cast("double")
+    exact.crossJoin(approx)
       .select(
         $"exact_orders", $"exact_parts", $"exact_supps",
         (ok($"a_orders", $"exact_orders") &&
@@ -377,25 +389,40 @@ object Relational {
     * of the target, so it must lie between the exact percentiles at
     * q ∓ 0.001 (10× slack on ε). Output: the exact group percentiles
     * (oracle-reproducible) plus the per-group guarantee boolean; the
-    * oracle states `true`. Exact and sketch aggregates share one
-    * grouped pass.
+    * oracle states `true`.
+    *
+    * Every requested quantile rides ONE aggregate buffer per column:
+    * `percentile` / `approx_percentile` take ARRAYS of percentages, so
+    * the grouped pass carries 2 exact value-buffers + 2 GK sketches per
+    * group — the first cut spelled each bound as its own
+    * `percentile(col, q)` call, which buffered the group's full value
+    * multiset once PER PERCENTILE (10 copies; measured 5.4–23.8 s at
+    * sf0.1 vs ~2 s with shared buffers, and the duplication factor is
+    * what 100 TB would multiply).
     */
   def q75GkBounds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val eps = 0.001
-    def within(gk: Column, loQ: Double, hiQ: Double, col: String): Column =
-      gk >= expr(s"percentile($col, ${loQ - eps})") &&
-        gk <= expr(s"percentile($col, ${hiQ + eps})")
+    // exact bounds at q ∓ eps for q ∈ {.25, .5, .75}(qty), {.5}(price)
+    val qtyQs = "array(0.249D, 0.251D, 0.499D, 0.5D, 0.501D, 0.749D, 0.751D)"
+    val priceQs = "array(0.499D, 0.5D, 0.501D)"
+    def within(gk: Column, lo: Column, hi: Column): Column =
+      gk >= lo && gk <= hi
     Sources.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50_exact"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50_exact"),
-        (within(expr("approx_percentile(l_quantity, 0.25, 10000)"), 0.25, 0.25, "l_quantity") &&
-          within(expr("approx_percentile(l_quantity, 0.5, 10000)"), 0.5, 0.5, "l_quantity") &&
-          within(expr("approx_percentile(l_quantity, 0.75, 10000)"), 0.75, 0.75, "l_quantity") &&
-          within(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 0.5, 0.5, "l_extendedprice"))
+        expr(s"percentile(l_quantity, $qtyQs)").as("qx"),
+        expr(s"percentile(l_extendedprice, $priceQs)").as("px"),
+        expr("approx_percentile(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)").as("gq"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("gp"))
+      .select(
+        $"l_returnflag", $"n",
+        round(element_at($"qx", 4), 6).as("qty_p50_exact"),
+        round(element_at($"px", 2), 4).as("price_p50_exact"),
+        (within(element_at($"gq", 1), element_at($"qx", 1), element_at($"qx", 2)) &&
+          within(element_at($"gq", 2), element_at($"qx", 3), element_at($"qx", 5)) &&
+          within(element_at($"gq", 3), element_at($"qx", 6), element_at($"qx", 7)) &&
+          within($"gp", element_at($"px", 1), element_at($"px", 3)))
           .as("gk_within_rank_eps"))
       .orderBy($"l_returnflag")
   }

@@ -144,8 +144,13 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
+      // the rewritten join is always Join(fact, binnedBand): when the
+      // band side was the LEFT input the per-side hints must swap with
+      // it, or a user's broadcast(bands) hint would re-attach to the
+      // fact side — exactly the side that must NOT be broadcast
       tryRewrite(j, fact = left, band = right, cond, hint)
-        .orElse(tryRewrite(j, fact = right, band = left, cond, hint))
+        .orElse(tryRewrite(j, fact = right, band = left, cond,
+          JoinHint(leftHint = hint.rightHint, rightHint = hint.leftHint)))
         .getOrElse(j)
   }
 

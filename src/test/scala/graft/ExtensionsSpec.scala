@@ -143,6 +143,23 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(in.filter($"v" === 200.0).count() == 0 && ex.filter($"v" === 200.0).count() == 20)
   }
 
+  test("broadcast hint on a LEFT band side follows the band through the rewrite") {
+    import ext.implicits._
+    // the rewritten join is always (fact, binnedBand): a hint attached
+    // to a left-hand band side must swap with it, or broadcast(bands)
+    // would become a broadcast hint on the fact side — the side that
+    // must never be broadcast at scale
+    val joined = broadcast(bandsDf(ext, disjoint))
+      .join(fact(ext), $"v" >= $"lo" && $"v" < $"hi")
+    joined.collect()
+    val hjs = hashJoins(joined.queryExecution.executedPlan)
+    assert(hjs.nonEmpty, "rule did not fire on the flipped orientation")
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    assert(hjs.forall(_.buildSide == BuildRight),
+      "broadcast hint re-attached to the fact side after the flip")
+    assert(joined.count() == 20000)
+  }
+
   test("rule declines a single-bound theta join") {
     import ext.implicits._
     val oneSided = fact(ext).limit(100)
