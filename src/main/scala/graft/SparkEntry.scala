@@ -91,6 +91,7 @@ object SparkEntry {
     "q71_auto_band_join" -> (Joins.q71AutoBandJoin _),
     "q72_int_band_join" -> (Joins.q72IntBandJoin _),
     "q73_parquet_band_join" -> (Joins.q73ParquetBandJoin _),
+    "q77_time_band_join" -> (Joins.q77TimeBandJoin _),
     "q74_hll_bounds" -> (Relational.q74HllBounds _),
     "q75_gk_bounds" -> (Relational.q75GkBounds _),
     "q76_ann_recall" -> (Similarity.q76AnnRecall _),
@@ -887,6 +888,18 @@ object SparkEntry {
         |    (n_nationkey + 1) * 12000.0 AS hi
         |  FROM nation) bands
         | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    // time-domain variant of q71: timestamp bounds bin in the exact
+    // internal micros domain (unix_micros), zero precision loss
+    "q77_time_band_join" ->
+      """SELECT band, count(*) AS n,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS band_total
+        |FROM orders JOIN (
+        |  SELECT r_name AS band,
+        |    make_timestamp(CAST(1996 + r_regionkey AS BIGINT), 1, 1, 0, 0, 0) AS lo,
+        |    make_timestamp(CAST(1997 + r_regionkey AS BIGINT), 1, 1, 0, 0, 0) AS hi
+        |  FROM region) bands
+        | ON o_orderdate >= lo AND o_orderdate < hi
         |GROUP BY band ORDER BY band""".stripMargin,
     // bounds check for the rows-only HLL query (q36): the oracle
     // reproduces the exact counts and asserts the 3*rsd envelope HELD —

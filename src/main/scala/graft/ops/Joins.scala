@@ -255,6 +255,39 @@ object Joins {
       .orderBy($"band")
   }
 
+  /** J6 in the TIME domain (ORACLED) — a calendar band join: each order
+    * matched to the one-year validity window [Jan 1 (1996+k), Jan 1
+    * (1997+k)) carried by region k. Time ranges are the most common
+    * band shape in practice (calendar rollups, SCD-2 validity windows,
+    * session-to-window attribution); [[graft.plans.BandJoinToBinned]]
+    * bins `TimestampType` in its exact internal 64-bit micros domain
+    * (`unix_micros` on the fact side, the bounds' own `eval` on the
+    * band side), so the rewrite plans the same BroadcastHashJoin on an
+    * 8-byte bin key with zero precision loss — a nanosecond-resolution
+    * validity edge can never round across a bin (plan-asserted in
+    * ExtensionsSpec; type matrix covers timestamp and date).
+    *
+    * 100 TB posture: identical to q71/q73 — O(rows) hash join instead
+    * of O(rows × windows) nested loop, and an SCD-2 dim with thousands
+    * of validity windows ships from parquet exactly like q73's bands.
+    */
+  def q77TimeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = graftSession(spark)
+    import s.implicits._
+    val windows = Sources.region(s, dir).select(
+      $"r_name".as("band"),
+      expr("make_timestamp(1996 + r_regionkey, 1, 1, 0, 0, 0)").as("lo"),
+      expr("make_timestamp(1997 + r_regionkey, 1, 1, 0, 0, 0)").as("hi"))
+    Sources.orders(s, dir)
+      .join(windows, $"o_orderdate" >= $"lo" && $"o_orderdate" < $"hi")
+      .groupBy($"band")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast("decimal(12,2)")), 2)
+          .cast("double").as("band_total"))
+      .orderBy($"band")
+  }
+
   /** J7 — as-of join: each click event enriched with the value of the
     * same user's most recent view at-or-before the click. Implemented as
     * the scalable union+window shape (one shuffle on user_id; no range

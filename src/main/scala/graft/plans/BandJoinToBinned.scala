@@ -55,6 +55,12 @@ import org.apache.spark.sql.types._
   *    toward zero exactly like Scala `Long./` — bins stay in the exact
   *    integral domain, so 64-bit epoch-micros never round through a
   *    double;
+  *  - timestamp/date: the SAME integral path over the type's exact
+  *    internal 64-bit domain — `unix_micros(v)` (micros) for
+  *    timestamps, `unix_date(v)` (days) for dates, matching what a
+  *    driver-side `eval` of the band bounds returns. Time ranges are
+  *    the most common band shape in practice (calendar rollups, SCD-2
+  *    validity windows), and they bin with zero precision loss;
   *  - float/double/decimal: `floor((v cast double) / w)`; decimal and
   *    float go through the SAME cast-to-double both sides, which is
   *    monotone, so a value inside [lo, hi] can never bin outside
@@ -101,6 +107,7 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
 
   private def supportedType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case TimestampType | DateType => true
     case FloatType | DoubleType => true
     case _: DecimalType => true
     case _ => false
@@ -229,7 +236,10 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     v.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType =>
+        // timestamp evals to its internal Long micros, date to Int days
+        // — the same exact integral domain the fact-side bin expression
+        // below computes in
         def toLong(a: Any): Long = a match {
           case b: java.lang.Byte => b.toLong
           case s: java.lang.Short => s.toLong
@@ -257,7 +267,17 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
           // every v in [l, h]
           (l / w to h / w).map(b => InternalRow.fromSeq(r.toSeq(fieldTypes) :+ b))
         }
-        buildJoin(binnedRows, IntegralDivide(Cast(v, LongType), Literal(w, LongType)))
+        // the fact side must reach the SAME 64-bit domain the bounds
+        // eval'd in: unix_micros/unix_date expose the raw internal
+        // value (a plain Cast(timestamp, long) would truncate to
+        // SECONDS and disagree with the driver-side micros)
+        val factLong = v.dataType match {
+          case TimestampType => UnixMicros(v)
+          case DateType      => Cast(UnixDate(v), LongType)
+          case LongType      => v
+          case _             => Cast(v, LongType)
+        }
+        buildJoin(binnedRows, IntegralDivide(factLong, Literal(w, LongType)))
 
       case FloatType | DoubleType | _: DecimalType =>
         def toDbl(a: Any): Double = a match {

@@ -46,6 +46,24 @@ class BandJoinPropertySpec extends SparkTestBase {
       4000000000000000000L).map(Some(_)),
     1 -> Gen.const(None))
 
+  /** Micro-precision external timestamp — JVM zone is pinned UTC in
+    * build.sbt, so the external↔internal round-trip is zone-stable.
+    */
+  private def tsOfMicros(micros: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  // ordinary epoch-adjacent micros, the representable extremes (year 1
+  // and 9999), and nulls; sub-millisecond fractions throughout so a
+  // binning that rounded through millis/seconds would misplace rows
+  private val tsBound: Gen[Option[java.sql.Timestamp]] = Gen.frequency(
+    8 -> Gen.choose(-1000000000L, 1000000000L).map(m => Some(tsOfMicros(m))),
+    1 -> Gen.oneOf(0L, 253402300799999999L, -62135596800000000L)
+      .map(m => Some(tsOfMicros(m))),
+    1 -> Gen.const(None))
+
   private def bandsGen[T](bound: Gen[Option[T]]): Gen[List[(Option[T], Option[T])]] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.zip(bound, bound)))
 
@@ -62,6 +80,11 @@ class BandJoinPropertySpec extends SparkTestBase {
     (0 until 300).map(i => Some((i * 37 % 600 - 300).toLong)) ++
       Seq(Some(Long.MinValue), Some(Long.MaxValue),
         Some(4000000000000000123L), Some(0L), None)
+
+  private val factTimestamps: Seq[Option[java.sql.Timestamp]] =
+    (0 until 300).map(i => Some(tsOfMicros((i * 37 % 600 - 300) * 3333337L))) ++
+      Seq(Some(tsOfMicros(0L)), Some(tsOfMicros(253402300799999999L)),
+        Some(tsOfMicros(-62135596800000000L)), None)
 
   private def df[T](s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(rows.asJava, schema)
@@ -99,6 +122,12 @@ class BandJoinPropertySpec extends SparkTestBase {
       val bands = draw(bandsGen(lngBound), 1000L + seed)
       val got = run(ext, LongType, factLongs, bands)
       val want = run(spark, LongType, factLongs, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"timestamp bands case $seed: rewrite ≡ nested loop") {
+      val bands = draw(bandsGen(tsBound), 2000L + seed)
+      val got = run(ext, TimestampType, factTimestamps, bands)
+      val want = run(spark, TimestampType, factTimestamps, bands)
       assert(got == want, s"bands=$bands")
     }
   }

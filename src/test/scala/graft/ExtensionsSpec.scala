@@ -193,6 +193,11 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       case "long"    => lit(4000000000000000000L) + base.cast("long") * 1000000L
       case "decimal" => (base.cast("double") / 10.0).cast("decimal(10,2)")
       case "double"  => base.cast("double")
+      // sub-second offsets: a binning that rounded micros through
+      // seconds or a double would misplace these rows
+      case "timestamp" =>
+        timestamp_micros(lit(1700000000000000L) + base.cast("long") * 61000001L)
+      case "date" => date_add(lit("2020-01-01").cast("date"), base.cast("int"))
     }
     s.range(0, 20000).select($"id", v.as("v"))
   }
@@ -209,11 +214,18 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       case "decimal" =>
         (($"rawlo" / 10.0).cast("decimal(10,2)"), ($"rawhi" / 10.0).cast("decimal(10,2)"))
       case "double" => ($"rawlo", $"rawhi")
+      case "timestamp" =>
+        (timestamp_micros(lit(1700000000000000L) + $"rawlo".cast("long") * 61000001L),
+          timestamp_micros(lit(1700000000000000L) + $"rawhi".cast("long") * 61000001L))
+      case "date" =>
+        (date_add(lit("2020-01-01").cast("date"), $"rawlo".cast("int")),
+          date_add(lit("2020-01-01").cast("date"), $"rawhi".cast("int")))
     }
     raw.select($"band", lo.as("lo"), hi.as("hi"))
   }
 
-  for (dt <- Seq("int", "long", "decimal", "double"); strict <- Seq(true, false)) {
+  for (dt <- Seq("int", "long", "decimal", "double", "timestamp", "date");
+       strict <- Seq(true, false)) {
     test(s"type matrix: $dt bands, ${if (strict) "strict" else "non-strict"} upper bound") {
       def joined(s: SparkSession) = {
         val (f, b) = (typedFact(s, dt), typedBands(s, dt))
@@ -376,5 +388,18 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // the 25 nation bands cover [0, 300k); the rest of the price domain
     // is intentionally unmatched (inner join), so not all 1500 orders land
     assert(rows.length > 10 && rows.map(_.getLong(1)).sum > 500)
+  }
+
+  test("q77 timestamp-band join rewrites on real testdata with a hash plan") {
+    val df = SparkEntry.queries("q77_time_band_join")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(hashJoins(df.queryExecution.executedPlan).nonEmpty)
+    assert(nestedLoops(df.queryExecution.executedPlan).isEmpty)
+    // five one-year windows over 1996-2001; orders span 1995-2001, so
+    // every window matches some orders but not all orders match
+    val nOrders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet").count()
+    val matched = rows.map(_.getLong(1)).sum
+    assert(rows.length == 5 && matched > 0 && matched < nOrders)
   }
 }
