@@ -169,13 +169,15 @@ object EmnistPipeline {
         .setNumTrees(20).setMaxDepth(8).setSeed(42L),
       // 39 binary GBTs (one per class): already 312 total trees vs the
       // RF's 20 — OvR multiplies cost by #classes by construction, which
-      // is the recorded finding. Parallelism 32 trains the independent
-      // binary problems concurrently (Bench runs local[32]).
+      // is the recorded finding. Parallelism 8, not 32: each binary fit
+      // is ~dozens of 2-task treeAggregate jobs here, so 32 concurrent
+      // fits contend on the single-threaded DAGScheduler event loop, not
+      // on cores — measured bimodal 19 s / 31 s at 32 vs stable at 8.
       "ovr_gbt" -> new org.apache.spark.ml.classification.OneVsRest()
         .setClassifier(new org.apache.spark.ml.classification.GBTClassifier()
           .setMaxIter(8).setMaxDepth(4).setSeed(42L))
         .setFeaturesCol("pca").setLabelCol("label_idx")
-        .setParallelism(32))
+        .setParallelism(8))
     val rows = classifiers.map { case (name, est) =>
       val t0 = System.nanoTime()
       val model = new Pipeline().setStages(Array(est)).fit(trainF)
