@@ -95,6 +95,7 @@ object SparkEntry {
     "q74_hll_bounds" -> (Relational.q74HllBounds _),
     "q75_gk_bounds" -> (Relational.q75GkBounds _),
     "q76_ann_recall" -> (Similarity.q76AnnRecall _),
+    "q78_heavy_hitters" -> (Sketches.q78HeavyHitters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -925,6 +926,19 @@ object SparkEntry {
     "q76_ann_recall" ->
       """SELECT 'ivf' AS method, true AS recall_ok
         |UNION ALL SELECT 'lsh', true ORDER BY method""".stripMargin,
+    // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
+    // reproduces the exact side (total tokens, true heavy-hitter count
+    // at phi = 1/64 over the q24 space-split token space) and asserts
+    // the sketch's deterministic guarantees held — estimate <= true,
+    // undercount <= n/k, every true heavy hitter present
+    "q78_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |agg AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT (SELECT n FROM tot) AS n_tokens,
+        | (SELECT count(*) FROM agg WHERE cnt * 64 > (SELECT n FROM tot)) AS n_heavy,
+        | true AS all_heavy_present, true AS est_within_eps""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

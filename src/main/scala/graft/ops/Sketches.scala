@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-items (heavy-hitters) sketching — the third mergeable
+  * summary in the engine's sketch family, next to HLL distinct counts
+  * (q36/q74) and GK quantiles (q54/q75).
+  *
+  * The reference's corpus-statistics loop (term/document frequencies,
+  * /root/reference/main.py:238-243 analogue over text) materializes full
+  * exact counts; at 100 TB the exact token→count table is itself huge
+  * and the common question is only "which items exceed φ·n". Misra–Gries
+  * answers that in ONE map-only pass with O(k) state per partition and a
+  * single O(k)-per-partition merge — no token shuffle at all — with the
+  * classic guarantees (Misra & Gries 1982; merge rule and proof from
+  * Agarwal et al., "Mergeable Summaries", PODS 2012):
+  *
+  *   - estimate ≤ true count            (counters only track seen items)
+  *   - true count − estimate ≤ n/k      (each of the ≤ n/k decrement
+  *                                       rounds removes k units total)
+  *   - every item with true count > n/k survives in the sketch
+  *
+  * Both error bounds are DETERMINISTIC (not probabilistic like CMS), and
+  * the merged sketch keeps them regardless of partition order — which is
+  * exactly what makes the guarantee booleans of [[q78HeavyHitters]]
+  * stable under Spark's nondeterministic partition/merge schedule even
+  * though the raw counter values are not.
+  */
+object Sketches {
+
+  /** Sketch state: item → counter, at most k−1 entries. An immutable
+    * Map rides the product encoder for the partition-boundary shuffle;
+    * within a partition the typed-Aggregator path keeps the buffer as a
+    * live object, and at k ≤ a few hundred the per-token HAMT update is
+    * noise next to the row decode.
+    */
+  case class MgBuf(m: Map[String, Long])
+
+  /** Misra–Gries frequent-items over a string column. `k` bounds both
+    * the state (k−1 counters) and the error (n/k). Output is the final
+    * buffer (item → lower-bound estimate) — product-encoded, read the
+    * map back out of the `m` field.
+    */
+  class MisraGries(k: Int) extends Aggregator[String, MgBuf, MgBuf] {
+    require(k >= 2, s"MisraGries needs k >= 2, got $k")
+
+    override def zero: MgBuf = MgBuf(Map.empty)
+
+    override def reduce(b: MgBuf, x: String): MgBuf = {
+      if (x == null) return b
+      val m = b.m
+      m.get(x) match {
+        case Some(c) => MgBuf(m.updated(x, c + 1L))
+        case None if m.size < k - 1 => MgBuf(m.updated(x, 1L))
+        case None =>
+          // Counter table full: one decrement round (k−1 stored items
+          // plus the discarded incoming one lose a unit each).
+          MgBuf(m.iterator
+            .map { case (key, c) => key -> (c - 1L) }
+            .filter(_._2 > 0L)
+            .toMap)
+      }
+    }
+
+    /** Mergeable-summaries rule: sum counters, then if more than k−1
+      * survive, subtract the k-th largest counter from every entry and
+      * drop the non-positives — at most k−1 remain and the combined
+      * undercount stays ≤ (nₐ + n_b)/k.
+      */
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      if (a.m.isEmpty) return b
+      if (b.m.isEmpty) return a
+      var m = a.m
+      b.m.foreach { case (key, c) =>
+        m = m.updated(key, m.getOrElse(key, 0L) + c)
+      }
+      if (m.size <= k - 1) MgBuf(m)
+      else {
+        val kth = m.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k - 1)
+        MgBuf(m.iterator
+          .map { case (key, c) => key -> (c - kth) }
+          .filter(_._2 > 0L)
+          .toMap)
+      }
+    }
+
+    override def finish(b: MgBuf): MgBuf = b
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+  }
+
+  /** Untyped (DataFrame) form, same pattern as [[VectorAggs.vectorMean]]:
+    * the sketch comes back as a struct column; the map is its `m` field.
+    */
+  def misraGries(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MisraGries(k), Encoders.STRING)
+
+  /** Cross-query BOUNDS CHECK for the heavy-hitters sketch (ORACLED,
+    * q78), following the q74/q75/q76 pattern: the oracle reproduces the
+    * EXACT side (total tokens, number of true heavy hitters over the
+    * q24/q46 space-split token space) and asserts the deterministic MG
+    * guarantees held as booleans — a sketch regression flips a boolean
+    * and hash-fails against DuckDB.
+    *
+    * The exact groupBy here exists only to VERIFY the sketch; the
+    * production path at 100 TB is the sketch alone — a map-only pass
+    * shuffling one ≤(k−1)-entry map per partition, no token exchange.
+    */
+  def q78HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val tokens = Sources.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+    val sketch = tokens
+      .agg(misraGries(k)($"token").as("sketch"))
+      .select(explode($"sketch.m").as(Seq("token", "est")))
+    val exact = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(sum($"cnt").as("n_tokens"))
+    // est ≤ cnt and cnt − est ≤ n/k for every sketch entry; every token
+    // with cnt·k > n is present. Left join from exact keeps the heavy
+    // tokens the sketch might (incorrectly) have dropped visible.
+    val joined = exact.join(sketch, Seq("token"), "left").crossJoin(n)
+    joined.agg(
+      max($"n_tokens").as("n_tokens"),
+      count(when($"cnt" * k > $"n_tokens", lit(1))).as("n_heavy"),
+      bool_and(when($"cnt" * k > $"n_tokens", $"est".isNotNull).otherwise(lit(true)))
+        .as("all_heavy_present"),
+      bool_and(when($"est".isNotNull,
+          $"est" <= $"cnt" && ($"cnt" - $"est") * k <= $"n_tokens")
+        .otherwise(lit(true))).as("est_within_eps"))
+  }
+}

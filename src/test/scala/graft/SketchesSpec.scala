@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Sketches
+
+/** Misra–Gries heavy-hitters sketch (q78, sketch family alongside
+  * HLL/GK). Pins the three deterministic guarantees — estimate ≤ true,
+  * undercount ≤ n/k, every item with true count > n/k survives — over
+  * randomized skewed streams and partitionings, plus the exact-regime
+  * degenerate case and the oracled query's booleans end-to-end.
+  *
+  * Deterministic: seeded ScalaCheck generators, no forAll (same style
+  * as BandJoinPropertySpec/SamplingSpec).
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sketchOf(items: Seq[String], k: Int, parts: Int): Map[String, Long] =
+    items.toDF("t").repartition(parts).as[String]
+      .select(new Sketches.MisraGries(k).toColumn)
+      .head().m
+
+  test("sketch is exact when k exceeds the distinct count") {
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(3)("c")
+    val got = sketchOf(new scala.util.Random(7).shuffle(items), k = 16, parts = 5)
+    assert(got === Map("a" -> 40L, "b" -> 25L, "c" -> 3L))
+  }
+
+  test("MG guarantees hold on randomized skewed streams across partitionings") {
+    // Geometric-ish skew over a 30-token alphabet: token i has weight
+    // ~0.8^i, so a handful of true heavy hitters emerge per stream.
+    val tokenGen: Gen[String] = Gen.frequency(
+      (0 until 30).map(i => (math.max(1, (1000 * math.pow(0.8, i)).toInt),
+        Gen.const(s"t$i"))): _*)
+    val caseGen = for {
+      n <- Gen.choose(50, 1500)
+      k <- Gen.choose(2, 16)
+      parts <- Gen.oneOf(1, 3, 8)
+      items <- Gen.listOfN(n, tokenGen)
+    } yield (items, k, parts)
+    val cases = (0 until 10).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(4200L + i)))
+    assert(cases.size === 10)
+    cases.foreach { case (items, k, parts) =>
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val got = sketchOf(items, k, parts)
+      val label = s"(n=$n k=$k parts=$parts)"
+      assert(got.size <= k - 1, s"state bound violated $label")
+      got.foreach { case (t, est) =>
+        val truth = exact.getOrElse(t, 0L)
+        assert(est <= truth, s"overcount for $t $label: $est > $truth")
+        assert((truth - est) * k <= n,
+          s"undercount beyond n/k for $t $label: $truth - $est")
+      }
+      exact.foreach { case (t, c) =>
+        if (c * k > n)
+          assert(got.contains(t), s"true heavy hitter $t (cnt=$c) missing $label")
+      }
+    }
+  }
+
+  test("q78 guarantee booleans hold end-to-end and heavy hitters exist at sf0.001") {
+    val row = Sketches.q78HeavyHitters(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_tokens") > 0L)
+    // Non-vacuous: the corpus has stopword-class tokens above n/64.
+    assert(row.getAs[Long]("n_heavy") > 0L)
+    assert(row.getAs[Boolean]("all_heavy_present"))
+    assert(row.getAs[Boolean]("est_within_eps"))
+  }
+}
