@@ -358,15 +358,22 @@ object Relational {
     * spill). Measured: 86.6 s combined vs ~4 s split, and the split
     * grows linearly with rows while the combined shape's buffer volume
     * grows with DISTINCT values — unusable at 100 TB.
+    *
+    * The exact side is additionally split into three SINGLE-distinct
+    * aggregates cross-joined as 1-row broadcasts — q3's recorded shape.
+    * Three distincts in one `agg` plan one Expand that triples every
+    * row before the shuffle; three thin single-column scans move less
+    * data in total, and the combined shape showed 16 s GC-amplified
+    * spikes in baseline recording (its 3× allocation burst lands on
+    * whatever slow window the host is in) where q3 never did.
     */
   def q74HllBounds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rsd = 0.01
     val li = Sources.lineitem(spark, dir)
-    val exact = li.agg(
-      countDistinct($"l_orderkey").as("exact_orders"),
-      countDistinct($"l_partkey").as("exact_parts"),
-      countDistinct($"l_suppkey").as("exact_supps"))
+    val exact = li.agg(countDistinct($"l_orderkey").as("exact_orders"))
+      .crossJoin(broadcast(li.agg(countDistinct($"l_partkey").as("exact_parts"))))
+      .crossJoin(broadcast(li.agg(countDistinct($"l_suppkey").as("exact_supps"))))
     val approx = li.agg(
       approx_count_distinct($"l_orderkey", rsd).as("a_orders"),
       approx_count_distinct($"l_partkey", rsd).as("a_parts"),
