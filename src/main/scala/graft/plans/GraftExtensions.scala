@@ -6,15 +6,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharBigrams, CosineSimilarity, SimHash64, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, InterleaveBits, SimHash64, WinnowFingerprints}
 
 /** Session extensions for the graft engine — the standard third-party
   * integration point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   *
   *  - registers the custom codegen'd Catalyst expressions as SQL
   *    functions (`cosine_sim`, `simhash64`, `char_bigrams`,
-  *    `winnow_fingerprints`), so `spark.sql("...")` users get the fused
-  *    kernels without touching the Scala column API;
+  *    `winnow_fingerprints`, `interleave_bits`), so `spark.sql("...")`
+  *    users get the fused kernels without touching the Scala column API;
   *  - injects [[BandJoinToBinned]], which turns literal band joins into
   *    binned equi hash joins instead of nested loops.
   *
@@ -71,6 +71,12 @@ object GraftExtensions {
         WinnowFingerprints(args(0),
           intLit(args(1), "winnow_fingerprints k"),
           intLit(args(2), "winnow_fingerprints w"))
+      }),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "interleave_bits(x, y) takes 2 arguments")
+        InterleaveBits(args(0), args(1))
       }))
 
   /** Dynamically apply the graft surface to a live session. */

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, SimHash64, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, InterleaveBits, SimHash64, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -39,6 +39,13 @@ object GraftColumns {
     */
   def simHash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  /** Morton (Z-order) interleave of two long bucket-rank columns into a
+    * 64-bit sort key (see [[graft.expressions.InterleaveBits]]).
+    */
+  def interleaveBits(x: Column, y: Column): Column =
+    ExpressionUtils.column(InterleaveBits(
+      ExpressionUtils.expression(x), ExpressionUtils.expression(y)))
 
   /** One EMNIST-fixture feature row from (label, row_id) — bit-identical
     * to the xxhash64 HOF formulation (see
