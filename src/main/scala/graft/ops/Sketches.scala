@@ -97,6 +97,26 @@ object Sketches {
   def misraGries(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MisraGries(k), Encoders.STRING)
 
+  /** Streaming trending tokens: Misra–Gries per event-time window over
+    * a (ts, text) document stream, watermarked so window state is
+    * bounded. The same Aggregator serves batch and stream — Structured
+    * Streaming's state store persists the ≤(k−1)-entry buffer between
+    * micro-batches and the UDAF's merge path combines each batch's
+    * partials into it, so per-window state is O(k) REGARDLESS of how
+    * many micro-batches or tokens the window spans (contrast a
+    * groupBy(window, token) count: state per distinct token). Append
+    * mode: a window's sketch emits once, when the watermark closes it.
+    */
+  def trendingTokensStream(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", "10 minutes")
+      .select(window($"ts", "1 hour").as("w"),
+        explode(split($"text", " ")).as("token"))
+      .groupBy($"w")
+      .agg(misraGries(k)($"token").as("sketch"))
+      .select($"w.start".as("window_start"), $"sketch.m".as("top_tokens"))
+  }
+
   /** Cross-query BOUNDS CHECK for the heavy-hitters sketch (ORACLED,
     * q78), following the q74/q75/q76 pattern: the oracle reproduces the
     * EXACT side (total tokens, number of true heavy hitters over the

@@ -63,6 +63,35 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("streaming trending tokens merges the sketch across micro-batches") {
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String)]
+    val q = Sketches.trendingTokensStream(
+        input.toDF().toDF("ts", "text"), k = 10)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      // two micro-batches land in the SAME 10:00 window — the state
+      // store must carry batch 1's buffer into batch 2's merge
+      input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), "a a a b"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 10:40:00"), "a c c"))
+      q.processAllAvailable()
+      assert(spark.table("trending").count() === 0) // window still open
+      // an 11:20 event moves the watermark past 11:00 → window closes
+      input.addData((Timestamp.valueOf("2024-01-01 11:20:00"), "d d"))
+      q.processAllAvailable()
+      val rows = spark.table("trending")
+        .select($"window_start".cast("string"), $"top_tokens")
+        .as[(String, Map[String, Long])].collect().toMap
+      // k=10 exceeds the window's 3 distinct tokens, so the merged
+      // sketch is EXACT across batches — order-independent assertion
+      assert(rows("2024-01-01 10:00:00") === Map("a" -> 4L, "b" -> 1L, "c" -> 2L))
+    } finally q.stop()
+  }
+
   test("q78 guarantee booleans hold end-to-end and heavy hitters exist at sf0.001") {
     val row = Sketches.q78HeavyHitters(spark, "/root/testdata/sf0.001").head()
     assert(row.getAs[Long]("n_tokens") > 0L)
