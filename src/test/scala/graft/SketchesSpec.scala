@@ -63,6 +63,17 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch aggregation is two-phase: map-side partial, buffer-only exchange") {
+    val plan = Seq("a", "b").toDF("t")
+      .agg(Sketches.misraGries(8)($"t"))
+      .queryExecution.executedPlan.toString
+    // partial_misragries below the exchange = each task reduces its rows
+    // into one <=(k-1)-entry buffer before any data moves; the exchange
+    // carries only those buffers (the mergeable-summaries shape)
+    assert(plan.contains("partial_misragries"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("streaming trending tokens merges the sketch across micro-batches") {
     import java.sql.Timestamp
     implicit val sql = spark.sqlContext
