@@ -96,6 +96,7 @@ object SparkEntry {
     "q75_gk_bounds" -> (Relational.q75GkBounds _),
     "q76_ann_recall" -> (Similarity.q76AnnRecall _),
     "q78_heavy_hitters" -> (Sketches.q78HeavyHitters _),
+    "q79_zorder_cells" -> (graft.util.Layout.q79ZorderCells _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -939,6 +940,25 @@ object SparkEntry {
         |SELECT (SELECT n FROM tot) AS n_tokens,
         | (SELECT count(*) FROM agg WHERE cnt * 64 > (SELECT n FROM tot)) AS n_heavy,
         | true AS all_heavy_present, true AS est_within_eps""".stripMargin,
+    // the Morton interleave expanded as shift/mask arithmetic — DuckDB
+    // reproduces the codegen'd kernel's 16-bit z key bit-for-bit
+    "q79_zorder_cells" ->
+      """WITH b AS (
+        |  SELECT CAST(l_partkey % 256 AS BIGINT) AS x,
+        |         CAST(l_suppkey % 256 AS BIGINT) AS y
+        |  FROM lineitem),
+        |z AS (SELECT
+        |  (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) |
+        |  (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) |
+        |  (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) |
+        |  (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) |
+        |  (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) |
+        |  (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) |
+        |  (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) |
+        |  (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) AS z_cell
+        | FROM b)
+        |SELECT z_cell, count(*) AS n FROM z
+        |GROUP BY z_cell ORDER BY n DESC, z_cell LIMIT 20""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

@@ -64,4 +64,23 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** ORACLED exercise of the interleave kernel (q79): occupancy of the
+    * 8-bit × 8-bit z-cell grid over (l_partkey, l_suppkey) mod 256 —
+    * the key distribution a z-ordered write of lineitem would range-
+    * partition on. Buckets are modular (not equi-depth) HERE so DuckDB
+    * can reproduce the key bit-for-bit with shift/mask arithmetic; the
+    * equi-depth path stays engine-side (LayoutSpec). Top cells with a
+    * total (n, z_cell) order so the limit is deterministic.
+    */
+  def q79ZorderCells(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = graft.ops.Sources.lineitem(spark, dir)
+    val x = (col("l_partkey") % 256).cast("long")
+    val y = (col("l_suppkey") % 256).cast("long")
+    li.select(org.apache.spark.sql.graftshim.GraftColumns
+        .interleaveBits(x, y).as("z_cell"))
+      .groupBy("z_cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("z_cell")).limit(20)
+  }
 }
