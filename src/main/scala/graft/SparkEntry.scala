@@ -97,6 +97,7 @@ object SparkEntry {
     "q76_ann_recall" -> (Similarity.q76AnnRecall _),
     "q78_heavy_hitters" -> (Sketches.q78HeavyHitters _),
     "q79_zorder_cells" -> (graft.util.Layout.q79ZorderCells _),
+    "q80_grouped_band_join" -> (Joins.q80GroupedBandJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -959,6 +960,17 @@ object SparkEntry {
         | FROM b)
         |SELECT z_cell, count(*) AS n FROM z
         |GROUP BY z_cell ORDER BY n DESC, z_cell LIMIT 20""".stripMargin,
+    // per-group band join: equi key + band bounds; the optimizer rule
+    // carries the equi conjunct into the binned rewrite (composite key)
+    "q80_grouped_band_join" ->
+      """WITH tiers(status, tier, lo, hi) AS (VALUES
+        |  ('F','f_small',1,24), ('F','f_large',25,50),
+        |  ('O','o_small',1,9), ('O','o_mid',10,34), ('O','o_large',35,50),
+        |  ('P','p_all',1,50)),
+        |li AS (SELECT l_linestatus, CAST(l_quantity AS INT) AS qty FROM lineitem)
+        |SELECT status, tier, count(*) AS n, CAST(sum(qty) AS BIGINT) AS tier_qty
+        |FROM li JOIN tiers ON l_linestatus = status AND qty >= lo AND qty <= hi
+        |GROUP BY status, tier ORDER BY status, tier""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

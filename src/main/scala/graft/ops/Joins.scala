@@ -288,6 +288,37 @@ object Joins {
       .orderBy($"band")
   }
 
+  /** J6 PER-GROUP bands (ORACLED) — the most common production band
+    * shape: a different tier schedule per group (here, per linestatus;
+    * in practice price tiers per region, rate schedules per tenant).
+    * The join condition is `status = status AND lo <= qty AND qty <=
+    * hi`. Spark alone hash-joins this on the status key, but a
+    * low-cardinality group key means each fact row still compares
+    * against ALL of its group's bands inside the bucket — O(rows ×
+    * bands/groups). [[graft.plans.BandJoinToBinned]] carries the equi
+    * conjunct into the rewrite, so the planner gets a COMPOSITE
+    * (status, bin) hash key and each fact row meets ~1 band
+    * (plan-asserted in ExtensionsSpec; fixpoint guarded by the
+    * synthetic bin attribute name).
+    */
+  def q80GroupedBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = graftSession(spark)
+    import s.implicits._
+    val tiers = Seq(
+      ("F", "f_small", 1, 24), ("F", "f_large", 25, 50),
+      ("O", "o_small", 1, 9), ("O", "o_mid", 10, 34), ("O", "o_large", 35, 50),
+      ("P", "p_all", 1, 50)).toDF("status", "tier", "lo", "hi")
+    Sources.lineitem(s, dir)
+      .withColumn("qty", $"l_quantity".cast("int"))
+      .join(tiers,
+        $"l_linestatus" === $"status" && $"qty" >= $"lo" && $"qty" <= $"hi")
+      .groupBy($"status", $"tier")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"qty").cast("long").as("tier_qty"))
+      .orderBy($"status", $"tier")
+  }
+
   /** J7 — as-of join: each click event enriched with the value of the
     * same user's most recent view at-or-before the click. Implemented as
     * the scalable union+window shape (one shuffle on user_id; no range

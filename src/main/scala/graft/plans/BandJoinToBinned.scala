@@ -74,11 +74,17 @@ import org.apache.spark.sql.types._
   *  - the condition's cross-side conjuncts are exactly one lower and
   *    one upper bound on the SAME deterministic numeric fact
   *    expression, each against a deterministic same-typed expression
-  *    over the band side (fact-only / band-only conjuncts ride along
-  *    untouched);
-  *  - no cross-side equi conjunct already exists (then the join is
-  *    already hash-joinable, and this also makes the rule a fixpoint:
-  *    its own output contains the bin equality);
+  *    over the band side, plus any number of plain cross-side EQUI
+  *    conjuncts (the per-group band shape: price tiers per region,
+  *    rate schedules per tenant). Equi conjuncts ride along into the
+  *    rewritten condition, where the planner extracts them alongside
+  *    the bin equality as a composite hash key — without the bin, a
+  *    low-cardinality group key hash-joins each fact row against ALL
+  *    of its group's bands; with it, against ~1. Fact-only /
+  *    band-only conjuncts ride along untouched. Fixpoint guard: the
+  *    rule's own output contains an equi conjunct on the synthetic
+  *    `graft_band_bin` attribute, which declines re-entry (the name
+  *    is reserved to this rule);
   *  - every band bound is orderable under the rewrite: a NaN or ±Inf
   *    bound declines the WHOLE rewrite (such a row matches fact rows
   *    in the original join — e.g. `v < +Inf` is true for all finite v —
@@ -149,6 +155,20 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
     e.references.intersect(fact.outputSet).nonEmpty &&
       e.references.intersect(band.outputSet).nonEmpty
 
+  /** A deterministic cross-side equality — already hash-joinable on its
+    * own, and safe to carry into the rewritten join as an extra key.
+    */
+  private def isEqui(e: Expression, fact: LogicalPlan, band: LogicalPlan): Boolean = {
+    def oneSide(v: Expression, side: LogicalPlan) =
+      v.references.nonEmpty && v.references.subsetOf(side.outputSet) && v.deterministic
+    e match {
+      case EqualTo(x, y) =>
+        (oneSide(x, fact) && oneSide(y, band)) ||
+          (oneSide(y, fact) && oneSide(x, band))
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       // the rewritten join is always Join(fact, binnedBand): when the
@@ -169,12 +189,15 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
       hint: JoinHint): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     val cross = conjuncts.filter(crossSide(_, fact, band))
-    // every cross-side conjunct must be a range bound: one lower, one
-    // upper, on the same fact expression (an equi conjunct fails
-    // asBound, which both declines already-hash-joinable conditions and
-    // makes the rule its own fixpoint)
-    if (cross.size != 2) return None
-    val bounds = cross.map(asBound(_, fact, band))
+    // fixpoint: the rule's own output joins on the synthetic bin
+    // attribute — re-matching it would explode the band side again
+    if (cross.exists(_.references.exists(_.name == "graft_band_bin"))) return None
+    // cross-side conjuncts: any number of plain equalities (per-group
+    // bands; they become extra hash keys) plus EXACTLY one lower and
+    // one upper range bound on the same fact expression
+    val nonEqui = cross.filterNot(isEqui(_, fact, band))
+    if (nonEqui.size != 2) return None
+    val bounds = nonEqui.map(asBound(_, fact, band))
     if (bounds.exists(_.isEmpty)) return None
     val (v, loE, hiE) = (bounds(0).get, bounds(1).get) match {
       case ((v1, lo, true), (v2, hi, false)) if v1.semanticEquals(v2) => (v1, lo, hi)

@@ -89,6 +89,38 @@ class BandJoinPropertySpec extends SparkTestBase {
   private def df[T](s: SparkSession, rows: Seq[Row], schema: StructType): DataFrame =
     s.createDataFrame(rows.asJava, schema)
 
+  /** Grouped variant: every fact row and band row carries a group key
+    * (g = id % 3 / hash of the band index) and the join adds `g = bg`
+    * to the bounds — exercising the composite equi+bin rewrite path
+    * against the control's plain hash join with residual bounds.
+    */
+  private def runGrouped[T](
+      s: SparkSession,
+      dt: DataType,
+      facts: Seq[Option[T]],
+      bands: List[(Option[T], Option[T])]): Seq[(Long, String)] = {
+    val factSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("g", LongType, nullable = false),
+      StructField("v", dt, nullable = true)))
+    val bandSchema = StructType(Seq(
+      StructField("band", StringType, nullable = false),
+      StructField("bg", LongType, nullable = false),
+      StructField("lo", dt, nullable = true),
+      StructField("hi", dt, nullable = true)))
+    val factRows = facts.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, (i % 3).toLong, v.orNull)
+    }
+    val bandRows = bands.zipWithIndex.map { case ((l, h), i) =>
+      Row(s"b$i", (i % 3).toLong, l.orNull, h.orNull)
+    }
+    df(s, factRows, factSchema)
+      .join(df(s, bandRows, bandSchema),
+        col("g") === col("bg") && col("v") >= col("lo") && col("v") < col("hi"))
+      .select(col("id"), col("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+  }
+
   private def run[T](
       s: SparkSession,
       dt: DataType,
@@ -128,6 +160,18 @@ class BandJoinPropertySpec extends SparkTestBase {
       val bands = draw(bandsGen(tsBound), 2000L + seed)
       val got = run(ext, TimestampType, factTimestamps, bands)
       val want = run(spark, TimestampType, factTimestamps, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"grouped double bands case $seed: composite rewrite ≡ control") {
+      val bands = draw(bandsGen(dblBound), 3000L + seed)
+      val got = runGrouped(ext, DoubleType, factDoubles, bands)
+      val want = runGrouped(spark, DoubleType, factDoubles, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"grouped long bands case $seed: composite rewrite ≡ control") {
+      val bands = draw(bandsGen(lngBound), 4000L + seed)
+      val got = runGrouped(ext, LongType, factLongs, bands)
+      val want = runGrouped(spark, LongType, factLongs, bands)
       assert(got == want, s"bands=$bands")
     }
   }

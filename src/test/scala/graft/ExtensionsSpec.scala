@@ -169,13 +169,48 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(hashJoins(oneSided.queryExecution.executedPlan).isEmpty)
   }
 
-  test("rule declines when an equi conjunct already hash-plans the join") {
+  test("an equi conjunct rides into the rewrite as a composite hash key") {
+    // per-group bands: group 0/1/2 each has its own (overlapping) tiers
+    val keyedRows = Seq(
+      ("g0_lo", 0L, 0.0, 300.0), ("g0_hi", 0L, 300.0, 1000.0),
+      ("g1_all", 1L, 0.0, 1000.0),
+      ("g2_lo", 2L, 0.0, 500.0), ("g2_hi", 2L, 400.0, 1000.0))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select(col("id"), col("band")).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+    val got = {
+      import ext.implicits._
+      val keyed = keyedRows.toDF("band", "k", "lo", "hi")
+      val j = fact(ext).withColumn("g", col("id") % 3)
+        .join(keyed, col("g") === col("k") &&
+          col("v") >= col("lo") && col("v") < col("hi"))
+      j.collect()
+      // fires: bin column present, executed join is a hash join
+      assert(j.queryExecution.optimizedPlan.toString.contains("graft_band_bin"))
+      assert(hashJoins(j.queryExecution.executedPlan).nonEmpty)
+      rowsOf(j)
+    }
+    // control session (no rule): same join, same rows
+    val want = {
+      import spark.implicits._
+      val keyed = keyedRows.toDF("band", "k", "lo", "hi")
+      rowsOf(fact(spark).withColumn("g", col("id") % 3)
+        .join(keyed, col("g") === col("k") &&
+          col("v") >= col("lo") && col("v") < col("hi")))
+    }
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("rewrite is a fixpoint: the rule leaves its own output unchanged") {
     import ext.implicits._
-    val keyed = Seq(("a", 1L, 0.0, 100.0)).toDF("band", "k", "lo", "hi")
-    val j = fact(ext).join(keyed, $"id" === $"k" && $"v" >= $"lo" && $"v" < $"hi")
-    j.collect()
-    // already an equi join; no graft_band_bin column may be introduced
-    assert(!j.queryExecution.optimizedPlan.toString.contains("graft_band_bin"))
+    val keyed = Seq(("t", 0L, 0.0, 500.0)).toDF("band", "k", "lo", "hi")
+    val j = fact(ext).withColumn("g", $"id" % 3)
+      .join(keyed, $"g" === $"k" && $"v" >= $"lo" && $"v" < $"hi")
+    val once = j.queryExecution.optimizedPlan // rule already applied here
+    assert(once.toString.contains("graft_band_bin"), "rewrite did not fire")
+    val twice = graft.plans.BandJoinToBinned(once)
+    assert(twice.toString === once.toString,
+      "rule re-fired on its own output — fixpoint guard broken")
   }
 
   // ---- type matrix: int/long/decimal/double × strict/non-strict ----------
@@ -401,5 +436,23 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       .parquet("/root/testdata/sf0.001/orders.parquet").count()
     val matched = rows.map(_.getLong(1)).sum
     assert(rows.length == 5 && matched > 0 && matched < nOrders)
+  }
+
+  test("q80 per-group band join rewrites on real testdata with a hash plan") {
+    val df = SparkEntry.queries("q80_grouped_band_join")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_band_bin"),
+      "composite equi+band condition did not rewrite")
+    assert(hashJoins(df.queryExecution.executedPlan).nonEmpty)
+    assert(nestedLoops(df.queryExecution.executedPlan).isEmpty)
+    // F and O tier schedules both non-empty; the P schedule matches no
+    // lineitem (linestatus is only F/O) so exactly 5 tiers emerge, and
+    // quantities 1..50 are fully covered per group
+    assert(rows.map(_.getString(0)).toSet === Set("F", "O"))
+    assert(rows.length === 5)
+    val total = rows.map(_.getLong(2)).sum
+    val nLineitem = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert(total === nLineitem, "tiers must partition every lineitem row per group")
   }
 }
