@@ -98,6 +98,7 @@ object SparkEntry {
     "q78_heavy_hitters" -> (Sketches.q78HeavyHitters _),
     "q79_zorder_cells" -> (graft.util.Layout.q79ZorderCells _),
     "q80_grouped_band_join" -> (Joins.q80GroupedBandJoin _),
+    "q81_upsert" -> (Mutations.q81Upsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -971,6 +972,27 @@ object SparkEntry {
         |SELECT status, tier, count(*) AS n, CAST(sum(qty) AS BIGINT) AS tier_qty
         |FROM li JOIN tiers ON l_linestatus = status AND qty >= lo AND qty <= hi
         |GROUP BY status, tier ORDER BY status, tier""".stripMargin,
+    // MERGE/upsert reproduced as full-outer-join + presence-flag CASE:
+    // rows of the update set replace matched base rows ROW-WISE,
+    // unmatched updates insert, unmatched base rows persist
+    "q81_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal + 1000.0 AS c_acctbal,
+        |         'UPGRADED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'NEW'
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |merged AS (
+        |  SELECT CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+        |              ELSE b.c_mktsegment END AS c_mktsegment,
+        |         CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |              ELSE b.c_acctbal END AS c_acctbal
+        |  FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS segment_bal
+        |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

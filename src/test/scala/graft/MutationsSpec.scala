@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Mutations
+
+/** MERGE-style upsert (q81): row-wise replace semantics, the insert and
+  * persist arms, null handling in both keys and values, and the
+  * schema-mismatch guard.
+  */
+class MutationsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = true),
+    StructField("a", StringType, nullable = true),
+    StructField("b", IntegerType, nullable = true)))
+
+  private def frame(rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  test("matched rows are replaced row-wise, unmatched insert and persist") {
+    val base = frame(Row(1L, "one", 10), Row(2L, "two", 20), Row(3L, "three", 30))
+    val updates = frame(Row(2L, "TWO", 22), Row(9L, "nine", 90))
+    val got = Mutations.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    assert(got === Seq((1L, "one", 10), (2L, "TWO", 22), (3L, "three", 30),
+      (9L, "nine", 90)))
+  }
+
+  test("an intentional null in the update row WINS (row-wise, not coalesce)") {
+    val base = frame(Row(1L, "one", 10))
+    val updates = frame(Row(1L, null, 11))
+    val got = Mutations.upsert(base, updates, Seq("k")).head()
+    // per-column coalesce would resurrect "one" — MERGE semantics must not
+    assert(got.isNullAt(1) && got.getInt(2) === 11)
+  }
+
+  test("null keys pair null-safely instead of duplicating") {
+    val base = frame(Row(null, "base-null", 1))
+    val updates = frame(Row(null, "upd-null", 2))
+    val got = Mutations.upsert(base, updates, Seq("k")).collect()
+    assert(got.length === 1 && got.head.getString(1) === "upd-null")
+  }
+
+  test("mismatched schemas are rejected") {
+    val base = frame(Row(1L, "one", 10))
+    intercept[IllegalArgumentException] {
+      Mutations.upsert(base, base.withColumnRenamed("b", "c"), Seq("k"))
+    }
+  }
+
+  test("q81 merges both arms on real testdata") {
+    val rows = Mutations.q81Upsert(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // update arm reclassifies every 10th customer, insert arm adds NEW
+    assert(rows.contains("UPGRADED") && rows.contains("NEW"))
+    val base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val nBase = base.count()
+    val nNew = base.filter($"c_custkey" % 97 === 0).count()
+    assert(rows.values.sum === nBase + nNew,
+      "merged row count must be base + inserted")
+  }
+}
