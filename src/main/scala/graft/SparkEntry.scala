@@ -99,6 +99,7 @@ object SparkEntry {
     "q79_zorder_cells" -> (graft.util.Layout.q79ZorderCells _),
     "q80_grouped_band_join" -> (Joins.q80GroupedBandJoin _),
     "q81_upsert" -> (Mutations.q81Upsert _),
+    "q82_scd2" -> (Mutations.q82Scd2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -993,6 +994,37 @@ object SparkEntry {
         |SELECT c_mktsegment, count(*) AS n,
         |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS segment_bal
         |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // SCD-2 fold: new versions via lead() over the change feed, open
+    // dim versions closed at the key's first change, untouched keys
+    // persist — then the history rolled up per segment
+    "q82_scd2" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |         DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        |  FROM customer),
+        |changes AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         'Y' || CAST(year(o_orderdate) AS VARCHAR) AS segment,
+        |         min(o_orderdate) AS ts
+        |  FROM orders WHERE o_custkey % 7 = 0
+        |  GROUP BY o_custkey, year(o_orderdate)),
+        |new_versions AS (
+        |  SELECT c_custkey, segment, ts AS valid_from,
+        |         lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
+        |  FROM changes),
+        |first_change AS (
+        |  SELECT c_custkey, min(ts) AS first_ts FROM changes GROUP BY c_custkey),
+        |closed AS (
+        |  SELECT d.c_custkey, d.segment, d.valid_from,
+        |         CASE WHEN f.first_ts IS NOT NULL AND d.valid_to IS NULL
+        |              THEN f.first_ts ELSE d.valid_to END AS valid_to
+        |  FROM dim d LEFT JOIN first_change f ON d.c_custkey = f.c_custkey),
+        |hist AS (
+        |  SELECT * FROM closed UNION ALL SELECT * FROM new_versions)
+        |SELECT segment, count(*) AS n_versions,
+        |  count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open,
+        |  min(valid_from) AS first_from, max(valid_from) AS last_from
+        |FROM hist GROUP BY segment ORDER BY segment""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

@@ -43,6 +43,79 @@ object Mutations {
     merged.select(out: _*)
   }
 
+  /** SCD type-2 apply: fold a change feed into a validity-window dim.
+    *
+    * `dim` rows carry `(key, attrs…, valid_from, valid_to)` with
+    * `valid_to` NULL for the open (current) version; `changes` carry
+    * `(key, attrs…, tsCol)` — a full attribute snapshot per change.
+    * Each change becomes a new version valid from its timestamp until
+    * the key's NEXT change (`lead` over the change feed); the dim's
+    * open version closes at the key's FIRST change. Keys without
+    * changes persist untouched. Precondition (documented, same as any
+    * warehouse SCD-2 loader): change timestamps are later than the open
+    * version's `valid_from`; at most one change per (key, ts).
+    *
+    * Shuffle shape at 100 TB: one window pass over `changes`
+    * partitioned by key, one left join of `dim` against the per-key
+    * first-change (aggregated — dim-sized, broadcastable), one union.
+    * No driver loop, no per-version iteration.
+    */
+  def scd2Apply(dim: DataFrame, changes: DataFrame, key: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val attrs = dim.columns.filterNot(c =>
+      c == key || c == "valid_from" || c == "valid_to").toSeq
+    require(changes.columns.toSet == (Set(key, tsCol) ++ attrs),
+      s"changes must carry ($key, $tsCol, ${attrs.mkString(", ")})")
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
+    val newVersions = changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .drop(tsCol)
+      .select(dim.columns.map(col).toSeq: _*)
+    val firstChange = changes.groupBy(col(key))
+      .agg(min(col(tsCol)).as("__first_change"))
+    val closed = dim.join(firstChange, Seq(key), "left")
+      .withColumn("valid_to",
+        when(col("__first_change").isNotNull && col("valid_to").isNull,
+          col("__first_change")).otherwise(col("valid_to")))
+      .drop("__first_change")
+      .select(dim.columns.map(col).toSeq: _*)
+    closed.unionByName(newVersions)
+  }
+
+  /** ORACLED exercise (q82): SCD-2 customer-segment history. The base
+    * dim opens every customer in its parquet segment at 1990-01-01;
+    * the change feed reclassifies every 7th customer once per order
+    * year (first order date of that year, a deterministic per-key
+    * series). The merged history is rolled up per segment with
+    * version/open counts and validity edges — DuckDB reproduces the
+    * whole fold with the same lead()/min() formulation.
+    */
+  def q82Scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Sources.customer(spark, dir).select(
+      $"c_custkey",
+      $"c_mktsegment".as("segment"),
+      lit("1990-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val changes = Sources.orders(spark, dir)
+      .filter($"o_custkey" % 7 === 0)
+      .groupBy($"o_custkey".as("c_custkey"),
+        year($"o_orderdate").as("yr"))
+      .agg(min($"o_orderdate").as("ts"))
+      .select($"c_custkey",
+        concat(lit("Y"), $"yr".cast("string")).as("segment"), $"ts")
+    scd2Apply(dim, changes, "c_custkey", "ts")
+      .groupBy($"segment")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        count(when($"valid_to".isNull, 1)).as("n_open"),
+        min($"valid_from").as("first_from"),
+        max($"valid_from").as("last_from"))
+      .orderBy($"segment")
+  }
+
   /** ORACLED exercise (q81): refresh the customer dim — every 10th
     * customer gets a balance bump + segment reclass (update arm), and
     * every 97th spawns a shifted-key clone (insert arm) — then roll up

@@ -52,6 +52,41 @@ class MutationsSpec extends SparkTestBase {
     }
   }
 
+  test("scd2Apply closes open versions, chains changes, persists untouched keys") {
+    import java.sql.Date
+    val dim = Seq(
+      (1L, "A", Date.valueOf("1990-01-01"), null.asInstanceOf[Date]),
+      (2L, "B", Date.valueOf("1990-01-01"), null.asInstanceOf[Date]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, "A2", Date.valueOf("1995-06-01")),
+      (1L, "A3", Date.valueOf("1998-01-15")))
+      .toDF("k", "seg", "ts")
+    val got = Mutations.scd2Apply(dim, changes, "k", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(got === Seq(
+      (1L, "A", "1990-01-01", Some("1995-06-01")),  // closed at first change
+      (1L, "A2", "1995-06-01", Some("1998-01-15")), // chained to next change
+      (1L, "A3", "1998-01-15", None),               // new open version
+      (2L, "B", "1990-01-01", None)))               // untouched key persists
+    // validity windows tile: per key, each close equals the next open
+    val k1 = got.filter(_._1 == 1L)
+    assert(k1.init.map(_._4.get) === k1.tail.map(_._3))
+  }
+
+  test("q82 history keeps exactly one open version per key") {
+    val out = Mutations.q82Scd2(spark, "/root/testdata/sf0.001").collect()
+    val nOpen = out.map(_.getLong(2)).sum
+    val nCustomers = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(nOpen === nCustomers, "every key must end with exactly one open version")
+    // the change feed produced year segments alongside the originals
+    assert(out.map(_.getString(0)).count(_.startsWith("Y")) > 3)
+  }
+
   test("q81 merges both arms on real testdata") {
     val rows = Mutations.q81Upsert(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
