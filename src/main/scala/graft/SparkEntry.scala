@@ -100,6 +100,7 @@ object SparkEntry {
     "q80_grouped_band_join" -> (Joins.q80GroupedBandJoin _),
     "q81_upsert" -> (Mutations.q81Upsert _),
     "q82_scd2" -> (Mutations.q82Scd2 _),
+    "q83_weighted_sample" -> (graft.util.Sampling.q83WeightedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1025,6 +1026,14 @@ object SparkEntry {
         |  count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open,
         |  min(valid_from) AS first_from, max(valid_from) AS last_from
         |FROM hist GROUP BY segment ORDER BY segment""".stripMargin,
+    // deterministic weighted Bernoulli sample: membership is the exact
+    // integer comparison u*scale < weight*2^32 on an md5-derived u, so
+    // any engine computing the same md5 reproduces the sample row set
+    "q83_weighted_sample" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      * 2000 < n_chars * 4294967296
+        |ORDER BY doc_id""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

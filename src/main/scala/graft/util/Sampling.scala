@@ -27,6 +27,47 @@ object Sampling {
       .drop("__strat_r", "__strat_rn")
   }
 
+  /** Deterministic weighted Bernoulli sample: keep a row iff its
+    * hash-derived 32-bit uniform `u` satisfies `u/2^32 < weight/scale`
+    * — evaluated as the EXACT integer cross-multiplication
+    * `u * scale < weight * 2^32` (no float comparison anywhere, so
+    * Spark and any other engine computing the same md5 agree
+    * bit-for-bit; p ≥ 1 keeps the row automatically since u < 2^32).
+    *
+    * This is the sampling shape a training-data pipeline needs at
+    * 100 TB: pure map-stage (fuses into the scan, no shuffle, no RNG
+    * state), REPRODUCIBLE across reruns and engines, and STABLE under
+    * joins — a document is in or out of the sample everywhere it
+    * appears, because membership is a function of its key, not of a
+    * row's position in some partition (contrast `df.sample`, whose
+    * draw depends on partitioning). Weighted: p = weight/scale, e.g.
+    * quality-score-proportional document selection.
+    *
+    * Caveats: `u*scale` and `weight*2^32` must stay under 2^63 —
+    * scale and weights below ~2^30 are safe; md5 here is a uniformity
+    * device, not a security boundary.
+    */
+  def hashWeightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      scale: Long): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(u * lit(scale) < col(weightCol).cast("long") * lit(4294967296L))
+  }
+
+  /** ORACLED exercise (q83): length-weighted document sample —
+    * p = n_chars/2000, so a 500-char doc is ~5× likelier than a
+    * 100-char one. DuckDB reproduces membership exactly via the same
+    * md5-hex integer comparison.
+    */
+  def q83WeightedSample(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hashWeightedSample(
+      graft.ops.Sources.documents(spark, dir), "doc_id", "n_chars", 2000L)
+      .select($"doc_id", $"n_chars", $"lang")
+      .orderBy($"doc_id")
+  }
+
   /** P5 composed with A2 — balance every class down to the global
     * minimum class size, the reference's exact balancing rule
     * (main.py:157-158).

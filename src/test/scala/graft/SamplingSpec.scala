@@ -51,6 +51,29 @@ class SamplingSpec extends SparkTestBase {
     assert(counts === Map("a" -> 4L, "b" -> 4L, "c" -> 4L))
   }
 
+  test("hash-weighted sample: membership is a pure function of the key") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, 100L + (i % 1900))).toDF("k", "w")
+    def ids(parts: Int) = util.Sampling
+      .hashWeightedSample(df.repartition(parts), "k", "w", 2000L)
+      .select($"k").as[Long].collect().toSet
+    val a = ids(1)
+    assert(a === ids(7), "sample must not depend on partitioning")
+    assert(a.nonEmpty && a.size < 5000)
+  }
+
+  test("hash-weighted sample: rate tracks the weight, p>=1 keeps all") {
+    import spark.implicits._
+    val low = (0L until 20000L).map(i => (i, 200L)).toDF("k", "w")
+    val high = (100000L until 120000L).map(i => (i, 1000L)).toDF("k", "w")
+    val rLow = util.Sampling.hashWeightedSample(low, "k", "w", 2000L).count() / 20000.0
+    val rHigh = util.Sampling.hashWeightedSample(high, "k", "w", 2000L).count() / 20000.0
+    assert(math.abs(rLow - 0.10) < 0.02, s"low-weight rate $rLow !~ 0.10")
+    assert(math.abs(rHigh - 0.50) < 0.02, s"high-weight rate $rHigh !~ 0.50")
+    val full = (0L until 100L).map(i => (i, 2000L)).toDF("k", "w")
+    assert(util.Sampling.hashWeightedSample(full, "k", "w", 2000L).count() === 100L)
+  }
+
   test("85/15 split partitions the input without overlap") {
     val df = corpus(Map("a" -> 200))
     val (train, test) = util.Sampling.split8515(df, 42L)
