@@ -63,6 +63,20 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("grouped sketches: one independent heavy-hitter summary per key") {
+    val rows = Seq("en" -> "a", "en" -> "a", "en" -> "b",
+      "de" -> "x", "de" -> "y", "de" -> "y", "de" -> "y")
+    // k > per-group distincts makes each group's sketch exact and
+    // order-independent
+    val got = rows.toDF("lang", "token").repartition(5)
+      .groupBy($"lang")
+      .agg(Sketches.misraGries(8)($"token").as("s"))
+      .select($"lang", $"s.m")
+      .as[(String, Map[String, Long])].collect().toMap
+    assert(got("en") === Map("a" -> 2L, "b" -> 1L))
+    assert(got("de") === Map("x" -> 1L, "y" -> 3L))
+  }
+
   test("sketch aggregation is two-phase: map-side partial, buffer-only exchange") {
     val plan = Seq("a", "b").toDF("t")
       .agg(Sketches.misraGries(8)($"t"))
