@@ -101,6 +101,7 @@ object SparkEntry {
     "q81_upsert" -> (Mutations.q81Upsert _),
     "q82_scd2" -> (Mutations.q82Scd2 _),
     "q83_weighted_sample" -> (graft.util.Sampling.q83WeightedSample _),
+    "q84_fuzzy_join" -> (Joins.q84FuzzyJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1034,6 +1035,16 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      * 2000 < n_chars * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    // fuzzy join: levenshtein <= 2 with the length-band lower bound as
+    // a candidate prefilter (never drops a true match)
+    "q84_fuzzy_join" ->
+      """WITH dirty(dirty) AS (VALUES ('NATON_3'),('NATIION_7'),
+        |  ('XATION_21'),('NATION_2Q'),('NTION_19'),('XQZV'))
+        |SELECT dirty, n_name, CAST(levenshtein(dirty, n_name) AS BIGINT) AS dist
+        |FROM nation JOIN dirty
+        |  ON abs(length(dirty) - length(n_name)) <= 2
+        | AND levenshtein(dirty, n_name) <= 2
+        |ORDER BY dirty, n_name""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

@@ -288,6 +288,38 @@ object Joins {
       .orderBy($"band")
   }
 
+  /** Fuzzy (edit-distance) join (ORACLED, q84) — entity normalization:
+    * match a dirty feed of misspelled names against a reference dim at
+    * `levenshtein ≤ 2`, e.g. mapping scraped country mentions onto the
+    * canonical table. The length-band conjunct
+    * `|len(a) − len(b)| ≤ d` is a TRUE LOWER BOUND on edit distance,
+    * so it prunes candidate pairs before the O(len·len) DP measure
+    * without ever dropping a match (asserted in `JoinsSpec`).
+    *
+    * 100 TB posture: the dirty feed here is dim-sized and broadcast,
+    * so the plan is a broadcast loop with the cheap length check
+    * first. A large×large fuzzy join needs candidate BLOCKING instead
+    * — equi-join on (length band, char-bigram bucket) exactly like the
+    * SimHash/MinHash band joins (q38/q25), then the distance as a
+    * residual — same pattern, already in the engine.
+    */
+  def q84FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // misspellings of the synthetic NATION_k names (deletion,
+    // insertion, substitution, transposed tail) + one unmatchable decoy;
+    // some hit several nations within distance 2 (NATION_1 vs
+    // NATION_10 are themselves distance 1) — all matches are returned
+    val dirty = Seq("NATON_3", "NATIION_7", "XATION_21", "NATION_2Q",
+      "NTION_19", "XQZV").toDF("dirty")
+    Sources.nation(spark, dir).select($"n_name")
+      .join(broadcast(dirty),
+        abs(length($"dirty") - length($"n_name")) <= 2 &&
+          levenshtein($"dirty", $"n_name") <= 2)
+      .select($"dirty", $"n_name",
+        levenshtein($"dirty", $"n_name").cast("long").as("dist"))
+      .orderBy($"dirty", $"n_name")
+  }
+
   /** J6 PER-GROUP bands (ORACLED) — the most common production band
     * shape: a different tier schedule per group (here, per linestatus;
     * in practice price tiers per region, rate schedules per tenant).

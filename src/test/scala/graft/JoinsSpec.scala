@@ -167,4 +167,52 @@ class JoinsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin [bin"))
     assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1)
   }
+
+  /** Independent local edit-distance oracle (classic DP). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val sub = d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), sub)
+    }
+    d(a.length)(b.length)
+  }
+
+  private val fuzzyDirty = Seq("NATON_3", "NATIION_7", "XATION_21",
+    "NATION_2Q", "NTION_19", "XQZV")
+
+  test("fuzzy join returns exactly the pairs a local DP oracle finds") {
+    val got = ops.Joins.q84FuzzyJoin(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val nations = ops.Sources.nation(spark, "/root/testdata/sf0.001")
+      .select("n_name").collect().map(_.getString(0)).toSeq
+    val want = (for {
+      d <- fuzzyDirty; n <- nations
+      dist = lev(d, n) if dist <= 2
+    } yield (d, n, dist.toLong)).toSet
+    assert(got === want)
+    assert(got.nonEmpty && !got.exists(_._1 == "XQZV"))
+    // every misspelling except the decoy found at least one nation
+    assert(got.map(_._1) === fuzzyDirty.filterNot(_ == "XQZV").toSet)
+  }
+
+  test("length-band prefilter is a sound lower bound: never drops a match") {
+    import spark.implicits._
+    val dirty = fuzzyDirty.toDF("dirty")
+    val nations = ops.Sources.nation(spark, "/root/testdata/sf0.001")
+      .select($"n_name")
+    def pairs(withPrefilter: Boolean) = {
+      val cond = if (withPrefilter)
+        abs(length($"dirty") - length($"n_name")) <= 2 &&
+          levenshtein($"dirty", $"n_name") <= 2
+      else levenshtein($"dirty", $"n_name") <= 2
+      nations.join(broadcast(dirty), cond)
+        .select($"dirty", $"n_name")
+        .as[(String, String)].collect().toSet
+    }
+    val p = pairs(withPrefilter = true)
+    assert(p.nonEmpty && p === pairs(withPrefilter = false))
+  }
 }
