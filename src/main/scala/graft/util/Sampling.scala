@@ -55,6 +55,35 @@ object Sampling {
     df.filter(u * lit(scale) < col(weightCol).cast("long") * lit(4294967296L))
   }
 
+  /** Weighted exact-k sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, IPL 2006): rank every row by `u^(1/w)` with `u` the same
+    * md5-derived uniform as [[hashWeightedSample]] (shifted into
+    * (0, 1] so `u = 0` can't occur) and keep the global top-k.
+    * Deterministic for a given dataset — the rank is a pure function
+    * of (key, weight) — and partition-independent.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans
+    * `TakeOrderedAndProject` — each task keeps a k-row heap and only
+    * those k-row heads move to the driver-side merge; no global sort,
+    * no data shuffle (plan-asserted in `SamplingSpec`). Rows with
+    * non-positive weight are dropped (p = 0 semantics, matching the
+    * Bernoulli variant where `u·scale < w·2^32` is unsatisfiable for
+    * w ≤ 0). Rows-only engine op: the float `pow` rank is IEEE-stable
+    * inside Spark but not bit-portable across engines, so unlike q83
+    * it gets property tests, not a DuckDB oracle.
+    */
+  def weightedExactSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__aes").desc, col(keyCol))
+      .limit(k)
+      .drop("__aes")
+  }
+
   /** ORACLED exercise (q83): length-weighted document sample —
     * p = n_chars/2000, so a 500-char doc is ~5× likelier than a
     * 100-char one. DuckDB reproduces membership exactly via the same

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.when
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -72,6 +73,35 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(rHigh - 0.50) < 0.02, s"high-weight rate $rHigh !~ 0.50")
     val full = (0L until 100L).map(i => (i, 2000L)).toDF("k", "w")
     assert(util.Sampling.hashWeightedSample(full, "k", "w", 2000L).count() === 100L)
+  }
+
+  test("weighted exact-k sample: k rows, partition-independent, heap plan") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, 1L + (i % 100))).toDF("k", "w")
+    val sampled = util.Sampling.weightedExactSample(df, "k", "w", 50)
+    val a = sampled.select($"k").as[Long].collect().toSet
+    assert(a.size === 50)
+    val b = util.Sampling.weightedExactSample(df.repartition(9), "k", "w", 50)
+      .select($"k").as[Long].collect().toSet
+    assert(a === b, "sample must not depend on partitioning")
+    // scale shape: per-task top-k heap, not a global sort
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("weighted exact-k sample is weight-biased; w<=0 is p=0") {
+    import spark.implicits._
+    // two halves of the key space at 10x weight ratio: the heavy half
+    // should dominate the sample (A-ES inclusion ~ proportional to w)
+    val df = ((0L until 5000L).map(i => (i, 1L)) ++
+      (5000L until 10000L).map(i => (i, 10L))).toDF("k", "w")
+    val heavy = util.Sampling.weightedExactSample(df, "k", "w", 200)
+      .filter($"k" >= 5000L).count()
+    assert(heavy > 150, s"heavy half got $heavy of 200 — expected ~10:1 bias")
+    val withZero = df.withColumn("w", when($"k" < 9999L, 0L).otherwise($"w"))
+    val only = util.Sampling.weightedExactSample(withZero, "k", "w", 200)
+      .select($"k").as[Long].collect().toSeq
+    assert(only === Seq(9999L), "w<=0 rows must be excluded")
   }
 
   test("85/15 split partitions the input without overlap") {
