@@ -43,6 +43,50 @@ object Mutations {
     merged.select(out: _*)
   }
 
+  /** Streaming CDC-apply sink: maintain a parquet dimension under a
+    * change-data stream by upserting each micro-batch (`foreachBatch` +
+    * [[upsert]]). Within a batch, the LAST change per key wins
+    * (micro-batches arrive ordered, rows inside one are deduped here by
+    * the stream's `seqCol`), satisfying upsert's one-row-per-key
+    * precondition.
+    *
+    * Write protocol: stage the merged dim next to the target, then
+    * swap directories. The swap is not atomic across failures — a
+    * crash between delete and rename loses the window (the checkpoint
+    * replays the batch on restart, which re-merges idempotently
+    * because upsert is idempotent for identical input). Production
+    * targets a transactional table format; the ENGINE pattern — batch
+    * mutation operators reused verbatim under Structured Streaming —
+    * is what this sink demonstrates.
+    */
+  def streamingUpsertSink(changes: DataFrame, dimPath: String,
+      keys: Seq[String], seqCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", seqCol)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(dimPath)
+        val staging = new org.apache.hadoop.fs.Path(dimPath + ".staging")
+        val merged =
+          if (fs.exists(target)) upsert(spark.read.parquet(dimPath), latest, keys)
+          else latest
+        merged.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(target)) fs.delete(target, true)
+        fs.rename(staging, target)
+        ()
+      }
+      .start()
+  }
+
   /** SCD type-2 apply: fold a change feed into a validity-window dim.
     *
     * `dim` rows carry `(key, attrs…, valid_from, valid_to)` with

@@ -87,6 +87,30 @@ class MutationsSpec extends SparkTestBase {
     assert(out.map(_.getString(0)).count(_.startsWith("Y")) > 3)
   }
 
+  test("streaming CDC-apply maintains the dim across micro-batches, last-in-batch wins") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = ops.Mutations.streamingUpsertSink(
+      input.toDF().toDF("k", "v", "seq"),
+      s"$dir/dim", Seq("k"), "seq", s"$dir/ckpt")
+    try {
+      // batch 1: two keys, plus an in-batch overwrite of k=1 (seq 2 wins)
+      input.addData((1L, "one", 1L), (2L, "two", 1L), (1L, "one-v2", 2L))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(s"$dir/dim")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after1 === Map(1L -> "one-v2", 2L -> "two"))
+      // batch 2: update k=2, insert k=3; k=1 persists from batch 1
+      input.addData((2L, "two-v2", 3L), (3L, "three", 3L))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(s"$dir/dim")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after2 === Map(1L -> "one-v2", 2L -> "two-v2", 3L -> "three"))
+    } finally q.stop()
+  }
+
   test("q81 merges both arms on real testdata") {
     val rows = Mutations.q81Upsert(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
