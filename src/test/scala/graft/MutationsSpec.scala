@@ -111,6 +111,74 @@ class MutationsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsert equals a reference map-merge on randomized inputs (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(0L, 30L)
+      a <- Gen.oneOf("x", "y", "z")
+      b <- Gen.choose(0, 99)
+    } yield (k, a, b)
+    val caseGen = for {
+      nb <- Gen.choose(0, 40)
+      nu <- Gen.choose(0, 40)
+      baseRows <- Gen.listOfN(nb, rowGen)
+      updRows <- Gen.listOfN(nu, rowGen)
+    } yield (baseRows.groupBy(_._1).values.map(_.head).toList, // unique keys
+      updRows.groupBy(_._1).values.map(_.head).toList)
+    (0 until 8).foreach { i =>
+      val (baseRows, updRows) =
+        caseGen.apply(Gen.Parameters.default, Seed(77L + i)).get
+      val base = frame(baseRows.map(t => Row(t._1, t._2, t._3)): _*)
+      val upd = frame(updRows.map(t => Row(t._1, t._2, t._3)): _*)
+      val got = Mutations.upsert(base, upd, Seq("k"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sorted.toSeq
+      val want = (baseRows.map(t => t._1 -> t).toMap ++
+        updRows.map(t => t._1 -> t).toMap).values.toSeq.sorted
+      assert(got === want, s"case $i: base=$baseRows upd=$updRows")
+    }
+  }
+
+  test("scd2Apply invariants hold on randomized change feeds (property)") {
+    import java.sql.Date
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val dimKeys = (1L to 12L)
+    val dim = dimKeys.map(k =>
+      (k, "base", Date.valueOf("1990-01-01"), null.asInstanceOf[Date]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val changeGen = for {
+      k <- Gen.choose(1L, 12L)
+      day <- Gen.choose(1, 2000)
+      seg <- Gen.oneOf("a", "b", "c")
+    } yield (k, seg, Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(day).toString))
+    val feedGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, changeGen))
+      .map(_.groupBy(t => (t._1, t._3)).values.map(_.head).toList) // one change per (key, ts)
+    (0 until 6).foreach { i =>
+      val feed = feedGen.apply(Gen.Parameters.default, Seed(500L + i)).get
+      val changes = feed.toDF("k", "seg", "ts")
+      val hist = Mutations.scd2Apply(dim, changes, "k", "ts")
+        .collect()
+        .map(r => (r.getLong(0), r.getDate(2), Option(r.getDate(3))))
+      // row count: every original + every change is one version
+      assert(hist.length === dimKeys.size + feed.length, s"case $i")
+      // exactly one open version per key
+      val open = hist.filter(_._3.isEmpty)
+      assert(open.map(_._1).sorted.toSeq === dimKeys.toSeq, s"case $i")
+      // windows tile per key: sorted valid_froms chain through valid_tos
+      hist.groupBy(_._1).foreach { case (k, vs) =>
+        val sorted = vs.sortBy(_._2.getTime)
+        sorted.sliding(2).foreach {
+          case Array(prev, next) =>
+            assert(prev._3.contains(next._2),
+              s"case $i key $k: ${prev._3} does not chain to ${next._2}")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("q81 merges both arms on real testdata") {
     val rows = Mutations.q81Upsert(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
