@@ -65,6 +65,31 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Compact a parquet directory to ~`targetRowsPerFile` rows per file —
+    * the small-files housekeeping every long-lived 100 TB table needs
+    * (streaming sinks and incremental loads accrete KB-sized files;
+    * scan cost then tracks FILE COUNT, not bytes, through per-file open
+    * + footer + task overhead). One count, one round-robin shuffle,
+    * staged write + directory swap (same protocol and non-atomicity
+    * caveat as [[graft.ops.Mutations.streamingUpsertSink]]).
+    * Content-preserving, layout-destroying: a z-ordered table should be
+    * re-written with [[writeZOrdered]] instead to keep its clustering.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+    df.repartition(files).write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
   /** ORACLED exercise of the interleave kernel (q79): occupancy of the
     * 8-bit × 8-bit z-cell grid over (l_partkey, l_suppkey) mod 256 —
     * the key distribution a z-ordered write of lineitem would range-

@@ -41,6 +41,19 @@ class LayoutSpec extends SparkTestBase {
     assert(s.sql("SELECT interleave_bits(5L, 3L) AS z").head().getLong(0) === 27L)
   }
 
+  test("compact coalesces a splintered directory, content-preserving") {
+    val base = Files.createTempDirectory("graft-compact").toString + "/t"
+    spark.range(10000L).select($"id", ($"id" % 7).as("g"))
+      .repartition(64).write.parquet(base)
+    val before = spark.read.parquet(base)
+    assert(before.select(input_file_name()).distinct().count() === 64)
+    val want = before.select($"id").as[Long].collect().sorted.toSeq
+    Layout.compact(spark, base, targetRowsPerFile = 2500L)
+    val after = spark.read.parquet(base)
+    assert(after.select(input_file_name()).distinct().count() === 4)
+    assert(after.select($"id").as[Long].collect().sorted.toSeq === want)
+  }
+
   test("z-ordered write prunes a 2-D box predicate better than a linear sort") {
     // Deterministic pseudo-random 2-D points: both dims uniform-ish and
     // INDEPENDENT, the case where a 1-D sort cannot help the other dim.
