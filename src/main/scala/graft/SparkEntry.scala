@@ -877,7 +877,7 @@ object SparkEntry {
     // integral-domain variant of q71: the rule bins int bounds with
     // exact 64-bit div, never through a double
     "q72_int_band_join" ->
-      """SELECT tier, count(*) AS n, sum(qty) AS tier_qty
+      """SELECT tier, count(*) AS n, CAST(sum(qty) AS BIGINT) AS tier_qty
         |FROM (SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem) li
         |JOIN (VALUES
         |  ('s1_unit', 1, 5), ('s2_case', 6, 15),

@@ -50,41 +50,132 @@ object Mutations {
     * the stream's `seqCol`), satisfying upsert's one-row-per-key
     * precondition.
     *
-    * Write protocol: stage the merged dim next to the target, then
-    * swap directories. The swap is not atomic across failures — a
-    * crash between delete and rename loses the window (the checkpoint
-    * replays the batch on restart, which re-merges idempotently
-    * because upsert is idempotent for identical input). Production
-    * targets a transactional table format; the ENGINE pattern — batch
-    * mutation operators reused verbatim under Structured Streaming —
-    * is what this sink demonstrates.
+    * Write protocol: VERSIONED-DIRECTORY commit. The dim lives at
+    * `dimPath/_v=N` (underscore-prefixed so a naive
+    * `spark.read.parquet(dimPath)` fails fast instead of silently
+    * unioning every version) with a one-line `_CURRENT` manifest naming
+    * the committed N; readers go through [[readVersionedDim]]. Each
+    * batch merges against the manifested version, writes `_v=N+1` in
+    * full, then flips the manifest with an atomic overwrite-rename
+    * (`FileContext.rename(OVERWRITE)`) and deletes superseded versions.
+    * Crash anywhere leaves the committed version intact: before the
+    * flip, `_CURRENT` still names N and checkpoint replay re-merges
+    * into a fresh `_v=N+1` (mode=overwrite clobbers the stale staged
+    * copy); after the flip, replay of an already-applied batch is the
+    * one non-idempotent window every file-based CDC sink shares —
+    * avoid it by making `upsert` idempotent per key (it is: identical
+    * input yields identical output). The previous delete-then-rename
+    * protocol could lose the ENTIRE dim to a crash between delete and
+    * rename; versioning removes that window without a table format.
     */
   def streamingUpsertSink(changes: DataFrame, dimPath: String,
       keys: Seq[String], seqCol: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
+      : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(seqCol).desc)
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", seqCol)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val target = new org.apache.hadoop.fs.Path(dimPath)
-        val staging = new org.apache.hadoop.fs.Path(dimPath + ".staging")
-        val merged =
-          if (fs.exists(target)) upsert(spark.read.parquet(dimPath), latest, keys)
-          else latest
-        merged.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(target)) fs.delete(target, true)
-        fs.rename(staging, target)
-        ()
+        applyCdcBatch(batch, dimPath, keys, seqCol)
       }
       .start()
+
+  /** One CDC micro-batch applied to the versioned dim at `dimPath` —
+    * the `foreachBatch` body of [[streamingUpsertSink]], factored out
+    * so crash/replay states can be driven directly in tests.
+    */
+  def applyCdcBatch(batch: DataFrame, dimPath: String, keys: Seq[String],
+      seqCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(dimPath)
+    // resolve the PATH's filesystem, not the default one — dimPath may
+    // live on s3a:///hdfs:// while fs.defaultFS points elsewhere
+    val fs = dir.getFileSystem(conf)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", seqCol)
+    val cur = committedVersion(fs, dir)
+    val merged = cur match {
+      case Some(n) =>
+        upsert(spark.read.parquet(versionDir(dir, n).toString), latest, keys)
+      case None => latest
+    }
+    val next = cur.getOrElse(0L) + 1
+    merged.write.mode("overwrite").parquet(versionDir(dir, next).toString)
+    commitVersion(fs, dir, next)
+    // GC superseded versions — crash mid-GC is harmless (stale dirs are
+    // below the manifest and re-collected on the next batch)
+    listVersions(fs, dir).filter(_ < next)
+      .foreach(n => fs.delete(versionDir(dir, n), true))
+  }
+
+  /** The committed state of a versioned dim directory maintained by
+    * [[streamingUpsertSink]]: the `_CURRENT`-manifested version, or —
+    * if a crash landed exactly between manifest delete and rename on a
+    * filesystem without atomic overwrite-rename — the highest fully
+    * written (`_SUCCESS`-marked) version, which at that crash point is
+    * the one the lost manifest was about to name.
+    */
+  def readVersionedDim(spark: SparkSession, dimPath: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(dimPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = committedVersion(fs, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dimPath"))
+    spark.read.parquet(versionDir(dir, v).toString)
+  }
+
+  private def versionDir(dir: org.apache.hadoop.fs.Path, n: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"_v=$n")
+
+  private def manifest(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_CURRENT")
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_v="))
+      .map(_.stripPrefix("_v=").toLong)
+
+  private def committedVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] = {
+    val m = manifest(dir)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    } else {
+      // manifest missing (fresh dim, or a non-atomic-rename FS crashed
+      // mid-flip): fall back to the highest COMPLETE version — versions
+      // are written in full (with _SUCCESS) before any flip is attempted
+      listVersions(fs, dir)
+        .filter(n => fs.exists(
+          new org.apache.hadoop.fs.Path(versionDir(dir, n), "_SUCCESS")))
+        .sorted.lastOption
+    }
+  }
+
+  private def commitVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, n: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"._CURRENT.$n.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // atomic overwrite-rename where the FS supports it (HDFS, local);
+    // on an object store without it the readVersionedDim fallback covers
+    // the delete+rename window
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, fs.getConf)
+        .rename(tmp, manifest(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        if (fs.exists(manifest(dir))) fs.delete(manifest(dir), false)
+        fs.rename(tmp, manifest(dir))
+    }
   }
 
   /** SCD type-2 apply: fold a change feed into a validity-window dim.

@@ -35,7 +35,7 @@ object Layout {
     // above the last fall into the edge buckets
     val interior = splits.drop(1).dropRight(1)
     val v = col(colName).cast("double")
-    // binary-search-free form: sum of (v > boundary) over the ≤255
+    // binary-search-free form: sum of (v > boundary) over the ≤1023
     // interior boundaries stays codegen'd; fine for write-side layout
     interior.foldLeft(lit(0L)) { (acc, b) =>
       acc + when(v > lit(b), 1L).otherwise(0L)
@@ -44,11 +44,17 @@ object Layout {
 
   /** `df` with a `__z` column: interleave of the two columns'
     * equi-depth bucket ranks (default 256 buckets ⇒ 16 z bits).
+    *
+    * Buckets cap at 1024: the rank expression is a linear chain of
+    * `when` terms over the interior boundaries, which whole-stage
+    * codegen tolerates at ~1k terms but not at 64k (JVM method-size
+    * limits); past 1024 buckets the z-cells are finer than any
+    * realistic file count resolves anyway.
     */
   def withZValue(df: DataFrame, c1: String, c2: String,
       buckets: Int = 256): DataFrame = {
-    require(buckets >= 2 && buckets <= 65536,
-      s"buckets must be in [2, 65536], got $buckets")
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
     df.withColumn("__z", org.apache.spark.sql.graftshim.GraftColumns
       .interleaveBits(rankBucket(df, c1, buckets), rankBucket(df, c2, buckets)))
   }
@@ -69,26 +75,59 @@ object Layout {
     * the small-files housekeeping every long-lived 100 TB table needs
     * (streaming sinks and incremental loads accrete KB-sized files;
     * scan cost then tracks FILE COUNT, not bytes, through per-file open
-    * + footer + task overhead). One count, one round-robin shuffle,
-    * staged write + directory swap (same protocol and non-atomicity
-    * caveat as [[graft.ops.Mutations.streamingUpsertSink]]).
+    * + footer + task overhead). Output sizing comes from the parquet
+    * FOOTERS (each file's row count is in its metadata) — a driver-side
+    * footer read per file, NOT a `count()` scan: at 100 TB a sizing
+    * scan would read the whole table once before the real rewrite
+    * (asserted job-free in LayoutSpec). One round-robin shuffle, staged
+    * write + directory swap; a crash between delete and rename is
+    * recovered at the next compact's entry (complete staging + missing
+    * target ⇒ adopt staging), mirroring the versioned-commit recovery
+    * in [[graft.ops.Mutations.streamingUpsertSink]].
     * Content-preserving, layout-destroying: a z-ordered table should be
     * re-written with [[writeZOrdered]] instead to keep its clustering.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
-    val df = spark.read.parquet(path)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
+    // the PATH's filesystem, not the default one — path may be s3a://
+    // etc. while fs.defaultFS differs
+    val fs = target.getFileSystem(conf)
     val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
-    df.repartition(files).write.mode("overwrite").parquet(staging.toString)
+    // recover a previous compaction that crashed between delete and
+    // rename: the staged directory holds the only complete copy
+    if (!fs.exists(target) && fs.exists(staging) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      fs.rename(staging, target)
+      return
+    }
+    if (fs.exists(staging)) fs.delete(staging, true) // stale partial stage
+    val n = footerRowCount(fs, target)
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    spark.read.parquet(path)
+      .repartition(files).write.mode("overwrite").parquet(staging.toString)
     fs.delete(target, true)
     fs.rename(staging, target)
   }
+
+  /** Total row count of a parquet directory from file footers only —
+    * no Spark job, no data pages read.
+    */
+  private[graft] def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(dir).iterator
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
 
   /** ORACLED exercise of the interleave kernel (q79): occupancy of the
     * 8-bit × 8-bit z-cell grid over (l_partkey, l_suppkey) mod 256 —

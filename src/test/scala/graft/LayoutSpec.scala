@@ -54,6 +54,67 @@ class LayoutSpec extends SparkTestBase {
     assert(after.select($"id").as[Long].collect().sorted.toSeq === want)
   }
 
+  test("compact sizes from parquet footers — no counting scan before the write") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try f finally {
+        // the listener bus is async — wait for the count to go quiet
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val c = counter.get
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        spark.sparkContext.removeSparkListener(l)
+      }
+      counter.get
+    }
+    def splintered(): String = {
+      val p = Files.createTempDirectory("graft-compact-jobs").toString + "/t"
+      spark.range(8000L).repartition(32).write.parquet(p)
+      p
+    }
+    // footer sizing agrees with the scan it replaces
+    val p0 = splintered()
+    val fs = new org.apache.hadoop.fs.Path(p0)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.footerRowCount(fs, new org.apache.hadoop.fs.Path(p0)) === 8000L)
+    // compact must launch exactly the jobs of the bare rewrite — the
+    // old df.count() sizing added a full-scan job on top
+    val pBare = splintered()
+    val bare = jobsDuring {
+      spark.read.parquet(pBare).repartition(4)
+        .write.mode("overwrite").parquet(pBare + ".rewrite")
+    }
+    val pCompact = splintered()
+    val compacted = jobsDuring(Layout.compact(spark, pCompact, 2000L))
+    assert(compacted === bare,
+      s"compact ran $compacted jobs vs $bare for the bare rewrite — sizing must not scan")
+  }
+
+  test("compact recovers a crash between delete and rename from the staged copy") {
+    val base = Files.createTempDirectory("graft-compact-crash").toString + "/t"
+    spark.range(1000L).repartition(8).write.parquet(base)
+    // simulate the crash window: a complete staged compaction exists,
+    // the target directory is already gone
+    spark.read.parquet(base).repartition(1)
+      .write.parquet(base + ".compacting")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(base), true))
+    Layout.compact(spark, base, 2000L)
+    val restored = spark.read.parquet(base)
+    assert(restored.count() === 1000L)
+    assert(restored.select(input_file_name()).distinct().count() === 1)
+  }
+
   test("z-ordered write prunes a 2-D box predicate better than a linear sort") {
     // Deterministic pseudo-random 2-D points: both dims uniform-ish and
     // INDEPENDENT, the case where a 1-D sort cannot help the other dim.

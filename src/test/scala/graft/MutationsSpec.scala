@@ -99,16 +99,66 @@ class MutationsSpec extends SparkTestBase {
       // batch 1: two keys, plus an in-batch overwrite of k=1 (seq 2 wins)
       input.addData((1L, "one", 1L), (2L, "two", 1L), (1L, "one-v2", 2L))
       q.processAllAvailable()
-      val after1 = spark.read.parquet(s"$dir/dim")
+      val after1 = Mutations.readVersionedDim(spark, s"$dir/dim")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(after1 === Map(1L -> "one-v2", 2L -> "two"))
       // batch 2: update k=2, insert k=3; k=1 persists from batch 1
       input.addData((2L, "two-v2", 3L), (3L, "three", 3L))
       q.processAllAvailable()
-      val after2 = spark.read.parquet(s"$dir/dim")
+      val after2 = Mutations.readVersionedDim(spark, s"$dir/dim")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(after2 === Map(1L -> "one-v2", 2L -> "two-v2", 3L -> "three"))
+      // superseded versions are GC'd: exactly one _v= dir remains
+      val vdirs = new java.io.File(s"$dir/dim").listFiles()
+        .map(_.getName).filter(_.startsWith("_v=")).toSeq
+      assert(vdirs === Seq("_v=2"))
     } finally q.stop()
+  }
+
+  test("versioned commit: a crash between stage and manifest flip recovers on replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-crash").toString
+    val dim = s"$dir/dim"
+    def batch(rows: (Long, String, Long)*) = frame(rows.map(t =>
+      Row(t._1, t._2, t._3.toInt)): _*).toDF("k", "v", "seq")
+    // batch 1 commits _v=1
+    Mutations.applyCdcBatch(batch((1L, "one", 1)), dim, Seq("k"), "seq")
+    // simulate batch 2 crashing AFTER staging _v=2 but BEFORE the flip:
+    // a fully-written staged version with stale (even wrong) content,
+    // manifest still naming version 1
+    frame(Row(9L, "garbage", 0)).toDF("k", "v", "seq").drop("seq")
+      .withColumn("v", lit("garbage"))
+      .write.mode("overwrite").parquet(s"$dim/_v=2")
+    val committed = Mutations.readVersionedDim(spark, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(committed === Map(1L -> "one"),
+      "a staged-but-unflipped version must be invisible to readers")
+    // checkpoint replay of batch 2: must clobber the stale stage,
+    // merge against _v=1, and flip
+    Mutations.applyCdcBatch(
+      batch((1L, "one-v2", 2), (2L, "two", 2)), dim, Seq("k"), "seq")
+    val after = Mutations.readVersionedDim(spark, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "one-v2", 2L -> "two"))
+  }
+
+  test("versioned commit: a lost manifest falls back to the highest complete version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-manifest").toString
+    val dim = s"$dir/dim"
+    def batch(rows: (Long, String, Long)*) = frame(rows.map(t =>
+      Row(t._1, t._2, t._3.toInt)): _*).toDF("k", "v", "seq")
+    Mutations.applyCdcBatch(batch((1L, "one", 1)), dim, Seq("k"), "seq")
+    Mutations.applyCdcBatch(batch((2L, "two", 2)), dim, Seq("k"), "seq")
+    // simulate a mid-flip crash on a FS without atomic overwrite-rename:
+    // the manifest is gone but _v=2 is complete (_SUCCESS present)
+    assert(new java.io.File(s"$dim/_CURRENT").delete())
+    val got = Mutations.readVersionedDim(spark, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "one", 2L -> "two"))
+    // and the next batch re-establishes the manifest on top of it
+    Mutations.applyCdcBatch(batch((3L, "three", 3)), dim, Seq("k"), "seq")
+    val after = Mutations.readVersionedDim(spark, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "one", 2L -> "two", 3L -> "three"))
   }
 
   test("upsert equals a reference map-merge on randomized inputs (property)") {
