@@ -102,6 +102,8 @@ object SparkEntry {
     "q82_scd2" -> (Mutations.q82Scd2 _),
     "q83_weighted_sample" -> (graft.util.Sampling.q83WeightedSample _),
     "q84_fuzzy_join" -> (Joins.q84FuzzyJoin _),
+    "q85_fuzzy_corpus_join" -> (Joins.q85FuzzyCorpusJoin _),
+    "q86_weighted_group_sample" -> (graft.util.Sampling.q86WeightedGroupSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,6 +376,13 @@ object SparkEntry {
     "q33_strat_sample" ->
       """SELECT o_orderpriority, least(count(*), 10) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // weighted per-group exact-k: WHICH docs are drawn is the engine's
+    // IEEE pow rank (not bit-portable), but the exact-k contract —
+    // least(|group with w>0|, k) rows per group — is oracle-checkable
+    "q86_weighted_group_sample" ->
+      """SELECT lang, least(count(*), 40) AS n
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q34_meanvec" ->
       """WITH emb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
         |SELECT label, count(*) AS n,
@@ -1045,6 +1054,27 @@ object SparkEntry {
         |  ON abs(length(dirty) - length(n_name)) <= 2
         | AND levenshtein(dirty, n_name) <= 2
         |ORDER BY dirty, n_name""".stripMargin,
+    // large×large fuzzy join: the PassJoin segment blocking is an
+    // exact pigeonhole, so the blocked join must equal DuckDB's full
+    // quadratic levenshtein join over the same corrupted prefixes
+    "q85_fuzzy_corpus_join" ->
+      """WITH clean AS (
+        |  SELECT doc_id AS cid, substr(text, 1, 16) AS cname FROM documents),
+        |dirty AS (
+        |  SELECT cid AS did,
+        |    CASE CAST(cid % 4 AS INTEGER)
+        |      WHEN 0 THEN substr(cname, 1, 3) || substr(cname, 5, 16)
+        |      WHEN 1 THEN substr(cname, 1, 6) || '#' || substr(cname, 8, 16)
+        |      WHEN 2 THEN substr(cname, 1, 1) || substr(cname, 3, 7) || '#' || substr(cname, 11, 16)
+        |      ELSE substr(cname, 1, 4) || 'zz' || substr(cname, 5, 16)
+        |    END AS dname
+        |  FROM clean),
+        |pairs AS (
+        |  SELECT did, cid, CAST(levenshtein(dname, cname) AS BIGINT) AS dist
+        |  FROM dirty, clean WHERE levenshtein(dname, cname) <= 2)
+        |SELECT dist, count(*) AS n_pairs,
+        |  count(CASE WHEN did = cid THEN 1 END) AS n_self
+        |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

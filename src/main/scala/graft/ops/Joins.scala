@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -318,6 +318,123 @@ object Joins {
       .select($"dirty", $"n_name",
         levenshtein($"dirty", $"n_name").cast("long").as("dist"))
       .orderBy($"dirty", $"n_name")
+  }
+
+  /** Large×large fuzzy join — entity resolution between two
+    * corpus-sized feeds at `levenshtein ≤ maxDist`, with NEITHER side
+    * broadcast: candidate generation is PassJoin-style SEGMENT
+    * blocking (Li/Deng/Feng, ICDE 2011 — public literature), an exact
+    * pigeonhole, so the result EQUALS the nested-loop fuzzy join
+    * (asserted against brute force in JoinsSpec, oracled in q85):
+    *
+    *  - the `right` side splits each string into `maxDist + 1` even
+    *    segments; if `ed(a, b) ≤ maxDist` then at least one whole
+    *    segment of `b` survives unedited, so it occurs in `a` EXACTLY,
+    *    shifted by at most `maxDist` positions;
+    *  - the `left` (probe) side therefore emits, for every candidate
+    *    right-length `|len(a)| ± maxDist` and every segment index, the
+    *    substrings of `a` at the segment's position ± maxDist — a
+    *    LITERAL (d+1)·(2d+1)² unroll (75 keys at d=2), deduped with
+    *    `array_distinct` before the explode;
+    *  - candidates equi-join on the (segment idx, segment text, right
+    *    length) key — a plain keyed shuffle, SortMergeJoin at scale —
+    *    then the `levenshtein` DP runs as a residual and duplicate
+    *    candidate pairs collapse on (leftId, rightId).
+    *
+    * 100 TB posture: shuffle volume is ~(2d+1)² × |left| + (d+1) ×
+    * |right| short segment keys — pass the SMALLER feed as `left`.
+    * No driver materialization, no broadcast, no O(|L|·|R|) predicate:
+    * this is the blocking shape [[q84FuzzyJoin]]'s scaladoc promises
+    * for two 100 M-row feeds. Skewed blocks (e.g. a hot 3-char prefix)
+    * are bounded by the residual's cheap length prefilter riding in the
+    * key (targetLen), and empty-segment keys only arise for strings
+    * shorter than d+1 characters.
+    */
+  def fuzzyJoinBlocked(left: DataFrame, leftId: String, leftCol: String,
+      right: DataFrame, rightId: String, rightCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"maxDist must be in [1, 4], got $maxDist")
+    require(Seq(leftId, leftCol, rightId, rightCol).distinct.size == 4,
+      "left and right id/value column names must be distinct")
+    val d = maxDist
+    val parts = d + 1
+    // even segmentation of a string of length len: segment i has length
+    // q + (i < r) and 0-based start i*q + min(i, r)
+    def segLen(len: Column, i: Int): Column =
+      floor(len / parts).cast("int") +
+        when(lit(i) < len % parts, 1).otherwise(0)
+    def segStart(len: Column, i: Int): Column =
+      floor(len / parts).cast("int") * i + least(lit(i), len % parts)
+
+    // indexed side: its own d+1 exact segments, keyed by (i, seg, len)
+    val rLen = length(col(rightCol)).cast("int")
+    val rightKeys = (0 to d).map { i =>
+      struct(
+        lit(i).as("seg_i"),
+        col(rightCol).substr(segStart(rLen, i) + 1, segLen(rLen, i)).as("seg"),
+        rLen.as("target_len"))
+    }
+    // probe side: every substring a surviving segment could be, for
+    // every plausible right length and ±d position shift
+    val lLen = length(col(leftCol)).cast("int")
+    val probeKeys = for {
+      i <- 0 to d
+      delta <- -d to d
+      shift <- -d to d
+    } yield {
+      val tLen = lLen + delta
+      val sLen = segLen(tLen, i)
+      val p = segStart(tLen, i) + shift
+      val valid = tLen >= 0 && p >= 0 && (p + sLen) <= lLen
+      when(valid,
+        struct(lit(i).as("seg_i"),
+          col(leftCol).substr(p + 1, sLen).as("seg"),
+          tLen.as("target_len")))
+    }
+    val lk = left.select(col(leftId), col(leftCol),
+      explode(array_distinct(array_compact(array(probeKeys: _*)))).as("__blk"))
+    val rk = right.select(col(rightId), col(rightCol),
+      explode(array_distinct(array(rightKeys: _*))).as("__blk"))
+    lk.join(rk, Seq("__blk"))
+      .filter(levenshtein(col(leftCol), col(rightCol)) <= d)
+      // several blocks can yield the same true pair — collapse AFTER
+      // the cheap residual so only matches pay the dedup shuffle
+      .dropDuplicates(leftId, rightId)
+      .select(col(leftId), col(leftCol), col(rightId), col(rightCol),
+        levenshtein(col(leftCol), col(rightCol)).cast("long").as("dist"))
+  }
+
+  /** [[fuzzyJoinBlocked]] ORACLED (q85) — a corpus-sized dirty feed
+    * matched against a corpus-sized clean one, neither broadcastable:
+    * every document's 16-char prefix is deterministically corrupted
+    * (delete / substitute / delete+substitute / double-insert, by
+    * doc_id mod 4) and re-matched at edit distance ≤ 2. DuckDB
+    * reproduces the corruption and the full quadratic fuzzy join;
+    * the blocked join must return the IDENTICAL pair set, rolled up
+    * per distance with a self-match count.
+    */
+  def q85FuzzyCorpusJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clean = Sources.documents(spark, dir)
+      .select($"doc_id".as("cid"), substring($"text", 1, 16).as("cname"))
+    val dirty = clean.select($"cid".as("did"),
+      when($"cid" % 4 === 0,
+        concat(substring($"cname", 1, 3), substring($"cname", 5, 16)))
+      .when($"cid" % 4 === 1,
+        concat(substring($"cname", 1, 6), lit("#"), substring($"cname", 8, 16)))
+      .when($"cid" % 4 === 2,
+        concat(substring($"cname", 1, 1), substring($"cname", 3, 7),
+          lit("#"), substring($"cname", 11, 16)))
+      .otherwise(
+        concat(substring($"cname", 1, 4), lit("zz"), substring($"cname", 5, 16)))
+      .as("dname"))
+    fuzzyJoinBlocked(dirty, "did", "dname", clean, "cid", "cname", maxDist = 2)
+      .groupBy($"dist")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when($"did" === $"cid", 1)).as("n_self"))
+      .orderBy($"dist")
   }
 
   /** J6 PER-GROUP bands (ORACLED) — the most common production band

@@ -45,11 +45,21 @@ object Sampling {
     *
     * Caveats: `u*scale` and `weight*2^32` must stay under 2^63 —
     * scale and weights below ~2^30 are safe; md5 here is a uniformity
-    * device, not a security boundary.
+    * device, not a security boundary. The weight column must be
+    * INTEGRAL (the exact comparison lives in the integer domain; a
+    * silent cast would floor fractional weights, dropping every
+    * 0 < w < 1 row entirely) — pre-scale fractional weights into
+    * integers, e.g. `round(w * 1000)` against `scale * 1000`, or use
+    * [[weightedExactSample]] whose rank accepts any positive weight.
     */
   def hashWeightedSample(df: DataFrame, keyCol: String, weightCol: String,
       scale: Long): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    val wt = df.schema(weightCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wt.typeName),
+      s"weight column $weightCol must be integral, got ${wt.typeName}: " +
+        "the exact membership comparison is integer-only — pre-scale " +
+        "fractional weights (e.g. round(w*1000) vs scale*1000)")
     val u = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
     df.filter(u * lit(scale) < col(weightCol).cast("long") * lit(4294967296L))
@@ -82,6 +92,50 @@ object Sampling {
       .orderBy(col("__aes").desc, col(keyCol))
       .limit(k)
       .drop("__aes")
+  }
+
+  /** Weighted exact-k sample PER GROUP — [[weightedExactSample]]'s
+    * A-ES rank composed with [[stratifiedExactSample]]'s window shape:
+    * rank rows by `u^(1/w)` WITHIN each group (`row_number` over the
+    * group partition) and keep each group's top k. This is the sample a
+    * curation pipeline actually draws — "k docs per language/source,
+    * picked proportionally to quality" — stratification and weighting
+    * in ONE pass.
+    *
+    * Scale shape: one window shuffle on the group key (same as q33's
+    * stratified sample; the global A-ES heap trick doesn't compose with
+    * per-group limits, so the window IS the right plan). Deterministic
+    * for a given dataset — rank is a pure function of (key, weight) —
+    * and partition-independent. Groups smaller than k (after dropping
+    * w ≤ 0 rows) are kept whole, matching the exact-k contract.
+    */
+  def weightedExactSamplePerGroup(df: DataFrame, groupCol: String,
+      keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__aes").desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("__aes_rn", row_number().over(w))
+      .filter(col("__aes_rn") <= k)
+      .drop("__aes", "__aes_rn")
+  }
+
+  /** ORACLED exercise (q86) — q33's count-contract oracle applied to
+    * the weighted per-group sample: WHICH docs are drawn is the
+    * engine's IEEE `pow` rank (not bit-portable, so not hashed), but
+    * the exact-k contract — `least(|group with w > 0|, k)` rows per
+    * language — is engine-independent and DuckDB-checkable.
+    */
+  def q86WeightedGroupSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sampled = weightedExactSamplePerGroup(
+      graft.ops.Sources.documents(spark, dir), "lang", "doc_id", "n_chars", 40)
+    sampled.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"))
   }
 
   /** ORACLED exercise (q83): length-weighted document sample —

@@ -215,4 +215,48 @@ class JoinsSpec extends SparkTestBase {
     val p = pairs(withPrefilter = true)
     assert(p.nonEmpty && p === pairs(withPrefilter = false))
   }
+
+  test("blocked fuzzy join equals brute force on random corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small alphabet forces collisions, near-misses, and length spreads;
+    // lengths 0..12 cover the empty string and sub-segment-length strings
+    val strGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(10, 40).flatMap(n => Gen.listOfN(n, strGen))
+    (0 until 4).foreach { i =>
+      val d = 1 + (i % 3)
+      val ls = corpusGen.apply(Gen.Parameters.default, Seed(900L + i)).get
+      val rs = corpusGen.apply(Gen.Parameters.default, Seed(950L + i)).get
+      val left = ls.zipWithIndex.map { case (s, j) => (j.toLong, s) }.toDF("lid", "ls")
+      val right = rs.zipWithIndex.map { case (s, j) => (j.toLong, s) }.toDF("rid", "rs")
+      val got = ops.Joins.fuzzyJoinBlocked(left, "lid", "ls", right, "rid", "rs", d)
+        .select($"lid", $"rid", $"dist").as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (l, li) <- ls.zipWithIndex; (r, ri) <- rs.zipWithIndex
+        dist = lev(l, r) if dist <= d
+      } yield (li.toLong, ri.toLong, dist.toLong)).toSet
+      assert(got === want, s"case $i d=$d: blocking must be an exact pigeonhole")
+      assert(want.nonEmpty, s"case $i d=$d: vacuous corpus")
+    }
+  }
+
+  test("blocked fuzzy join never broadcasts either full side") {
+    // the scale claim: with broadcast off (as it would be for two
+    // 100M-row feeds) the candidate join is a KEYED join on the block
+    // struct — never a nested loop over either side
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val left = (0L until 500L).map(i => (i, s"name_${i % 97}_x")).toDF("lid", "ls")
+    val right = (0L until 500L).map(i => (i, s"name_${i % 89}_y")).toDF("rid", "rs")
+    val out = ops.Joins.fuzzyJoinBlocked(left, "lid", "ls", right, "rid", "rs", 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must not plan a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"candidate join must be a keyed shuffle join:\n$plan")
+    assert(out.count() > 0)
+  }
 }

@@ -104,6 +104,47 @@ class SamplingSpec extends SparkTestBase {
     assert(only === Seq(9999L), "w<=0 rows must be excluded")
   }
 
+  test("weighted per-group sample: exact-k per group on randomized inputs (property)") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.mapOfN(4, Gen.zip(Gen.oneOf("a", "b", "c", "d", "e"), Gen.choose(1, 40))),
+      Gen.choose(1, 12))
+    val cases = (0 until 8).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(31L + i)))
+    assert(cases.nonEmpty)
+    cases.filter(_._1.nonEmpty).foreach { case (sizes, k) =>
+      // weights 0..4 cycling: w=0 rows must not count toward the group size
+      val df = sizes.toSeq.flatMap { case (g, n) =>
+        (0 until n).map(i => (g, s"$g-$i", (i % 5).toLong))
+      }.toDF("g", "id", "w")
+      val out = util.Sampling.weightedExactSamplePerGroup(df, "g", "id", "w", k)
+      val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+      sizes.foreach { case (g, n) =>
+        val eligible = (0 until n).count(_ % 5 != 0)
+        assert(counts.getOrElse(g, 0L) === math.min(eligible, k).toLong,
+          s"sizes=$sizes k=$k group=$g eligible=$eligible")
+      }
+      // no sampled row may carry a non-positive weight
+      assert(out.filter($"w" <= 0).count() === 0L)
+    }
+  }
+
+  test("weighted per-group sample: partition-independent and weight-biased in-group") {
+    import spark.implicits._
+    // one group with a 10x weight split, one control group
+    val df = ((0L until 2000L).map(i => ("big", i, if (i < 1000) 1L else 10L)) ++
+      (0L until 50L).map(i => ("small", 100000L + i, 1L))).toDF("g", "k", "w")
+    val a = util.Sampling.weightedExactSamplePerGroup(df, "g", "k", "w", 100)
+      .select($"k").as[Long].collect().toSet
+    val b = util.Sampling.weightedExactSamplePerGroup(df.repartition(13), "g", "k", "w", 100)
+      .select($"k").as[Long].collect().toSet
+    assert(a === b, "sample must not depend on partitioning")
+    val heavy = a.count(k => k >= 1000L && k < 2000L)
+    assert(heavy > 75, s"heavy half got $heavy of 100 — expected ~10:1 bias")
+    // the undersized group is kept whole
+    assert(a.count(_ >= 100000L) === 50)
+  }
+
   test("85/15 split partitions the input without overlap") {
     val df = corpus(Map("a" -> 200))
     val (train, test) = util.Sampling.split8515(df, 42L)
