@@ -5,8 +5,9 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, JoinHint, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.GraftPlans
 import org.apache.spark.sql.types._
@@ -95,7 +96,14 @@ import org.apache.spark.sql.types._
   */
 object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val maxBandRows = 10000
+  /** Band sides up to this many rows are materialized at plan time and
+    * exploded into a broadcastable LocalRelation; LARGER deterministic
+    * batch band sides take the distributed fallback ([[rewriteLarge]])
+    * instead of declining to a nested loop. Conf-settable so tests can
+    * force the fallback path with small inputs.
+    */
+  private def maxBandRows: Int =
+    conf.getConfString("spark.graft.bandJoin.maxBandRows", "10000").toInt
   private val targetBins = 1024
   /** Decline floating rewrites whose bin ids would approach the Long
     * saturation edge of `(long) Math.floor(x)`.
@@ -204,33 +212,153 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
       case ((v1, hi, false), (v2, lo, true)) if v1.semanticEquals(v2) => (v1, lo, hi)
       case _ => return None
     }
-    bandRowsOf(band).flatMap(rows => rewrite(j, fact, band, rows, cond, v, loE, hiE, hint))
+    bandSideOf(band) match {
+      case Materialized(rows) =>
+        rewrite(j, fact, band, rows, cond, v, loE, hiE, hint)
+      case TooLarge =>
+        rewriteLarge(j, fact, band, cond, v, loE, hiE, hint)
+      case Unusable => None
+    }
   }
+
+  private sealed trait BandSide
+  private case class Materialized(rows: Seq[InternalRow]) extends BandSide
+  /** Deterministic batch band side that exceeds the materialization
+    * budget — eligible for the distributed fallback.
+    */
+  private case object TooLarge extends BandSide
+  private case object Unusable extends BandSide
 
   /** The band side's rows, if obtainable at planning time within
     * budget: a `LocalRelation` reads free; a deterministic batch plan
     * whose stats fit `maxMaterializeBytes` is executed with a bounded
-    * `executeTake` (> `maxBandRows` rows declines). Non-deterministic
+    * `executeTake`. Oversized-but-deterministic sides report
+    * [[TooLarge]] for the distributed fallback. Non-deterministic
     * plans must not be materialized at plan time — the snapshot would
     * disagree with an execution-time evaluation.
     */
-  private def bandRowsOf(band: LogicalPlan): Option[Seq[InternalRow]] = band match {
+  private def bandSideOf(band: LogicalPlan): BandSide = band match {
     case lr: LocalRelation =>
-      if (lr.data.length <= maxBandRows) Some(lr.data) else None
+      if (lr.data.length <= maxBandRows) Materialized(lr.data) else TooLarge
     case p =>
       val deterministic = !p.exists(_.expressions.exists(!_.deterministic))
       val small = p.stats.sizeInBytes <= maxMaterializeBytes ||
         p.stats.rowCount.exists(_ <= maxBandRows)
-      if (p.isStreaming || !deterministic || !small) None
+      if (p.isStreaming || !deterministic) Unusable
+      else if (!small) TooLarge
       else {
         try {
-          SparkSession.getActiveSession.flatMap { s =>
+          SparkSession.getActiveSession.map { s =>
             val taken = GraftPlans.executeTake(s, p, maxBandRows + 1)
-            if (taken.length > maxBandRows) None else Some(taken.toSeq)
-          }
-        } catch { case NonFatal(_) => None }
+            if (taken.length > maxBandRows) TooLarge
+            else Materialized(taken.toSeq)
+          }.getOrElse(Unusable)
+        } catch { case NonFatal(_) => Unusable }
       }
   }
+
+  /** Bin-domain Long view of a band bound / fact value expression —
+    * the SAME mapping [[rewrite]] pins driver-side, expressed in
+    * Catalyst so it can run distributed: timestamps through their
+    * exact internal micros, dates through days, integrals through a
+    * plain widening cast.
+    */
+  private def asBinLong(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMicros(e)
+    case DateType      => Cast(UnixDate(e), LongType)
+    case LongType      => e
+    case _             => Cast(e, LongType)
+  }
+
+  /** Distributed fallback for a band side TOO LARGE to materialize:
+    * instead of declining to a BroadcastNestedLoopJoin — the exact
+    * scale-killer this rule exists to remove — explode the band rows
+    * into their bins WITH A `Generate` NODE (each band row becomes
+    * `span/w + 1` copies, computed executor-side), and shuffle-join
+    * fact and band on the 8-byte bin key. Plan shape:
+    * SortMergeJoin/ShuffledHashJoin on (bin, equi conjuncts) with the
+    * original range predicate as residual — O(|fact| + Σ bins), never
+    * O(|fact| × |bands|).
+    *
+    * The bin width comes from a bounded plan-time AGGREGATE over the
+    * band side (min/max/avg/max span — one O(band) job at planning,
+    * the price a broadcast join pays at execution, and the result is a
+    * single row): `w = max(avg span, max span / 4096)` keeps the
+    * explosion near 2× |bands| on even bands and caps the widest row's
+    * fan-out under skew. Any w > 0 is CORRECT (the residual re-checks
+    * the exact bounds; fact and band bin through the same
+    * `IntegralDivide`) — the stats only tune the explosion factor, so
+    * double-precision span arithmetic is fine even at int64 extremes.
+    *
+    * INTEGRAL domains only (byte/short/int/long/timestamp/date):
+    * binning is exact 64-bit division on both sides, and inverted /
+    * null bands emit zero bins through the guarded `sequence`
+    * (`If(hi >= lo, sequence(...), empty)`) exactly like the
+    * materialized path drops them. Floating band sides decline — a
+    * NaN/Inf bound can't be detected at plan time without reading the
+    * rows, and silently mis-binning it would change results.
+    */
+  private def rewriteLarge(
+      j: Join,
+      fact: LogicalPlan,
+      band: LogicalPlan,
+      cond: Expression,
+      v: Expression,
+      loE: Expression,
+      hiE: Expression,
+      hint: JoinHint): Option[LogicalPlan] = {
+    v.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => ()
+      case _ => return None
+    }
+    val loL = asBinLong(loE)
+    val hiL = asBinLong(hiE)
+    // one-row plan-time stats job: min/max bound, span sum/max (double
+    // domain — Long subtraction could overflow at epoch extremes, and
+    // w only tunes performance, never correctness), row count
+    val spanD = Subtract(Cast(hiL, DoubleType), Cast(loL, DoubleType))
+    val statsRow = try {
+      SparkSession.getActiveSession.map { s =>
+        val agg = Aggregate(Nil, Seq(
+          Alias(Sum(spanD).toAggregateExpression(), "span_sum")(),
+          Alias(Max(spanD).toAggregateExpression(), "span_max")(),
+          Alias(Count(Seq(Literal(1))).toAggregateExpression(), "n")()), band)
+        GraftPlans.executeTake(s, agg, 1).headOption
+      }.flatten
+    } catch { case NonFatal(_) => None }
+    val row = statsRow.getOrElse(return None)
+    if (row.isNullAt(0) || row.isNullAt(1)) return None // no non-null bands
+    val spanSum = row.getDouble(0)
+    val spanMax = row.getDouble(1)
+    val n = row.getLong(2)
+    if (n <= 0 || spanSum.isNaN || spanMax.isNaN) return None
+    val w = math.max(1.0,
+      math.max(spanSum / n, spanMax / maxBinsPerLargeBand))
+      .min(Long.MaxValue / 4.0).toLong
+    val wLit = Literal(w, LongType)
+    // band side: explode each row into its covered bins; inverted or
+    // null-bounded bands yield an empty sequence (matches nothing in
+    // both shapes)
+    val seqExpr = If(
+      GreaterThanOrEqual(hiL, loL),
+      // timeZoneId must be pinned post-analysis (TimeZoneAwareExpression
+      // is unresolved without one), even though Long sequences ignore it
+      new Sequence(IntegralDivide(loL, wLit), IntegralDivide(hiL, wLit),
+        Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+    val binAttr = AttributeReference("graft_band_bin", LongType, nullable = false)()
+    val binnedBand = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = band)
+    val factBin = Alias(IntegralDivide(asBinLong(v), wLit), "graft_band_bin_f")()
+    val factWithBin = Project(fact.output :+ factBin, fact)
+    val newJoin = Join(
+      factWithBin, binnedBand, Inner,
+      Some(And(EqualTo(factBin.toAttribute, binAttr), cond)), hint)
+    Some(Project(j.output, newJoin))
+  }
+
+  /** Fan-out cap for the widest band row in the distributed fallback. */
+  private val maxBinsPerLargeBand = 4096.0
 
   private def rewrite(
       j: Join,

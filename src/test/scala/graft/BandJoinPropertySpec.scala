@@ -30,6 +30,17 @@ class BandJoinPropertySpec extends SparkTestBase {
     s
   }
 
+  /** Session whose materialization budget is zero — every band side
+    * routes through the DISTRIBUTED fallback (Generate + shuffle join)
+    * in the integral domains, and declines in the floating ones.
+    */
+  private lazy val extLarge: SparkSession = {
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    s.conf.set("spark.graft.bandJoin.maxBandRows", "0")
+    s
+  }
+
   private val nCases = 12
 
   // bounds: mostly ordinary, sometimes extreme / special / null —
@@ -171,6 +182,24 @@ class BandJoinPropertySpec extends SparkTestBase {
     test(s"grouped long bands case $seed: composite rewrite ≡ control") {
       val bands = draw(bandsGen(lngBound), 4000L + seed)
       val got = runGrouped(ext, LongType, factLongs, bands)
+      val want = runGrouped(spark, LongType, factLongs, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"large-band fallback, long case $seed: distributed rewrite ≡ control") {
+      val bands = draw(bandsGen(lngBound), 5000L + seed)
+      val got = run(extLarge, LongType, factLongs, bands)
+      val want = run(spark, LongType, factLongs, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"large-band fallback, timestamp case $seed: distributed rewrite ≡ control") {
+      val bands = draw(bandsGen(tsBound), 6000L + seed)
+      val got = run(extLarge, TimestampType, factTimestamps, bands)
+      val want = run(spark, TimestampType, factTimestamps, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"large-band fallback, grouped long case $seed: distributed rewrite ≡ control") {
+      val bands = draw(bandsGen(lngBound), 7000L + seed)
+      val got = runGrouped(extLarge, LongType, factLongs, bands)
       val want = runGrouped(spark, LongType, factLongs, bands)
       assert(got == want, s"bands=$bands")
     }

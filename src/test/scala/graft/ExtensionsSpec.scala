@@ -359,6 +359,40 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(got == want && got.size == 20000)
   }
 
+  test("oversized band side takes the distributed shuffle fallback, not a nested loop") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val s = spark.newSession()
+    GraftExtensions.install(s)
+    // two large sides: neither may broadcast, exactly as at 100 TB
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // 15k contiguous width-10 int bands — above maxBandRows, shipped
+    // from parquet: the case the materialized rewrite declines
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigbands").toString
+    s.range(15000).select(
+        concat(lit("b"), $"id").as("band"),
+        ($"id" * 10L).as("lo"),
+        (($"id" + 1L) * 10L).as("hi"))
+      .write.mode("overwrite").parquet(dir)
+    val bands = s.read.parquet(dir)
+    val facts = s.range(20000).select($"id", (($"id" * 7919L) % 150000L).as("v"))
+    val j = facts.join(bands, $"v" >= $"lo" && $"v" < $"hi").select($"id", $"band")
+    val plan = j.queryExecution.executedPlan
+    assert(nestedLoops(plan).isEmpty,
+      s"oversized band side must not fall back to a nested loop:\n$plan")
+    val keyed = collectWithSubqueries(plan) {
+      case x: SortMergeJoinExec => x: SparkPlan
+      case x: ShuffledHashJoinExec => x: SparkPlan
+    }
+    assert(keyed.nonEmpty && plan.toString.contains("graft_band_bin"),
+      s"expected a shuffle join on the synthetic bin key:\n$plan")
+    // contiguous width-10 bands: every fact row lands in exactly band v/10
+    val got = j.as[(Long, String)].collect().sorted.toSeq
+    val want = (0L until 20000L)
+      .map(id => (id, s"b${(id * 7919L) % 150000L / 10L}")).sorted
+    assert(got == want)
+  }
+
   test("a non-deterministic band side is never materialized at plan time") {
     import ext.implicits._
     val bands = ext.range(3).select(
