@@ -298,10 +298,9 @@ object Joins {
     *
     * 100 TB posture: the dirty feed here is dim-sized and broadcast,
     * so the plan is a broadcast loop with the cheap length check
-    * first. A large×large fuzzy join needs candidate BLOCKING instead
-    * — equi-join on (length band, char-bigram bucket) exactly like the
-    * SimHash/MinHash band joins (q38/q25), then the distance as a
-    * residual — same pattern, already in the engine.
+    * first. When BOTH sides are corpus-sized, use
+    * [[fuzzyJoinBlocked]] — exact segment blocking with a keyed
+    * shuffle join, no broadcast of either side (oracled as q85).
     */
   def q84FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
