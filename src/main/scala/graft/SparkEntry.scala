@@ -104,6 +104,7 @@ object SparkEntry {
     "q84_fuzzy_join" -> (Joins.q84FuzzyJoin _),
     "q85_fuzzy_corpus_join" -> (Joins.q85FuzzyCorpusJoin _),
     "q86_weighted_group_sample" -> (graft.util.Sampling.q86WeightedGroupSample _),
+    "q87_large_band_join" -> (Joins.q87LargeBandJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1075,6 +1076,15 @@ object SparkEntry {
         |SELECT dist, count(*) AS n_pairs,
         |  count(CASE WHEN did = cid THEN 1 END) AS n_self
         |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin,
+    // oversized band side (15k order validity windows): the rule's
+    // distributed fallback must equal DuckDB's plain range join
+    "q87_large_band_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders
+        |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+        | AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) + INTERVAL 2 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain
     // semi-join

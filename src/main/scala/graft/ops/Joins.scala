@@ -436,6 +436,40 @@ object Joins {
       .orderBy($"dist")
   }
 
+  /** J6 with a band side TOO LARGE to materialize (ORACLED, q87) —
+    * every order carries a 2-day validity window starting at its order
+    * date, and each lineitem matches the orders whose window covers
+    * its ship date: 15k windows at sf0.01 (150k at sf0.1), above
+    * [[graft.plans.BandJoinToBinned]]'s plan-time materialization
+    * budget. The rule's DISTRIBUTED fallback fires: a one-row
+    * plan-time aggregate picks the bin width in the exact unix_date
+    * domain, a `Generate` explodes each window into its day-bins
+    * executor-side, and the join plans as a keyed shuffle join on the
+    * bin — never the O(|lineitem| × |orders|) nested loop
+    * (plan-asserted in ExtensionsSpec; DuckDB reproduces the plain
+    * range join with its own IEJoin).
+    *
+    * This is the SCD-2-validity-window shape at production size: a
+    * dim with per-row [valid_from, valid_to) ranges too big to
+    * broadcast, probed by a fact's event date.
+    */
+  def q87LargeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = graftSession(spark)
+    import s.implicits._
+    val windows = Sources.orders(s, dir).select(
+      $"o_orderpriority",
+      $"o_orderdate".cast("date").as("lo"),
+      date_add($"o_orderdate".cast("date"), 2).as("hi"))
+    Sources.lineitem(s, dir)
+      .withColumn("ship_d", $"l_shipdate".cast("date"))
+      .join(windows, $"ship_d" >= $"lo" && $"ship_d" < $"hi")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".cast("int")).cast("long").as("qty"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** J6 PER-GROUP bands (ORACLED) — the most common production band
     * shape: a different tier schedule per group (here, per linestatus;
     * in practice price tiers per region, rate schedules per tenant).

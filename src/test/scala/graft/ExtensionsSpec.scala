@@ -393,6 +393,20 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(got == want)
   }
 
+  test("q87 drives the distributed fallback on real testdata (sf0.01, 15k windows)") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val s = spark.newSession()
+    val df = SparkEntry.queries("q87_large_band_join")(s, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan
+    assert(nestedLoops(plan).isEmpty,
+      s"15k-window band side must take the distributed fallback:\n$plan")
+    assert(plan.toString.contains("graft_band_bin"),
+      s"expected the synthetic bin key in the plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length === 5 && rows.map(_.getLong(1)).sum > 10000,
+      "every priority class should match thousands of (lineitem, window) pairs")
+  }
+
   test("a non-deterministic band side is never materialized at plan time") {
     import ext.implicits._
     val bands = ext.range(3).select(
