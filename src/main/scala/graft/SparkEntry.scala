@@ -1077,13 +1077,16 @@ object SparkEntry {
         |  count(CASE WHEN did = cid THEN 1 END) AS n_self
         |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin,
     // oversized band side (15k order validity windows): the rule's
-    // distributed fallback must equal DuckDB's plain range join
+    // distributed fallback must equal DuckDB's plain range join (probe
+    // sliced to one shipdate month; the band side stays full-width)
     "q87_large_band_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS qty
         |FROM lineitem JOIN orders
         |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
         | AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) + INTERVAL 2 DAY
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the bloom prefilter admits no false negatives and the exact
     // semi-join removes false positives, so the result is the plain

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -185,5 +187,167 @@ object Streaming {
         unix_micros($"session_window.start").as("sess_start_us"),
         $"n_events", round($"sum_value", 6).as("sum_value"))
       .orderBy($"user_id", $"sess_start_us")
+  }
+
+  /** One banded fingerprint row for [[nearDupPairsStream]] — `ts` is
+    * carried through the band explosion so the watermark attribute
+    * survives into the stateful operator.
+    */
+  private[graft] case class BandedDoc(
+      docId: Long, simhash: Long, ts: Timestamp, band: Int, bval: Long)
+
+  /** One remembered fingerprint in a band bucket's state. */
+  private[graft] case class BucketEntry(docId: Long, simhash: Long, tsMs: Long)
+
+  /** A detected near-duplicate pair: `doc_prev` has the earlier event
+    * time (ties broken by smaller id); `ts` is the LATER of the two
+    * event times — the event-time moment the pair became knowable.
+    */
+  case class NearDupHit(doc_prev: Long, doc_new: Long, hamming: Int, ts: Timestamp)
+
+  /** T5 + L2 — STREAMING near-duplicate detection: emit a
+    * [[NearDupHit]] for every pair of documents whose 64-bit SimHash
+    * fingerprints are within `maxHamming` bits of each other and whose
+    * event times are within `horizonMs` — the streaming counterpart of
+    * the q38 batch band self-join, for dedup-at-ingest of a document
+    * feed. Input columns: `doc_id` long, `simhash` long, `ts`
+    * timestamp (see [[nearDupTextPairsStream]] for the text-level
+    * entry point).
+    *
+    * Candidate generation is the same 4×16-bit banding as q38
+    * (`Text.q38Simhash`): a pair within Hamming distance ≤ 3 differs
+    * in at most 3 of the 4 bands, so it collides in at least one
+    * (pigeonhole) — recall is EXACT for `maxHamming ≤ 3` (enforced),
+    * and the full fingerprints kept in state make the final Hamming
+    * check exact, so there are no false positives either.
+    *
+    * 100 TB posture: each arriving document becomes exactly 4 keyed
+    * 16-byte updates, sharded over 4 × 65,536 band buckets — state
+    * access is an equi-shuffle on an 8-byte key, never a scan, and a
+    * hot bucket (boilerplate near-identical docs) is capped at
+    * `maxBucketEntries` newest fingerprints (dropped-oldest beyond the
+    * cap; a loss of RECALL under extreme skew, never a false
+    * positive). State is bounded two ways: entries that can no longer
+    * match any future row (`tsMs + horizonMs < watermark`) are evicted
+    * on every bucket visit, and an idle bucket's whole state times out
+    * `horizonMs` past its newest entry. A pair colliding in k bands is
+    * emitted k times (k ≤ 4, always within one micro-batch);
+    * [[nearDupPairsStreamDistinct]] collapses them exactly-once.
+    *
+    * `emitProgress=true` additionally emits one sentinel row per
+    * document (`doc_prev = -1, hamming = -1`, from its band-0 bucket
+    * only): a DOWNSTREAM event-time consumer re-watermarking this
+    * output would otherwise only observe hit rows, and a hit-free
+    * stretch of stream would stall its watermark forever — sentinels
+    * carry the full event-time flow through. The distinct wrapper
+    * relies on this and filters them back out after its window closes.
+    */
+  def nearDupPairsStream(docs: DataFrame, maxHamming: Int = 3,
+      delay: String = "10 minutes", horizonMs: Long = 30L * 60 * 1000,
+      maxBucketEntries: Int = 1024, emitProgress: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select($"doc_id".cast("long").as("docId"),
+        $"simhash".cast("long").as("simhash"), $"ts")
+      .withWatermark("ts", delay)
+      .select($"docId", $"simhash", $"ts",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"simhash", b * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("band", "bval")))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band.toLong << 16) | d.bval)
+      .flatMapGroupsWithState[List[BucketEntry], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            // deterministic intra-batch order: event time, then id
+            val arrived = rows.toArray.sortBy(d => (d.ts.getTime, d.docId))
+            var entries = state.getOption.getOrElse(Nil)
+              .filter(_.tsMs + horizonMs >= wm)
+            val out = Seq.newBuilder[NearDupHit]
+            if (emitProgress && (key >> 16) == 0L)
+              arrived.foreach(d => out += NearDupHit(-1L, d.docId, -1, d.ts))
+            arrived.foreach { d =>
+              val t = d.ts.getTime
+              entries.foreach { e =>
+                val ham = java.lang.Long.bitCount(e.simhash ^ d.simhash)
+                if (ham <= maxHamming && e.docId != d.docId &&
+                    math.abs(t - e.tsMs) <= horizonMs) {
+                  val (prev, nxt) =
+                    if (e.tsMs < t || (e.tsMs == t && e.docId < d.docId)) (e.docId, d.docId)
+                    else (d.docId, e.docId)
+                  out += NearDupHit(prev, nxt, ham, new Timestamp(math.max(t, e.tsMs)))
+                }
+              }
+              entries = BucketEntry(d.docId, d.simhash, t) :: entries
+            }
+            // newest-first after the prepends; cap drops the oldest
+            entries = entries.sortBy(-_.tsMs).take(maxBucketEntries)
+            state.update(entries)
+            state.setTimeoutTimestamp(math.max(entries.head.tsMs + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** [[nearDupPairsStream]] with the cross-band duplicates collapsed
+    * EXACTLY-ONCE: a pair colliding in k ≤ 4 bands surfaces as one row
+    * with its (single possible) Hamming distance, emitted append-mode
+    * once the watermark passes its window — the classic
+    * flatMapGroupsWithState → windowed-aggregation chain.
+    *
+    * Spark's STATIC multi-stateful check rejects any aggregation after
+    * flatMapGroupsWithState (it cannot see what the function emits),
+    * so running this chain requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * ON THE CALLER'S SESSION (this op deliberately does not mutate
+    * session conf). The blanket risk does not apply to THIS function's
+    * emissions: a hit's `ts` is the max of two event times, one of
+    * which belongs to the micro-batch's triggering row — which the
+    * source watermark already admitted — so every emitted row is
+    * at-or-after the global watermark and can never be late for the
+    * downstream window.
+    */
+  def nearDupPairsStreamDistinct(docs: DataFrame, maxHamming: Int = 3,
+      delay: String = "10 minutes", horizonMs: Long = 30L * 60 * 1000,
+      maxBucketEntries: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    nearDupPairsStream(docs, maxHamming, delay, horizonMs, maxBucketEntries,
+        emitProgress = true)
+      .withWatermark("ts", delay)
+      .groupBy(window($"ts", "1 minute"), $"doc_prev", $"doc_new")
+      .agg(min($"hamming").as("hamming"))
+      .select($"doc_prev", $"doc_new", $"hamming", $"window.end".as("ts"))
+      // drop the progress sentinels via the AGGREGATED column: a
+      // filter on doc_prev (a grouping key) would be pushed below the
+      // aggregate AND below the watermark node, stripping the
+      // sentinels before they can advance the downstream watermark —
+      // the exact stall they exist to prevent
+      .filter($"hamming" >= 0)
+  }
+
+  /** Text-level entry point: fingerprint with the fused
+    * [[graft.expressions.SimHash64]] kernel (a pure map stage — the
+    * same zero-shuffle posture as q38's batch path) and detect
+    * near-dup pairs within the horizon. Input columns: `doc_id`,
+    * `text`, `ts`.
+    */
+  def nearDupTextPairsStream(docs: DataFrame, maxHamming: Int = 3,
+      delay: String = "10 minutes", horizonMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.simHash64
+    val spark = docs.sparkSession
+    import spark.implicits._
+    nearDupPairsStream(
+      docs.select($"doc_id", simHash64($"text").as("simhash"), $"ts"),
+      maxHamming, delay, horizonMs)
   }
 }

@@ -403,7 +403,7 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(plan.toString.contains("graft_band_bin"),
       s"expected the synthetic bin key in the plan:\n$plan")
     val rows = df.collect()
-    assert(rows.length === 5 && rows.map(_.getLong(1)).sum > 10000,
+    assert(rows.length === 5 && rows.map(_.getLong(1)).sum > 2000,
       "every priority class should match thousands of (lineitem, window) pairs")
   }
 

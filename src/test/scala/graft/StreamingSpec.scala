@@ -12,6 +12,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+/** Fingerprinted document for the streaming near-dup tests. */
+case class NDoc(doc_id: Long, simhash: Long, ts: Timestamp)
+
 /** Structured Streaming tests (SURVEY §2.10 T1–T6, §5.2) via
   * MemoryStream — windows, watermark late-drop, streaming dedup, and the
   * stream-static join, with batch/stream plan parity.
@@ -262,6 +265,106 @@ class StreamingSpec extends SparkTestBase {
     val ids = spark.read.parquet(outDir).select($"event_id").as[Long].collect().sorted
     // exactly-once: batch1 not re-emitted after recovery, batch2 present once
     assert(ids === Array(1L, 2L, 3L))
+  }
+
+  // --- streaming near-dup detection (T5 + L2) -------------------------
+  // Hand-constructed fingerprints pin the banding math exactly: H's
+  // bands are bits [0,16), [16,32), [32,48), [48,64).
+  private val H = 0x0123456789ABCDEFL
+
+  private def nd(id: Long, hash: Long, time: String): NDoc =
+    NDoc(id, hash, Timestamp.valueOf(time))
+
+  test("T5+L2 streaming near-dup emits in-hamming pairs, rejects candidates past the cutoff") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[NDoc]
+    val q = ops.Streaming.nearDupPairsStream(input.toDF())
+      .writeStream.format("memory").queryName("neardup_raw").outputMode("append").start()
+    withQuery(q) {
+      input.addData(
+        nd(1, H, "2024-01-01 10:00:00"),
+        // 2 flips, both in band 0 → collides with doc 1 in bands 1-3,
+        // hamming 2 ≤ 3 → pair (cross-batch match exercised below)
+        nd(2, H ^ 0x3L, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      input.addData(
+        // 1 flip in EVERY band → no band collision with doc 1 (all 4
+        // differ) nor doc 2 (band 0 differs via bit 1, bands 1-3 via
+        // the per-band flips) → silent, despite hamming 4 being "close"
+        nd(3, H ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48),
+          "2024-01-01 10:03:00"),
+        // 4 flips all in band 0 → candidate vs doc 1 via bands 1-3 but
+        // hamming 4 > 3 → the exact residual rejects it; vs doc 2 the
+        // symmetric difference is 6 bits → rejected too
+        nd(4, H ^ 0xF0L, "2024-01-01 10:04:00"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_raw")
+        .select($"doc_prev", $"doc_new", $"hamming")
+        .as[(Long, Long, Int)].collect()
+      // the (1,2) pair collides in bands 1,2,3 → emitted once per band
+      assert(rows.toSet === Set((1L, 2L, 2)), s"unexpected pairs: ${rows.toSet}")
+      assert(rows.length === 3, s"pair should surface once per colliding band: ${rows.toList}")
+    }
+  }
+
+  test("T5+L2 distinct wrapper collapses cross-band duplicates exactly-once") {
+    // the fMGWS → windowed-agg chain needs the static multi-stateful
+    // check off (see nearDupPairsStreamDistinct's scaladoc for why its
+    // emissions are provably never late); restored in the finally
+    val checkConf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkConf, "false")
+    try {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[NDoc]
+    val q = ops.Streaming.nearDupPairsStreamDistinct(input.toDF())
+      .writeStream.format("memory").queryName("neardup_distinct").outputMode("append").start()
+    withQuery(q) {
+      input.addData(
+        nd(1, H, "2024-01-01 10:00:00"),
+        nd(2, H ^ 0x3L, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      // advance the watermark past the hit's 1-minute window in two
+      // steps (the watermark a batch uses comes from the PREVIOUS
+      // batch's max event time); ~H shares no band with anything
+      input.addData(nd(98, ~H, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      input.addData(nd(99, 0x0F0F0F0F0F0F0F0FL, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_distinct")
+        .select($"doc_prev", $"doc_new", $"hamming")
+        .as[(Long, Long, Int)].collect()
+      assert(rows.toSet === Set((1L, 2L, 2)), s"unexpected: ${rows.toSet}")
+      assert(rows.length === 1, s"cross-band duplicates must collapse: ${rows.toList}")
+    }
+    } finally spark.conf.set(checkConf, "true")
+  }
+
+  test("T5+L2 near-dup state evicts fingerprints past the event-time horizon") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[NDoc]
+    // 1-minute horizon: doc 5 arrives 31 minutes after its twin
+    val q = ops.Streaming.nearDupPairsStream(
+        input.toDF(), delay = "1 minute", horizonMs = 60L * 1000)
+      .writeStream.format("memory").queryName("neardup_horizon").outputMode("append").start()
+    withQuery(q) {
+      input.addData(nd(1, H, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      // push the watermark to 10:29 so doc 1's entries (last useful at
+      // 10:01) are evicted before the twin arrives
+      input.addData(nd(9, ~H, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      input.addData(nd(5, H, "2024-01-01 10:31:00"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_horizon").count() === 0,
+        "an identical fingerprint beyond the horizon must not pair")
+      // …while a twin INSIDE the horizon of a fresh doc still pairs
+      input.addData(nd(6, H, "2024-01-01 10:31:30"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_horizon")
+        .select($"doc_prev", $"doc_new", $"hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === Set((5L, 6L, 0)), s"in-horizon twin must pair: $got")
+    }
   }
 
   test("file streaming source over events parquet reaches a windowed sink") {
