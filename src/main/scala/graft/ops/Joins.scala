@@ -332,9 +332,14 @@ object Joins {
     *    shifted by at most `maxDist` positions;
     *  - the `left` (probe) side therefore emits, for every candidate
     *    right-length `|len(a)| ± maxDist` and every segment index, the
-    *    substrings of `a` at the segment's position ± maxDist — a
-    *    LITERAL (d+1)·(2d+1)² unroll (75 keys at d=2), deduped with
-    *    `array_distinct` before the explode;
+    *    substrings of `a` at the segment's position ± maxDist, PRUNED
+    *    by PassJoin's multi-match-aware position bound: aligning the
+    *    surviving segment at shift `s` forces ≥ |s| edits into the
+    *    prefix (its aligned lengths differ by |s|) and ≥ |s + Δ| into
+    *    the suffix (Δ = target − probe length), so any (Δ, s) with
+    *    |s| + |s + Δ| > d cannot co-exist with `ed ≤ d` and is dropped
+    *    AT PLAN TIME — 39 keys instead of the naive (d+1)·(2d+1)² = 75
+    *    at d=2, deduped with `array_distinct` before the explode;
     *  - candidates equi-join on the (segment idx, segment text, right
     *    length) key — a plain keyed shuffle, SortMergeJoin at scale —
     *    then the `levenshtein` DP runs as a residual and duplicate
@@ -381,6 +386,10 @@ object Joins {
       i <- 0 to d
       delta <- -d to d
       shift <- -d to d
+      // multi-match-aware bound: |shift| edits land in the prefix and
+      // |shift + delta| in the suffix (delta = tLen - lLen), so combos
+      // exceeding the budget are unsatisfiable and never generated
+      if math.abs(shift) + math.abs(shift + delta) <= d
     } yield {
       val tLen = lLen + delta
       val sLen = segLen(tLen, i)

@@ -367,6 +367,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("T5+L2 near-dup bucket state survives a checkpoint restart") {
+    import java.nio.file.Files
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("graft-neardup-ckpt").toString
+    val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
+    val input = MemoryStream[NDoc]
+    def startQuery() = ops.Streaming.nearDupPairsStream(input.toDF())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    val q1 = startQuery()
+    withQuery(q1) {
+      input.addData(nd(1, H, "2024-01-01 10:00:00"))
+      q1.processAllAvailable()
+    }
+    // doc 1's fingerprints live only in the state store now; the twin
+    // arrives after a restart from the same checkpoint
+    input.addData(nd(2, H ^ 0x1L, "2024-01-01 10:01:00"))
+    val q2 = startQuery()
+    withQuery(q2) { q2.processAllAvailable() }
+    val pairs = spark.read.parquet(outDir)
+      .select($"doc_prev", $"doc_new", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSet === Set((1L, 2L, 1)),
+      s"recovered state must still pair the twin: ${pairs.toList}")
+    assert(pairs.length === 3, // one per colliding band (bands 1-3)
+      s"expected one emission per colliding band: ${pairs.toList}")
+  }
+
   test("file streaming source over events parquet reaches a windowed sink") {
     val stream = ops.Sources.eventsStream(spark, "/root/testdata/sf0.001")
     assert(stream.isStreaming)
