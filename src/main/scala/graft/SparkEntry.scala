@@ -105,6 +105,7 @@ object SparkEntry {
     "q85_fuzzy_corpus_join" -> (Joins.q85FuzzyCorpusJoin _),
     "q86_weighted_group_sample" -> (graft.util.Sampling.q86WeightedGroupSample _),
     "q87_large_band_join" -> (Joins.q87LargeBandJoin _),
+    "q88_knn_recall" -> (Similarity.q88KnnRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -942,6 +943,12 @@ object SparkEntry {
     "q76_ann_recall" ->
       """SELECT 'ivf' AS method, true AS recall_ok
         |UNION ALL SELECT 'lsh', true ORDER BY method""".stripMargin,
+    // bounds check for the IVF kNN JOIN: mean recall@10 against the
+    // exact kNN of the deterministic 1-in-20 probe sample clears 0.5
+    // (the engine computes both sides; the oracle pins the contract —
+    // q76 pattern)
+    "q88_knn_recall" ->
+      "SELECT 'ivf_knn_join' AS method, true AS recall_ok",
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

@@ -495,4 +495,115 @@ object Similarity {
       .unionByName(recallRow("lsh", q26AnnLsh(spark, dir), 0.6))
       .orderBy($"method")
   }
+
+  /** L3 (kNN JOIN) — the all-rows variant of [[ivfTopK]]: for EVERY
+    * vector, its k nearest neighbors by cosine — the retrieval-pairing
+    * / semantic-dedup-mapping op a curation pipeline runs corpus-wide,
+    * where per-query top-k ([[q22CosineTopK]]/[[q45AnnIvf]]) answers
+    * one lookup. IVF-blocked so NO all-pairs join exists anywhere:
+    *
+    *  - index side: each vector lands in its single nearest KMeans
+    *    cell (spherical via unit vectors, as [[ivfTopK]]);
+    *  - probe side: each vector fans out to its `nProbe` closest
+    *    cells — ranked in a PURE MAP STAGE (the nLists centroids
+    *    inline as a literal; `transform` + `array_sort` + `slice`
+    *    rank them per row with zero shuffle, the same
+    *    stay-in-codegen move as the SimHash kernel);
+    *  - candidates equi-join on the cell id (a (probe, neighbor) pair
+    *    meets in at most ONE cell — the neighbor has exactly one — so
+    *    no dedup pass is needed), cosine via the codegen'd
+    *    [[graft.expressions.CosineSimilarity]], then `row_number`
+    *    per probe keeps k.
+    *
+    * 100 TB posture: shuffle volume is nProbe copies of each probe
+    * row + 1 copy of each index row, partitioned by cell id; the
+    * per-cell join is (cell probes × cell size), bounded by the
+    * quantizer — recall/cost trades through (nLists, nProbe) exactly
+    * like a FAISS IVF index. Approximate by design; bounds-checked
+    * against the exact sampled kNN in [[q88KnnRecall]].
+    */
+  def knnJoinIvf(emb: DataFrame, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
+      s"need k >= 1 and 1 <= nProbe <= nLists, got k=$k nLists=$nLists nProbe=$nProbe")
+    val norm = sqrt(aggregate(transform($"vec", x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
+      .withColumn("nrm", when(norm === 0.0, 1.0).otherwise(norm))
+      .withColumn("unit", transform($"vec", x => x / $"nrm"))
+      .select($"vec_id", $"unit")
+      .withColumn("mlvec", array_to_vector($"unit"))
+      .persist()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
+      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
+    val model = km.fit(vecs)
+    val assigned = model.transform(vecs)
+      .select($"vec_id".as("n_id"), $"unit".as("n_unit"), $"ivf_list".as("cell"))
+    val cLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    // a zero vector's cosine is null — pin it below every real score so
+    // the struct sort stays total
+    val cellRanks = transform(cLit, (c, i) => struct(
+      coalesce(cosineSimilarity($"unit", c), lit(-2.0)).as("cos"),
+      i.cast("int").as("cell")))
+    val probes = vecs.select($"vec_id", $"unit",
+        explode(slice(reverse(array_sort(cellRanks)), 1, nProbe)).as("pc"))
+      .select($"vec_id", $"unit", $"pc.cell".as("cell"))
+    val out = probes.join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"n_id")
+      .select($"vec_id", $"n_id",
+        cosineSimilarity($"unit", $"n_unit").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rank" <= k)
+      .select($"vec_id", $"n_id".as("neighbor_id"),
+        round($"cos", 6).as("cosine"), $"rank")
+      .localCheckpoint(true)
+    vecs.unpersist(false)
+    out
+  }
+
+  /** BOUNDS CHECK for the kNN join (ORACLED, q88) — the q76 contract
+    * shape: [[knnJoinIvf]] is deterministic under its fixed seed, so
+    * its mean recall@10 against the EXACT kNN of a deterministic
+    * 1-in-20 probe sample is a fixed number per dataset; the output
+    * states `recall ≥ 0.5` and the oracle states `true`. The exact
+    * side broadcasts only the sampled probes against the corpus (a
+    * bounded check, not a scale op — the scale path is the blocked
+    * join under test); recall math is one join + two 1-row aggregates
+    * combined as 1-row broadcasts (the q3 pattern).
+    */
+  def q88KnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val k = 10
+    val emb = Sources.embeddings(spark, dir)
+    val ann = knnJoinIvf(emb, k = k, nLists = 16, nProbe = 4)
+      .filter($"vec_id" % 20 === 0)
+      .select($"vec_id", $"neighbor_id")
+    val units = emb
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("vec"))
+    val sampled = units.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("p_id"), $"vec".as("p_vec"))
+    val exact = units.join(broadcast(sampled), $"p_id" =!= $"vec_id")
+      .select($"p_id", $"vec_id".as("n_id"),
+        cosineSimilarity($"p_vec", $"vec").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"p_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rank" <= k)
+      .select($"p_id".as("vec_id"), $"n_id".as("neighbor_id"))
+      .persist()
+    val hits = ann.join(exact, Seq("vec_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    val out = hits.crossJoin(total)
+      .select(lit("ivf_knn_join").as("method"),
+        ($"hits" / $"total" >= 0.5).as("recall_ok"))
+      .localCheckpoint(true)
+    exact.unpersist(false)
+    out
+  }
 }

@@ -122,6 +122,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.map(_.getInt(2)).distinct.length <= 2)
   }
 
+  test("kNN join with nProbe == nLists equals the brute-force kNN exactly") {
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 120L).map(i => (i, s"l$i", Seq.fill(12)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    // full probe coverage: every (probe, neighbor) pair meets in the
+    // neighbor's cell, so the blocked join must reproduce exact kNN
+    val got = ops.Similarity.knnJoinIvf(emb, k = 5, nLists = 4, nProbe = 4)
+      .select($"vec_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
+      .select($"vec_id", $"vec")
+    val want = vecs.as("a").join(
+        broadcast(vecs.select($"vec_id".as("p_id"), $"vec".as("p_vec"))),
+        $"p_id" =!= $"vec_id")
+      .select($"p_id", $"vec_id".as("n_id"),
+        cosineSimilarity($"p_vec", $"vec").as("c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"p_id").orderBy($"c".desc, $"n_id")))
+      .filter($"rank" <= 5)
+      .select($"p_id", $"n_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+  }
+
+  test("kNN join output contract: k per probe, no self-pairs, ranks contiguous") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 150L).map(i => (i, s"l$i", Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val out = ops.Similarity.knnJoinIvf(emb, k = 3, nLists = 6, nProbe = 2)
+      .select($"vec_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(out.forall { case (v, n, _) => v != n }, "self-pair leaked")
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.values.forall(_.length <= 3))
+    // ranks are 1..m with no gaps (window over the candidate set)
+    assert(byProbe.values.forall(g => g.map(_._3).sorted.sameElements(1 to g.length)))
+    // every probe found SOME candidate (cells are never all empty)
+    assert(byProbe.size === 150)
+  }
+
   test("IVF index written partitionBy(ivf_list) prunes to the probed cells") {
     // The scale claim behind q45: persisting the index partitioned by
     // cell means a query reads ONLY the probed cells' files.
