@@ -15,6 +15,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** Fingerprinted document for the streaming near-dup tests. */
 case class NDoc(doc_id: Long, simhash: Long, ts: Timestamp)
 
+/** Raw-text document for the text-level near-dup entry point. */
+case class TDoc(doc_id: Long, text: String, ts: Timestamp)
+
 /** Structured Streaming tests (SURVEY §2.10 T1–T6, §5.2) via
   * MemoryStream — windows, watermark late-drop, streaming dedup, and the
   * stream-static join, with batch/stream plan parity.
@@ -364,6 +367,30 @@ class StreamingSpec extends SparkTestBase {
         .select($"doc_prev", $"doc_new", $"hamming")
         .as[(Long, Long, Int)].collect().toSet
       assert(got === Set((5L, 6L, 0)), s"in-horizon twin must pair: $got")
+    }
+  }
+
+  test("T5+L2 text-level entry fingerprints with SimHash64 and pairs near-identical docs") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.nearDupTextPairsStream(input.toDF())
+      .writeStream.format("memory").queryName("neardup_text").outputMode("append").start()
+    withQuery(q) {
+      val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+      input.addData(
+        TDoc(1, boiler, Timestamp.valueOf("2024-01-01 10:00:00")),
+        // one token swapped in 40 → few SimHash bits flip; the exact
+        // duplicate path (distance 0) is doc 3
+        TDoc(3, boiler, Timestamp.valueOf("2024-01-01 10:02:00")),
+        // unrelated text must not pair
+        TDoc(7, "completely different content entirely", Timestamp.valueOf("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val rows = spark.table("neardup_text")
+        .select($"doc_prev", $"doc_new", $"hamming")
+        .as[(Long, Long, Int)].collect()
+      // identical text → identical fingerprint → all 4 bands collide
+      assert(rows.toSet === Set((1L, 3L, 0)), s"unexpected: ${rows.toSet}")
+      assert(rows.length === 4)
     }
   }
 
