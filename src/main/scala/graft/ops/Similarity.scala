@@ -31,6 +31,40 @@ object Similarity {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Unit-sphere projection + coarse quantizer shared by the IVF paths
+    * ([[ivfTopK]], [[knnJoinIvf]]). Vectors are L2-normalized before
+    * clustering: on unit vectors Euclidean KMeans approximates
+    * spherical KMeans (‖a−b‖² = 2−2cosθ), so cells are cosine-coherent.
+    *
+    * The returned frame is PERSISTED for the call (KMeans.fit, the
+    * assignment transform, and any lookups would otherwise each re-run
+    * the read+normalize subtree) — the caller unpersists it. The norm
+    * is materialized as its own column FIRST: referencing the
+    * aggregate inside the per-element divide lambda would re-evaluate
+    * it for every element (O(d²) per row).
+    *
+    * Coarse-quantizer budget: 10 Lloyd iterations from RANDOM init.
+    * The default k-means|| init alone costs several full passes
+    * (initSteps × oversampling), and recall is governed by nProbe, not
+    * cell polish — a converged clustering buys nothing measurable.
+    */
+  private def unitQuantized(emb: DataFrame, nLists: Int):
+      (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import emb.sparkSession.implicits._
+    val norm = sqrt(aggregate(transform($"vec", x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
+      .withColumn("nrm", when(norm === 0.0, 1.0).otherwise(norm))
+      .withColumn("unit", transform($"vec", x => x / $"nrm"))
+      .drop("nrm")
+      .withColumn("mlvec", array_to_vector($"unit"))
+      .persist()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
+      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
+    (vecs, km.fit(vecs))
+  }
+
   /** L2-normalize an MLlib vector (zero vector passes through) — the
     * shared unit-sphere projection for the LSH cosine paths (q26, q40).
     */
@@ -113,41 +147,26 @@ object Similarity {
       nLists: Int, nProbe: Int): DataFrame = {
     import emb.sparkSession.implicits._
     import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
-    val norm = sqrt(aggregate(transform($"vec", x => x * x),
-      lit(0.0), (acc, x) => acc + x))
-    // Persisted for the call: KMeans.fit, the assignment transform, and
-    // the query-vector lookup would otherwise each re-run the
-    // read+normalize subtree. Released before returning (same pattern
-    // as minhashNearDup). The norm is materialized as its own column
-    // FIRST — referencing the aggregate inside the per-element divide
-    // lambda would re-evaluate it for every element (O(d²) per row).
-    val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
-      .withColumn("nrm", when(norm === 0.0, 1.0).otherwise(norm))
-      .withColumn("unit", transform($"vec", x => x / $"nrm"))
-      .drop("nrm")
-      .withColumn("mlvec", array_to_vector($"unit"))
-      .persist()
-    // Coarse-quantizer budget: 10 Lloyd iterations from RANDOM init.
-    // The default k-means|| init alone costs several full passes
-    // (initSteps × oversampling), and recall is governed by nProbe, not
-    // cell polish — a converged clustering buys nothing measurable.
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
-      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
-    val model = km.fit(vecs)
+    val (vecs, model) = unitQuantized(emb, nLists)
     val assigned = model.transform(vecs)
     val qRows = vecs.filter($"vec_id" === queryVecId).select($"vec").take(1)
     require(qRows.nonEmpty,
       s"ivfTopK: queryVecId=$queryVecId not present in the input frame")
     val qv = qRows.head.getSeq[Double](0)
-    // rank cells by centroid cosine to the query — driver-side over
-    // nLists centroids (bounded by design)
+    // rank cells by the ASSIGNMENT score — driver-side over nLists
+    // centroids (bounded by design). KMeans assigned each index vector
+    // to argmin ‖u − c‖² = argmax (u·c − ‖c‖²/2) over its UNIT vector;
+    // probing by any other metric (e.g. cosine to the unnormalized
+    // centroids, whose norms vary) can rank the query's OWN assigned
+    // cell below nProbe and silently miss its tightest co-assigned
+    // neighbors. Same unit projection as the index side first.
+    val qNorm = math.sqrt(qv.map(x => x * x).sum)
+    val qu = if (qNorm == 0.0) qv else qv.map(_ / qNorm)
     val probed = model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val ca = c.toArray
-        val dot = ca.zip(qv).map { case (a, b) => a * b }.sum
-        val den = math.sqrt(ca.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
-        (i, if (den == 0.0) -1.0 else dot / den)
+        val dot = ca.zip(qu).map { case (a, b) => a * b }.sum
+        (i, dot - ca.map(x => x * x).sum / 2.0)
       }
       .sortBy(-_._2).take(nProbe).map(_._1)
     // the query vector is already on the driver — inline it as a
@@ -528,25 +547,20 @@ object Similarity {
     import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
       s"need k >= 1 and 1 <= nProbe <= nLists, got k=$k nLists=$nLists nProbe=$nProbe")
-    val norm = sqrt(aggregate(transform($"vec", x => x * x),
-      lit(0.0), (acc, x) => acc + x))
-    val vecs = emb.withColumn("vec", transform($"embedding", _.cast("double")))
-      .withColumn("nrm", when(norm === 0.0, 1.0).otherwise(norm))
-      .withColumn("unit", transform($"vec", x => x / $"nrm"))
-      .select($"vec_id", $"unit")
-      .withColumn("mlvec", array_to_vector($"unit"))
-      .persist()
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
-      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
-    val model = km.fit(vecs)
+    val (vecs, model) = unitQuantized(emb, nLists)
     val assigned = model.transform(vecs)
       .select($"vec_id".as("n_id"), $"unit".as("n_unit"), $"ivf_list".as("cell"))
     val cLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
-    // a zero vector's cosine is null — pin it below every real score so
-    // the struct sort stays total
+    val halfSqLit = typedlit(model.clusterCenters
+      .map(c => c.toArray.map(x => x * x).sum / 2.0).toSeq)
+    // probe cells by the ASSIGNMENT score u·c − ‖c‖²/2 (= argmin
+    // ‖u − c‖², what KMeans.transform used on the index side) — ranking
+    // by cosine to the UNNORMALIZED centroids, whose norms vary, can
+    // place a probe's own assigned cell below nProbe and silently miss
+    // its tightest co-assigned neighbors (see ivfTopK's driver-side
+    // twin of this ranking)
     val cellRanks = transform(cLit, (c, i) => struct(
-      coalesce(cosineSimilarity($"unit", c), lit(-2.0)).as("cos"),
+      (dot($"unit", c) - get(halfSqLit, i)).as("score"),
       i.cast("int").as("cell")))
     val probes = vecs.select($"vec_id", $"unit",
         explode(slice(reverse(array_sort(cellRanks)), 1, nProbe)).as("pc"))

@@ -222,7 +222,8 @@ object Streaming {
     * check exact, so there are no false positives either.
     *
     * 100 TB posture: each arriving document becomes exactly 4 keyed
-    * 16-byte updates, sharded over 4 × 65,536 band buckets — state
+    * updates of one 24-byte [[BucketEntry]] each, sharded over
+    * 4 × 65,536 band buckets — state
     * access is an equi-shuffle on an 8-byte key, never a scan, and a
     * hot bucket (boilerplate near-identical docs) is capped at
     * `maxBucketEntries` newest fingerprints (dropped-oldest beyond the

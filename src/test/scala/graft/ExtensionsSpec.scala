@@ -394,7 +394,6 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("q87 drives the distributed fallback on real testdata (sf0.01, 15k windows)") {
-    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
     val s = spark.newSession()
     val df = SparkEntry.queries("q87_large_band_join")(s, "/root/testdata/sf0.01")
     val plan = df.queryExecution.executedPlan

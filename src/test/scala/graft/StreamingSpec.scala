@@ -367,6 +367,19 @@ class StreamingSpec extends SparkTestBase {
         .select($"doc_prev", $"doc_new", $"hamming")
         .as[(Long, Long, Int)].collect().toSet
       assert(got === Set((5L, 6L, 0)), s"in-horizon twin must pair: $got")
+      // idle-bucket TIMEOUT bounds state — the actual 100 TB risk (the
+      // visit-time eviction filter only fires on buckets still receiving
+      // data, and a stale entry it misses is also rejected per-match;
+      // an idle bucket nothing revisits would otherwise live forever).
+      // Advance the watermark (10:39) past every timeout — doc 9's
+      // buckets (newest 10:30 + 1 min) AND the shared H buckets
+      // (newest 10:31:30 + 1 min): all must be REMOVED, leaving only
+      // doc 8's 4 buckets in the store.
+      input.addData(nd(8, 0x0F0F0F0F0F0F0F0FL, "2024-01-01 10:40:00"))
+      q.processAllAvailable()
+      val stateKeys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateKeys === 4,
+        s"timed-out idle buckets must leave the store, got $stateKeys keys")
     }
   }
 
