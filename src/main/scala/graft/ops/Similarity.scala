@@ -579,6 +579,40 @@ object Similarity {
     out
   }
 
+  /** L2 (SEMANTIC dedup, end-to-end) — the embedding-space analog of
+    * the q55 text pipeline: near-dup pairs from the IVF-blocked
+    * [[knnJoinIvf]] at cosine ≥ `minCos`, connected components,
+    * min-id survivor per cluster, anti-join the losers out. The kNN
+    * join emits DIRECTED edges (b may be in a's top-k but not vice
+    * versa); either direction witnesses the pair, so edges normalize
+    * through (least, greatest) + dedup before clustering.
+    *
+    * 100 TB posture inherits its pieces': no all-pairs join
+    * ([[knnJoinIvf]]), O(log diameter) pointer-doubling CC, and an
+    * un-hinted anti-join (AQE broadcasts the loser list only when it
+    * is actually small — forcing it would OOM exactly when dedup
+    * matters most, the [[dedupCorpus]] rationale). Approximate by
+    * design (candidate recall is the IVF trade, bounds-checked by
+    * q88); no registered query — the driver embeddings fixture is
+    * isotropic (max pairwise cosine ≈ 0.51 measured at sf0.01), so a
+    * corpus-level dedup query on it would assert on an empty pair set.
+    * Tested on clusterable synthetic data instead, where the planted
+    * duplicate groups are known exactly.
+    */
+  def embDedupCorpus(emb: DataFrame, minCos: Double, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    import emb.sparkSession.implicits._
+    val pairs = knnJoinIvf(emb, k, nLists, nProbe)
+      .filter($"cosine" >= minCos)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .dropDuplicates("a", "b")
+    val clusters = connectedComponents(pairs, "a", "b")
+    val losers = clusters.filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id".as("vec_id"))
+    emb.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** BOUNDS CHECK for the kNN join (ORACLED, q88) — the q76 contract
     * shape: [[knnJoinIvf]] is deterministic under its fixed seed, so
     * its mean recall@10 against the EXACT kNN of a deterministic

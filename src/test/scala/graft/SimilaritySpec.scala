@@ -164,6 +164,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(byProbe.size === 150)
   }
 
+  test("semantic dedup keeps one survivor per planted duplicate group, all singletons") {
+    // 10 direction clusters; in each, vectors 0..3 are near-copies of a
+    // base (planted duplicate group) and vector 4 points elsewhere
+    // (singleton). Survivors must be the 10 min-id group members + the
+    // 10 singletons.
+    val rnd = new scala.util.Random(23)
+    val rows = (for (g <- 0 until 10) yield {
+      val base = Array.fill(16)(rnd.nextGaussian())
+      val dups = (0 until 4).map { i =>
+        (g * 5L + i, s"g$g", base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+      val lone = (g * 5L + 4, s"s$g",
+        Array.fill(16)(rnd.nextGaussian()).map(_.toFloat).toSeq)
+      dups :+ lone
+    }).flatten
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val kept = ops.Similarity.embDedupCorpus(emb, minCos = 0.9,
+        k = 5, nLists = 8, nProbe = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    val want = (0 until 10).flatMap(g => Seq(g * 5L, g * 5L + 4)).toSet
+    assert(kept === want, s"expected one survivor per group + singletons: $kept")
+    // idempotence: dedup of the survivors finds nothing more to drop
+    val again = ops.Similarity.embDedupCorpus(
+        emb.join(kept.toSeq.toDF("vec_id"), Seq("vec_id")), minCos = 0.9,
+        k = 5, nLists = 8, nProbe = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(again === want)
+  }
+
   test("IVF index written partitionBy(ivf_list) prunes to the probed cells") {
     // The scale claim behind q45: persisting the index partitioned by
     // cell means a query reads ONLY the probed cells' files.
