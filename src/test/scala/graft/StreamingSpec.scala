@@ -407,6 +407,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  // Randomized equivalence: the banding is EXACT for hamming <= 3
+  // (pigeonhole), so the streamed pair set must equal a local
+  // brute-force oracle over every in-horizon pair — including hashes
+  // built to straddle band boundaries, which hand-picked cases miss.
+  for (seed <- Seq(101, 202, 303))
+  test(s"T5+L2 near-dup stream equals the brute-force pair oracle (seed $seed)") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(seed)
+    val base = rnd.nextLong()
+    // 30 docs over 10 minutes: half are perturbations of base (0-5 bit
+    // flips at random positions — some inside one band, some spread),
+    // half independent random hashes
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val docs = (0 until 30).map { i =>
+      val h =
+        if (i % 2 == 0) (0 until rnd.nextInt(6))
+          .foldLeft(base)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+        else rnd.nextLong()
+      NDoc(i.toLong, h, new Timestamp(t0 + i * 20000L))
+    }
+    val horizonMs = 60L * 60 * 1000 // 1h — nothing evicts mid-test
+    val want = (for {
+      j <- docs.indices; i <- 0 until j
+      a = docs(i); b = docs(j)
+      ham = java.lang.Long.bitCount(a.simhash ^ b.simhash)
+      if ham <= 3 && math.abs(a.ts.getTime - b.ts.getTime) <= horizonMs
+    } yield {
+      val (p, n) =
+        if (a.ts.getTime < b.ts.getTime ||
+          (a.ts.getTime == b.ts.getTime && a.doc_id < b.doc_id)) (a, b) else (b, a)
+      (p.doc_id, n.doc_id, ham)
+    }).toSet
+    val input = MemoryStream[NDoc]
+    val q = ops.Streaming.nearDupPairsStream(input.toDF(), horizonMs = horizonMs)
+      .writeStream.format("memory").queryName(s"neardup_prop_$seed")
+      .outputMode("append").start()
+    withQuery(q) {
+      // split across three batches to exercise cross-batch state
+      docs.grouped(10).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+      val got = spark.table(s"neardup_prop_$seed")
+        .select($"doc_prev", $"doc_new", $"hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want, s"stream pairs != oracle (seed $seed)")
+    }
+  }
+
   test("T5+L2 near-dup bucket state survives a checkpoint restart") {
     import java.nio.file.Files
     implicit val sql = spark.sqlContext
