@@ -429,21 +429,30 @@ object Similarity {
   }
 
   /** L2 (the user-facing dedup): drop every non-survivor cluster member
-    * from the corpus — pairs → components → anti-join. Idempotent by
-    * construction (survivors of distinct components share no
-    * above-threshold pair; see the idempotence test). No broadcast
-    * hint on the anti-join: the loser list is usually small, but a
-    * high-duplication corpus (mirrors, boilerplate farms) can make it a
-    * large fraction of 100 TB — AQE already converts the join to
-    * broadcast when the built side is actually small, and forcing it
-    * would OOM exactly when dedup matters most.
+    * from the corpus — pairs → components → anti-join
+    * ([[keepSurvivors]]). Idempotent by construction: the pair
+    * generator is exhaustive over above-threshold pairs (inverted
+    * index, not top-k-truncated), so survivors of distinct components
+    * share none — see the idempotence test.
     */
-  def dedupCorpus(docs: DataFrame, dfCap: Int = 100): DataFrame = {
-    import docs.sparkSession.implicits._
-    val clusters = connectedComponents(ngramJaccardPairs(docs, dfCap),
-      "doc_a", "doc_b")
-    val losers = clusters.filter($"doc_id" =!= $"cluster_id").select($"doc_id")
-    docs.join(losers, Seq("doc_id"), "left_anti")
+  def dedupCorpus(docs: DataFrame, dfCap: Int = 100): DataFrame =
+    keepSurvivors(docs, connectedComponents(ngramJaccardPairs(docs, dfCap),
+      "doc_a", "doc_b"), "doc_id")
+
+  /** Shared survivor tail for the dedup pipelines: anti-join every
+    * non-min-id cluster member out of the corpus. No broadcast hint —
+    * the loser list is usually small, but a high-duplication corpus
+    * (mirrors, boilerplate farms) can make it a large fraction of
+    * 100 TB; AQE converts the join to broadcast when the built side
+    * is actually small, and forcing it would OOM exactly when dedup
+    * matters most.
+    */
+  private def keepSurvivors(corpus: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val losers = clusters.filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id".as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
   }
 
   /** L2/L6 (cross-source duplication matrix, ORACLED) — where do the
@@ -582,35 +591,38 @@ object Similarity {
   /** L2 (SEMANTIC dedup, end-to-end) — the embedding-space analog of
     * the q55 text pipeline: near-dup pairs from the IVF-blocked
     * [[knnJoinIvf]] at cosine ≥ `minCos`, connected components,
-    * min-id survivor per cluster, anti-join the losers out. The kNN
-    * join emits DIRECTED edges (b may be in a's top-k but not vice
-    * versa); either direction witnesses the pair, so edges normalize
-    * through (least, greatest) + dedup before clustering.
+    * min-id survivor per cluster, anti-join the losers out
+    * ([[keepSurvivors]]). The kNN join emits DIRECTED edges (b may be
+    * in a's top-k but not vice versa) — either direction witnesses the
+    * pair, and [[connectedComponents]] symmetrizes + dedups its input
+    * itself, so the directed pairs feed it as-is (a pre-normalization
+    * pass would add a full shuffle to remove duplicates the CC init
+    * removes anyway).
+    *
+    * Unlike [[dedupCorpus]] this is NOT idempotent by construction:
+    * top-k truncation means a cluster with more than `k` near-identical
+    * members can hide a cross-cluster above-threshold pair from every
+    * top-k list, so re-running dedup on the survivors may drop more
+    * rows. Pick `k` at or above the expected duplication multiplicity
+    * (the test's planted groups sit below k and DO reach a fixpoint),
+    * or iterate to convergence for a guaranteed fixpoint.
     *
     * 100 TB posture inherits its pieces': no all-pairs join
-    * ([[knnJoinIvf]]), O(log diameter) pointer-doubling CC, and an
-    * un-hinted anti-join (AQE broadcasts the loser list only when it
-    * is actually small — forcing it would OOM exactly when dedup
-    * matters most, the [[dedupCorpus]] rationale). Approximate by
-    * design (candidate recall is the IVF trade, bounds-checked by
-    * q88); no registered query — the driver embeddings fixture is
-    * isotropic (max pairwise cosine ≈ 0.51 measured at sf0.01), so a
-    * corpus-level dedup query on it would assert on an empty pair set.
-    * Tested on clusterable synthetic data instead, where the planted
-    * duplicate groups are known exactly.
+    * ([[knnJoinIvf]]), O(log diameter) pointer-doubling CC, un-hinted
+    * anti-join. Approximate by design (candidate recall is the IVF
+    * trade, bounds-checked by q88); no registered query — the driver
+    * embeddings fixture is isotropic (max pairwise cosine ≈ 0.51
+    * measured at sf0.01), so a corpus-level dedup query on it would
+    * assert on an empty pair set. Tested on clusterable synthetic data
+    * instead, where the planted duplicate groups are known exactly.
     */
   def embDedupCorpus(emb: DataFrame, minCos: Double, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     import emb.sparkSession.implicits._
     val pairs = knnJoinIvf(emb, k, nLists, nProbe)
       .filter($"cosine" >= minCos)
-      .select(least($"vec_id", $"neighbor_id").as("a"),
-        greatest($"vec_id", $"neighbor_id").as("b"))
-      .dropDuplicates("a", "b")
-    val clusters = connectedComponents(pairs, "a", "b")
-    val losers = clusters.filter($"doc_id" =!= $"cluster_id")
-      .select($"doc_id".as("vec_id"))
-    emb.join(losers, Seq("vec_id"), "left_anti")
+      .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+    keepSurvivors(emb, connectedComponents(pairs, "a", "b"), "vec_id")
   }
 
   /** BOUNDS CHECK for the kNN join (ORACLED, q88) — the q76 contract
