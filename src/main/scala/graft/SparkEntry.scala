@@ -106,6 +106,7 @@ object SparkEntry {
     "q86_weighted_group_sample" -> (graft.util.Sampling.q86WeightedGroupSample _),
     "q87_large_band_join" -> (Joins.q87LargeBandJoin _),
     "q88_knn_recall" -> (Similarity.q88KnnRecall _),
+    "q89_semantic_dedup" -> (Similarity.q89SemanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -949,6 +950,18 @@ object SparkEntry {
     // q76 pattern)
     "q88_knn_recall" ->
       "SELECT 'ivf_knn_join' AS method, true AS recall_ok",
+    // semantic dedup against PLANTED duplicates: the engine builds the
+    // duplicated corpus from the parquet deterministically (every 10th
+    // vector gains a jittered copy at vec_id + 1e6, cosine >= 0.994 to
+    // its base), dedups at minCos = 0.9, and the oracle states the
+    // exact ground truth: every copy collapses onto its lower-id base
+    // (planted_survivors = 0), no base row is lost (missing_base = 0),
+    // and the survivor set is exactly the original corpus
+    "q89_semantic_dedup" ->
+      """SELECT count(*) AS survivors,
+        | CAST(0 AS BIGINT) AS planted_survivors,
+        | CAST(0 AS BIGINT) AS missing_base
+        |FROM embeddings""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

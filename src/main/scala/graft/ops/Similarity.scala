@@ -551,12 +551,31 @@ object Similarity {
     * against the exact sampled kNN in [[q88KnnRecall]].
     */
   def knnJoinIvf(emb: DataFrame, k: Int, nLists: Int, nProbe: Int): DataFrame = {
-    import emb.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
       s"need k >= 1 and 1 <= nProbe <= nLists, got k=$k nLists=$nLists nProbe=$nProbe")
     val (vecs, model) = unitQuantized(emb, nLists)
+    val out = knnPairsQuantized(vecs, model, k, nProbe).localCheckpoint(true)
+    vecs.unpersist(false)
+    out
+  }
+
+  /** The kNN-join kernel over an ALREADY-quantized frame (`vecs` from
+    * [[unitQuantized]], or any frame with `vec_id`/`unit`/`mlvec`):
+    * probe fan-out, cell-keyed candidate join, per-probe top-k. Split
+    * out so [[embDedupCorpusFixpoint]] can re-run it on shrinking
+    * survivor subsets WITHOUT re-fitting the coarse quantizer or
+    * re-reading the source — the quantizer's cells only get emptier as
+    * losers drop out, so reusing the model is both cheaper and
+    * recall-monotone. Returns an un-checkpointed plan; callers that
+    * escape the `vecs` persist scope must checkpoint (as [[knnJoinIvf]]
+    * does).
+    */
+  private def knnPairsQuantized(vecs: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      k: Int, nProbe: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     val assigned = model.transform(vecs)
       .select($"vec_id".as("n_id"), $"unit".as("n_unit"), $"ivf_list".as("cell"))
     val cLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
@@ -574,7 +593,7 @@ object Similarity {
     val probes = vecs.select($"vec_id", $"unit",
         explode(slice(reverse(array_sort(cellRanks)), 1, nProbe)).as("pc"))
       .select($"vec_id", $"unit", $"pc.cell".as("cell"))
-    val out = probes.join(assigned, Seq("cell"))
+    probes.join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"n_id")
       .select($"vec_id", $"n_id",
         cosineSimilarity($"unit", $"n_unit").as("cos"))
@@ -583,9 +602,6 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"vec_id", $"n_id".as("neighbor_id"),
         round($"cos", 6).as("cosine"), $"rank")
-      .localCheckpoint(true)
-    vecs.unpersist(false)
-    out
   }
 
   /** L2 (SEMANTIC dedup, end-to-end) — the embedding-space analog of
@@ -610,11 +626,11 @@ object Similarity {
     * 100 TB posture inherits its pieces': no all-pairs join
     * ([[knnJoinIvf]]), O(log diameter) pointer-doubling CC, un-hinted
     * anti-join. Approximate by design (candidate recall is the IVF
-    * trade, bounds-checked by q88); no registered query — the driver
-    * embeddings fixture is isotropic (max pairwise cosine ≈ 0.51
-    * measured at sf0.01), so a corpus-level dedup query on it would
-    * assert on an empty pair set. Tested on clusterable synthetic data
-    * instead, where the planted duplicate groups are known exactly.
+    * trade, bounds-checked by q88). The driver embeddings fixture is
+    * isotropic (max pairwise cosine ≈ 0.51 measured at sf0.01), so the
+    * registered query ([[q89SemanticDedup]]) PLANTS deterministic
+    * near-duplicates over it and asserts their collapse; clusterable
+    * synthetic data covers the cluster-shape cases in tests.
     */
   def embDedupCorpus(emb: DataFrame, minCos: Double, k: Int = 10,
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -623,6 +639,97 @@ object Similarity {
       .filter($"cosine" >= minCos)
       .select($"vec_id".as("a"), $"neighbor_id".as("b"))
     keepSurvivors(emb, connectedComponents(pairs, "a", "b"), "vec_id")
+  }
+
+  /** L2 (semantic dedup, GUARANTEED fixpoint) — closes
+    * [[embDedupCorpus]]'s documented top-k-saturation hole: a cluster
+    * with more than `k` near-identical members can hide a
+    * cross-cluster above-threshold pair from every top-k list, so one
+    * pass may leave survivors that are still mutual near-dups. This
+    * variant loops pairs → CC → drop losers until a round finds no
+    * loser, which IS the fixpoint: the final survivor set has no
+    * candidate pair at or above `minCos` that the index can see, so
+    * re-running removes nothing (the idempotence property test runs
+    * ABOVE saturation, k < planted multiplicity).
+    *
+    * Cost shape: the coarse quantizer is fit ONCE and the normalized
+    * frame persisted ONCE; every round re-runs only the (cheap,
+    * shrinking) candidate join + CC on the survivor subset, cut from
+    * its lineage per round. Rounds needed ≈ ceil(multiplicity / k) —
+    * each pass keeps at most ~1 in k of a saturated clique — so the
+    * `maxRounds` bound is a runaway guard, not a tuning knob.
+    */
+  def embDedupCorpusFixpoint(emb: DataFrame, minCos: Double, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, maxRounds: Int = 20): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.checkpointRdd
+    require(maxRounds >= 1, s"need maxRounds >= 1, got $maxRounds")
+    val (vecs0, model) = unitQuantized(emb, nLists)
+    var cur = vecs0.localCheckpoint(true)
+    vecs0.unpersist(false)
+    var rounds = 0
+    var losers = 0L
+    do {
+      rounds += 1
+      val pairs = knnPairsQuantized(cur, model, k, nProbe)
+        .filter($"cosine" >= minCos)
+        .select($"vec_id".as("a"), $"neighbor_id".as("b"))
+      val drop = connectedComponents(pairs, "a", "b")
+        .filter($"doc_id" =!= $"cluster_id")
+        .select($"doc_id".as("vec_id"))
+        .localCheckpoint(true)
+      losers = drop.count()
+      if (losers > 0) {
+        // next is materialized eagerly, so the superseded round's
+        // blocks are dead — release them now instead of letting them
+        // accumulate across rounds (the CC-loop discipline).
+        val next = cur.join(drop, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        checkpointRdd(cur).foreach(_.unpersist(false))
+        cur = next
+      }
+      checkpointRdd(drop).foreach(_.unpersist(false))
+    } while (losers > 0 && rounds < maxRounds)
+    emb.join(cur.select($"vec_id"), Seq("vec_id"), "left_semi")
+  }
+
+  /** L2 (semantic dedup, ORACLED — q89): [[embDedupCorpus]] executed
+    * by the driver against PLANTED duplicates. The raw fixture is
+    * isotropic (no above-threshold pair exists), so the query derives
+    * a duplicated corpus FROM the parquet deterministically: every
+    * 10th vector gains a copy at `vec_id + 1_000_000` whose elements
+    * carry a ±0.3% multiplicative jitter (expression-only
+    * `hash(vec_id, i)` arithmetic — no RNG, no driver data). Cosine of
+    * each copy to its base is ≥ (1−ε)/(1+ε) ≈ 0.994; every other pair
+    * stays at the fixture's ≈0.51 ceiling, so at minCos = 0.9 the
+    * ground truth is exact: each planted pair collapses, nothing else
+    * does, and the min-id survivor is always the BASE row.
+    *
+    * Output is the invariant triple the oracle can state from the
+    * parquet alone: `survivors` (= base count), `planted_survivors`
+    * (= 0: every copy lost to its lower-id base), `missing_base`
+    * (= 0: no base row was dropped).
+    */
+  def q89SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val offset = 1000000L
+    val emb = Sources.embeddings(spark, dir)
+    val copies = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + offset).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          (x * (lit(1.0) + (pmod(hash($"vec_id", i), lit(7)) - lit(3))
+            * lit(0.001))).cast("float")).as("embedding"),
+        $"label")
+    val planted = emb.unionByName(copies)
+    val surv = embDedupCorpus(planted, minCos = 0.9)
+    val counts = surv.agg(
+      count(lit(1)).as("survivors"),
+      coalesce(sum(when($"vec_id" >= offset, 1L)), lit(0L))
+        .as("planted_survivors"))
+    val missing = emb.select($"vec_id")
+      .join(surv.select($"vec_id"), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("missing_base"))
+    counts.crossJoin(missing)
   }
 
   /** BOUNDS CHECK for the kNN join (ORACLED, q88) — the q76 contract

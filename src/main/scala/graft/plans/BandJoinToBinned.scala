@@ -290,13 +290,12 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
     * `IntegralDivide`) — the stats only tune the explosion factor, so
     * double-precision span arithmetic is fine even at int64 extremes.
     *
-    * INTEGRAL domains only (byte/short/int/long/timestamp/date):
-    * binning is exact 64-bit division on both sides, and inverted /
-    * null bands emit zero bins through the guarded `sequence`
-    * (`If(hi >= lo, sequence(...), empty)`) exactly like the
-    * materialized path drops them. Floating band sides decline — a
-    * NaN/Inf bound can't be detected at plan time without reading the
-    * rows, and silently mis-binning it would change results.
+    * Integral domains (byte/short/int/long/timestamp/date) bin by
+    * exact 64-bit division on both sides; float/double/decimal take
+    * [[rewriteLargeFloating]], whose NaN/Inf screen rides the same
+    * one-row stats job. Inverted / null bands emit zero bins through
+    * the guarded `sequence` (`If(hi >= lo, sequence(...), empty)`)
+    * exactly like the materialized path drops them.
     */
   private def rewriteLarge(
       j: Join,
@@ -309,6 +308,8 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
       hint: JoinHint): Option[LogicalPlan] = {
     v.dataType match {
       case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType => ()
+      case FloatType | DoubleType | _: DecimalType =>
+        return rewriteLargeFloating(j, fact, band, cond, v, loE, hiE, hint)
       case _ => return None
     }
     val loL = asBinLong(loE)
@@ -350,6 +351,87 @@ object BandJoinToBinned extends Rule[LogicalPlan] with PredicateHelper {
     val binnedBand = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = band)
     val factBin = Alias(IntegralDivide(asBinLong(v), wLit), "graft_band_bin_f")()
+    val factWithBin = Project(fact.output :+ factBin, fact)
+    val newJoin = Join(
+      factWithBin, binnedBand, Inner,
+      Some(And(EqualTo(factBin.toAttribute, binAttr), cond)), hint)
+    Some(Project(j.output, newJoin))
+  }
+
+  /** Distributed fallback, FLOATING domains (float/double/decimal,
+    * through the same monotone cast-to-double as the materialized
+    * path). The blocker the integral fallback documents — a NaN/±Inf
+    * band bound is invisible at plan time but matches fact rows in the
+    * original join, so mis-binning it would change results — is solved
+    * by screening INSIDE the one-row stats job the fallback already
+    * runs: `x − x` is NaN exactly for NaN and ±Inf (and 0 for every
+    * finite x, null for null), so one `sum(if(isnan(lo−lo) or
+    * isnan(hi−hi), 1, 0))` counts the poisoned rows and any hit
+    * declines the whole rewrite, same as the materialized path. The
+    * job also feeds the bin-magnitude guard (`max(abs(bound)) / w`
+    * must stay clear of `floor`'s Long saturation edge) that the
+    * driver-side float path applies row-by-row.
+    *
+    * Both sides bin through the IDENTICAL Catalyst
+    * `Floor(Divide(cast-to-double, w))` — the band side inside the
+    * `sequence` bounds of the `Generate`, the fact side as the join
+    * key — so there is no driver-vs-executor float mirror-math to keep
+    * in agreement, and any w > 0 is correct (the original range
+    * predicate stays as residual).
+    */
+  private def rewriteLargeFloating(
+      j: Join,
+      fact: LogicalPlan,
+      band: LogicalPlan,
+      cond: Expression,
+      v: Expression,
+      loE: Expression,
+      hiE: Expression,
+      hint: JoinHint): Option[LogicalPlan] = {
+    def asDbl(e: Expression): Expression =
+      if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    val loD = asDbl(loE)
+    val hiD = asDbl(hiE)
+    val spanD = Subtract(hiD, loD)
+    val nonFinite = Or(
+      IsNaN(Subtract(loD, loD)), IsNaN(Subtract(hiD, hiD)))
+    val statsRow = try {
+      SparkSession.getActiveSession.map { s =>
+        val agg = Aggregate(Nil, Seq(
+          Alias(Sum(spanD).toAggregateExpression(), "span_sum")(),
+          Alias(Max(spanD).toAggregateExpression(), "span_max")(),
+          Alias(Max(Greatest(Seq(Abs(loD), Abs(hiD))))
+            .toAggregateExpression(), "max_abs")(),
+          Alias(Sum(If(nonFinite, Literal(1L), Literal(0L)))
+            .toAggregateExpression(), "n_bad")(),
+          Alias(Count(Seq(Literal(1))).toAggregateExpression(), "n")()), band)
+        GraftPlans.executeTake(s, agg, 1).headOption
+      }.flatten
+    } catch { case NonFatal(_) => None }
+    val row = statsRow.getOrElse(return None)
+    // a NaN/Inf bound matches fact rows in the original join, so it
+    // cannot be dropped — decline the whole rewrite (mirrors the
+    // materialized float path)
+    if (!row.isNullAt(3) && row.getLong(3) > 0) return None
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2)) return None
+    val spanSum = row.getDouble(0)
+    val spanMax = row.getDouble(1)
+    val maxAbs = row.getDouble(2)
+    val n = row.getLong(4)
+    if (n <= 0 || !(spanSum > 0.0) || spanSum.isInfinite) return None
+    val w = math.max(spanSum / n, spanMax / maxBinsPerLargeBand)
+    if (!(w > 0.0) || maxAbs / w > maxBinMagnitude) return None
+    val wLit = Literal(w, DoubleType)
+    def bin(e: Expression): Expression = Floor(Divide(asDbl(e), wLit))
+    val seqExpr = If(
+      GreaterThanOrEqual(hiD, loD),
+      new Sequence(bin(loE), bin(hiE),
+        Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
+    val binAttr = AttributeReference("graft_band_bin", LongType, nullable = false)()
+    val binnedBand = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binAttr), child = band)
+    val factBin = Alias(bin(v), "graft_band_bin_f")()
     val factWithBin = Project(fact.output :+ factBin, fact)
     val newJoin = Join(
       factWithBin, binnedBand, Inner,

@@ -31,8 +31,9 @@ class BandJoinPropertySpec extends SparkTestBase {
   }
 
   /** Session whose materialization budget is zero — every band side
-    * routes through the DISTRIBUTED fallback (Generate + shuffle join)
-    * in the integral domains, and declines in the floating ones.
+    * routes through the DISTRIBUTED fallback (Generate + shuffle join);
+    * floating domains fire only when the stats job's NaN/Inf screen
+    * comes back clean, declining to the control plan otherwise.
     */
   private lazy val extLarge: SparkSession = {
     val s = spark.newSession()
@@ -203,5 +204,53 @@ class BandJoinPropertySpec extends SparkTestBase {
       val want = runGrouped(spark, LongType, factLongs, bands)
       assert(got == want, s"bands=$bands")
     }
+    test(s"large-band fallback, double case $seed: distributed rewrite ≡ control") {
+      val bands = draw(bandsGen(dblBound), 8000L + seed)
+      val got = run(extLarge, DoubleType, factDoubles, bands)
+      val want = run(spark, DoubleType, factDoubles, bands)
+      assert(got == want, s"bands=$bands")
+    }
+    test(s"large-band fallback, grouped double case $seed: distributed rewrite ≡ control") {
+      val bands = draw(bandsGen(dblBound), 9000L + seed)
+      val got = runGrouped(extLarge, DoubleType, factDoubles, bands)
+      val want = runGrouped(spark, DoubleType, factDoubles, bands)
+      assert(got == want, s"bands=$bands")
+    }
+  }
+
+  test("double fallback fires on clean finite bands: Generate + no nested loop (plan-asserted)") {
+    val bands = List(
+      (Some(0.0), Some(100.0)), (Some(50.0), Some(250.5)),
+      (Some(-300.25), Some(-10.0)), (Some(400.0), Some(401.0)))
+    val factSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    val bandSchema = StructType(Seq(
+      StructField("band", StringType, nullable = false),
+      StructField("lo", DoubleType, nullable = true),
+      StructField("hi", DoubleType, nullable = true)))
+    val facts = factDoubles.zipWithIndex.map { case (v, i) => Row(i.toLong, v.orNull) }
+    val bandRows = bands.zipWithIndex.map { case ((l, h), i) =>
+      Row(s"b$i", l.orNull, h.orNull)
+    }
+    val joined = df(extLarge, facts, factSchema)
+      .join(df(extLarge, bandRows, bandSchema),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select(col("id"), col("band"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"floating fallback must not plan a nested loop:\n$plan")
+    assert(plan.contains("graft_band_bin"), s"bin key missing from plan:\n$plan")
+    // NaN/Inf screen: one poisoned bound declines the WHOLE rewrite
+    val poisoned = bands :+ (Some(Double.NaN), Some(1.0))
+    val poisonedRows = poisoned.zipWithIndex.map { case ((l, h), i) =>
+      Row(s"b$i", l.orNull, h.orNull)
+    }
+    val declined = df(extLarge, facts, factSchema)
+      .join(df(extLarge, poisonedRows, bandSchema),
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select(col("id"), col("band"))
+    assert(!declined.queryExecution.executedPlan.toString.contains("graft_band_bin"),
+      "a NaN band bound must decline the floating fallback")
   }
 }

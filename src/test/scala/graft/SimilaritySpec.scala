@@ -193,6 +193,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(again === want)
   }
 
+  test("fixpoint semantic dedup is idempotent ABOVE top-k saturation (k < multiplicity)") {
+    // 6 near-copies per group with k = 2: each top-k list sees only 2
+    // of its 5 fellow dups, so one pass can leave survivors that are
+    // still mutual near-dups (the documented non-idempotence of
+    // embDedupCorpus). The fixpoint variant must converge to exactly
+    // the min-id per group regardless, and re-running it must be a
+    // no-op.
+    val rnd = new scala.util.Random(29)
+    val rows = (for (g <- 0 until 8) yield {
+      val base = Array.fill(16)(rnd.nextGaussian())
+      (0 until 6).map { i =>
+        (g * 6L + i, s"g$g", base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    }).flatten
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val kept = ops.Similarity.embDedupCorpusFixpoint(emb, minCos = 0.9,
+        k = 2, nLists = 8, nProbe = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    val want = (0 until 8).map(g => g * 6L).toSet
+    assert(kept === want, s"fixpoint must leave exactly the min-id per group: $kept")
+    val again = ops.Similarity.embDedupCorpusFixpoint(
+        emb.join(kept.toSeq.toDF("vec_id"), Seq("vec_id")), minCos = 0.9,
+        k = 2, nLists = 8, nProbe = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(again === want, "fixpoint survivors must be a fixpoint")
+  }
+
+  test("q89 collapses every planted duplicate onto its base on the driver fixture") {
+    val out = SparkEntry.queries("q89_semantic_dedup")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    val base = ops.Sources.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(out.toSeq === Seq((base, 0L, 0L)),
+      s"want (survivors=$base, planted_survivors=0, missing_base=0), got ${out.toSeq}")
+  }
+
   test("IVF index written partitionBy(ivf_list) prunes to the probed cells") {
     // The scale claim behind q45: persisting the index partitioned by
     // cell means a query reads ONLY the probed cells' files.
