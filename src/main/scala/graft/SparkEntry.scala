@@ -107,6 +107,7 @@ object SparkEntry {
     "q87_large_band_join" -> (Joins.q87LargeBandJoin _),
     "q88_knn_recall" -> (Similarity.q88KnnRecall _),
     "q89_semantic_dedup" -> (Similarity.q89SemanticDedup _),
+    "q90_compact" -> (graft.util.Layout.q90Compact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -962,6 +963,15 @@ object SparkEntry {
         | CAST(0 AS BIGINT) AS planted_survivors,
         | CAST(0 AS BIGINT) AS missing_base
         |FROM embeddings""".stripMargin,
+    // parquet compaction maintenance: the engine splinters documents
+    // into small files (flat + lang-partitioned), compacts both, and
+    // re-reads; the oracle states the preservation invariants from the
+    // source table (rows, distinct keys, nested-layout rows) plus the
+    // file-count reduction contract
+    "q90_compact" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        | true AS files_reduced, true AS nested_preserved
+        |FROM documents""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

@@ -345,14 +345,21 @@ object Joins {
     *    then the `levenshtein` DP runs as a residual and duplicate
     *    candidate pairs collapse on (leftId, rightId).
     *
-    * 100 TB posture: shuffle volume is ~(2d+1)² × |left| + (d+1) ×
-    * |right| short segment keys — pass the SMALLER feed as `left`.
-    * No driver materialization, no broadcast, no O(|L|·|R|) predicate:
-    * this is the blocking shape [[q84FuzzyJoin]]'s scaladoc promises
-    * for two 100 M-row feeds. Skewed blocks (e.g. a hot 3-char prefix)
-    * are bounded by the residual's cheap length prefilter riding in the
-    * key (targetLen), and empty-segment keys only arise for strings
-    * shorter than d+1 characters.
+    * 100 TB posture: shuffle volume is ~(2d+1)² × |probe| + (d+1) ×
+    * |index| short segment keys, so the SMALLER feed should probe —
+    * and the join ORIENTS ITSELF: a free plan-time size estimate
+    * (Catalyst stats over each side's optimized plan — exact for
+    * in-memory relations, file-size-derived for parquet scans, the
+    * same statistic the broadcast planner trusts) decides which side
+    * probes, so argument order never costs the ~13× key fan-out
+    * (side-order invariance of both result and candidate counts is
+    * property-tested in JoinsSpec). No driver materialization, no
+    * broadcast, no O(|L|·|R|) predicate: this is the blocking shape
+    * [[q84FuzzyJoin]]'s scaladoc promises for two 100 M-row feeds.
+    * Skewed blocks (e.g. a hot 3-char prefix) are bounded by the
+    * residual's cheap length prefilter riding in the key (targetLen),
+    * and empty-segment keys only arise for strings shorter than d+1
+    * characters.
     */
   def fuzzyJoinBlocked(left: DataFrame, leftId: String, leftCol: String,
       right: DataFrame, rightId: String, rightCol: String,
@@ -361,6 +368,40 @@ object Joins {
       s"maxDist must be in [1, 4], got $maxDist")
     require(Seq(leftId, leftCol, rightId, rightCol).distinct.size == 4,
       "left and right id/value column names must be distinct")
+    val cands =
+      if (fuzzySwapSides(left, right))
+        fuzzyCandidates(right, rightCol, left, leftCol, maxDist)
+      else
+        fuzzyCandidates(left, leftCol, right, rightCol, maxDist)
+    cands
+      .filter(levenshtein(col(leftCol), col(rightCol)) <= maxDist)
+      // several blocks can yield the same true pair — collapse AFTER
+      // the cheap residual so only matches pay the dedup shuffle
+      .dropDuplicates(leftId, rightId)
+      .select(col(leftId), col(leftCol), col(rightId), col(rightCol),
+        levenshtein(col(leftCol), col(rightCol)).cast("long").as("dist"))
+  }
+
+  /** Orientation decision for [[fuzzyJoinBlocked]]: probe with the
+    * smaller side. Catalyst plan stats are free at this point (no job
+    * runs) and only TUNE the key fan-out — either orientation is
+    * correct (the pigeonhole is exhaustive both ways), so an off
+    * estimate can cost time, never rows.
+    */
+  private[graft] def fuzzySwapSides(left: DataFrame, right: DataFrame): Boolean =
+    right.queryExecution.optimizedPlan.stats.sizeInBytes <
+      left.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** PassJoin candidate generation, explicitly oriented: `probe` emits
+    * the shifted substrings, `index` its exact segments. Returns the
+    * blocked equi-join BEFORE the levenshtein residual — kept separate
+    * so the orientation property test can count candidates per
+    * orientation. Output carries both sides' id and value columns, so
+    * the caller's by-name select is orientation-blind.
+    */
+  private[graft] def fuzzyCandidates(probe: DataFrame, probeCol: String,
+      index: DataFrame, indexCol: String, maxDist: Int): DataFrame = {
+    val (left, leftCol, right, rightCol) = (probe, probeCol, index, indexCol)
     val d = maxDist
     val parts = d + 1
     // even segmentation of a string of length len: segment i has length
@@ -400,17 +441,11 @@ object Joins {
           col(leftCol).substr(p + 1, sLen).as("seg"),
           tLen.as("target_len")))
     }
-    val lk = left.select(col(leftId), col(leftCol),
-      explode(array_distinct(array_compact(array(probeKeys: _*)))).as("__blk"))
-    val rk = right.select(col(rightId), col(rightCol),
-      explode(array_distinct(array(rightKeys: _*))).as("__blk"))
-    lk.join(rk, Seq("__blk"))
-      .filter(levenshtein(col(leftCol), col(rightCol)) <= d)
-      // several blocks can yield the same true pair — collapse AFTER
-      // the cheap residual so only matches pay the dedup shuffle
-      .dropDuplicates(leftId, rightId)
-      .select(col(leftId), col(leftCol), col(rightId), col(rightCol),
-        levenshtein(col(leftCol), col(rightCol)).cast("long").as("dist"))
+    val lk = left.select(left.columns.map(col) :+
+      explode(array_distinct(array_compact(array(probeKeys: _*)))).as("__blk"): _*)
+    val rk = right.select(right.columns.map(col) :+
+      explode(array_distinct(array(rightKeys: _*))).as("__blk"): _*)
+    lk.join(rk, Seq("__blk")).drop("__blk")
   }
 
   /** [[fuzzyJoinBlocked]] ORACLED (q85) — a corpus-sized dirty feed

@@ -103,11 +103,34 @@ object Mutations {
     }
     val next = cur.getOrElse(0L) + 1
     merged.write.mode("overwrite").parquet(versionDir(dir, next).toString)
+    // the manifest-loss fallback in committedVersion keys on _SUCCESS;
+    // if the committer was configured not to write one
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false), record
+    // completeness ourselves — the write above has already returned, so
+    // the version IS complete at this point
+    val success = new org.apache.hadoop.fs.Path(versionDir(dir, next), "_SUCCESS")
+    if (!fs.exists(success)) fs.create(success, true).close()
     commitVersion(fs, dir, next)
     // GC superseded versions — crash mid-GC is harmless (stale dirs are
-    // below the manifest and re-collected on the next batch)
-    listVersions(fs, dir).filter(_ < next)
+    // below the manifest and re-collected on the next batch). The
+    // IMMEDIATELY preceding version is retained for one batch: a reader
+    // that resolved version next-1 before this commit may still have an
+    // unexecuted lazy scan against it, and deleting it here would fail
+    // that read mid-flight. Readers lagging by 2+ batches are out of
+    // contract (single-writer, promptly-consumed readers).
+    listVersions(fs, dir).filter(_ < next - 1)
       .foreach(n => fs.delete(versionDir(dir, n), true))
+    // sweep manifest tmps leaked by a crash between create and rename
+    // in commitVersion — each attempt uses a fresh name, so nothing
+    // else ever collects them (this batch's own tmp is already renamed
+    // away; single-writer, so no live tmp can exist here)
+    fs.listStatus(dir).iterator
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("._CURRENT.") && n.endsWith(".tmp")
+      }
+      .foreach(p => fs.delete(p, false))
   }
 
   /** The committed state of a versioned dim directory maintained by
@@ -116,6 +139,12 @@ object Mutations {
     * filesystem without atomic overwrite-rename — the highest fully
     * written (`_SUCCESS`-marked) version, which at that crash point is
     * the one the lost manifest was about to name.
+    *
+    * Concurrency contract: the returned frame's scan is LAZY, and the
+    * sink GCs versions older than the previous one each batch — so a
+    * read must execute within one batch of being planned. A reader
+    * that resolves version N is safe through the commit of N+1
+    * (N is retained one extra batch) but not past the commit of N+2.
     */
   def readVersionedDim(spark: SparkSession, dimPath: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(dimPath)

@@ -249,6 +249,9 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    require(maxBucketEntries >= 1,
+      s"maxBucketEntries must be >= 1, got $maxBucketEntries — a 0 cap " +
+        "would leave bucket state empty and break the timeout bookkeeping")
     val spark = docs.sparkSession
     import spark.implicits._
     val banded = docs

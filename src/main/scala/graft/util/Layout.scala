@@ -113,21 +113,85 @@ object Layout {
   }
 
   /** Total row count of a parquet directory from file footers only —
-    * no Spark job, no data pages read.
+    * no Spark job, no data pages read. The listing is RECURSIVE: a
+    * partitioned table keeps its data files under `part=value`
+    * subdirectories, and a top-level-only listing would see zero files,
+    * size the rewrite at n = 0, and collapse the whole table into one
+    * writer task. Files under hidden (`_`/`.`-prefixed) directories —
+    * `_temporary`, checkpoint metadata — are skipped at any depth,
+    * matching what a parquet read would load.
     */
   private[graft] def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Long =
-    fs.listStatus(dir).iterator
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      .map { st =>
+      dir: org.apache.hadoop.fs.Path): Long = {
+    val root = fs.makeQualified(dir)
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val it = fs.listFiles(root, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !hidden(st.getPath)) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(st, fs.getConf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+        try sum += r.getRecordCount finally r.close()
+      }
+    }
+    sum
+  }
+
+  /** MAINTENANCE path end-to-end (ORACLED, q90): splinter the
+    * documents table into small files (flat AND lang-partitioned
+    * layouts), [[compact]] both, and emit the invariants the oracle
+    * can state from the source table alone — row and key preservation,
+    * file-count reduction, and nested-layout row preservation (the
+    * regression this query exists to catch: a top-level-only footer
+    * listing sized a partitioned rewrite at n = 0 and collapsed it to
+    * one file; see [[footerRowCount]]). File counts come from the same
+    * recursive metadata listing compact itself uses — no data job.
+    */
+  def q90Compact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.ops.Sources.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q90").toString
+    val flat = tmp + "/flat"
+    val nested = tmp + "/nested"
+    docs.repartition(16).write.mode("overwrite").parquet(flat)
+    docs.write.partitionBy("lang").mode("overwrite").parquet(nested)
+    val fs = new org.apache.hadoop.fs.Path(flat)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFileCount(p: String): Long = {
+      val root = fs.makeQualified(new org.apache.hadoop.fs.Path(p))
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val leaf = st.getPath.getName
+        if (st.isFile && !leaf.startsWith("_") && !leaf.startsWith(".")) n += 1
+      }
+      n
+    }
+    val filesBefore = dataFileCount(flat)
+    compact(spark, flat, targetRowsPerFile = 1000L)
+    val filesAfter = dataFileCount(flat)
+    compact(spark, nested, targetRowsPerFile = 1000L)
+    val flatAgg = spark.read.parquet(flat).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val nestedAgg = spark.read.parquet(nested).agg(
+      count(lit(1)).as("nested_rows"))
+    flatAgg.crossJoin(nestedAgg)
+      .select(col("n_rows"), col("n_docs"),
+        lit(filesAfter < filesBefore).as("files_reduced"),
+        (col("nested_rows") === col("n_rows")).as("nested_preserved"))
+  }
 
   /** ORACLED exercise of the interleave kernel (q79): occupancy of the
     * 8-bit × 8-bit z-cell grid over (l_partkey, l_suppkey) mod 256 —

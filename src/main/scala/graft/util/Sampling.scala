@@ -153,12 +153,21 @@ object Sampling {
 
   /** P5 composed with A2 — balance every class down to the global
     * minimum class size, the reference's exact balancing rule
-    * (main.py:157-158).
+    * (main.py:157-158). The min class size rides the sampling plan as
+    * a 1-row broadcast (the q13 shape) instead of a separate `.head()`
+    * driver action, so the whole balance is ONE job — at 100 TB the
+    * old two-pass form scanned the table once just to size k
+    * (construction is asserted job-free in SamplingSpec).
     */
   def balanceToMinClass(df: DataFrame, labelCol: String, seed: Long): DataFrame = {
-    val minCount = df.groupBy(col(labelCol)).count()
-      .agg(min("count")).head().getLong(0)
-    stratifiedExactSample(df, labelCol, minCount.toInt, seed)
+    val minC = df.groupBy(col(labelCol)).count()
+      .agg(min("count").as("__min_n"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("__strat_r"))
+    df.withColumn("__strat_r", rand(seed))
+      .withColumn("__strat_rn", row_number().over(w))
+      .crossJoin(broadcast(minC))
+      .filter(col("__strat_rn") <= col("__min_n"))
+      .drop("__strat_r", "__strat_rn", "__min_n")
   }
 
   /** P6 — seeded shuffled 85/15 split (Bernoulli per-partition sampling,

@@ -259,4 +259,32 @@ class JoinsSpec extends SparkTestBase {
       s"candidate join must be a keyed shuffle join:\n$plan")
     assert(out.count() > 0)
   }
+
+  test("fuzzy join auto-orients: result AND candidate volume are side-order invariant") {
+    import spark.implicits._
+    // asymmetric feeds: 8 dirty rows vs a 400-row corpus — the probe
+    // fan-out is ~13x the index fan-out at d=2, so orientation matters
+    val small = Seq("name_3_x", "nam_3_x", "name_41_", "ame_17_x",
+      "name_5_xq", "nme_29_x", "zzzzzzzz", "name_7_x")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("lid", "ls")
+    val big = (0L until 400L).map(i => (i, s"name_${i % 97}_x")).toDF("rid", "rs")
+    // the decision itself: whichever call order, the big side indexes
+    assert(ops.Joins.fuzzySwapSides(big, small),
+      "big-as-left must swap so the small side probes")
+    assert(!ops.Joins.fuzzySwapSides(small, big),
+      "small-as-left must keep caller orientation")
+    // candidate volume: small-probe is the cheap orientation (sanity
+    // check that the decision optimizes the right quantity)
+    val candSmallProbe = ops.Joins.fuzzyCandidates(small, "ls", big, "rs", 2).count()
+    val candBigProbe = ops.Joins.fuzzyCandidates(big, "rs", small, "ls", 2).count()
+    assert(candSmallProbe < candBigProbe,
+      s"small-probe must generate fewer candidates ($candSmallProbe vs $candBigProbe)")
+    // end-to-end: both call orders return the identical pair set
+    val ab = ops.Joins.fuzzyJoinBlocked(small, "lid", "ls", big, "rid", "rs", 2)
+      .select($"lid", $"rid", $"dist").as[(Long, Long, Long)].collect().toSet
+    val ba = ops.Joins.fuzzyJoinBlocked(big, "rid", "rs", small, "lid", "ls", 2)
+      .select($"lid", $"rid", $"dist").as[(Long, Long, Long)].collect().toSet
+    assert(ab === ba, "pair set must be side-order invariant")
+    assert(ab.nonEmpty, "vacuous fixture")
+  }
 }

@@ -99,6 +99,26 @@ class LayoutSpec extends SparkTestBase {
       s"compact ran $compacted jobs vs $bare for the bare rewrite — sizing must not scan")
   }
 
+  test("compact sizes a partitioned (nested) table correctly — no collapse to one file") {
+    // regression: footerRowCount listed only the top level, saw zero
+    // data files under the part=value subdirectories, and compact
+    // rewrote the whole table through repartition(1)
+    val base = Files.createTempDirectory("graft-compact-nested").toString + "/t"
+    spark.range(8000L).select($"id", ($"id" % 4).cast("string").as("p"))
+      .repartition(8).write.partitionBy("p").parquet(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Layout.footerRowCount(fs, new org.apache.hadoop.fs.Path(base)) === 8000L,
+      "footer sizing must see nested data files")
+    Layout.compact(spark, base, targetRowsPerFile = 2000L)
+    val after = spark.read.parquet(base)
+    assert(after.select(input_file_name()).distinct().count() === 4,
+      "8000 rows at 2000/file must compact to 4 files, not 1")
+    // content preserved, including the former partition column's values
+    assert(after.groupBy($"p").count().as[(String, Long)].collect().toSet ===
+      (0 until 4).map(i => (i.toString, 2000L)).toSet)
+  }
+
   test("compact recovers a crash between delete and rename from the staged copy") {
     val base = Files.createTempDirectory("graft-compact-crash").toString + "/t"
     spark.range(1000L).repartition(8).write.parquet(base)

@@ -108,10 +108,23 @@ class MutationsSpec extends SparkTestBase {
       val after2 = Mutations.readVersionedDim(spark, s"$dir/dim")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(after2 === Map(1L -> "one-v2", 2L -> "two-v2", 3L -> "three"))
-      // superseded versions are GC'd: exactly one _v= dir remains
-      val vdirs = new java.io.File(s"$dir/dim").listFiles()
-        .map(_.getName).filter(_.startsWith("_v=")).toSeq
-      assert(vdirs === Seq("_v=2"))
+      // GC retains the immediately-preceding version for one batch (a
+      // reader that resolved it pre-commit may still hold a lazy scan)
+      def vdirs() = new java.io.File(s"$dir/dim").listFiles()
+        .map(_.getName).filter(_.startsWith("_v=")).sorted.toSeq
+      assert(vdirs() === Seq("_v=1", "_v=2"))
+      // plant a leaked manifest tmp (crash between create and rename):
+      // the next batch's sweep must collect it
+      val leaked = new java.io.File(s"$dir/dim/._CURRENT.9.tmp")
+      assert(leaked.createNewFile())
+      // batch 3: _v=1 ages out of retention, the tmp is swept
+      input.addData((3L, "three-v2", 4L))
+      q.processAllAvailable()
+      assert(vdirs() === Seq("_v=2", "_v=3"))
+      assert(!leaked.exists(), "stale ._CURRENT.*.tmp must be swept")
+      val after3 = Mutations.readVersionedDim(spark, s"$dir/dim")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after3 === Map(1L -> "one-v2", 2L -> "two-v2", 3L -> "three-v2"))
     } finally q.stop()
   }
 

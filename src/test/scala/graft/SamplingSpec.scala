@@ -52,6 +52,34 @@ class SamplingSpec extends SparkTestBase {
     assert(counts === Map("a" -> 4L, "b" -> 4L, "c" -> 4L))
   }
 
+  test("balanceToMinClass builds its plan without launching a sizing job") {
+    // the min-class-size lookup rides the plan as a 1-row broadcast —
+    // the old form ran a separate .head() action (a full scan at scale)
+    // before the sampling pass
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val df = corpus(Map("a" -> 17, "b" -> 4, "c" -> 9))
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val planned = util.Sampling.balanceToMinClass(df, "label", 5L)
+      assert(planned.columns.toSeq === df.columns.toSeq) // plan built, no action
+      // the listener bus is async — drain before reading the count
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = counter.get
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(counter.get === 0,
+      s"plan construction must be job-free, ran ${counter.get} job(s)")
+  }
+
   test("hash-weighted sample: membership is a pure function of the key") {
     import spark.implicits._
     val df = (0L until 5000L).map(i => (i, 100L + (i % 1900))).toDF("k", "w")
