@@ -302,6 +302,130 @@ object Streaming {
       .toDF()
   }
 
+  private[graft] case class CellDoc(docId: Long, unit: Array[Double],
+      cell: Int, ts: Timestamp)
+  private[graft] case class CellEntry(docId: Long, unit: Array[Double],
+      tsMs: Long)
+
+  /** A detected embedding near-duplicate pair: same prev/new and ts
+    * conventions as [[NearDupHit]], with the exact cosine instead of a
+    * Hamming distance.
+    */
+  case class EmbNearDupHit(doc_prev: Long, doc_new: Long, cosine: Double,
+      ts: Timestamp)
+
+  /** T5 + L2 (SEMANTIC) — streaming near-duplicate detection in
+    * EMBEDDING space: emit an [[EmbNearDupHit]] for every pair of
+    * in-horizon documents whose vectors' cosine reaches `minCos` and
+    * that share at least one probed IVF cell — the streaming
+    * counterpart of [[Similarity.embDedupCorpus]]'s pair stage, for
+    * dedup-at-ingest of an embedded feed. Input columns: `doc_id`
+    * long, `embedding` array<float/double>, `ts` timestamp.
+    *
+    * Candidate generation is the IVF shape of the batch
+    * `knnJoinIvf`, with the coarse `centroids` supplied by the CALLER
+    * (fit offline — on a batch sample via KMeans, as
+    * [[Similarity.ivfTopK]] does; a stream cannot re-fit its quantizer
+    * without rewriting history). Each arriving vector is L2-normalized
+    * and ranked against the centroid literal IN A PURE MAP STAGE (the
+    * same assignment score u·c − ‖c‖²/2, zero shuffle), then fans out
+    * to its `nProbe` closest cells; the cell id is the fMGWS bucket
+    * key. Two vectors meet iff their probe sets intersect — recall is
+    * the IVF trade (near-identical vectors rank cells near-identically,
+    * so true near-dups share their top cell), false positives are
+    * impossible (state keeps full unit vectors; the emitted cosine is
+    * exact). A pair sharing k probed cells is emitted k times (k ≤
+    * nProbe, always within one micro-batch) — dedup downstream like
+    * [[nearDupPairsStreamDistinct]] if exactly-once pairs matter.
+    *
+    * 100 TB posture mirrors the SimHash stream: each document becomes
+    * exactly `nProbe` keyed updates sharded over the cell space, state
+    * access is an equi-shuffle on a small int key, never a scan. The
+    * same three state bounds apply — visit-time horizon eviction, idle
+    * bucket event-time timeout, and the `maxBucketEntries` skew cap
+    * (defaults LOWER than the SimHash stream's: an entry carries a
+    * d-dim double vector, not an 8-byte fingerprint).
+    */
+  def embNearDupPairsStream(docs: DataFrame, centroids: Seq[Seq[Double]],
+      minCos: Double, nProbe: Int = 2, delay: String = "10 minutes",
+      horizonMs: Long = 30L * 60 * 1000,
+      maxBucketEntries: Int = 256): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(centroids.nonEmpty && centroids.forall(_.size == centroids.head.size),
+      "centroids must be non-empty and share one dimensionality")
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"need 1 <= nProbe <= ${centroids.size}, got $nProbe")
+    require(minCos >= -1.0 && minCos <= 1.0, s"minCos out of [-1,1]: $minCos")
+    require(maxBucketEntries >= 1,
+      s"maxBucketEntries must be >= 1, got $maxBucketEntries")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cLit = typedlit(centroids)
+    val halfSqLit = typedlit(centroids.map(c => c.map(x => x * x).sum / 2.0))
+    val norm = sqrt(aggregate(transform($"vec", x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    // same ranking rule as knnJoinIvf: the ASSIGNMENT score, so a
+    // vector's own nearest cell is always probed first
+    val cellRanks = transform(cLit, (c, i) => struct(
+      (dot($"unit", c) - get(halfSqLit, i)).as("score"),
+      i.cast("int").as("cell")))
+    val probed = docs
+      .select($"doc_id".cast("long").as("docId"),
+        transform($"embedding", _.cast("double")).as("vec"), $"ts")
+      .withWatermark("ts", delay)
+      .withColumn("nrm", when(norm === 0.0, 1.0).otherwise(norm))
+      .withColumn("unit", transform($"vec", x => x / $"nrm"))
+      .select($"docId", $"unit",
+        explode(slice(reverse(array_sort(cellRanks)), 1, nProbe)).as("pc"),
+        $"ts")
+      .select($"docId", $"unit", $"pc.cell".as("cell"), $"ts")
+      .as[CellDoc]
+    probed
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[List[CellEntry], EmbNearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val arrived = rows.toArray.sortBy(d => (d.ts.getTime, d.docId))
+            var entries = state.getOption.getOrElse(Nil)
+              .filter(_.tsMs + horizonMs >= wm)
+            val out = Seq.newBuilder[EmbNearDupHit]
+            arrived.foreach { d =>
+              val t = d.ts.getTime
+              entries.foreach { e =>
+                if (e.docId != d.docId && math.abs(t - e.tsMs) <= horizonMs) {
+                  var cos = 0.0
+                  var i = 0
+                  while (i < d.unit.length) {
+                    cos += e.unit(i) * d.unit(i); i += 1
+                  }
+                  if (cos >= minCos) {
+                    val (prev, nxt) =
+                      if (e.tsMs < t || (e.tsMs == t && e.docId < d.docId))
+                        (e.docId, d.docId)
+                      else (d.docId, e.docId)
+                    out += EmbNearDupHit(prev, nxt,
+                      math.rint(cos * 1e6) / 1e6,
+                      new Timestamp(math.max(t, e.tsMs)))
+                  }
+                }
+              }
+              entries = CellEntry(d.docId, d.unit, t) :: entries
+            }
+            entries = entries.sortBy(-_.tsMs).take(maxBucketEntries)
+            state.update(entries)
+            state.setTimeoutTimestamp(
+              math.max(entries.head.tsMs + horizonMs, wm + 1))
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** [[nearDupPairsStream]] with the cross-band duplicates collapsed
     * EXACTLY-ONCE: a pair colliding in k ≤ 4 bands surfaces as one row
     * with its (single possible) Hamming distance, emitted append-mode

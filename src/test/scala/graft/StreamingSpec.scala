@@ -18,6 +18,9 @@ case class NDoc(doc_id: Long, simhash: Long, ts: Timestamp)
 /** Raw-text document for the text-level near-dup entry point. */
 case class TDoc(doc_id: Long, text: String, ts: Timestamp)
 
+/** Embedded document for the streaming semantic near-dup tests. */
+case class EDoc(doc_id: Long, embedding: Seq[Double], ts: Timestamp)
+
 /** Structured Streaming tests (SURVEY §2.10 T1–T6, §5.2) via
   * MemoryStream — windows, watermark late-drop, streaming dedup, and the
   * stream-static join, with batch/stream plan parity.
@@ -450,6 +453,114 @@ class StreamingSpec extends SparkTestBase {
         .select($"doc_prev", $"doc_new", $"hamming")
         .as[(Long, Long, Int)].collect().toSet
       assert(got === want, s"stream pairs != oracle (seed $seed)")
+    }
+  }
+
+  // ---- streaming EMBEDDING near-dup (the semantic-dedup pair stage) ----
+
+  /** Mirrors embNearDupPairsStream's candidate rule exactly: cells
+    * ranked by the assignment score u·c − ‖c‖²/2 descending (ties →
+    * higher cell id first, matching reverse(array_sort) on the
+    * (score, cell) struct), top `nProbe` kept. Same left-fold order as
+    * the Catalyst `aggregate`, so scores are bit-identical doubles.
+    */
+  private def probeCells(unit: Seq[Double], centroids: Seq[Seq[Double]],
+      nProbe: Int): Set[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val score = c.zip(unit).foldLeft(0.0) { case (acc, (ci, ui)) =>
+        acc + ui * ci
+      } - c.foldLeft(0.0)((acc, x) => acc + x * x) / 2.0
+      (score, i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(nProbe).map(_._2).toSet
+
+  private def unitize(v: Seq[Double]): Seq[Double] = {
+    val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    val d = if (nrm == 0.0) 1.0 else nrm
+    v.map(_ / d)
+  }
+
+  test("T5+L2 embedding near-dup stream pairs an identical vector across batches") {
+    implicit val sql = spark.sqlContext
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val v = Seq(0.9, 0.1, 0.0, 0.0)
+    val input = MemoryStream[EDoc]
+    val q = ops.Streaming.embNearDupPairsStream(
+        input.toDF(), cents, minCos = 0.95, nProbe = 2)
+      .writeStream.format("memory").queryName("emb_neardup_hand")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(EDoc(1, v, Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // doc 1's unit vector lives only in the cell state now; its twin
+      // arrives a batch later and must still collide in BOTH probed cells
+      input.addData(EDoc(2, v, Timestamp.valueOf("2024-01-01 10:01:00")),
+        EDoc(3, Seq(0.0, 0.0, 1.0, 0.0), Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val rows = spark.table("emb_neardup_hand")
+        .select($"doc_prev", $"doc_new", $"cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.toSet === Set((1L, 2L, 1.0)), s"unexpected: ${rows.toSet}")
+      assert(rows.length === 2, // identical vectors probe identical cells
+        s"expected one emission per shared probed cell: ${rows.toList}")
+    }
+  }
+
+  // Randomized equivalence vs a brute-force oracle over every
+  // in-horizon pair. Candidacy (probe-set intersection) and the exact
+  // cosine are both replicated locally, so the streamed MULTISET must
+  // match: each qualifying pair appears once per shared probed cell.
+  for (seed <- Seq(11, 47, 83))
+  test(s"T5+L2 embedding near-dup stream equals the IVF pair oracle (seed $seed)") {
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(seed)
+    val d = 6
+    val cents = Seq.fill(5)(Seq.fill(d)(rnd.nextGaussian()))
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    // 36 docs over 12 minutes: a third are jittered copies of earlier
+    // docs (near-dups at high cosine), the rest independent gaussians
+    val docs = scala.collection.mutable.ArrayBuffer.empty[EDoc]
+    (0 until 36).foreach { i =>
+      val vec =
+        if (i % 3 == 0 || docs.isEmpty) Seq.fill(d)(rnd.nextGaussian())
+        else {
+          val base = docs(rnd.nextInt(docs.length)).embedding
+          base.map(_ + rnd.nextGaussian() * 0.05)
+        }
+      docs += EDoc(i.toLong, vec, new Timestamp(t0 + i * 20000L))
+    }
+    val (minCos, nProbe) = (0.9, 2)
+    val horizonMs = 60L * 60 * 1000 // 1h — nothing evicts mid-test
+    val units = docs.map(e => e.doc_id -> unitize(e.embedding)).toMap
+    val probes = docs.map(e => e.doc_id -> probeCells(units(e.doc_id), cents, nProbe)).toMap
+    val want = (for {
+      j <- docs.indices; i <- 0 until j
+      a = docs(i); b = docs(j)
+      shared = (probes(a.doc_id) intersect probes(b.doc_id)).size
+      if shared > 0 && math.abs(a.ts.getTime - b.ts.getTime) <= horizonMs
+      cos = units(a.doc_id).zip(units(b.doc_id))
+        .foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      if cos >= minCos
+    } yield {
+      val (p, n) =
+        if (a.ts.getTime < b.ts.getTime ||
+          (a.ts.getTime == b.ts.getTime && a.doc_id < b.doc_id)) (a, b) else (b, a)
+      ((p.doc_id, n.doc_id, math.rint(cos * 1e6) / 1e6), shared)
+    }).toMap
+    val input = MemoryStream[EDoc]
+    val q = ops.Streaming.embNearDupPairsStream(
+        input.toDF(), cents, minCos = minCos, nProbe = nProbe,
+        horizonMs = horizonMs)
+      .writeStream.format("memory").queryName(s"emb_neardup_prop_$seed")
+      .outputMode("append").start()
+    withQuery(q) {
+      // split across three batches to exercise cross-batch state
+      docs.grouped(12).foreach { g => input.addData(g.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table(s"emb_neardup_prop_$seed")
+        .select($"doc_prev", $"doc_new", $"cosine")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(identity).map { case (k, v) => (k, v.length) }
+      assert(got === want, s"stream pair multiset != oracle (seed $seed)")
     }
   }
 
