@@ -108,6 +108,7 @@ object SparkEntry {
     "q88_knn_recall" -> (Similarity.q88KnnRecall _),
     "q89_semantic_dedup" -> (Similarity.q89SemanticDedup _),
     "q90_compact" -> (graft.util.Layout.q90Compact _),
+    "q91_tpe_search" -> (graft.ml.Tpe.q91TpeSearch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -972,6 +973,16 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
         | true AS files_reduced, true AS nested_preserved
         |FROM documents""".stripMargin,
+    // adaptive (TPE) hyperparameter search over a distributed
+    // least-squares objective on lineitem: the surface is a smooth 2-D
+    // bowl with a closed-form optimum (0, corr(qty, price)), so the
+    // oracle pins the exact search invariants — full budget ran, every
+    // proposal in its box, the adaptive phase beat the best startup
+    // draw, and the best point landed near the analytic optimum
+    // (q76 bounds pattern; the sampler itself is property-tested)
+    "q91_tpe_search" ->
+      """SELECT CAST(30 AS BIGINT) AS n_trials, true AS within_bounds,
+        | true AS improved, true AS near_opt""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

@@ -124,6 +124,44 @@ object EmnistPipeline {
       .setTrainRatio(0.8).setSeed(seed)
   }
 
+  /** M6 (adaptive) — [[Tpe]] search over the random-forest
+    * hyperparameters on a held-out validation split: the engine-native
+    * form of the reference's hyperopt flow (main.py:389-401 space +
+    * objective, main.py:404-406 `fmin(algo=tpe.suggest)`), replacing
+    * [[tuneRf]]'s exhaustive grid with the adaptive sampler. The
+    * (indexer → scaler → PCA) feature stages fit ONCE and are shared
+    * across every trial — each trial is a forest fit + validation score
+    * (loss = −macro-F1), not a PCA refit. Returns every trial plus the
+    * best forest refit on the full frame through the same features.
+    */
+  def tuneRfTpe(df: DataFrame, k: Int, maxTrials: Int, nStartup: Int = 4,
+      seed: Long = 42L): (Vector[Tpe.Trial],
+      org.apache.spark.ml.classification.RandomForestClassificationModel) = {
+    def forest(ps: Map[String, Double]) = new RandomForestClassifier()
+      .setFeaturesCol("pca").setLabelCol("label_idx")
+      .setMaxDepth(ps("max_depth").toInt)
+      .setNumTrees(ps("num_trees").toInt)
+      .setMinInstancesPerNode(ps("min_instances").toInt)
+      .setSeed(seed)
+    val Array(train, valid) = df.randomSplit(Array(0.8, 0.2), seed)
+    val features = new Pipeline().setStages(featureStages(k)).fit(train)
+    val trainF = features.transform(train).select("label_idx", "pca").cache()
+    val validF = features.transform(valid).select("label_idx", "pca").cache()
+    val space = Seq(
+      Tpe.IntDim("max_depth", 2, 10),
+      Tpe.IntDim("num_trees", 5, 30),
+      Tpe.IntDim("min_instances", 1, 8))
+    val trials = Tpe.minimize(space, ps => {
+      val pred = forest(ps).fit(trainF).transform(validF)
+        .select("prediction", "label_idx")
+      -evaluate(pred)._2
+    }, maxTrials = maxTrials, nStartup = nStartup, seed = seed)
+    val full = features.transform(df).select("label_idx", "pca")
+    val best = forest(trials.minBy(_.loss).params).fit(full)
+    Seq(trainF, validF).foreach(_.unpersist())
+    (trials, best)
+  }
+
   /** End-to-end parity run on the EMNIST-analog fixture: 85/15 split
     * (P6), fit NB + RF + OvR-GBT at comparable budgets, score all three
     * with per-model fit wall-clock. Registered as the rows-only

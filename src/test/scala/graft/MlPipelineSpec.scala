@@ -194,4 +194,24 @@ class MlPipelineSpec extends SparkTestBase {
     assert(model.validationMetrics.length === 2)
     assert(model.validationMetrics.max > 0.8) // separable classes tune well
   }
+
+  test("M6 adaptive: TPE tunes the forest and returns a usable best model") {
+    val small = data.filter($"label".isin("A", "B", "C", "D"))
+    val (trials, best) = ml.EmnistPipeline.tuneRfTpe(
+      small, k = 8, maxTrials = 5, nStartup = 2)
+    assert(trials.length === 5)
+    trials.foreach { t =>
+      assert(t.params("max_depth") >= 2 && t.params("max_depth") <= 10, t.params)
+      assert(t.params("num_trees") >= 5 && t.params("num_trees") <= 30, t.params)
+      assert(t.params("min_instances") >= 1 && t.params("min_instances") <= 8, t.params)
+      assert(t.loss <= 0.0, s"loss is -macroF1, got ${t.loss}") // F1 >= 0
+    }
+    assert(trials.map(_.loss).min < -0.8, // separable classes tune well
+      s"best macro-F1 too low: ${-trials.map(_.loss).min}")
+    // the returned model is the refit winner: its params echo the best
+    // trial and it scores the frame it was fit on
+    val bp = trials.minBy(_.loss).params
+    assert(best.getNumTrees === bp("num_trees").toInt)
+    assert(best.getMaxDepth === bp("max_depth").toInt)
+  }
 }
