@@ -109,6 +109,9 @@ object SparkEntry {
     "q89_semantic_dedup" -> (Similarity.q89SemanticDedup _),
     "q90_compact" -> (graft.util.Layout.q90Compact _),
     "q91_tpe_search" -> (graft.ml.Tpe.q91TpeSearch _),
+    "q92_sequence_pack" -> (Packing.q92SequencePack _),
+    "q93_hash_split" -> (Packing.q93HashSplit _),
+    "q94_chunk_docs" -> (Packing.q94ChunkDocs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -983,6 +986,54 @@ object SparkEntry {
     "q91_tpe_search" ->
       """SELECT CAST(30 AS BIGINT) AS n_trials, true AS within_bounds,
         | true AS improved, true AS near_opt""".stripMargin,
+    // concat-and-chunk sequence packing: the oracle is the single-node
+    // formulation of the same global token prefix sum (one window over
+    // doc_id order) that the engine computes as a two-pass distributed
+    // scan; token counts reuse the q46 BPE-ish segmentation both
+    // engines reproduce identically
+    "q92_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS first_example,
+        |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((cum_before + n_tokens - 1) // 512
+        |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // deterministic hash split: DuckDB reproduces the md5-hex bucket
+    // (first 8 hex chars as an integer, mod 1000) bit-for-bit, so the
+    // FULL per-doc assignment is checked, not just the split sizes
+    "q93_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS UBIGINT) % 1000 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // strided overlapping chunking: every chunk string checked exactly
+    // (substr semantics agree: 1-based start, clamped final chunk)
+    "q94_chunk_docs" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST(1 + (CASE WHEN len(text) <= 128 THEN 0
+        |              ELSE (len(text) - 128 + 95) // 96 END) AS BIGINT) AS n_chunks
+        |  FROM documents WHERE len(text) > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  substr(text, CAST(1 + i*96 AS BIGINT), 128) AS chunk_text,
+        |  CAST(len(substr(text, CAST(1 + i*96 AS BIGINT), 128)) AS BIGINT) AS chunk_len
+        |FROM p, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-example shaping — the operators that turn a curated corpus
+  * into the examples a pretraining / RAG job actually consumes:
+  * deterministic hash splits, concat-and-chunk sequence packing, and
+  * overlapping text chunking.
+  *
+  * Nothing here exists in the reference (its corpus is images split with
+  * dask-ml's random splitter, main.py:214-216); these extend the same
+  * dataset-preparation surface the driver contract's §2.11 ops cover.
+  *
+  * 100 TB posture: `hashSplit` and `chunkDocs` are pure map stages (no
+  * shuffle at all before the display ORDER BY). `sequencePack` needs a
+  * global token prefix sum — the one op in this family with an inherent
+  * barrier — and implements it as the classic two-pass distributed scan:
+  * range-partition by id, per-partition subtotals (one row PER PARTITION
+  * to the driver, not per row), then a partition-local cumulative sum
+  * plus a broadcast exclusive offset. No single-partition global window
+  * anywhere.
+  */
+object Packing {
+
+  /** The q46 tokenizer (letter runs / digit runs / single symbols) —
+    * the BPE-ish segmentation both engines reproduce identically, reused
+    * here so packed example counts line up with the token-count query.
+    */
+  private val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
+
+  /** Deterministic train/val/test assignment: bucket = the first 8 md5
+    * hex chars of the id as an integer, mod 1000 (the q83/q86 md5-conv
+    * idiom — bit-identical in DuckDB). Unlike `randomSplit` (P6, whose
+    * membership is partitioning-local), the assignment is a pure
+    * function of the id: stable across runs, cluster sizes, and data
+    * layout, so a doc never migrates between train and test when the
+    * corpus is re-partitioned — the property an LLM data pipeline needs
+    * for decontamination audits. Pure map stage; `%` keeps the bucket in
+    * [0, 1000) because conv's 32-bit value is non-negative.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    require(trainPermille > 0 && valPermille > 0
+        && trainPermille + valPermille < 1000,
+      s"permille bounds out of range: train=$trainPermille val=$valPermille")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
+  /** Concat-and-chunk sequence packing: lay every document's tokens on
+    * one global tape (in id order) and cut the tape into fixed
+    * `ctxTokens` examples — the packing rule GPT-style pretraining uses.
+    * Emits, per document, the example range it lands in
+    * (`first_example`..`last_example`) and how many context windows it
+    * spans.
+    *
+    * The global running total is a distributed prefix sum, NOT a
+    * single-partition window: range-partition by id (so partition i's
+    * ids all precede partition i+1's), sum each partition's tokens —
+    * a #partitions-row aggregate, the only driver-side data — and add
+    * each partition's exclusive offset (a broadcast map literal) to its
+    * partition-local cumulative sum. Two scans of a (id, count)
+    * projection is the inherent cost of a prefix sum; each scan is a
+    * thin map stage. The per-partition window shuffles only
+    * (id, n_tokens, pid) — 24 bytes a row.
+    *
+    * Result is invariant to the partition count: any ordered range
+    * cut reproduces the same global cumulative sum (property-tested in
+    * PackingSpec).
+    */
+  def sequencePack(df: DataFrame, idCol: String, tokensCol: Column,
+      ctxTokens: Long): DataFrame = {
+    require(ctxTokens >= 1, s"ctxTokens must be >= 1, got $ctxTokens")
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val ranged = toks.repartitionByRange(nParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // pass 1: per-partition subtotals — O(#partitions) rows, never O(n)
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (p, t) => val o = acc; acc += t; (p, o) }
+    // empty input: zero-arg map() would type as map<null,null> and fail
+    // analysis in element_at — and there is nothing to offset anyway
+    val offset =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) =>
+          Seq(lit(p), lit(o)) }.toIndexedSeq: _*),
+        col("__pid"))
+    // pass 2: partition-local cumulative sum + broadcast offset
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offset)
+      .withColumn("first_example", expr(s"cum_before div $ctxTokens"))
+      .withColumn("last_example",
+        expr(s"(cum_before + n_tokens - 1) div $ctxTokens"))
+      .withColumn("n_examples",
+        col("last_example") - col("first_example") + lit(1L))
+      .drop("__pid", "cum_before")
+  }
+
+  /** Overlapping strided chunking for retrieval: cut each document into
+    * `chunkChars`-char windows every `strideChars` chars (overlap =
+    * chunk − stride), the RAG indexing shape. Chunk count is
+    * 1 + ceil(max(len − chunk, 0) / stride); the final chunk may run
+    * short rather than re-reading earlier text. Per-row generator over
+    * a `sequence` — a pure map stage, no shuffle, and the explode
+    * collapses straight into the projection (no persisted blowup).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkChars: Int, strideChars: Int): DataFrame = {
+    require(chunkChars >= 1 && strideChars >= 1 && strideChars <= chunkChars,
+      s"bad chunking: chunk=$chunkChars stride=$strideChars")
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        length(col(textCol)).cast("long").as("__n"))
+      .withColumn("__n_chunks",
+        lit(1L) + when(col("__n") <= chunkChars, lit(0L))
+          .otherwise(expr(
+            s"(__n - $chunkChars + ${strideChars - 1}) div $strideChars")))
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), col("__n_chunks") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        col(textCol).substr(
+          (lit(1L) + col("chunk_id") * strideChars).cast("int"),
+          lit(chunkChars)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  /** ORACLED (q92) — sequence packing over `documents` at a 512-token
+    * context: per-doc example span, checked against DuckDB's global
+    * window cumulative sum (the single-node formulation of the same
+    * prefix sum).
+    */
+  def q92SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sequencePack(Sources.documents(spark, dir), "doc_id",
+        bpeishCount($"text"), 512L)
+      .orderBy($"doc_id")
+  }
+
+  /** ORACLED (q93) — deterministic 80/10/10 hash split of `documents`;
+    * DuckDB reproduces the md5-hex bucket bit-for-bit, so the oracle
+    * checks the full assignment, not just the counts.
+    */
+  def q93HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hashSplit(Sources.documents(spark, dir), "doc_id")
+      .select($"doc_id", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
+
+  /** ORACLED (q94) — 128-char chunks every 96 chars over `documents`
+    * (32-char overlap); DuckDB reproduces every chunk string exactly.
+    */
+  def q94ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunkDocs(Sources.documents(spark, dir), "doc_id", "text", 128, 96)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Packing
+
+/** Training-example shaping (hash split / sequence packing / chunking).
+  * The packing prefix sum is checked against the single-partition global
+  * window (the oracle formulation) and for partition-count invariance;
+  * chunking is checked for exact coverage and overlap reconstruction.
+  */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(n: Int, seed: Long): org.apache.spark.sql.DataFrame = {
+    val gen = Gen.listOfN(n, Gen.choose(0, 40))
+    val lens = gen.apply(Gen.Parameters.default, Seed(seed)).get
+    lens.zipWithIndex.map { case (l, i) => (i.toLong, "x " * l) }
+      .toDF("doc_id", "text")
+  }
+
+  test("sequencePack matches the global-window prefix sum exactly") {
+    val df = docs(300, 1L)
+    val tokens = size(split($"text", " ", -1)).cast("long")
+    val packed = Packing.sequencePack(df, "doc_id", tokens, 16L)
+      .select($"doc_id", $"n_tokens", $"first_example", $"last_example", $"n_examples")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    val gw = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val oracle = df.select($"doc_id", tokens.as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(gw), lit(0L)))
+      .select($"doc_id", $"n_tokens",
+        expr("cum_before div 16").as("f"),
+        expr("(cum_before + n_tokens - 1) div 16").as("l"))
+      .withColumn("n", $"l" - $"f" + 1L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    assert(packed.toSeq === oracle.toSeq)
+    // spot global invariants: first doc starts at example 0, spans abut
+    assert(packed.head._3 === 0L)
+    packed.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._3 === a._4 || b._3 === a._4 + 1,
+          s"doc ${b._1} first_example ${b._3} vs prior last ${a._4}")
+      case _ => ()
+    }
+  }
+
+  test("sequencePack is invariant to the shuffle partition count") {
+    val df = docs(200, 2L)
+    val tokens = size(split($"text", " ", -1)).cast("long")
+    def run(): Seq[(Long, Long, Long, Long, Long)] =
+      Packing.sequencePack(df, "doc_id", tokens, 32L)
+        .select($"doc_id", $"n_tokens", $"first_example", $"last_example", $"n_examples")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = run()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      for (p <- Seq("1", "5", "17")) {
+        spark.conf.set(key, p)
+        assert(run() === base, s"partitions=$p")
+      }
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("sequencePack plans no single-partition exchange (scale posture)") {
+    val df = docs(100, 3L)
+    val tokens = size(split($"text", " ", -1)).cast("long")
+    val plan = Packing.sequencePack(df, "doc_id", tokens, 64L)
+      .queryExecution.executedPlan.toString
+    // the global prefix sum must come from the pid-keyed window + the
+    // broadcast offsets, never from an ORDER-BY-all window
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("hashSplit is deterministic, exhaustive, and disjoint") {
+    val df = (0L until 500L).toDF("doc_id")
+    val s1 = Packing.hashSplit(df, "doc_id")
+      .select($"doc_id", $"bucket", $"split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val s2 = Packing.hashSplit(df.repartition(7), "doc_id")
+      .select($"doc_id", $"bucket", $"split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(s1.toSeq === s2.toSeq)          // layout-independent
+    assert(s1.length === 500)              // exhaustive
+    assert(s1.forall(r => r._2 >= 0 && r._2 < 1000))
+    val bySplit = s1.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // ~80/10/10 with hash noise: train must dominate clearly
+    assert(bySplit("train") > 350 && bySplit("train") < 450)
+  }
+
+  test("chunkDocs covers every char; overlap region repeats exactly") {
+    val texts = Seq("", "a", "a" * 127, "a" * 128, "b" * 129,
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val chunks = Packing.chunkDocs(df, "doc_id", "text", 128, 96)
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    assert(!chunks.contains(0L))           // empty text yields no chunks
+    texts.zipWithIndex.filter(_._1.nonEmpty).foreach { case (t, i) =>
+      val cs = chunks(i.toLong)
+      // stride-96 prefixes reconstruct the document exactly
+      val rebuilt = cs.init.map(_.take(96)).mkString + cs.last
+      assert(rebuilt === t, s"doc $i")
+      // every chunk but the last is full-width
+      assert(cs.init.forall(_.length === 128))
+      // consecutive chunks share the 32-char overlap
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.drop(96) === b.take(a.length - 96))
+        case _         => ()
+      }
+    }
+  }
+
+  test("q92/q93/q94 run green on the sf0.001 fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val pack = graft.SparkEntry.queries("q92_sequence_pack")(spark, dir)
+    val packRows = pack.collect()
+    assert(packRows.nonEmpty)
+    val split = graft.SparkEntry.queries("q93_hash_split")(spark, dir)
+    assert(split.select("split").distinct().count() === 3)
+    val chunk = graft.SparkEntry.queries("q94_chunk_docs")(spark, dir)
+    assert(chunk.count() > 0)
+  }
+}
