@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,9 +9,8 @@ import org.apache.spark.sql.types._
   * Design note (100 TB posture): loads are plain `spark.read.parquet` —
   * the vectorized reader gives predicate pushdown + column pruning for
   * free, so every downstream filter/projection reaches the scan. No
-  * schema inference cost: parquet footers self-describe; `eventsSchema`
-  * is declared explicitly only for the streaming source (S9), which
-  * requires a user-supplied schema.
+  * schema inference cost: parquet footers self-describe; the streaming
+  * source (S9) probes the footer once for its mandatory explicit schema.
   *
   * Reference analogue: the reference stages everything through driver
   * RAM (np.vstack, /root/reference/main.py:169); here every table is a
@@ -35,24 +34,39 @@ object Sources {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** The events fixture stores `ts` as parquet timestamp[ns], which
-    * Spark 4.x rejects at analysis time ([PARQUET_TYPE_ILLEGAL]) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — under that conf the
-    * column arrives as LongType nanoseconds. The conf must be set at
-    * session construction (a table loader silently flipping a
-    * session-wide legacy flag would change how every later parquet read
-    * treats ns timestamps); [[requireNanosConf]] fails fast if it isn't.
-    * Nanos convert to a proper µs TimestampType via floored division
-    * (`pmod` keeps it exact on longs and correct for pre-epoch values,
-    * where `div` would round up). All downstream event-time logic
-    * (windows, watermarks, oracle SQL at date_trunc granularity)
-    * operates at µs or coarser, so the truncation is lossless for every
-    * query in the inventory.
+  /** The events fixture's `ts` physical type has changed across driver
+    * regenerations (parquet timestamp[ns] originally, timestamp[us] /
+    * TIMESTAMP_NTZ now), so the loader dispatches on the type that
+    * actually arrives rather than assuming one encoding. All downstream
+    * event-time logic (windows, watermarks, as-of joins, oracle SQL)
+    * operates on the normalized µs [[TimestampType]] column.
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    requireNanosConf(spark)
-    table(spark, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))
-  }
+  def events(spark: SparkSession, d: String): DataFrame =
+    normalizeEventTime(table(spark, d, "events"))
+
+  /** Dtype-adaptive `ts` normalization to session-zone `TimestampType`:
+    *
+    *  - `LongType`: raw nanoseconds — either a plain int64 column, or a
+    *    parquet timestamp[ns] read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (without that conf a
+    *    ns-typed file fails at analysis with [PARQUET_TYPE_ILLEGAL], so
+    *    reaching LongType means the session was already configured).
+    *    Converted via the exact floored ns→µs division.
+    *  - `TimestampNTZType`: parquet timestamp[us] without UTC adjustment
+    *    (the current fixture). Cast to `TimestampType`; sessions run with
+    *    `spark.sql.session.timeZone=UTC` (Bench/Verify), so the cast is
+    *    instant-preserving and matches DuckDB's naive-timestamp oracle.
+    *  - `TimestampType`: already the engine's event-time type — passthrough.
+    */
+  def normalizeEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType           => df.withColumn("ts", nanosToTimestamp(col("ts")))
+      case TimestampNTZType   => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType      => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected int64 nanos, " +
+          "timestamp_ntz, or timestamp")
+    }
 
   /** Floored ns→µs conversion, exact on longs. `pmod` makes the value an
     * exact multiple of 1000 (floor semantics even pre-epoch), and integer
@@ -60,28 +74,8 @@ object Sources {
     * 53-bit mantissa cannot represent epoch nanoseconds (~1.7e18) and
     * silently rounds the low microsecond digit.
     */
-  def nanosToTimestamp(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def nanosToTimestamp(ns: Column): Column =
     timestamp_micros(call_function("div", ns - pmod(ns, lit(1000L)), lit(1000L)))
-
-  private def requireNanosConf(spark: SparkSession): Unit =
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores ts as timestamp[ns]: set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build " +
-        "(see Verify/Bench) before loading the events table")
-
-  /** Explicit schema for the `events` table as stored on disk — required
-    * by the streaming file source (S9): `spark.readStream` cannot infer
-    * schemas. `ts` is LongType (raw nanos, see [[events]]); callers get
-    * the converted µs timestamp from [[eventsStream]].
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
 
   /** Typed row for the `events` table — the `Dataset[T]` boundary from
     * SURVEY §1.4 (rows are self-describing; no positional alignment like
@@ -100,16 +94,22 @@ object Sources {
     events(spark, d).as[Event]
   }
 
-  /** S9: events as an unbounded stream (file source), ts converted to
+  /** S9: events as an unbounded stream (file source), ts normalized to
     * TimestampType so watermarks/windows work unchanged.
+    *
+    * `readStream` requires an explicit schema; rather than hardcoding one
+    * (which silently rotted when the fixture's physical type changed),
+    * probe the on-disk schema from the parquet footer — a driver-side
+    * metadata read, no data scan — and normalize through the same
+    * dtype dispatch as the batch loader.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosConf(spark)
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
     // The streaming file source monitors a DIRECTORY; events.parquet is a
     // single file, so stream the sf dir with a glob pinned to it.
-    spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", nanosToTimestamp(col("ts")))
+    normalizeEventTime(
+      spark.readStream.schema(onDisk)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 }

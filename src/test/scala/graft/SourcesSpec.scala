@@ -99,6 +99,28 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("fixture-dtype canary: events loads under ns, us-NTZ, and us-UTC encodings") {
+    // The driver fixture's physical ts type has already shifted once
+    // (timestamp[ns] through round 10, timestamp[us]/NTZ from round 11).
+    // Three committed 5-row fixtures — one per encoding Sources.events
+    // dispatches on — pin every branch: a future regeneration degrades
+    // to THIS test going red, not ten dead queries.
+    def load(arm: String) = {
+      val dir = getClass.getResource(s"/fixtures/events_$arm").getPath
+      val df = ops.Sources.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType, s"$arm: ts dtype")
+      df.orderBy($"event_id")
+        .select($"event_id", $"ts".cast("string"), $"user_id", $"event_type", $"value", $"props")
+        .collect().toSeq
+    }
+    val Seq(nsRows, usRows, tzRows) = Seq("ns", "us", "tz").map(load)
+    // identical logical content: the ns fixture carries sub-µs residue that
+    // the floored ns→µs conversion must drop to agree with the µs arms
+    assert(nsRows === usRows, "ns arm != us-NTZ arm after normalization")
+    assert(usRows === tzRows, "us-NTZ arm != us-UTC arm after normalization")
+    assert(nsRows.size === 5)
+  }
+
   test("events ts converts ns to us by flooring, losslessly for query granularity") {
     val df = ops.Sources.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)

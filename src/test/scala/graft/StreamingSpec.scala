@@ -593,20 +593,31 @@ class StreamingSpec extends SparkTestBase {
       s"expected one emission per colliding band: ${pairs.toList}")
   }
 
-  test("file streaming source over events parquet reaches a windowed sink") {
-    val stream = ops.Sources.eventsStream(spark, "/root/testdata/sf0.001")
+  test("file streaming source over events parquet equals the batch tumbling agg") {
+    // S9 oracle against the REAL fixture (not MemoryStream): the round-11
+    // regression hid because no test read events.parquet through the
+    // streaming source. Complete mode emits every window (open ones too),
+    // and the single initial micro-batch means the watermark drops
+    // nothing — so the streamed result must EQUAL the batch q29 plan.
+    val dir = "/root/testdata/sf0.001"
+    val stream = ops.Sources.eventsStream(spark, dir)
     assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
     val q = ops.Streaming.hourlyTypeAggStream(stream)
       .writeStream.format("memory").queryName("file_stream_agg")
-      .outputMode("append").start()
+      .outputMode("complete").start()
     withQuery(q) {
       q.processAllAvailable()
-      // append mode only emits closed windows; the final open window stays
-      // buffered, so compare against the batch result minus the tail.
-      val streamed = spark.table("file_stream_agg").count()
-      val batch = ops.Streaming.hourlyTypeAgg(
-        ops.Sources.events(spark, "/root/testdata/sf0.001")).count()
-      assert(streamed > 0 && streamed <= batch)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(unix_micros($"window.start").as("h"), $"event_type", $"n",
+          round($"sum_value", 6).as("sum_value"))
+        .orderBy($"h", $"event_type")
+        .collect().toSeq
+      val streamed = canon(spark.table("file_stream_agg"))
+      val batch = canon(ops.Streaming.hourlyTypeAgg(ops.Sources.events(spark, dir)))
+      assert(streamed.nonEmpty)
+      assert(streamed === batch, "streamed windows != batch windows")
     }
   }
 }
