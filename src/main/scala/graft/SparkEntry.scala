@@ -112,6 +112,8 @@ object SparkEntry {
     "q92_sequence_pack" -> (Packing.q92SequencePack _),
     "q93_hash_split" -> (Packing.q93HashSplit _),
     "q94_chunk_docs" -> (Packing.q94ChunkDocs _),
+    "q95_cdc_versioned" -> (Mutations.q95CdcVersioned _),
+    "q96_langid_accuracy" -> (Text.q96LangIdAccuracy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1034,6 +1036,39 @@ object SparkEntry {
         |  CAST(len(substr(text, CAST(1 + i*96 AS BIGINT), 128)) AS BIGINT) AS chunk_len
         |FROM p, unnest(generate_series(0, n_chunks - 1)) AS u(i)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the CDC versioned-dim round trip re-derived relationally: batch 2's
+    // intra-batch seq conflict resolves to the FRESH row before the merge,
+    // so the oracle models only the winner; version/GC invariants are
+    // Spark-side booleans the oracle pins to TRUE
+    "q95_cdc_versioned" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'FRESH' AS segment,
+        |         CAST(bal - 500.0 AS DECIMAL(12,2)) AS bal
+        |  FROM base WHERE c_custkey % 13 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 2000000 AS c_custkey, 'CLONED' AS segment, bal
+        |  FROM base WHERE c_custkey % 89 = 0),
+        |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT CASE WHEN c.c_custkey IS NOT NULL THEN c.segment
+        |              ELSE b.segment END AS segment,
+        |         CASE WHEN c.c_custkey IS NOT NULL THEN c.bal
+        |              ELSE b.bal END AS bal
+        |  FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey)
+        |SELECT segment, count(*) AS n,
+        |  CAST(round(sum(bal), 2) AS DOUBLE) AS segment_bal,
+        |  TRUE AS version_ok, TRUE AS gc_ok
+        |FROM merged GROUP BY segment ORDER BY segment""".stripMargin,
+    // the corpus generation/classification runs Spark-side against
+    // planted labels; the oracle pins the holdout size (re-derivable
+    // from documents) and the accuracy-floor booleans
+    "q96_langid_accuracy" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok,
+        |  TRUE AS both_langs_predicted
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

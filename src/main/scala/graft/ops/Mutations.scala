@@ -280,6 +280,62 @@ object Mutations {
       .orderBy($"segment")
   }
 
+  /** ORACLED exercise (q95): the CDC versioned-dim sink round trip —
+    * the one subsystem that was test-only until round 12. Two
+    * deterministic change batches run through [[applyCdcBatch]] against
+    * a fresh versioned directory: batch 1 snapshots the customer dim;
+    * batch 2 carries an update arm (every 13th customer re-segmented,
+    * balance −500) plus an intra-batch seq conflict (every 13th ALSO
+    * gets a seq=2 'STALE' row that the seq=3 'FRESH' row must beat) and
+    * an insert arm (every 89th customer cloned onto a shifted key). The
+    * dim is then read back through [[readVersionedDim]] — i.e. through
+    * the `_CURRENT` manifest — and rolled up per segment. DuckDB
+    * reproduces the merge relationally (base LEFT-hit CASE + inserts),
+    * so a hash match proves the file protocol (version write, _SUCCESS,
+    * manifest flip, GC, manifest read) preserved MERGE semantics
+    * end-to-end, not just that some parquet appeared. Version/GC
+    * invariants ride along as oracled booleans: `version_ok` (manifest
+    * names version 2) and `gc_ok` (exactly versions {1,2} on disk — the
+    * previous version is retained one batch for lagging readers).
+    *
+    * 100 TB posture: each batch is ONE full-outer-join shuffle
+    * ([[upsert]]) plus a full rewrite of the dim — the plain-parquet
+    * cost model this sink documents (a table format would rewrite only
+    * changed files); no driver loop, no per-key I/O.
+    */
+  def q95CdcVersioned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-q95").resolve("dim").toString
+    val base = Sources.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"),
+        $"c_acctbal".cast("decimal(12,2)").as("bal"))
+    applyCdcBatch(base.withColumn("__seq", lit(1L)),
+      dimPath, Seq("c_custkey"), "__seq")
+    val upd = base.filter($"c_custkey" % 13 === 0)
+      .select($"c_custkey", lit("FRESH").as("segment"),
+        ($"bal" - 500.0).cast("decimal(12,2)").as("bal"), lit(3L).as("__seq"))
+    val stale = base.filter($"c_custkey" % 13 === 0)
+      .select($"c_custkey", lit("STALE").as("segment"), $"bal",
+        lit(2L).as("__seq"))
+    val ins = base.filter($"c_custkey" % 89 === 0)
+      .select(($"c_custkey" + 2000000).as("c_custkey"),
+        lit("CLONED").as("segment"), $"bal", lit(2L).as("__seq"))
+    applyCdcBatch(upd.unionByName(stale).unionByName(ins),
+      dimPath, Seq("c_custkey"), "__seq")
+    val dim = readVersionedDim(spark, dimPath)
+    val p = new org.apache.hadoop.fs.Path(dimPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versionOk = committedVersion(fs, p).contains(2L)
+    val gcOk = listVersions(fs, p).sorted == Seq(1L, 2L)
+    dim.groupBy($"segment")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"bal"), 2).cast("double").as("segment_bal"))
+      .withColumn("version_ok", lit(versionOk))
+      .withColumn("gc_ok", lit(gcOk))
+      .orderBy($"segment")
+  }
+
   /** ORACLED exercise (q81): refresh the customer dim — every 10th
     * customer gets a balance bump + segment reclass (update arm), and
     * every 97th spawns a shifted-key clone (insert arm) — then roll up

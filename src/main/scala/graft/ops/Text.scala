@@ -369,6 +369,62 @@ object Text {
     out
   }
 
+  /** L5 (lang-ID ACCURACY, ORACLED — q96). q49 proves the lang-ID
+    * dataflow is exactly relational algebra, but the driver fixture's
+    * `lang` labels carry no signal, so accuracy there is meaningless.
+    * This query derives a SIGNAL-BEARING bilingual corpus
+    * expression-only from `documents` (q89's planted-ground-truth
+    * pattern): each doc_id deterministically becomes an "en"-vocab or
+    * "fr"-vocab word sequence (tokens picked by `xxhash64(doc_id, i)`
+    * over two disjoint 16-word vocabularies), profiles are trained on
+    * the 80% train split and the 20% holdout is classified — so
+    * accuracy against the planted labels is a real end-to-end
+    * measurement, and the ≥0.95 floor lands in the DuckDB-oracled
+    * output as a boolean. A holdout doc with no profile hit counts as
+    * wrong (left join), so the floor cannot pass vacuously.
+    *
+    * 100 TB posture: identical to q49 — corpus-side explode→aggregate
+    * with a broadcast profile join; the generation is a pure map stage
+    * fused into the scan.
+    */
+  def q96LangIdAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocabEn = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "with", "bright", "morning", "light", "under",
+      "stone", "bridge", "winter")
+    val vocabFr = Seq("le", "renard", "brun", "saute", "par", "dessus",
+      "chien", "paresseux", "avec", "lumiere", "matin", "sous", "pont",
+      "pierre", "hiver", "neige")
+    def gen(vocab: Seq[String]): Column = {
+      val arr = array(vocab.map(lit): _*)
+      array_join(
+        transform(sequence(lit(0), lit(23)), i =>
+          element_at(arr,
+            (pmod(xxhash64($"doc_id", i), lit(vocab.size)) + 1).cast("int"))),
+        " ")
+    }
+    val corpus = Sources.documents(spark, dir).select($"doc_id")
+      .withColumn("lang",
+        when(pmod($"doc_id", lit(2)) === 0, "en").otherwise("fr"))
+      .withColumn("text",
+        when($"lang" === "en", gen(vocabEn)).otherwise(gen(vocabFr)))
+    val train = corpus.filter(pmod($"doc_id", lit(5)) =!= 0)
+    val test = corpus.filter(pmod($"doc_id", lit(5)) === 0)
+    val preds = classifyLang(test.select($"doc_id", $"text"),
+      langProfiles(train, topN = 50))
+    test.select($"doc_id", $"lang")
+      .join(preds, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_test"),
+        sum(when($"predicted_lang" === $"lang", 1L).otherwise(0L))
+          .as("n_correct"),
+        count_distinct($"predicted_lang").as("n_langs_pred"))
+      .select(
+        $"n_test",
+        ($"n_correct" >= $"n_test" * 0.95).as("acc_ok"),
+        ($"n_langs_pred" === 2).as("both_langs_predicted"))
+  }
+
   /** Email/phone patterns for [[redactPii]]: character classes and
     * escaped literals ONLY, so Spark's Java regex and the oracle's RE2
     * match byte-identically (no lookaround, no \b, no shorthand classes
