@@ -114,6 +114,7 @@ object SparkEntry {
     "q94_chunk_docs" -> (Packing.q94ChunkDocs _),
     "q95_cdc_versioned" -> (Mutations.q95CdcVersioned _),
     "q96_langid_accuracy" -> (Text.q96LangIdAccuracy _),
+    "q97_softmax_gbt" -> (graft.ml.SoftmaxGbt.q97SoftmaxGbt _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1069,6 +1070,11 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok,
         |  TRUE AS both_langs_predicted
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the boosting fit runs Spark-side (seeded, so the invariant
+    // booleans are stable); the oracle pins the constants
+    "q97_softmax_gbt" ->
+      """SELECT 'softmax_gbt' AS model, CAST(10 AS INT) AS n_classes,
+        |  TRUE AS acc_ok, TRUE AS beats_priors, TRUE AS deviance_monotone""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

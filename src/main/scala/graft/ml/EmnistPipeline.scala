@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    plain `PCA(k)` is the faithful equivalent.
   *  - MLlib's GBTClassifier is binary-only; `RandomForestClassifier` is
   *    the native multiclass stand-in for the 39-class LightGBM model
-  *    (SURVEY §2.8 M5 decision). `NaiveBayes(modelType=gaussian)`
-  *    accepts the signed post-PCA features.
+  *    (SURVEY §2.8 M5 decision), with [[SoftmaxGbt]] (round 12) as the
+  *    TRUE multinomial-boosting option — one K-class model, not K
+  *    binary ones. `NaiveBayes(modelType=gaussian)` accepts the signed
+  *    post-PCA features.
   *  - Training runs inside the engine as Spark jobs (treeAggregate per
   *    tree node) — no side-channel worker mesh like lightgbm.dask.
   */
