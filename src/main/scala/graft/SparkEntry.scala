@@ -115,6 +115,7 @@ object SparkEntry {
     "q95_cdc_versioned" -> (Mutations.q95CdcVersioned _),
     "q96_langid_accuracy" -> (Text.q96LangIdAccuracy _),
     "q97_softmax_gbt" -> (graft.ml.SoftmaxGbt.q97SoftmaxGbt _),
+    "q98_clustered_recall" -> (Similarity.q98ClusteredRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1070,6 +1071,11 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok,
         |  TRUE AS both_langs_predicted
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the planted-cluster generation/index/recall math runs Spark-side
+    // (seeded KMeans, hash-derived data — deterministic); the oracle
+    // pins the production-recall floor boolean
+    "q98_clustered_recall" ->
+      """SELECT 'ivf_knn_clustered' AS method, TRUE AS recall_ok""",
     // the boosting fit runs Spark-side (seeded, so the invariant
     // booleans are stable); the oracle pins the constants
     "q97_softmax_gbt" ->
