@@ -116,6 +116,7 @@ object SparkEntry {
     "q96_langid_accuracy" -> (Text.q96LangIdAccuracy _),
     "q97_softmax_gbt" -> (graft.ml.SoftmaxGbt.q97SoftmaxGbt _),
     "q98_clustered_recall" -> (Similarity.q98ClusteredRecall _),
+    "q99_pq_recall" -> (Similarity.q99PqRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1076,6 +1077,11 @@ object SparkEntry {
     // pins the production-recall floor boolean
     "q98_clustered_recall" ->
       """SELECT 'ivf_knn_clustered' AS method, TRUE AS recall_ok""",
+    // PQ codebooks/codes are engine-specific (seeded KMeans), so the
+    // oracle pins the compression constant and the recall-floor boolean
+    "q99_pq_recall" ->
+      """SELECT 'pq_adc_refined' AS method,
+        |  CAST(32.0 AS DOUBLE) AS compression_x, TRUE AS recall_ok""".stripMargin,
     // the boosting fit runs Spark-side (seeded, so the invariant
     // booleans are stable); the oracle pins the constants
     "q97_softmax_gbt" ->
