@@ -117,12 +117,51 @@ object SparkEntry {
     "q97_softmax_gbt" -> (graft.ml.SoftmaxGbt.q97SoftmaxGbt _),
     "q98_clustered_recall" -> (Similarity.q98ClusteredRecall _),
     "q99_pq_recall" -> (Similarity.q99PqRecall _),
+    "q100_substring_dedup" -> (SpanDedup.q100SubstringDedup _),
+    "q101_bucketed_join" -> (graft.util.Bucketing.q101BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // exact substring dedup: the FULL pipeline re-derived relationally —
+    // 24-char gram explode (1-based substr on both engines), >=2-distinct-
+    // doc gate, gaps-and-islands interval merge — so every merged span
+    // boundary is hash-checked
+    "q100_substring_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |grp AS (SELECT doc_id, pos, e,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end,
+        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
+        |FROM grp GROUP BY doc_id, gid
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // bucketing is a layout decision — the join RESULT is layout-
+    // independent, so the oracle is the plain join-aggregate; the
+    // Exchange-free plan itself is asserted in BucketingSpec
+    "q101_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

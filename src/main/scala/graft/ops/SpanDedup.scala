@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L2+ — EXACT cross-document substring deduplication (span-level).
+  *
+  * Document-level dedup (q21/q25/q39) drops whole near-identical rows;
+  * pretraining corpora additionally need the Lee-et-al-style pass that
+  * excises REPEATED SPANS from otherwise-distinct documents (boilerplate,
+  * licenses, quoted blocks). This is the fixed-length-gram formulation of
+  * that op: any maximal run of characters covered by length-L grams that
+  * occur in >= minDocs distinct documents is flagged and can be removed.
+  *
+  * Nothing like this exists in the reference (image corpus); it is
+  * north-star training-data-pipeline surface.
+  *
+  * 100 TB posture, stage by stage:
+  *  - gram extraction is a generator + projection in ONE map stage (the
+  *    exploded row never outlives the stage; same shape as q24's
+  *    explode -> aggregate);
+  *  - duplicate detection groups on the gram with map-side partial
+  *    aggregation. At petabyte scale you would group on xxhash64(gram)
+  *    (8-byte shuffle keys; the suite's q21 idiom) and accept the 2^-64
+  *    collision odds -- here the literal gram keeps the DuckDB oracle
+  *    exact, and the scaladoc records the swap as the scale knob;
+  *  - the hit set joins back LEFT SEMI on the gram (AQE broadcasts the
+  *    duplicated-gram set when small, the common case on clean corpora);
+  *  - island-merge is ONE window shuffle keyed by doc_id -- per-document
+  *    state, embarrassingly parallel across documents.
+  * No driver-side state anywhere; every stage is a keyed shuffle or a
+  * map stage, so the plan survives a 1000-executor fan-out unchanged.
+  */
+object SpanDedup {
+
+  /** (doc_id, pos, gram): every length-L character gram of every
+    * document, 1-based positions (substr semantics on both engines).
+    * Documents shorter than L contribute nothing — the filter also
+    * guards Spark's `sequence`, which would DESCEND for start > stop.
+    */
+  def grams(docs: DataFrame, gramLen: Int): DataFrame =
+    docs
+      .filter(length(col("text")) >= gramLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (gramLen - 1))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("text").substr(col("pos"), lit(gramLen)).as("gram"))
+
+  /** Grams occurring in at least `minDocs` DISTINCT documents. */
+  def duplicatedGrams(grams: DataFrame, minDocs: Int): DataFrame =
+    grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+
+  /** Merged duplicated spans per document: each row one maximal interval
+    * [span_start, span_end] (1-based, inclusive) covered by duplicated
+    * grams. Overlapping AND adjacent gram hits merge (adjacent hits are
+    * one contiguous run of duplicated text). Classic gaps-and-islands:
+    * a hit opens a new island iff its start clears the running max end
+    * of all earlier hits by more than one.
+    */
+  def dupSpans(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame = {
+    val g = grams(docs, gramLen)
+    val hits = g
+      .join(duplicatedGrams(g, minDocs), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (gramLen - 1)).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Documents with flagged spans excised — the consuming side of
+    * [[dupSpans]]. Expression-only string surgery: collect each doc's
+    * spans into a sorted array (bounded by doc length / gramLen, so the
+    * per-row array is small by construction), then a single `aggregate`
+    * HOF walks the spans, concatenating the keep-ranges between them.
+    * Map stage + one |spans|-sized grouped join; no UDF.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("spans"))
+    val clean = aggregate(
+      col("spans"),
+      struct(lit(1L).as("cursor"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp("span_end") + 1).as("cursor"),
+        concat(st("acc"),
+          col("text").substr(st("cursor"),
+            greatest(sp("span_start") - st("cursor"), lit(0L)))).as("acc")),
+      st => concat(st("acc"), col("text").substr(st("cursor"), length(col("text")))))
+    docs
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(clean))
+      .drop("spans")
+  }
+
+  /** ORACLED exercise (q100): flag repeated 24-char spans across the
+    * documents corpus (>= 2 distinct docs) and emit the merged
+    * intervals. L=24 on the fixture yields multi-island documents (the
+    * merge logic is actually exercised) and whole-document spans for the
+    * fixture's exact duplicates. DuckDB reproduces the full pipeline —
+    * gram explode, distinct-doc gate, gaps-and-islands merge — so every
+    * span boundary is hash-checked, not just counts.
+    */
+  def q100SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Sources.documents(spark, dir), gramLen = 24, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+}

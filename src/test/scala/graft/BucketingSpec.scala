@@ -46,4 +46,30 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("q101: registered bucketed join is Exchange-free at the join and correct") {
+    val d = "/root/testdata/sf0.001"
+    val out = util.Bucketing.q101BucketedJoin(spark, d)
+    // the merge hint + matching bucket specs make the JOIN subtree
+    // shuffle-free regardless of broadcast thresholds
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join still shuffles:\n$joinSubtree")
+    val got = out.as[(String, Double, Long)].collect().toSeq
+    val direct = ops.Sources.lineitem(spark, d)
+      .join(ops.Sources.orders(spark, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(round(sum($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1) - $"l_discount".cast("decimal(3,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got === direct)
+    // re-invocation (bench repeat-min does this) replaces the catalog
+    // entry cleanly instead of colliding
+    assert(util.Bucketing.q101BucketedJoin(spark, d).count() === got.size)
+  }
 }
