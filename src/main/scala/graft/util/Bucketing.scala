@@ -25,10 +25,18 @@ object Bucketing {
     * location) in the session catalog, replacing any previous version.
     * `saveAsTable` is required — bucket metadata lives in the catalog,
     * plain `parquet(path)` writes would lose it.
+    *
+    * The pre-write `repartition(buckets, key)` kills write
+    * amplification: bucket id and HashPartitioning use the SAME
+    * murmur3-pmod function, so partition i holds exactly bucket i and
+    * each task writes ONE file — without it every input task writes a
+    * sliver of every bucket (tasks × buckets small files; 512 here,
+    * arbitrarily many at 100 TB).
     */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)
       .mode("overwrite")
