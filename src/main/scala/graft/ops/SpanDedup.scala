@@ -61,6 +61,16 @@ object SpanDedup {
   def dupSpans(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame = {
     val g = grams(docs, gramLen)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
+    duplicatedIslands(g, gramLen, minDocs)
+  }
+
+  /** Shared tail of [[dupSpans]] and [[winnowedDupSpans]]: from a
+    * (doc_id, pos, h) gram-hash stream, keep hashes seen in >= minDocs
+    * distinct documents and merge the surviving positions into maximal
+    * [span_start, span_end] islands per document.
+    */
+  private def duplicatedIslands(g: DataFrame, gramLen: Int,
+      minDocs: Int): DataFrame = {
     val multi =
       if (minDocs == 2) min(col("doc_id")) =!= max(col("doc_id"))
       else countDistinct(col("doc_id")) >= minDocs
@@ -82,6 +92,38 @@ object SpanDedup {
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 
+  /** The WINNOWED scale variant of [[dupSpans]] (q104): instead of
+    * shuffling every stride-1 gram hash (~1 row per character — the
+    * q100 cost constant flagged in round 12), each document emits only
+    * its winnowed selection — the leftmost minimum of every `window`
+    * consecutive rolling gram hashes ([[graft.expressions.WinnowedGramMins]]),
+    * ~2/(window+1) of the gram stream. The winnowing guarantee
+    * (Schleimer et al. §3): any duplicated run of length >=
+    * gramLen + window − 1 contains at least one gram BOTH copies
+    * select, so every long duplicated run is still flagged; runs
+    * shorter than that can escape — the documented recall trade, which
+    * is why the stride-1 [[dupSpans]] remains the exact oracle form.
+    * Span boundaries are selected-gram boundaries (sub-intervals of the
+    * exact spans). The hash is the oracle-shared base-131 polynomial,
+    * so DuckDB reproduces selection and spans bit-for-bit (q104 is
+    * hash-green, not rows-only).
+    *
+    * 100 TB posture: identical plan shape to [[dupSpans]] — one map
+    * stage (kernel + explode), one keyed aggregate, a broadcast-sized
+    * semi join, one per-doc window — but every exchange carries a
+    * `window/2`× thinner stream.
+    */
+  def winnowedDupSpans(docs: DataFrame, gramLen: Int, window: Int,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.winnowedGramMins
+    val g = docs
+      .filter(length(col("text")) >= gramLen + window - 1)
+      .select(col("doc_id"),
+        explode(winnowedGramMins(col("text"), gramLen, window)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("h"))
+    duplicatedIslands(g, gramLen, minDocs)
+  }
+
   /** Documents with flagged spans excised — the consuming side of
     * [[dupSpans]]. Expression-only string surgery: collect each doc's
     * spans into a sorted array (bounded by doc length / gramLen, so the
@@ -98,7 +140,11 @@ object SpanDedup {
       col("spans"),
       struct(lit(1L).as("cursor"), lit("").as("acc")),
       (st, sp) => struct(
-        (sp("span_end") + 1).as("cursor"),
+        // greatest() keeps the walk monotonic for ANY caller-supplied
+        // span list: a nested span (span_end < cursor) must not move
+        // the cursor backward and re-emit already-excised text.
+        // dupSpans never emits overlaps, but the method is public.
+        greatest(st("cursor"), sp("span_end") + 1).as("cursor"),
         concat(st("acc"),
           col("text").substr(st("cursor"),
             greatest(sp("span_start") - st("cursor"), lit(0L)))).as("acc")),
@@ -120,5 +166,34 @@ object SpanDedup {
     */
   def q100SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     dupSpans(Sources.documents(spark, dir), gramLen = 24, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** ORACLED exercise (q102): the CONSUMING half of the Lee-et-al pass —
+    * the corpus with every q100-flagged span excised. This is the frame
+    * a curation pipeline actually trains on (q100's span list is the
+    * diagnostic artifact); DuckDB re-derives the cleaned text from the
+    * same span list with a lag-window segment walk, so every byte of
+    * every cleaned document is hash-checked end-to-end.
+    */
+  def q102RemoveSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    removeSpans(docs, dupSpans(docs, gramLen = 24, minDocs = 2))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ORACLED exercise (q104): [[winnowedDupSpans]] with the q100 gram
+    * length and an 8-hash window — the ~4×-thinner-shuffle scale
+    * variant. Hash-checked span-for-span against the DuckDB
+    * re-derivation of the same winnowed selection (shared polynomial
+    * hash); the exact-vs-winnowed recall relationship is asserted in
+    * SpanDedupSpec (every maximal cross-doc shared RUN of length >= 31
+    * yields a winnowed span on both sides — merged exact ISLANDS can be
+    * composites of shorter runs and carry no such guarantee).
+    */
+  def q104WinnowedSpans(spark: SparkSession, dir: String): DataFrame =
+    winnowedDupSpans(Sources.documents(spark, dir), gramLen = 24, window = 8,
+      minDocs = 2)
       .orderBy(col("doc_id"), col("span_start"))
 }

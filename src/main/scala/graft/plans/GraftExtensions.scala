@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharBigrams, CosineSimilarity, InterleaveBits, SimHash64, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
 
 /** Session extensions for the graft engine — the standard third-party
   * integration point (`spark.sql.extensions=graft.plans.GraftExtensions`):
@@ -71,6 +71,15 @@ object GraftExtensions {
         WinnowFingerprints(args(0),
           intLit(args(1), "winnow_fingerprints k"),
           intLit(args(2), "winnow_fingerprints w"))
+      }),
+    (FunctionIdentifier("winnowed_gram_mins"),
+      new ExpressionInfo(classOf[WinnowedGramMins].getName, "winnowed_gram_mins"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "winnowed_gram_mins(text, k, w) takes 3 arguments")
+        WinnowedGramMins(args(0),
+          intLit(args(1), "winnowed_gram_mins k"),
+          intLit(args(2), "winnowed_gram_mins w"))
       }),
     (FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),

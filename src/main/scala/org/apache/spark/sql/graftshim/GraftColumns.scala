@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, InterleaveBits, SimHash64, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -27,6 +27,13 @@ object GraftColumns {
     */
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c), k, w))
+
+  /** Positional winnowing — selected (pos, fingerprint) window minima
+    * of the rolling k-gram hash, leftmost ties, 1-based positions (see
+    * [[graft.expressions.WinnowedGramMins]]).
+    */
+  def winnowedGramMins(c: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowedGramMins(ExpressionUtils.expression(c), k, w))
 
   /** Distinct adjacent char bigrams, first-appearance order (see
     * [[graft.expressions.CharBigrams]]).

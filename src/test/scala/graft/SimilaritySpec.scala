@@ -257,6 +257,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
   }
 
+  test("cached IVF index gives the same answer as an uncached fit") {
+    // q45 routes through the process-lifetime index cache; an explicit
+    // uncached ivfTopK on the same data must produce identical rows —
+    // KMeans under the fixed seed is deterministic, so the cache is a
+    // pure cost optimization, not a semantics change.
+    val dir = "/root/testdata/sf0.001"
+    val cached = ops.Similarity.q45AnnIvf(spark, dir).collect().toSeq
+    val uncached = ops.Similarity.ivfTopK(
+      ops.Sources.embeddings(spark, dir), queryVecId = 0L, k = 10,
+      nLists = 16, nProbe = 4, cacheKey = None).collect().toSeq
+    assert(cached === uncached)
+  }
+
+  test("q103: MinHash candidate recall vs exact 5-shingle Jaccard clears the floor") {
+    val out = ops.Similarity.q103MinhashRecall(spark, "/root/testdata/sf0.001")
+      .as[(String, Boolean)].head()
+    assert(out === ("minhash_lsh", true))
+  }
+
   test("connected components: min-id propagation over a known graph") {
     // {1-2, 2-3, 3-4} chain + {7-9} pair + untouched singleton 5 (absent).
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")

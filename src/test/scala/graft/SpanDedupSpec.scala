@@ -100,6 +100,102 @@ class SpanDedupSpec extends SparkTestBase {
     assert(cleaned === "uniq2")
   }
 
+  test("removeSpans is monotonic under overlapping/nested caller spans") {
+    // dupSpans never emits overlaps, but removeSpans is public: a nested
+    // span must not move the cursor backward and re-emit excised text.
+    val d = docs(1L -> "abcdefghij")
+    val spans = Seq((1L, 2L, 7L), (1L, 3L, 5L), (1L, 4L, 9L))
+      .toDF("doc_id", "span_start", "span_end")
+    val cleaned = ops.SpanDedup.removeSpans(d, spans)
+      .select($"clean_text").as[String].head()
+    // union of [2,7],[3,5],[4,9] = [2,9] -> keep chars 1 and 10
+    assert(cleaned === "aj")
+  }
+
+  test("winnowed spans are sub-intervals of exact spans; long spans are found") {
+    // Same deterministic random corpus class as the brute-force test:
+    // 3-letter alphabet, so duplicated runs are everywhere and both the
+    // winnow-selection and merge paths fire.
+    val L = 5; val w = 3
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 30L).map(i =>
+      i -> (0 until (20 + rnd.nextInt(50))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    val d = docs(corpus: _*)
+    val exact = ops.SpanDedup.dupSpans(d, gramLen = L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val winnowed = ops.SpanDedup.winnowedDupSpans(d, gramLen = L, window = w)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // (a) every winnowed span lies inside an exact span of the same doc:
+    // a duplicated SELECTED gram is a duplicated gram
+    winnowed.foreach { case (id, s, e, _) =>
+      assert(exact.exists { case (xid, xs, xe, _) =>
+        xid == id && xs <= s && e <= xe },
+        s"winnowed span ($id,$s,$e) outside every exact span")
+    }
+    // (b) the PRECISE winnowing guarantee (Schleimer Thm. 1): every
+    // maximal CROSS-DOC shared run of length >= L+w-1 contains a full
+    // gram-hash window, whose min both docs select — so each side must
+    // carry a winnowed span intersecting the run. (A merged exact SPAN
+    // of that length is NOT guaranteed: it can be a composite of
+    // shorter runs from different partners, each below the bound.)
+    def sharedRuns(a: String, b: String, minLen: Int): Seq[(Int, Int)] = {
+      val m = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) m(i)(j) = m(i - 1)(j - 1) + 1
+      (for {
+        i <- 1 to a.length; j <- 1 to b.length
+        l = m(i)(j)
+        if l >= minLen &&
+          (i == a.length || j == b.length || a(i) != b(j))
+      } yield (i - l + 1, i)).distinct
+    }
+    for {
+      (ida, ta) <- corpus; (idb, tb) <- corpus if ida < idb
+      (s, e) <- sharedRuns(ta, tb, L + w - 1)
+    } assert(winnowed.exists { case (wid, ws, we, _) =>
+        wid == ida && ws <= e.toLong && s.toLong <= we },
+      s"shared run [$s,$e] of docs ($ida,$idb) missed in $ida")
+  }
+
+  test("q104 on the fixture: bounded within-doc spans, thinner stream than q100") {
+    val out = ops.SpanDedup.q104WinnowedSpans(spark, "/root/testdata/sf0.001")
+    val rows = out.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty) // exact duplicate docs survive winnowed selection
+    val lens = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", length($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    rows.foreach { case (id, s, e, l) =>
+      assert(s >= 1 && e <= lens(id) && l === e - s + 1 && l >= 24)
+    }
+    // guarantee check at (24, 8): a CROSS-DOC shared 31-char substring
+    // contains exactly one full window of 8 gram hashes, whose min both
+    // docs select — so every shared-31-gram occurrence must be covered
+    // by a winnowed span intersecting its interval
+    val docsArr = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val gramDocs = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.Set[Long]]
+    docsArr.foreach { case (id, t) =>
+      (0 to t.length - 31).foreach { p =>
+        gramDocs.getOrElseUpdate(t.substring(p, p + 31),
+          scala.collection.mutable.Set.empty) += id
+      }
+    }
+    val byDoc = rows.groupBy(_._1)
+    var checked = 0
+    docsArr.foreach { case (id, t) =>
+      (0 to t.length - 31).foreach { p =>
+        if (gramDocs(t.substring(p, p + 31)).size >= 2) {
+          checked += 1
+          assert(byDoc.getOrElse(id, Nil).exists { case (_, ws, we, _) =>
+            ws <= p + 31L && p + 1L <= we },
+            s"shared 31-gram of doc $id at ${p + 1} missed by winnowed spans")
+        }
+      }
+    }
+    assert(checked > 0) // the fixture does contain cross-doc shared runs
+  }
+
   test("q100 runs on the real fixture: bounded, sorted, within-doc spans") {
     val out = ops.SpanDedup.q100SubstringDedup(spark, "/root/testdata/sf0.001")
     val rows = out.as[(Long, Long, Long, Long)].collect().toSeq

@@ -76,6 +76,57 @@ class WinnowExprSpec extends SparkTestBase {
     assert(fps === fps.distinct.sorted)
   }
 
+  /** Positional reference for [[graft.expressions.WinnowedGramMins]]:
+    * leftmost min per window, distinct (pos, hash) pairs sorted by pos,
+    * 1-based positions.
+    */
+  private def positionalReference(text: String, k: Int, w: Int): Seq[(Long, Long)] = {
+    if (text.length < k + w - 1) return Seq.empty
+    val gh = text.sliding(k).map(
+      _.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 2147483647L)).toArray
+    (0 to gh.length - w).map { j =>
+      val win = gh.slice(j, j + w)
+      val off = win.indexOf(win.min)
+      ((j + off + 1).toLong, win.min)
+    }.distinct.sortBy(_._1)
+  }
+
+  test("positional winnowing matches the reference on random ASCII strings") {
+    import org.apache.spark.sql.graftshim.GraftColumns.winnowedGramMins
+    val rnd = new scala.util.Random(9)
+    val cases = (0 until 100).map { i =>
+      val len = rnd.nextInt(60)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    val got = cases.toDF("id", "text")
+      .select($"id", winnowedGramMins($"text", 4, 3).as("s"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    cases.foreach { case (id, text) =>
+      assert(got(id) === positionalReference(text, 4, 3), s"mismatch for '$text'")
+    }
+  }
+
+  test("positional winnowing selects the LEFTMOST position on hash ties") {
+    import org.apache.spark.sql.graftshim.GraftColumns.winnowedGramMins
+    // "aaaa...": every gram hashes identically, so every window is an
+    // all-tie — the selected position must be each window's FIRST gram
+    // (matching DuckDB's list_position first-match semantics).
+    val sel = Seq(Tuple1("aaaaaaaaaa")).toDF("text")
+      .select(winnowedGramMins($"text", 4, 3).as("s"))
+      .as[Seq[(Long, Long)]].head()
+    assert(sel.map(_._1) === (1L to 5L)) // windows start at grams 1..5
+  }
+
+  test("positional fingerprint VALUES agree with WinnowFingerprints") {
+    import org.apache.spark.sql.graftshim.GraftColumns.winnowedGramMins
+    val text = "the quick brown fox jumps over the lazy dog"
+    val row = Seq(Tuple1(text)).toDF("text")
+      .select(winnowFingerprints($"text", 8, 4).as("fps"),
+        winnowedGramMins($"text", 8, 4).as("s"))
+      .as[(Seq[Long], Seq[(Long, Long)])].head()
+    assert(row._2.map(_._2).distinct.sorted === row._1)
+  }
+
   test("the projection stays inside whole-stage codegen") {
     // spark.range is a codegen'd source (a 1-row local relation never
     // enters codegen, proving nothing either way)
