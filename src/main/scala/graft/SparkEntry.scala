@@ -122,6 +122,7 @@ object SparkEntry {
     "q102_remove_spans" -> (SpanDedup.q102RemoveSpans _),
     "q103_minhash_recall" -> (Similarity.q103MinhashRecall _),
     "q104_winnowed_spans" -> (SpanDedup.q104WinnowedSpans _),
+    "q105_hist_gbt" -> (graft.ml.HistGbt.q105HistGbt _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1215,6 +1216,12 @@ object SparkEntry {
     // booleans are stable); the oracle pins the constants
     "q97_softmax_gbt" ->
       """SELECT 'softmax_gbt' AS model, CAST(10 AS INT) AS n_classes,
+        |  TRUE AS acc_ok, TRUE AS beats_priors, TRUE AS deviance_monotone""".stripMargin,
+    // LightGBM-mechanics histogram Newton boosting (quantile bins,
+    // histogram splits, Newton leaves, leaf-wise growth) — fully seeded
+    // Spark-side fit; the oracle pins the invariant booleans
+    "q105_hist_gbt" ->
+      """SELECT 'hist_gbt_newton' AS model, CAST(10 AS INT) AS n_classes,
         |  TRUE AS acc_ok, TRUE AS beats_priors, TRUE AS deviance_monotone""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count

@@ -1,0 +1,512 @@
+package graft.ml
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** M5, histogram edition: LightGBM-style data-parallel multiclass
+  * boosting — the learner the reference actually runs
+  * (/root/reference/main.py:409-419, `DaskLGBMClassifier` with
+  * `tree_learner='data'`, max_depth=8, n_estimators=50).
+  *
+  * [[SoftmaxGbt]] closed the ALGORITHM-CLASS gap (true K-class softmax
+  * boosting, one model) but delegated tree fitting to MLlib's
+  * `DecisionTreeRegressor`: mean-residual leaves (plain gradient step)
+  * and depth-wise growth. This closes the remaining TREE-QUALITY gap
+  * with the three LightGBM mechanics themselves:
+  *
+  *   - **Histogram split finding**: features are quantile-binned once
+  *     to ≤`maxBins` byte codes; every candidate split is read off a
+  *     per-(leaf, feature, bin) histogram of (Σgrad, Σhess, count) by a
+  *     prefix-sum sweep — no sort, no per-threshold pass.
+  *   - **Newton leaves**: second-order boosting. Per class k the
+  *     softmax objective's grad g = p_k − 1{y=k} and hess
+  *     h = p_k(1−p_k) are aggregated; a leaf's value is the Newton step
+  *     −G/(H+λ) and a split's gain is
+  *     ½·(G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ)) − γ
+  *     (the XGBoost/LightGBM structure score; Chen & Guestrin, KDD'16
+  *     §2.2 — public derivation).
+  *   - **Leaf-wise growth**: the frontier leaf with the globally best
+  *     gain splits next, under a `maxLeaves` budget and a `maxDepth`
+  *     guard — LightGBM's `num_leaves` discipline, vs MLlib's
+  *     level-wise expansion.
+  *
+  * Scale posture (100 TB, `tree_learner='data'` exactly): the binned
+  * matrix is built in one distributed pass (bin edges from a bounded
+  * per-partition quantile sample — O(sample) driver state, never rows);
+  * each split aggregates ONE histogram array over ONLY the expanding
+  * leaf's rows (rows route through the partial tree, a few byte
+  * compares) via `treeAggregate` — executors hold row slices, node
+  * statistics merge, rows never move. The sibling's histogram is the
+  * parent-minus-child SUBTRACTION (LightGBM's halving trick), so each
+  * split pays one scan, not two. Histogram size is
+  * dims × bins × 3 doubles (64×64×3 ≈ 98 KB here) — broadcast-merge
+  * friendly at any row count. Per boosting round the K class trees fit
+  * concurrently as independent Spark jobs over one shared (binned,
+  * grad, hess) RDD; scores update in one broadcast-trees map stage and
+  * are checkpoint-truncated so lineage stays O(1) in rounds.
+  */
+object HistGbt {
+
+  /** One fitted tree over BINNED features, flattened to parallel
+    * arrays (node i: internal if `feature(i) >= 0`, splitting on
+    * `bin <= threshold(i)` → `left(i)` else `right(i)`; leaf value
+    * `value(i)` otherwise). Array form keeps routing a tight loop and
+    * the broadcast payload primitive.
+    */
+  final case class Tree(feature: Array[Int], threshold: Array[Int],
+      left: Array[Int], right: Array[Int], value: Array[Double]) {
+
+    def route(bins: Array[Byte]): Int = {
+      var n = 0
+      while (feature(n) >= 0) {
+        n = if ((bins(feature(n)) & 0xff) <= threshold(n)) left(n) else right(n)
+      }
+      n
+    }
+
+    def predictBinned(bins: Array[Byte]): Double = value(route(bins))
+
+    def numLeaves: Int = feature.count(_ < 0)
+  }
+
+  /** Fitted model: per-class log-prior base scores + per-round K trees
+    * + the bin edges needed to route RAW feature vectors (edges(d) are
+    * ascending upper-inclusive cut points; value v lands in the first
+    * bin with v <= edge, last bin otherwise — same rule as binning).
+    */
+  final case class Model(priors: Array[Double],
+      rounds: Vector[Array[Tree]], learningRate: Double,
+      binEdges: Array[Array[Double]]) {
+
+    def numClasses: Int = priors.length
+
+    private[ml] def binRaw(f: MlVector): Array[Byte] = {
+      val out = new Array[Byte](binEdges.length)
+      var d = 0
+      while (d < binEdges.length) {
+        out(d) = binOf(f(d), binEdges(d)).toByte; d += 1
+      }
+      out
+    }
+
+    def rawScores(f: MlVector): Array[Double] = {
+      val b = binRaw(f)
+      val s = priors.clone()
+      var m = 0
+      while (m < rounds.length) {
+        val trees = rounds(m)
+        var k = 0
+        while (k < s.length) {
+          s(k) += learningRate * trees(k).predictBinned(b); k += 1
+        }
+        m += 1
+      }
+      s
+    }
+
+    def predictionCol(features: Column): Column = {
+      val pred = udf { f: MlVector =>
+        val s = rawScores(f)
+        var best = 0; var k = 1
+        while (k < s.length) { if (s(k) > s(best)) best = k; k += 1 }
+        best.toDouble
+      }
+      pred(features)
+    }
+
+    def transform(df: DataFrame, featuresCol: String = "pca"): DataFrame =
+      df.withColumn("prediction", predictionCol(col(featuresCol)))
+  }
+
+  /** First bin whose upper edge admits v (edges ascending; overflow →
+    * last bin). Binary search — edges are ≤255 long but this runs per
+    * cell of the corpus.
+    */
+  private[ml] def binOf(v: Double, edges: Array[Double]): Int = {
+    var lo = 0; var hi = edges.length // hi = "past the last edge" bin
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v <= edges(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** Quantile bin edges per feature from a bounded deterministic sample
+    * (row-hash filter, ~`sampleTarget` rows) — LightGBM builds its bin
+    * mappers from a sample too (`bin_construct_sample_cnt`). Returns
+    * `dims` arrays of ≤ maxBins−1 ascending DISTINCT cut points; a
+    * constant feature gets an empty array (single bin, never split).
+    */
+  private[ml] def quantileEdges(rows: RDD[MlVector], dims: Int,
+      maxBins: Int, sampleTarget: Int): Array[Array[Double]] = {
+    val n = rows.sparkContext.longAccumulator
+    val frac = {
+      rows.foreach(_ => n.add(1L)) // count; rows is cached by caller
+      math.min(1.0, sampleTarget.toDouble / math.max(1L, n.value))
+    }
+    val sample =
+      if (frac >= 1.0) rows.collect()
+      else rows.mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new scala.util.Random(0x9E3779B9L * (pid + 1))
+        it.filter(_ => rnd.nextDouble() < frac)
+      }.collect()
+    require(sample.nonEmpty, "empty training set")
+    Array.tabulate(dims) { d =>
+      val vals = sample.map(_(d)).sorted
+      val cuts = (1 until maxBins).map { b =>
+        vals((b.toLong * vals.length / maxBins).toInt.min(vals.length - 1))
+      }.distinct.toArray
+      // drop the global max as a cut — everything ≤ max would make the
+      // last bin empty rather than the edge list shorter
+      if (cuts.nonEmpty && cuts.last >= vals.last) cuts.dropRight(1) else cuts
+    }
+  }
+
+  // --- single-tree learner ------------------------------------------------
+
+  /** Mutable build-side node; flattened to [[Tree]] arrays at the end. */
+  private final class BNode(val depth: Int, val g: Double, val h: Double,
+      val cnt: Long, var hist: Array[Double]) {
+    var feature: Int = -1; var threshold: Int = -1
+    var leftChild: BNode = _; var rightChild: BNode = _
+    var gain: Double = Double.NegativeInfinity
+    var splitLeft: (Double, Double, Long) = _ // (G_L, H_L, cnt_L)
+  }
+
+  /** Best split of `node` from its histogram: prefix-sweep every
+    * feature's bins. Populates `node.{feature,threshold,gain,splitLeft}`
+    * (gain stays −∞ if nothing admissible).
+    */
+  private def findBestSplit(node: BNode, dims: Int, bins: Int,
+      lambda: Double, gamma: Double, minChildHess: Double): Unit = {
+    val hist = node.hist
+    val parentScore = node.g * node.g / (node.h + lambda)
+    var d = 0
+    while (d < dims) {
+      var gl = 0.0; var hl = 0.0; var cl = 0L
+      var b = 0
+      while (b < bins - 1) { // last bin can't be a left-inclusive cut
+        val base = (d * bins + b) * 3
+        gl += hist(base); hl += hist(base + 1); cl += hist(base + 2).toLong
+        val gr = node.g - gl; val hr = node.h - hl
+        if (hl >= minChildHess && hr >= minChildHess && cl > 0 &&
+            node.cnt - cl > 0) {
+          val gain = 0.5 * (gl * gl / (hl + lambda) + gr * gr / (hr + lambda) -
+            parentScore) - gamma
+          if (gain > node.gain) {
+            node.gain = gain; node.feature = d; node.threshold = b
+            node.splitLeft = (gl, hl, cl)
+          }
+        }
+        b += 1
+      }
+      d += 1
+    }
+  }
+
+  /** Histogram of (Σg, Σh, count) per (feature, bin) over the rows that
+    * route to `target` under the partial tree rooted at `root` — one
+    * treeAggregate; only the expanding leaf's rows contribute.
+    */
+  private def leafHistogram(data: RDD[(Array[Byte], Double, Double)],
+      root: BNode, target: BNode, dims: Int, bins: Int): Array[Double] = {
+    // flatten the PARTIAL tree for executor-side routing: node id ==
+    // preorder index; leaves carry their BNode identity via id mapping
+    val (flat, leafIds) = flattenPartial(root)
+    val targetId = leafIds(target)
+    data.treeAggregate(null.asInstanceOf[Array[Double]])(
+      seqOp = (accIn, row) => {
+        val acc = if (accIn == null) new Array[Double](dims * bins * 3) else accIn
+        val (bv, g, h) = row
+        var n = 0
+        while (flat.feature(n) >= 0) {
+          n = if ((bv(flat.feature(n)) & 0xff) <= flat.threshold(n)) flat.left(n)
+              else flat.right(n)
+        }
+        if (n == targetId) {
+          var d = 0
+          while (d < dims) {
+            val base = (d * bins + (bv(d) & 0xff)) * 3
+            acc(base) += g; acc(base + 1) += h; acc(base + 2) += 1.0
+            d += 1
+          }
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        if (a == null) b else if (b == null) a
+        else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+      },
+      depth = 2) match {
+      case null => new Array[Double](dims * bins * 3) // empty partition set
+      case arr  => arr
+    }
+  }
+
+  /** Preorder-flatten the partial tree (split nodes + current leaves);
+    * leaves get value slots (unused during routing) and a BNode → id
+    * map so the aggregator can test "routes to target".
+    */
+  private def flattenPartial(root: BNode): (Tree, Map[BNode, Int]) = {
+    val feats = scala.collection.mutable.ArrayBuffer[Int]()
+    val thr = scala.collection.mutable.ArrayBuffer[Int]()
+    val lft = scala.collection.mutable.ArrayBuffer[Int]()
+    val rgt = scala.collection.mutable.ArrayBuffer[Int]()
+    val leafIds = scala.collection.mutable.Map[BNode, Int]()
+    def walk(n: BNode): Int = {
+      val id = feats.length
+      if (n.leftChild == null) {
+        feats += -1; thr += -1; lft += -1; rgt += -1
+        leafIds(n) = id
+      } else {
+        feats += n.feature; thr += n.threshold; lft += -1; rgt += -1
+        val l = walk(n.leftChild); lft(id) = l
+        val r = walk(n.rightChild); rgt(id) = r
+      }
+      id
+    }
+    walk(root)
+    (Tree(feats.toArray, thr.toArray, lft.toArray, rgt.toArray,
+      new Array[Double](feats.length)), leafIds.toMap)
+  }
+
+  /** Fit ONE Newton tree to (g, h) with leaf-wise growth. `data` holds
+    * (binnedFeatures, grad, hess) for this class.
+    */
+  private[ml] def fitTree(data: RDD[(Array[Byte], Double, Double)],
+      dims: Int, bins: Int, maxLeaves: Int, maxDepth: Int, lambda: Double,
+      gamma: Double, minChildHess: Double): Tree = {
+    val rootAgg = data.treeAggregate((0.0, 0.0, 0L))(
+      (a, r) => (a._1 + r._2, a._2 + r._3, a._3 + 1L),
+      (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3), depth = 2)
+    val root = new BNode(0, rootAgg._1, rootAgg._2, rootAgg._3, null)
+    root.hist = leafHistogram(data, root, root, dims, bins)
+    findBestSplit(root, dims, bins, lambda, gamma, minChildHess)
+
+    // Leaf-wise frontier: always split the best-gain leaf next. Every
+    // frontier node RETAINS its histogram until it is split (or growth
+    // stops) so a child's sibling histogram is derived by subtraction —
+    // memory is ≤ maxLeaves × dims × bins × 3 doubles (~1.5 MB at
+    // 15 × 64 × 64), driver-side only.
+    val frontier = scala.collection.mutable.PriorityQueue.empty[BNode](
+      Ordering.by(_.gain))
+    frontier += root
+    var leaves = 1
+    while (leaves < maxLeaves && frontier.nonEmpty &&
+        frontier.head.gain > 0) {
+      val node = frontier.dequeue()
+      val (gl, hl, cl) = node.splitLeft
+      val lc = new BNode(node.depth + 1, gl, hl, cl, null)
+      val rc = new BNode(node.depth + 1, node.g - gl, node.h - hl,
+        node.cnt - cl, null)
+      node.leftChild = lc; node.rightChild = rc
+      leaves += 1
+      if (leaves < maxLeaves && node.depth + 1 < maxDepth) {
+        // ONE scan for the smaller child; sibling = parent − child
+        // (LightGBM's histogram subtraction trick).
+        val (small, large) = if (cl <= node.cnt - cl) (lc, rc) else (rc, lc)
+        small.hist = leafHistogram(data, root, small, dims, bins)
+        val sib = new Array[Double](node.hist.length)
+        var i = 0
+        while (i < sib.length) {
+          sib(i) = node.hist(i) - small.hist(i); i += 1
+        }
+        large.hist = sib
+        findBestSplit(lc, dims, bins, lambda, gamma, minChildHess)
+        findBestSplit(rc, dims, bins, lambda, gamma, minChildHess)
+        frontier += lc; frontier += rc
+      }
+      node.hist = null // parent histogram consumed; free it
+    }
+    finalizeTree(root, lambda)
+  }
+
+  /** Flatten the finished build tree; leaves take the Newton value
+    * −G/(H+λ).
+    */
+  private def finalizeTree(root: BNode, lambda: Double): Tree = {
+    val feats = scala.collection.mutable.ArrayBuffer[Int]()
+    val thr = scala.collection.mutable.ArrayBuffer[Int]()
+    val lft = scala.collection.mutable.ArrayBuffer[Int]()
+    val rgt = scala.collection.mutable.ArrayBuffer[Int]()
+    val vals = scala.collection.mutable.ArrayBuffer[Double]()
+    def walk(n: BNode): Int = {
+      val id = feats.length
+      if (n.leftChild == null) {
+        feats += -1; thr += -1; lft += -1; rgt += -1
+        vals += -n.g / (n.h + lambda)
+      } else {
+        feats += n.feature; thr += n.threshold; lft += -1; rgt += -1; vals += 0.0
+        val l = walk(n.leftChild); lft(id) = l
+        val r = walk(n.rightChild); rgt(id) = r
+      }
+      id
+    }
+    walk(root)
+    Tree(feats.toArray, thr.toArray, lft.toArray, rgt.toArray, vals.toArray)
+  }
+
+  // --- boosting driver ----------------------------------------------------
+
+  /** Fit `maxIter` rounds of K-class histogram Newton boosting.
+    * `labelCol` holds 0.0 … numClasses−1 doubles; `featuresCol` an
+    * MlVector of fixed width.
+    */
+  def fit(train: DataFrame, numClasses: Int, featuresCol: String = "pca",
+      labelCol: String = "label_idx", maxIter: Int = 10, maxLeaves: Int = 15,
+      maxDepth: Int = 8, maxBins: Int = 64, learningRate: Double = 0.3,
+      lambda: Double = 1.0, gamma: Double = 0.0, minChildHess: Double = 1e-3,
+      sampleTarget: Int = 20000, treeParallelism: Int = 8): Model = {
+    require(maxIter >= 1 && numClasses >= 2 && maxBins >= 2 && maxBins <= 256)
+    val spark = train.sparkSession
+    val sc = spark.sparkContext
+
+    val raw = train.select(col(featuresCol), col(labelCol).cast("int"))
+      .rdd.map(r => (r.getAs[MlVector](0), r.getInt(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dims = raw.first()._1.size
+
+    // 1. bin mapper from a bounded sample, broadcast once
+    val edges = quantileEdges(raw.map(_._1), dims, maxBins, sampleTarget)
+    val bins = maxBins // bin ids always < maxBins by construction
+    val bEdges: Broadcast[Array[Array[Double]]] = sc.broadcast(edges)
+
+    // 2. binned matrix + label, built once; scores start at log priors
+    val counts = raw.map(_._2).countByValue()
+    val total = counts.values.sum.toDouble + numClasses
+    val priors = Array.tabulate(numClasses)(k =>
+      math.log((counts.getOrElse(k, 0L) + 1L) / total))
+    val bPriors = sc.broadcast(priors)
+
+    var scored: RDD[(Array[Byte], Int, Array[Double])] = raw.map {
+      case (f, y) =>
+        val e = bEdges.value
+        val b = new Array[Byte](e.length)
+        var d = 0
+        while (d < e.length) { b(d) = binOf(f(d), e(d)).toByte; d += 1 }
+        (b, y, bPriors.value.clone())
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    scored.localCheckpoint()
+    raw.unpersist(false)
+
+    val pool = Executors.newFixedThreadPool(math.max(1, treeParallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val rounds = Vector.newBuilder[Array[Tree]]
+      for (_ <- 0 until maxIter) {
+        // one pass: softmax probs → per-class (g, h) alongside the bins
+        val withGH: RDD[(Array[Byte], Array[Double], Array[Double])] =
+          scored.map { case (b, y, s) =>
+            val mx = s.max
+            val ex = s.map(v => math.exp(v - mx))
+            val z = ex.sum
+            val g = new Array[Double](s.length)
+            val h = new Array[Double](s.length)
+            var k = 0
+            while (k < s.length) {
+              val p = ex(k) / z
+              g(k) = p - (if (k == y) 1.0 else 0.0)
+              h(k) = math.max(p * (1.0 - p), 1e-16)
+              k += 1
+            }
+            (b, g, h)
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+        withGH.count() // materialize once; K tree fits share it
+
+        val fits = (0 until numClasses).map { k =>
+          Future {
+            fitTree(withGH.map { case (b, g, h) => (b, g(k), h(k)) },
+              dims, bins, maxLeaves, maxDepth, lambda, gamma, minChildHess)
+          }
+        }
+        val trees = Await.result(Future.sequence(fits), Duration.Inf).toArray
+        rounds += trees
+        withGH.unpersist(false)
+
+        // one broadcast-trees map stage updates all K scores
+        val bTrees = sc.broadcast(trees)
+        val lr = learningRate
+        val prev = scored
+        scored = scored.map { case (b, y, s) =>
+          val t = bTrees.value
+          val s2 = new Array[Double](s.length)
+          var k = 0
+          while (k < s.length) {
+            s2(k) = s(k) + lr * t(k).predictBinned(b); k += 1
+          }
+          (b, y, s2)
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        scored.localCheckpoint()
+        scored.count()
+        prev.unpersist(false)
+      }
+      Model(priors, rounds.result(), learningRate, edges)
+    } finally {
+      pool.shutdown()
+      scored.unpersist(false)
+    }
+  }
+
+  /** Mean multinomial deviance of `model` truncated to `m` rounds on
+    * `df` — the boosting objective; q105 asserts it decreases.
+    */
+  def deviance(model: Model, df: DataFrame, featuresCol: String = "pca",
+      labelCol: String = "label_idx"): Double = {
+    val nll = udf { (f: MlVector, y: Int) =>
+      val s = model.rawScores(f)
+      val mx = s.max
+      val z = s.map(v => math.exp(v - mx)).sum
+      -(s(y) - mx - math.log(z))
+    }
+    df.select(avg(nll(col(featuresCol), col(labelCol).cast("int"))))
+      .head().getDouble(0)
+  }
+
+  /** ORACLED exercise (q105): histogram Newton boosting end-to-end on
+    * the same ten-class fixture slice as q97, same split, same tree
+    * budget shape (5 rounds × 10 trees). The oracle pins the invariant
+    * booleans: holdout accuracy ≥ 0.9, beats the priors-only predictor,
+    * and train deviance strictly decreases with rounds. Everything is
+    * seeded (hash-derived data, deterministic sample, greedy splits),
+    * so the booleans are stable across partitionings.
+    */
+  def q105HistGbt(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val keep = EmnistFixture.classes.take(10)
+    val data = EmnistFixture.df(spark, dim = 64)
+      .filter(col("label").isInCollection(keep))
+      .withColumn("label_idx",
+        array_position(array(keep.map(lit): _*), col("label"))
+          .cast("double") - 1)
+      .withColumn("pca", array_to_vector(col("features")))
+      .select(col("label_idx"), col("pca"))
+      .cache()
+    val (train, test) = graft.util.Sampling.split8515(data, 42L)
+    val model = fit(train, numClasses = 10, maxIter = 5, maxLeaves = 8,
+      maxDepth = 3, maxBins = 32, sampleTarget = 5000)
+    val nTest = test.count().toDouble
+    val acc = model.transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / nTest
+    val accPriors = model.copy(rounds = Vector.empty).transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / nTest
+    val devs = (0 to model.rounds.length).map(m =>
+      deviance(model.copy(rounds = model.rounds.take(m)), train))
+    data.unpersist(false)
+    Seq((
+      "hist_gbt_newton", 10, acc >= 0.9, acc > accPriors,
+      devs.zip(devs.tail).forall { case (a, b) => b < a }))
+      .toDF("model", "n_classes", "acc_ok", "beats_priors",
+        "deviance_monotone")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ml
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+
+/** M5 histogram edition — LightGBM-mechanics Newton boosting
+  * (`ml/HistGbt.scala`): quantile binning, histogram split finding,
+  * Newton leaves, leaf-wise growth, histogram subtraction. The split
+  * test pins the learner to HAND-COMPUTED XGBoost-objective numbers so
+  * the gain/leaf algebra can't drift.
+  */
+class HistGbtSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("binOf: first bin whose upper edge admits v; overflow to last") {
+    val edges = Array(1.0, 3.0, 7.0)
+    assert(HistGbt.binOf(0.5, edges) === 0)
+    assert(HistGbt.binOf(1.0, edges) === 0) // upper-inclusive
+    assert(HistGbt.binOf(1.1, edges) === 1)
+    assert(HistGbt.binOf(3.0, edges) === 1)
+    assert(HistGbt.binOf(7.0, edges) === 2)
+    assert(HistGbt.binOf(7.1, edges) === 3) // overflow bin
+    assert(HistGbt.binOf(42.0, Array.empty[Double]) === 0) // constant feature
+  }
+
+  test("quantile edges: ascending, distinct, never include the max") {
+    val vecs = (0 until 1000).map(i =>
+      org.apache.spark.ml.linalg.Vectors.dense(i.toDouble, 5.0))
+    val rdd = spark.sparkContext.parallelize(vecs, 4)
+    val edges = HistGbt.quantileEdges(rdd, dims = 2, maxBins = 8,
+      sampleTarget = 10000) // full pass at this size
+    assert(edges(0).length === 7)
+    assert(edges(0).toSeq === edges(0).sorted.toSeq)
+    assert(edges(0).distinct.length === edges(0).length)
+    assert(edges(0).last < 999.0, "max value must not be a cut")
+    assert(edges(1).isEmpty, "constant feature gets a single bin")
+  }
+
+  test("one split reproduces hand-computed Newton gain and leaf values") {
+    // One binned feature, 3 bins. Rows (bin, g, h):
+    //   bin0: 2×(g=-1, h=1)   bin1: 2×(g=1, h=1)   bin2: 2×(g=1, h=1)
+    // λ=0, γ=0. Root G=2, H=6, parent score G²/H = 2/3.
+    //   cut ≤0: GL=-2,HL=2 → 2;  GR=4,HR=4 → 4;  gain = ½(2+4−2/3) = 8/3
+    //   cut ≤1: GL= 0,HL=4 → 0;  GR=2,HR=2 → 2;  gain = ½(0+2−2/3) = 2/3
+    // Best split: threshold 0; Newton leaves −GL/HL = 1, −GR/HR = −1.
+    val rows = Seq.fill(2)((Array(0.toByte), -1.0, 1.0)) ++
+      Seq.fill(2)((Array(1.toByte), 1.0, 1.0)) ++
+      Seq.fill(2)((Array(2.toByte), 1.0, 1.0))
+    val rdd = spark.sparkContext.parallelize(rows, 3)
+    val tree = HistGbt.fitTree(rdd, dims = 1, bins = 3, maxLeaves = 2,
+      maxDepth = 4, lambda = 0.0, gamma = 0.0, minChildHess = 1e-3)
+    assert(tree.numLeaves === 2)
+    assert(tree.feature(0) === 0)
+    assert(tree.threshold(0) === 0)
+    assert(math.abs(tree.predictBinned(Array(0.toByte)) - 1.0) < 1e-12)
+    assert(math.abs(tree.predictBinned(Array(1.toByte)) + 1.0) < 1e-12)
+    assert(math.abs(tree.predictBinned(Array(2.toByte)) + 1.0) < 1e-12)
+  }
+
+  test("lambda regularizes the Newton leaf toward zero") {
+    val rows = Seq.fill(4)((Array(0.toByte), -2.0, 1.0)) ++
+      Seq.fill(4)((Array(1.toByte), 2.0, 1.0))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val tree = HistGbt.fitTree(rdd, dims = 1, bins = 2, maxLeaves = 2,
+      maxDepth = 3, lambda = 4.0, gamma = 0.0, minChildHess = 1e-3)
+    // leaf value = −G/(H+λ) = −(−8)/(4+4) = 1 on the left, −1 right
+    assert(math.abs(tree.predictBinned(Array(0.toByte)) - 1.0) < 1e-12)
+    assert(math.abs(tree.predictBinned(Array(1.toByte)) + 1.0) < 1e-12)
+  }
+
+  test("gamma prunes splits whose gain does not clear the threshold") {
+    // Same data as the hand-computed case: best gain is 8/3 ≈ 2.67.
+    val rows = Seq.fill(2)((Array(0.toByte), -1.0, 1.0)) ++
+      Seq.fill(2)((Array(1.toByte), 1.0, 1.0)) ++
+      Seq.fill(2)((Array(2.toByte), 1.0, 1.0))
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+    val pruned = HistGbt.fitTree(rdd, dims = 1, bins = 3, maxLeaves = 8,
+      maxDepth = 4, lambda = 0.0, gamma = 10.0, minChildHess = 1e-3)
+    assert(pruned.numLeaves === 1, "gain 8/3 must not clear gamma=10")
+    val grown = HistGbt.fitTree(rdd, dims = 1, bins = 3, maxLeaves = 8,
+      maxDepth = 4, lambda = 0.0, gamma = 2.0, minChildHess = 1e-3)
+    assert(grown.numLeaves > 1, "gain 8/3 clears gamma=2")
+  }
+
+  test("leaf-wise growth splits the best-gain leaf first under a budget") {
+    // Two features. Feature 0 separates {A} from {B,C} with a huge
+    // gradient gap; feature 1 separates B from C with a small one. With
+    // maxLeaves=2 the single split MUST be the feature-0 one.
+    val rows =
+      Seq.fill(4)((Array(0.toByte, 0.toByte), -10.0, 1.0)) ++ // A
+      Seq.fill(4)((Array(1.toByte, 0.toByte), 9.0, 1.0)) ++   // B
+      Seq.fill(4)((Array(1.toByte, 1.toByte), 11.0, 1.0))     // C
+    val rdd = spark.sparkContext.parallelize(rows, 3)
+    val tree = HistGbt.fitTree(rdd, dims = 2, bins = 2, maxLeaves = 2,
+      maxDepth = 4, lambda = 1.0, gamma = 0.0, minChildHess = 1e-3)
+    assert(tree.numLeaves === 2)
+    assert(tree.feature(0) === 0, "budgeted split must take the best gain")
+  }
+
+  private lazy val tenClass = {
+    val keep = EmnistFixture.classes.take(10)
+    EmnistFixture.df(spark, dim = 64)
+      .filter($"label".isInCollection(keep))
+      .withColumn("label_idx",
+        array_position(array(keep.map(lit): _*), $"label")
+          .cast("double") - 1)
+      .withColumn("pca", array_to_vector($"features"))
+      .select($"label_idx", $"pca")
+      .cache()
+  }
+
+  test("q105: histogram Newton boosting clears every oracle boolean") {
+    val out = HistGbt.q105HistGbt(spark, "unused").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "hist_gbt_newton")
+    assert(r.getInt(1) === 10)
+    assert(r.getBoolean(2), "holdout accuracy >= 0.9")
+    assert(r.getBoolean(3), "boosted model beats priors-only")
+    assert(r.getBoolean(4), "train deviance decreases every round")
+  }
+
+  test("model routes raw vectors through the same bins as training") {
+    val (train, _) = graft.util.Sampling.split8515(tenClass, 42L)
+    val model = HistGbt.fit(train, numClasses = 10, maxIter = 2,
+      maxLeaves = 6, maxDepth = 3, maxBins = 16, sampleTarget = 2000)
+    // transform must be deterministic and defined on every row
+    val a = model.transform(tenClass).select("prediction").collect()
+    val b = model.transform(tenClass).select("prediction").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall { r =>
+      val p = r.getDouble(0); p >= 0.0 && p <= 9.0 && p == math.floor(p)
+    })
+  }
+}
