@@ -123,6 +123,7 @@ object SparkEntry {
     "q103_minhash_recall" -> (Similarity.q103MinhashRecall _),
     "q104_winnowed_spans" -> (SpanDedup.q104WinnowedSpans _),
     "q105_hist_gbt" -> (graft.ml.HistGbt.q105HistGbt _),
+    "q106_cms_bounds" -> (Sketches.q106CmsBounds _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1223,6 +1224,18 @@ object SparkEntry {
     "q105_hist_gbt" ->
       """SELECT 'hist_gbt_newton' AS model, CAST(10 AS INT) AS n_classes,
         |  TRUE AS acc_ok, TRUE AS beats_priors, TRUE AS deviance_monotone""".stripMargin,
+    // bounds check for the Count-Min sketch (q78's contract shape): the
+    // oracle reproduces the exact token totals and asserts the sketch
+    // guarantees — est >= true for every token (deterministic), and the
+    // per-item epsilon-overcount violation rate under 2*delta (the
+    // realized rate is a constant for fixed data + fixed hash seeds)
+    "q106_cms_bounds" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_distinct,
+        |  TRUE AS est_ge_true, TRUE AS overcount_rate_ok
+        |FROM tok""".stripMargin,
     // bounds check for the Misra-Gries heavy-hitters sketch: the oracle
     // reproduces the exact side (total tokens, true heavy-hitter count
     // at phi = 1/64 over the q24 space-split token space) and asserts

@@ -117,6 +117,124 @@ object Sketches {
       .select($"w.start".as("window_start"), $"sketch.m".as("top_tokens"))
   }
 
+  // --- Count-Min sketch ---------------------------------------------------
+
+  /** Count-Min buffer: `d` rows × `w` counters, flattened row-major.
+    * Primitive long array rides the product encoder for the
+    * partition-boundary merge; elementwise ADDITION is the merge rule,
+    * so the combined sketch is independent of partition order and
+    * estimates are fully deterministic for a given dataset — what keeps
+    * the q106 guarantee booleans stable under Spark's scheduling.
+    */
+  case class CmsBuf(t: Array[Long])
+
+  /** Row-i hash of `x` into [0, w): murmur3 over the string with the
+    * row index as seed — the same function the point-query side uses,
+    * so build and probe can never drift apart.
+    */
+  private[ops] def cmsSlot(x: String, row: Int, w: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(x, 0x9747b28c + row)
+    java.lang.Math.floorMod(h, w)
+  }
+
+  /** Count-Min sketch over a string column (Cormode & Muthukrishnan,
+    * J. Algorithms 2005): `d` counter rows of width `w`; an item
+    * increments one cell per row; the point estimate is the MIN over
+    * its d cells. Guarantees, for n total updates:
+    *
+    *   - estimate ≥ true count              (deterministic — counters
+    *                                         only ever add)
+    *   - estimate ≤ true + (e/w)·n          per item w.p. ≥ 1 − e^−d
+    *                                         (Markov per row, min over
+    *                                         independent rows)
+    *
+    * Complements the family: MG (q78) answers "which items are heavy"
+    * with deterministic bounds but forgets everything below n/k; CMS
+    * answers POINT-FREQUENCY queries for ANY item, including ones never
+    * stored, at fixed d×w state. Unlike MG's decrement dance the merge
+    * is plain elementwise addition — the textbook mergeable summary.
+    * Conservative update (raise only to min+1) would tighten constants
+    * but breaks mergeability, so the distributed form keeps the
+    * classic update.
+    *
+    * 100 TB posture: map-only pass, O(d·w) state per partition, ONE
+    * d×w-long merge per partition boundary — no token shuffle, same
+    * economics as q78.
+    */
+  class CountMin(d: Int, w: Int) extends Aggregator[String, CmsBuf, CmsBuf] {
+    require(d >= 1 && w >= 2, s"CountMin needs d >= 1, w >= 2, got d=$d w=$w")
+
+    override def zero: CmsBuf = CmsBuf(new Array[Long](d * w))
+
+    override def reduce(b: CmsBuf, x: String): CmsBuf = {
+      if (x == null) return b
+      var i = 0
+      while (i < d) { b.t(i * w + cmsSlot(x, i, w)) += 1L; i += 1 }
+      b
+    }
+
+    override def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+      var i = 0
+      while (i < a.t.length) { a.t(i) += b.t(i); i += 1 }
+      a
+    }
+
+    override def finish(b: CmsBuf): CmsBuf = b
+    override def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+    override def outputEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+  }
+
+  def countMin(d: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new CountMin(d, w), Encoders.STRING)
+
+  /** Point estimate from a finished table: min over the d row cells. */
+  def cmsEstimate(t: Array[Long], x: String, d: Int, w: Int): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = t(i * w + cmsSlot(x, i, w)); if (c < best) best = c; i += 1
+    }
+    best
+  }
+
+  /** Cross-query BOUNDS CHECK for Count-Min (ORACLED, q106), the
+    * q74/q75/q78 contract: the oracle reproduces the EXACT side
+    * (token totals over the space-split token space) and asserts the
+    * sketch guarantees as booleans. `est ≥ true` is deterministic and
+    * must hold for EVERY token; the ε-overcount bound is probabilistic
+    * per item, so the assertion is on the VIOLATION RATE — at
+    * δ = e^−d per item, the measured rate must stay under 2δ (for a
+    * fixed dataset and fixed hash seeds the rate is a constant, so the
+    * boolean is stable; the 2× headroom covers the fixture being an
+    * adversarially small sample of the 1−δ guarantee).
+    *
+    * The exact groupBy exists only to VERIFY; the production path is
+    * the sketch alone. The probe side queries the ONE finished d×w
+    * table (80 KB at 5×2048 — bounded by construction, the PQ-ADC
+    * collect trade) against every distinct token via the same
+    * [[cmsSlot]] function the build used.
+    */
+  def q106CmsBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = 5; val w = 2048
+    val tokens = Sources.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("token"))
+    val table = tokens.agg(countMin(d, w)($"token").as("sketch"))
+      .head().getAs[org.apache.spark.sql.Row](0).getAs[Seq[Long]](0).toArray
+    val est = udf { tok: String => cmsEstimate(table, tok, d, w) }
+    val exact = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val n = exact.agg(sum($"cnt").as("n_tokens"))
+    val eps = math.E / w
+    val delta = math.exp(-d.toDouble)
+    exact.withColumn("est", est($"token")).crossJoin(n)
+      .agg(
+        max($"n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        bool_and($"est" >= $"cnt").as("est_ge_true"),
+        (count(when($"est" - $"cnt" > lit(eps) * $"n_tokens", lit(1)))
+          <= lit(2 * delta) * count(lit(1))).as("overcount_rate_ok"))
+  }
+
   /** Cross-query BOUNDS CHECK for the heavy-hitters sketch (ORACLED,
     * q78), following the q74/q75/q76 pattern: the oracle reproduces the
     * EXACT side (total tokens, number of true heavy hitters over the

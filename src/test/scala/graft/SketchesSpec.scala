@@ -125,4 +125,77 @@ class SketchesSpec extends SparkTestBase {
     assert(row.getAs[Boolean]("all_heavy_present"))
     assert(row.getAs[Boolean]("est_within_eps"))
   }
+
+  // --- Count-Min ----------------------------------------------------------
+
+  private def cmsTable(items: Seq[String], d: Int, w: Int, parts: Int): Array[Long] =
+    items.toDF("t").repartition(parts).as[String]
+      .select(new Sketches.CountMin(d, w).toColumn)
+      .head().t
+
+  test("CMS never undercounts; exact for a small alphabet in a wide table") {
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(3)("c")
+    val t = cmsTable(new scala.util.Random(7).shuffle(items), d = 4,
+      w = 4096, parts = 5)
+    // 3 items in 4096 slots: no collisions under the fixed seeds, so
+    // the min-over-rows estimate is exact (deterministic assertion)
+    assert(Sketches.cmsEstimate(t, "a", 4, 4096) === 40L)
+    assert(Sketches.cmsEstimate(t, "b", 4, 4096) === 25L)
+    assert(Sketches.cmsEstimate(t, "c", 4, 4096) === 3L)
+    // a never-seen item can only over-estimate, and here it's clean
+    assert(Sketches.cmsEstimate(t, "zz", 4, 4096) === 0L)
+  }
+
+  test("CMS estimates are partition-invariant (elementwise-add merge)") {
+    val rnd = new scala.util.Random(11)
+    val items = Seq.fill(800)(s"t${rnd.nextInt(50)}")
+    val tables = Seq(1, 3, 8).map(p => cmsTable(items, d = 5, w = 64, parts = p))
+    assert(tables(0).toSeq === tables(1).toSeq)
+    assert(tables(1).toSeq === tables(2).toSeq)
+  }
+
+  test("CMS guarantees hold on randomized skewed streams: est>=true, eps overcount") {
+    val tokenGen: Gen[String] = Gen.frequency(
+      (0 until 200).map(i => (math.max(1, (1000 * math.pow(0.95, i)).toInt),
+        Gen.const(s"t$i"))): _*)
+    val caseGen = for {
+      n <- Gen.choose(500, 3000)
+      items <- Gen.listOfN(n, tokenGen)
+    } yield items
+    val d = 4; val w = 256
+    val eps = math.E / w
+    val delta = math.exp(-d.toDouble)
+    val cases = (0 until 5).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(777L + i)))
+    assert(cases.size === 5)
+    cases.foreach { items =>
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val t = cmsTable(items, d, w, parts = 4)
+      var violations = 0
+      exact.foreach { case (tok, truth) =>
+        val est = Sketches.cmsEstimate(t, tok, d, w)
+        assert(est >= truth, s"CMS undercounted $tok: $est < $truth")
+        if (est - truth > eps * n) violations += 1
+      }
+      assert(violations <= math.max(1.0, 2 * delta * exact.size),
+        s"eps-overcount violations $violations of ${exact.size} (n=$n)")
+    }
+  }
+
+  test("CMS aggregation is two-phase: map-side partial, buffer-only exchange") {
+    val plan = Seq("a", "b").toDF("t")
+      .agg(Sketches.countMin(4, 64)($"t"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_countmin"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("q106 CMS bounds booleans hold end-to-end at sf0.001") {
+    val row = Sketches.q106CmsBounds(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_tokens") > 0L)
+    assert(row.getAs[Long]("n_distinct") > 0L)
+    assert(row.getAs[Boolean]("est_ge_true"))
+    assert(row.getAs[Boolean]("overcount_rate_ok"))
+  }
 }
