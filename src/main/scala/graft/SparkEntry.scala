@@ -124,18 +124,18 @@ object SparkEntry {
     "q104_winnowed_spans" -> (SpanDedup.q104WinnowedSpans _),
     "q105_hist_gbt" -> (graft.ml.HistGbt.q105HistGbt _),
     "q106_cms_bounds" -> (Sketches.q106CmsBounds _),
+    "q107_suffix_dedup" -> (SuffixDedup.q107SuffixDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    // exact substring dedup: the FULL pipeline re-derived relationally —
-    // 24-char gram explode (1-based substr on both engines), >=2-distinct-
-    // doc gate, gaps-and-islands interval merge — so every merged span
-    // boundary is hash-checked
-    "q100_substring_dedup" ->
-      """WITH g AS (
+  /** q100 span-derivation SQL, shared verbatim by q107: two
+    * independent algorithms (hashed grams vs literal suffix-rank
+    * classes), one contract, one oracle.
+    */
+  private val spanDedupOracleSql: String =
+    """WITH g AS (
         |  SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
         |  FROM documents,
         |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
@@ -156,7 +156,17 @@ object SparkEntry {
         |  CAST(max(e) AS BIGINT) AS span_end,
         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
         |FROM grp GROUP BY doc_id, gid
-        |ORDER BY doc_id, span_start""".stripMargin,
+        |ORDER BY doc_id, span_start""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    // exact substring dedup: the FULL pipeline re-derived relationally —
+    // 24-char gram explode (1-based substr on both engines), >=2-distinct-
+    // doc gate, gaps-and-islands interval merge — so every merged span
+    // boundary is hash-checked
+    "q100_substring_dedup" -> spanDedupOracleSql,
+    // q107: SAME oracle — suffix-rank classes must reproduce the hash
+    // path span-for-span
+    "q107_suffix_dedup" -> spanDedupOracleSql,
     // bucketing is a layout decision — the join RESULT is layout-
     // independent, so the oracle is the plain join-aggregate; the
     // Exchange-free plan itself is asserted in BucketingSpec

@@ -69,7 +69,7 @@ object SpanDedup {
     * distinct documents and merge the surviving positions into maximal
     * [span_start, span_end] islands per document.
     */
-  private def duplicatedIslands(g: DataFrame, gramLen: Int,
+  private[ops] def duplicatedIslands(g: DataFrame, gramLen: Int,
       minDocs: Int): DataFrame = {
     val multi =
       if (minDocs == 2) min(col("doc_id")) =!= max(col("doc_id"))

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L2+ exact substring dedup, SUFFIX-RANKING edition — the
+  * hash-free counterpart of [[SpanDedup.dupSpans]] (q100) and the
+  * machinery core of the Lee-et-al suffix-array pass, distributed.
+  *
+  * q100 keys its gram stream by `xxhash64(gram)` — an accepted
+  * ~n²/2⁶⁵ collision trade. This module removes the trade entirely:
+  * gram identity is established by LITERAL equality through
+  * prefix-doubling equivalence classes (Manber–Myers 1990, the rank
+  * half of suffix-array construction), so two positions share a key
+  * IFF their length-L substrings are bytewise identical. Zero
+  * collision probability at any corpus size — the audit-grade pass.
+  *
+  * The classic algorithm sorts suffixes; for the duplicated-span
+  * contract ORDER IS IRRELEVANT — only the equivalence classes
+  * "same first 2^k characters" matter. So instead of a global sort
+  * per round (the distributed-SA bottleneck), each doubling round
+  * assigns a class id by GROUPING: the id of class (a, b) is the
+  * minimum packed (doc, pos) holding that pair — deterministic,
+  * collision-free, computed with one window shuffle, no total order
+  * anywhere. Rounds for L = 24: a DIRECT class on literal 8-char
+  * prefixes (the doubling base — see [[directLevel]]), one doubling
+  * to 16, then the asymmetric compose r24(p) = class-of
+  * (r16(p), r8(p+16)) — 3 class assignments + 2 shift joins.
+  *
+  * 100 TB posture: every stage is a keyed shuffle or a map of the
+  * n-row character stream — per level, one shift self-join on
+  * (doc, pos+k) and one window class-min on (a, b); no driver state,
+  * no global sort, no per-round growth (level count is fixed by L).
+  * The constant is ~7 keyed shuffles of the char stream vs q100's
+  * single hashed aggregate — the documented price of exactness; q100
+  * stays the cheap default, this is the collision-free audit pass.
+  * Downstream (cross-doc gate, island merge) is byte-identical to
+  * q100's — the two INDEPENDENT algorithms must agree exactly, which
+  * is what q107's oracle (the same SQL as q100's) checks end-to-end.
+  */
+object SuffixDedup {
+
+  /** Character stream with packed global ids: one row per position of
+    * every document — (doc_id, pos [1-based], packed, rem, text);
+    * prefix extraction stays lazy (fused into the consuming stage's
+    * codegen, the q100 grams() discipline — the text column never
+    * crosses a shuffle). `packed`
+    * = doc_id·(maxLen+1)+pos is a collision-free long id usable as a
+    * deterministic class representative (min over a group). The
+    * maxLen scalar is one tiny aggregate; the bound assert guards the
+    * packing against overflow at extreme doc_id × doc-length products.
+    */
+  private def chars(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg(
+      max(length(col("text"))).cast("long").as("ml"),
+      max(col("doc_id")).cast("long").as("md")).head()
+    val maxLen = if (bounds.isNullAt(0)) 0L else bounds.getLong(0)
+    val maxDoc = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
+    require(maxDoc <= Long.MaxValue / (maxLen + 1),
+      s"packed-id overflow: maxDoc=$maxDoc maxLen=$maxLen")
+    docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"), col("text"),
+        col("p").cast("long").as("pos"),
+        (col("doc_id").cast("long") * (maxLen + 1) + col("p")).as("packed"),
+        (length(col("text")) - col("p") + 1).as("rem"))
+  }
+
+  /** Assign collision-free class ids for the key columns: every row
+    * gets `min(packed)` over its (key...) group — rows are in the same
+    * class IFF their keys are equal, and the id is deterministic under
+    * any partitioning. One window shuffle.
+    */
+  private def classIds(df: DataFrame, out: String, keys: String*): DataFrame =
+    df.withColumn(out,
+        min(col("packed")).over(Window.partitionBy(keys.map(col): _*)))
+      .drop(keys: _*)
+
+  /** Rank table (doc_id, pos, packed, r) where `r` is the class id of
+    * the first `k` characters at pos; rows exist only where the doc
+    * has ≥ k characters remaining (truncated suffixes never alias).
+    */
+  private def doubled(rk: DataFrame, k: Int): DataFrame = {
+    val right = rk.select(col("doc_id"), (col("pos") - k).as("pos"),
+      col("r").as("rb"))
+    val paired = rk.select(col("doc_id"), col("pos"), col("packed"),
+        col("r").as("ra"))
+      .join(right, Seq("doc_id", "pos")) // inner: both halves must exist
+    classIds(paired, "r", "ra", "rb")
+  }
+
+  /** Direct class table for a short prefix length `k`: group by the
+    * literal k-char substring. The doubling BASE — shuffling a k-char
+    * key once beats log₂(k) doubling rounds of 16-byte pairs, so every
+    * power-of-two level ≤ [[directBase]] is built this way and only
+    * longer levels pay the doubling join (what makes long-L dedup
+    * scale: the shuffle key width is capped at directBase chars
+    * regardless of L).
+    */
+  private def directLevel(cs: DataFrame, k: Int): DataFrame = {
+    val t = cs
+      .filter(col("rem") >= k)
+      .withColumn("pref", col("text").substr(col("p"), lit(k)))
+      .select(col("doc_id"), col("pos"), col("packed"), col("pref"))
+    classIds(t, "r", "pref")
+  }
+
+  private val directBase = 8
+
+  /** (doc_id, pos, h) where `h` is the exact literal-equality class of
+    * the length-`gramLen` substring at pos — the drop-in replacement
+    * for q100's xxhash64 gram key. Only the levels the binary
+    * decomposition of `gramLen` actually needs are built: direct
+    * substring classes up to [[directBase]] chars, prefix-doubled
+    * above (each level from its half), then one asymmetric compose per
+    * set bit. For L = 24 that is 3 class assignments + 2 shift joins.
+    */
+  def gramClasses(docs: DataFrame, gramLen: Int): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
+    val cs = chars(docs)
+    // power-of-two levels needed: the set bits of gramLen, plus each
+    // doubled level's half down to directBase
+    val bits = (0 to 30).filter(b => (gramLen & (1 << b)) != 0)
+      .map(1 << _).reverse
+    val needed = scala.collection.mutable.SortedSet[Int]()
+    bits.foreach { b =>
+      var k = b
+      needed += k
+      while (k > directBase) { k /= 2; needed += k }
+    }
+    var levels = Map.empty[Int, DataFrame]
+    needed.foreach { k =>
+      levels += k -> (if (k <= directBase) directLevel(cs, k)
+                      else doubled(levels(k / 2), k / 2))
+    }
+    var acc = levels(bits.head)
+    var off = bits.head
+    bits.tail.foreach { b =>
+      val right = levels(b).select(col("doc_id"),
+        (col("pos") - off).as("pos"), col("r").as("rb"))
+      val paired = acc.select(col("doc_id"), col("pos"), col("packed"),
+          col("r").as("ra"))
+        .join(right, Seq("doc_id", "pos"))
+      acc = classIds(paired, "r", "ra", "rb")
+      off += b
+    }
+    acc.select(col("doc_id"), col("pos"), col("r").as("h"))
+  }
+
+  /** [[SpanDedup.dupSpans]] with literal-equality gram classes instead
+    * of hashes: identical contract, identical downstream, zero
+    * collision probability.
+    */
+  def dupSpansExact(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame =
+    SpanDedup.duplicatedIslands(gramClasses(docs, gramLen), gramLen, minDocs)
+
+  /** ORACLED exercise (q107): the q100 contract — repeated 24-char
+    * spans across ≥ 2 distinct documents, merged islands — computed by
+    * the suffix-ranking algorithm. Two INDEPENDENT algorithms, one
+    * answer: the oracle is the very SQL that oracles q100, so the
+    * hash-free path is checked span-for-span against DuckDB, and
+    * `SuffixDedupSpec` additionally asserts bitwise equality with
+    * q100's output frame on the same corpus.
+    */
+  def q107SuffixDedup(spark: SparkSession, dir: String): DataFrame =
+    dupSpansExact(Sources.documents(spark, dir), gramLen = 24, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+}
