@@ -97,6 +97,45 @@ class HistGbtSpec extends graft.SparkTestBase {
     assert(tree.feature(0) === 0, "budgeted split must take the best gain")
   }
 
+  test("histogram split matches brute-force exact search on random data") {
+    // Property check: for random (bins, g, h) datasets the learner's
+    // first split must equal an independent exhaustive search over
+    // every (feature, cut) with the same gain formula and the same
+    // first-strictly-greater tie-break.
+    val dims = 3; val bins = 4
+    val lambda = 0.7; val minH = 1e-3
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(60)((
+        Array.fill(dims)(rnd.nextInt(bins).toByte),
+        rnd.nextGaussian(), 0.25 + rnd.nextDouble()))
+      // brute force over the same search space
+      val g0 = rows.map(_._2).sum; val h0 = rows.map(_._3).sum
+      val parent = g0 * g0 / (h0 + lambda)
+      var best = (Double.NegativeInfinity, -1, -1)
+      for (d <- 0 until dims; b <- 0 until bins - 1) {
+        val left = rows.filter(r => (r._1(d) & 0xff) <= b)
+        val gl = left.map(_._2).sum; val hl = left.map(_._3).sum
+        val gr = g0 - gl; val hr = h0 - hl
+        if (hl >= minH && hr >= minH && left.nonEmpty &&
+            left.size < rows.size) {
+          val gain = 0.5 * (gl * gl / (hl + lambda) +
+            gr * gr / (hr + lambda) - parent)
+          if (gain > best._1) best = (gain, d, b)
+        }
+      }
+      val tree = HistGbt.fitTree(
+        spark.sparkContext.parallelize(rows, 4), dims, bins,
+        maxLeaves = 2, maxDepth = 3, lambda = lambda, gamma = 0.0,
+        minChildHess = minH)
+      if (best._2 < 0) assert(tree.numLeaves === 1, s"seed=$seed")
+      else {
+        assert(tree.feature(0) === best._2, s"seed=$seed feature")
+        assert(tree.threshold(0) === best._3, s"seed=$seed threshold")
+      }
+    }
+  }
+
   private lazy val tenClass = {
     val keep = EmnistFixture.classes.take(10)
     EmnistFixture.df(spark, dim = 64)

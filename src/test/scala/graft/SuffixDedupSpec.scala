@@ -48,6 +48,27 @@ class SuffixDedupSpec extends SparkTestBase {
     assert(exact === hashed)
   }
 
+  test("long gram (L=100): the full doubling chain + multi-bit compose agrees") {
+    // L=100 = 64+32+4 exercises the doubling chain 8→16→32→64, a reused
+    // intermediate level (32), and a sub-base direct level (4) — the
+    // shuffle key never exceeds 8 chars no matter the L, which is the
+    // long-span scale story. Hash path as the independent check.
+    val rnd = new scala.util.Random(99)
+    def junk(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val shared = junk(150)
+    val docs = Seq(
+      (0L, s"${junk(40)}$shared${junk(30)}"),
+      (1L, s"${junk(7)}$shared${junk(55)}"),
+      (2L, junk(260))).toDF("doc_id", "text")
+    val exact = spans(SuffixDedup.dupSpansExact(docs, gramLen = 100))
+    val hashed = spans(SpanDedup.dupSpans(docs, gramLen = 100))
+    assert(exact.nonEmpty)
+    assert(exact === hashed)
+    // the planted 150-char run is recovered in both docs
+    assert(exact.exists { case (d, s, _, l) => d == 0L && s == 41L && l >= 150L })
+  }
+
   test("documents shorter than the gram contribute nothing") {
     val docs = Seq(
       (0L, "tiny"), (1L, "tiny"),
