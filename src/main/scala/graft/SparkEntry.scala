@@ -125,6 +125,7 @@ object SparkEntry {
     "q105_hist_gbt" -> (graft.ml.HistGbt.q105HistGbt _),
     "q106_cms_bounds" -> (Sketches.q106CmsBounds _),
     "q107_suffix_dedup" -> (SuffixDedup.q107SuffixDedup _),
+    "q108_curation" -> (Quality.q108Curation _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1234,6 +1235,73 @@ object SparkEntry {
     "q105_hist_gbt" ->
       """SELECT 'hist_gbt_newton' AS model, CAST(10 AS INT) AS n_classes,
         |  TRUE AS acc_ok, TRUE AS beats_priors, TRUE AS deviance_monotone""".stripMargin,
+    // the per-document curation DECISION: q21 survivor + q100 span
+    // coverage + q23 per-doc stats + q49 predicted language, stitched
+    // from those queries' own already-green CTE fragments — the whole
+    // decision frame hash-checked row-for-row
+    "q108_curation" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |grp AS (SELECT doc_id, pos, e,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM isl),
+        |spans AS (SELECT doc_id, max(e) - min(pos) + 1 AS span_len
+        |          FROM grp GROUP BY doc_id, gid),
+        |cov AS (SELECT doc_id, sum(span_len) AS dup_chars
+        |        FROM spans GROUP BY doc_id),
+        |big AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1]))) AS bigram
+        |  FROM documents WHERE length(text) >= 2),
+        |prof AS (
+        |  SELECT lang, bigram FROM (
+        |    SELECT lang, bigram,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram) AS rk
+        |    FROM big GROUP BY lang, bigram)
+        |  WHERE rk <= 50),
+        |lhits AS (
+        |  SELECT b.doc_id, p.lang, count(*) AS overlap
+        |  FROM (SELECT DISTINCT doc_id, bigram FROM big) b
+        |  JOIN prof p USING (bigram)
+        |  GROUP BY b.doc_id, p.lang),
+        |pred AS (SELECT doc_id, lang AS predicted_lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, lang) AS rk
+        |  FROM lhits) WHERE rk = 1),
+        |surv AS (SELECT text, min(doc_id) AS survivor_id
+        |         FROM documents GROUP BY text),
+        |stats AS (SELECT doc_id, text, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  floor(CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE) * 1e6
+        |    / len(string_split(text, ' ')) + 0.5) / 1e6 AS stop_ratio
+        |  FROM documents)
+        |SELECT d.doc_id, d.n_tok, d.stop_ratio,
+        |  floor(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) * 1e6
+        |    / length(d.text) + 0.5) / 1e6 AS dup_coverage,
+        |  d.doc_id = s.survivor_id AS is_survivor,
+        |  COALESCE(p.predicted_lang = d.lang, FALSE) AS lang_agrees,
+        |  (d.doc_id = s.survivor_id AND d.n_tok >= 5 AND
+        |   floor(CAST(COALESCE(c.dup_chars, 0) AS DOUBLE) * 1e6
+        |     / length(d.text) + 0.5) / 1e6 <= 0.5) AS keep
+        |FROM stats d
+        |JOIN surv s ON d.text = s.text
+        |LEFT JOIN cov c USING (doc_id)
+        |LEFT JOIN pred p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // bounds check for the Count-Min sketch (q78's contract shape): the
     // oracle reproduces the exact token totals and asserts the sketch
     // guarantees — est >= true for every token (deterministic), and the

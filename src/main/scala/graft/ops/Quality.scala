@@ -89,6 +89,65 @@ object Quality {
     * not a quadratic posting-list blowup, so this query needs no df
     * cap to survive skew.
     */
+  /** ORACLED CAPSTONE (q108): the per-document CURATION DECISION — the
+    * query a training-data pipeline actually ends with, composing the
+    * engine's own building blocks in one plan:
+    *
+    *   - exact-dup survivorship (q21's hash-grouped min-id idiom),
+    *   - span-dedup coverage (q100's dupSpans, summed per doc),
+    *   - per-doc token count + stopword ratio (q23's expressions),
+    *   - predicted language vs the metadata label (q49's shared-pass
+    *     bigram profile cores),
+    *
+    * joined into (doc_id, n_tok, stop_ratio, dup_coverage,
+    * is_survivor, lang_agrees, keep) with a deterministic keep rule:
+    * survivor ∧ n_tok ≥ 5 ∧ dup_coverage ≤ 0.5. Every signal reuses
+    * the exact core already oracled under its own query, so the DuckDB
+    * composite (same CTEs stitched) hash-checks the whole decision
+    * frame row-for-row.
+    *
+    * 100 TB posture: each signal keeps its own audited plan (hash
+    * aggregate / gram stream + broadcast semi / explode + broadcast
+    * profile join); the composition adds three per-doc-keyed joins of
+    * SMALL per-doc summaries — no new quadratic surface, no new wide
+    * shuffle. Ratios are the tie-proof micro-unit form.
+    */
+  def q108Curation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val surv = docs.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    val cov = SpanDedup.dupSpans(docs, gramLen = 24, minDocs = 2)
+      .groupBy($"doc_id").agg(sum($"span_len").as("dup_chars"))
+    val big = Text.bigramFrame(docs.filter(length($"text") >= 2),
+      Seq("doc_id", "lang")).persist()
+    val pred = Text.classifyFromBigrams(
+      big, Text.profilesFromBigrams(big, topN = 50))
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val toks = split($"text", " ")
+    val out = docs
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .join(cov, Seq("doc_id"), "left")
+      .join(pred.select($"doc_id", $"predicted_lang"), Seq("doc_id"), "left")
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("stop_ratio",
+        microRatio(size(filter(toks, t => t.isInCollection(stops))), size(toks)))
+      .withColumn("dup_coverage",
+        microRatio(coalesce($"dup_chars", lit(0L)), length($"text")))
+      .withColumn("is_survivor", $"doc_id" === $"survivor_id")
+      .withColumn("lang_agrees",
+        coalesce($"predicted_lang" === $"lang", lit(false)))
+      .withColumn("keep",
+        $"is_survivor" && $"n_tok" >= 5 && $"dup_coverage" <= 0.5)
+      .select($"doc_id", $"n_tok", $"stop_ratio", $"dup_coverage",
+        $"is_survivor", $"lang_agrees", $"keep")
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    big.unpersist(false)
+    out
+  }
+
   def q59SharedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Sources.documents(spark, dir)

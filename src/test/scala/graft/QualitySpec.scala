@@ -159,4 +159,27 @@ class QualitySpec extends SparkTestBase {
     assert(!out.contains((0, 0)))
     assert(out.count(_ == ((0, 1))) > 0 && out.count(_ == ((1, 0))) > 0)
   }
+
+  test("q108 curation decision: internal invariants hold at sf0.001") {
+    val rows = ops.Quality.q108Curation(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length > 0)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId.size === rows.length, "one decision per document")
+    rows.foreach { r =>
+      val (nTok, stop, cov) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (surv, keep) = (r.getBoolean(4), r.getBoolean(6))
+      assert(nTok >= 1)
+      assert(stop >= 0.0 && stop <= 1.0)
+      assert(cov >= 0.0 && cov <= 1.0)
+      // the keep rule is exactly survivor && n_tok>=5 && coverage<=0.5
+      assert(keep === (surv && nTok >= 5 && cov <= 0.5))
+    }
+    // survivor count must equal the distinct-text count (q21 contract),
+    // and the decision is non-vacuous in the keep direction
+    val distinctTexts = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select("text").distinct().count()
+    assert(rows.count(_.getBoolean(4)).toLong === distinctTexts)
+    assert(rows.exists(_.getBoolean(6)), "expect kept docs")
+  }
 }
