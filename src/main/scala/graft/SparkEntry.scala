@@ -229,9 +229,12 @@ object SparkEntry {
     // winnowed span dedup: DuckDB re-derives the SAME winnowed
     // selection (base-131 poly hash mod 2^31-1 per 24-gram, leftmost
     // window-min of every 8-hash window — list_position returns the
-    // first match, matching the kernel's strict-< scan), then the same
-    // dup gate + gaps-and-islands merge, so every winnowed span
-    // boundary is hash-checked
+    // first match, matching the kernel's strict-< scan); the dup GATE
+    // then keys on the LITERAL gram at each selected position (Spark:
+    // xxhash64 of the same substring — the q100 injective-hash idiom),
+    // NOT the 31-bit selection fingerprint, whose ~n^2/2^32 collisions
+    // would flag never-duplicated text; same islands merge, so every
+    // winnowed span boundary is hash-checked
     "q104_winnowed_spans" ->
       """WITH g AS (
         |  SELECT doc_id, list_transform(generate_series(1, length(text)-23),
@@ -244,13 +247,16 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id,
         |    CAST(u.j + list_position(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)],
         |      list_min(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)])) - 1
-        |      AS BIGINT) AS pos,
-        |    list_min(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)]) AS h
+        |      AS BIGINT) AS pos
         |  FROM g, unnest(generate_series(1, CAST(len(gh) AS BIGINT) - 7)) AS u(j)),
-        |dup AS (SELECT h FROM sel GROUP BY h
+        |selg AS (
+        |  SELECT s.doc_id, s.pos,
+        |    substr(d.text, CAST(s.pos AS INT), 24) AS gram
+        |  FROM sel s JOIN documents d USING (doc_id)),
+        |dup AS (SELECT gram FROM selg GROUP BY gram
         |        HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM sel
-        |         WHERE h IN (SELECT h FROM dup)),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM selg
+        |         WHERE gram IN (SELECT gram FROM dup)),
         |isl AS (
         |  SELECT doc_id, pos, e,
         |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos

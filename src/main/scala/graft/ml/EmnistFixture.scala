@@ -55,4 +55,23 @@ object EmnistFixture {
       org.apache.spark.sql.graftshim.GraftColumns
         .emnistFeatures($"label", $"row_id", dim, seed))
   }
+
+  /** Shared ten-class slice used by the boosting exercises (q97
+    * SoftmaxGbt, q105 HistGbt) and their specs — first 10 classes, raw
+    * `dim`-dimensional features as an MLlib vector under the q32
+    * column names (label_idx: 0-9 double, pca: vector). ONE definition
+    * so the two oracled queries and the tests can never drift to
+    * different slices. Uncached — callers own the cache lifecycle.
+    */
+  def tenClassFrame(spark: SparkSession, dim: Int = 64): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val keep = classes.take(10)
+    df(spark, dim = dim)
+      .filter(col("label").isInCollection(keep))
+      .withColumn("label_idx",
+        array_position(
+          array(keep.map(c => lit(c)): _*), col("label")).cast("double") - 1)
+      .withColumn("pca", array_to_vector(col("features")))
+      .select(col("label_idx"), col("pca"))
+  }
 }

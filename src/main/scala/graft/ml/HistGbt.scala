@@ -396,6 +396,10 @@ object HistGbt {
         (b, y, bPriors.value.clone())
     }.persist(StorageLevel.MEMORY_AND_DISK)
     scored.localCheckpoint()
+    // materialize the binned matrix BEFORE dropping the raw cache —
+    // unpersisting first would force the first round to recompute the
+    // whole source scan (select + vector decode) that the persist paid
+    scored.count()
     raw.unpersist(false)
 
     val pool = Executors.newFixedThreadPool(math.max(1, treeParallelism))
@@ -420,17 +424,20 @@ object HistGbt {
             }
             (b, g, h)
           }.persist(StorageLevel.MEMORY_AND_DISK)
-        withGH.count() // materialize once; K tree fits share it
-
-        val fits = (0 until numClasses).map { k =>
-          Future {
-            fitTree(withGH.map { case (b, g, h) => (b, g(k), h(k)) },
-              dims, bins, maxLeaves, maxDepth, lambda, gamma, minChildHess)
+        // unpersist in a finally: a tree-fit failure mid-round must not
+        // pin the materialized (bins, grad, hess) blocks for the rest
+        // of the process (the round-3 leaked-persist class)
+        val trees = try {
+          withGH.count() // materialize once; K tree fits share it
+          val fits = (0 until numClasses).map { k =>
+            Future {
+              fitTree(withGH.map { case (b, g, h) => (b, g(k), h(k)) },
+                dims, bins, maxLeaves, maxDepth, lambda, gamma, minChildHess)
+            }
           }
-        }
-        val trees = Await.result(Future.sequence(fits), Duration.Inf).toArray
+          Await.result(Future.sequence(fits), Duration.Inf).toArray
+        } finally withGH.unpersist(false)
         rounds += trees
-        withGH.unpersist(false)
 
         // one broadcast-trees map stage updates all K scores
         val bTrees = sc.broadcast(trees)
@@ -482,16 +489,7 @@ object HistGbt {
   def q105HistGbt(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.functions.array_to_vector
-    val keep = EmnistFixture.classes.take(10)
-    val data = EmnistFixture.df(spark, dim = 64)
-      .filter(col("label").isInCollection(keep))
-      .withColumn("label_idx",
-        array_position(array(keep.map(lit): _*), col("label"))
-          .cast("double") - 1)
-      .withColumn("pca", array_to_vector(col("features")))
-      .select(col("label_idx"), col("pca"))
-      .cache()
+    val data = EmnistFixture.tenClassFrame(spark).cache()
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
     val model = fit(train, numClasses = 10, maxIter = 5, maxLeaves = 8,
       maxDepth = 3, maxBins = 32, sampleTarget = 5000)

@@ -170,16 +170,7 @@ object SoftmaxGbt {
   def q97SoftmaxGbt(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.functions.array_to_vector
-    val keep = EmnistFixture.classes.take(10)
-    val data = EmnistFixture.df(spark, dim = 64)
-      .filter(col("label").isInCollection(keep))
-      .withColumn("label_idx",
-        array_position(array(keep.map(lit): _*), col("label"))
-          .cast("double") - 1)
-      .withColumn("pca", array_to_vector(col("features")))
-      .select(col("label_idx"), col("pca"))
-      .cache()
+    val data = EmnistFixture.tenClassFrame(spark).cache()
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
     val model = fit(train, numClasses = 10, maxIter = 5, maxDepth = 3,
       seed = 42L)

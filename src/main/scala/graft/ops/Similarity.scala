@@ -84,12 +84,24 @@ object Similarity {
 
   private def unitQuantizedCached(emb: DataFrame, cacheKey: String,
       nLists: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) =
-    ivfCache.computeIfAbsent(
-      s"${System.identityHashCode(emb.sparkSession)}#$cacheKey#$nLists", _ => {
-        val (vecs, model) = unitQuantized(emb, nLists)
-        val frozen = vecs.localCheckpoint(true)
-        vecs.unpersist(false)
-        (frozen, model)
+    // compute() (not computeIfAbsent) so a STALE hit is replaced: the
+    // identityHashCode key is not unique across session lifetimes, and
+    // a checkpointed frame whose session has stopped would fail every
+    // query served from it — validate the live-session identity on
+    // every hit and rebuild on mismatch.
+    ivfCache.compute(
+      s"${System.identityHashCode(emb.sparkSession)}#$cacheKey#$nLists",
+      (_, cur) => {
+        val fresh = cur != null &&
+          (cur._1.sparkSession eq emb.sparkSession) &&
+          !cur._1.sparkSession.sparkContext.isStopped
+        if (fresh) cur
+        else {
+          val (vecs, model) = unitQuantized(emb, nLists)
+          val frozen = vecs.localCheckpoint(true)
+          vecs.unpersist(false)
+          (frozen, model)
+        }
       })
 
   /** L2-normalize an MLlib vector (zero vector passes through) — the
@@ -287,6 +299,15 @@ object Similarity {
     * 1−0.4⁸ ≈ 0.9993 at the gate, measured 1.0 on the fixture, oracled
     * bar 0.9. An empty truth set (nothing to recall at small SFs)
     * passes vacuously.
+    *
+    * Metric-space caveat, stated honestly: the truth side measures
+    * Jaccard over df-capped literal-shingle SETS while the candidate
+    * side's distance filter works in HashingTF's 2^18 binary-vector
+    * space (hot shingles removed from truth; rare bucket merges on the
+    * TF side), so a pair sitting within a hair of the 0.6 gate can
+    * legitimately appear in one side only — a metric disagreement, not
+    * an LSH miss. The 0.9 bar (vs 1.0 measured, ≈0.9993 analytic)
+    * leaves that boundary band an order of magnitude of headroom.
     */
   def q103MinhashRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -840,6 +861,10 @@ object Similarity {
     * driver. The cached value is plain driver-side data (m·k·subDim
     * doubles), no Spark blocks held.
     */
+  // identityHashCode keying is SAFE here, unlike ivfCache: PqIndex is
+  // plain driver-side arrays with no session affinity, and cacheKey
+  // names the dataset — a stale-session key collision can only re-serve
+  // codebooks fit on the same data under the same seed.
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqIndex]()
 

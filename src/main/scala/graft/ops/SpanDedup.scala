@@ -104,23 +104,35 @@ object SpanDedup {
     * shorter than that can escape — the documented recall trade, which
     * is why the stride-1 [[dupSpans]] remains the exact oracle form.
     * Span boundaries are selected-gram boundaries (sub-intervals of the
-    * exact spans). The hash is the oracle-shared base-131 polynomial,
-    * so DuckDB reproduces selection and spans bit-for-bit (q104 is
-    * hash-green, not rows-only).
+    * exact spans).
+    *
+    * TWO hashes with distinct jobs: the 31-bit base-131 polynomial
+    * drives only the SELECTION (which positions survive winnowing —
+    * oracle-shared so DuckDB reproduces the selection bit-for-bit; a
+    * collision there only makes two windows pick the same position,
+    * never a wrong span), while the cross-doc DUPLICATE GATE keys on
+    * `xxhash64` of the LITERAL gram at each selected position — the
+    * same ~n²/2⁶⁴ trade as q100. Gating on the 31-bit fingerprint
+    * itself would collide at ~n²/2³² (hundreds of expected
+    * false-positive "duplicates" at 10⁶ selected grams), flagging
+    * never-duplicated text — a precision failure the winnowing
+    * recall-only contract explicitly excludes.
     *
     * 100 TB posture: identical plan shape to [[dupSpans]] — one map
-    * stage (kernel + explode), one keyed aggregate, a broadcast-sized
-    * semi join, one per-doc window — but every exchange carries a
-    * `window/2`× thinner stream.
+    * stage (kernel + explode + literal-gram rehash, all fused), one
+    * keyed aggregate, a broadcast-sized semi join, one per-doc window —
+    * but every exchange carries a `window/2`× thinner stream.
     */
   def winnowedDupSpans(docs: DataFrame, gramLen: Int, window: Int,
       minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftColumns.winnowedGramMins
     val g = docs
       .filter(length(col("text")) >= gramLen + window - 1)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         explode(winnowedGramMins(col("text"), gramLen, window)).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("h"))
+      .select(col("doc_id"), col("s.pos").as("pos"),
+        xxhash64(col("text").substr(col("s.pos").cast("int"), lit(gramLen)))
+          .as("h"))
     duplicatedIslands(g, gramLen, minDocs)
   }
 

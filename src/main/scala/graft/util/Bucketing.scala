@@ -72,20 +72,30 @@ object Bucketing {
     */
   def q101BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Catalog table names carry a dir-derived suffix: the memo is keyed
+    // per (session, dir), so with GLOBAL names a second dir in the same
+    // session would overwrite the tables while the first dir's memo
+    // entry still points at them — a later call for the first dir would
+    // silently join the second dir's data.
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(dir).getAbsolutePath).toLong & 0xffffffffL)
+    val ordersTable = s"graft_q101_orders_$suffix"
+    val lineitemTable = s"graft_q101_lineitem_$suffix"
     laidOut.computeIfAbsent(s"${System.identityHashCode(spark)}#$dir", _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-q101")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try deleteRecursively(base) catch { case _: Throwable => () }))
-      writeBucketed(graft.ops.Sources.orders(spark, dir), "graft_q101_orders",
+      writeBucketed(graft.ops.Sources.orders(spark, dir), ordersTable,
         s"$base/orders", "o_orderkey", 16)
-      writeBucketed(graft.ops.Sources.lineitem(spark, dir), "graft_q101_lineitem",
+      writeBucketed(graft.ops.Sources.lineitem(spark, dir), lineitemTable,
         s"$base/lineitem", "l_orderkey", 16)
       base
     })
     val price = $"l_extendedprice".cast("decimal(12,2)")
     val disc  = $"l_discount".cast("decimal(3,2)")
-    spark.table("graft_q101_lineitem").hint("merge")
-      .join(spark.table("graft_q101_orders"), $"l_orderkey" === $"o_orderkey")
+    spark.table(lineitemTable).hint("merge")
+      .join(spark.table(ordersTable), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(
         round(sum(price * (lit(1) - disc)), 2).cast("double").as("revenue"),

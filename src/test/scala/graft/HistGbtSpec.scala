@@ -128,25 +128,18 @@ class HistGbtSpec extends graft.SparkTestBase {
         spark.sparkContext.parallelize(rows, 4), dims, bins,
         maxLeaves = 2, maxDepth = 3, lambda = lambda, gamma = 0.0,
         minChildHess = minH)
-      if (best._2 < 0) assert(tree.numLeaves === 1, s"seed=$seed")
-      else {
+      // the learner also gates on gain > 0 — a non-positive best gain
+      // must yield a stump, same as no admissible cut at all
+      if (best._2 < 0 || best._1 <= 0.0) {
+        assert(tree.numLeaves === 1, s"seed=$seed")
+      } else {
         assert(tree.feature(0) === best._2, s"seed=$seed feature")
         assert(tree.threshold(0) === best._3, s"seed=$seed threshold")
       }
     }
   }
 
-  private lazy val tenClass = {
-    val keep = EmnistFixture.classes.take(10)
-    EmnistFixture.df(spark, dim = 64)
-      .filter($"label".isInCollection(keep))
-      .withColumn("label_idx",
-        array_position(array(keep.map(lit): _*), $"label")
-          .cast("double") - 1)
-      .withColumn("pca", array_to_vector($"features"))
-      .select($"label_idx", $"pca")
-      .cache()
-  }
+  private lazy val tenClass = EmnistFixture.tenClassFrame(spark).cache()
 
   test("q105: histogram Newton boosting clears every oracle boolean") {
     val out = HistGbt.q105HistGbt(spark, "unused").collect()
