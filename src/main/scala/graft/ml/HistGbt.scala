@@ -463,6 +463,52 @@ object HistGbt {
     }
   }
 
+  /** M7 for the custom learner: persist a fitted [[Model]] as three
+    * parquet tables (trees flattened to primitive arrays, per-dim bin
+    * edges, scalar meta) so a model trained at ingest is loadable in
+    * any later session — the same save/load contract the MLlib
+    * pipeline models get from `MLWritable` (`MlPipelineSpec` M7).
+    * Parquet keeps the artifact engine-native: no JSON codec, columnar
+    * scans on load, and the trees table is inspectable with the same
+    * tools as any other table.
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    model.rounds.zipWithIndex.flatMap { case (trees, m) =>
+      trees.zipWithIndex.map { case (t, k) =>
+        (m, k, t.feature, t.threshold, t.left, t.right, t.value)
+      }
+    }.toDF("round", "cls", "feature", "threshold", "left", "right", "value")
+      .write.mode("overwrite").parquet(s"$path/trees")
+    model.binEdges.zipWithIndex.map { case (e, d) => (d, e) }.toSeq
+      .toDF("dim", "edges")
+      .write.mode("overwrite").parquet(s"$path/edges")
+    Seq((model.priors, model.learningRate)).toDF("priors", "lr")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select($"priors", $"lr").head()
+    val priors = meta.getSeq[Double](0).toArray
+    val lr = meta.getDouble(1)
+    val edges = spark.read.parquet(s"$path/edges")
+      .select($"dim", $"edges").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val trees = spark.read.parquet(s"$path/trees")
+      .select($"round", $"cls", $"feature", $"threshold", $"left",
+        $"right", $"value")
+      .as[(Int, Int, Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Double])]
+      .collect()
+    val rounds = trees.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ts) =>
+      ts.sortBy(_._2).map(t => Tree(t._3.toArray, t._4.toArray,
+        t._5.toArray, t._6.toArray, t._7.toArray)).toArray
+    }.toVector
+    Model(priors, rounds, lr, edges)
+  }
+
   /** Mean multinomial deviance of `model` truncated to `m` rounds on
     * `df` — the boosting objective; q105 asserts it decreases.
     */

@@ -152,6 +152,22 @@ class HistGbtSpec extends graft.SparkTestBase {
     assert(r.getBoolean(4), "train deviance decreases every round")
   }
 
+  test("M7: model round-trips through parquet with identical predictions") {
+    val (train, test) = graft.util.Sampling.split8515(tenClass, 42L)
+    val model = HistGbt.fit(train, numClasses = 10, maxIter = 2,
+      maxLeaves = 6, maxDepth = 3, maxBins = 16, sampleTarget = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("histgbt-m7").toString
+    HistGbt.save(model, spark, dir)
+    val loaded = HistGbt.load(spark, dir)
+    assert(loaded.priors.toSeq === model.priors.toSeq)
+    assert(loaded.learningRate === model.learningRate)
+    assert(loaded.binEdges.map(_.toSeq).toSeq === model.binEdges.map(_.toSeq).toSeq)
+    assert(loaded.rounds.length === model.rounds.length)
+    val a = model.transform(test).select("prediction").collect().toSeq
+    val b = loaded.transform(test).select("prediction").collect().toSeq
+    assert(a === b)
+  }
+
   test("model routes raw vectors through the same bins as training") {
     val (train, _) = graft.util.Sampling.split8515(tenClass, 42L)
     val model = HistGbt.fit(train, numClasses = 10, maxIter = 2,
