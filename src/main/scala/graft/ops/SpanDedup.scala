@@ -64,18 +64,37 @@ object SpanDedup {
     duplicatedIslands(g, gramLen, minDocs)
   }
 
+  /** The duplicated-gram hash set of a REFERENCE corpus, as a 1-column
+    * frame (`h` = xxhash64 of the literal gram) — the first half of
+    * [[dupSpans]] exposed as reusable index state: small on clean
+    * corpora (the q100 broadcast claim), it is what
+    * [[Streaming.curationStream]] probes incoming documents against.
+    */
+  def dupGramHashes(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame =
+    dupHashes(
+      grams(docs, gramLen)
+        .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h")),
+      minDocs)
+
   /** Shared tail of [[dupSpans]] and [[winnowedDupSpans]]: from a
     * (doc_id, pos, h) gram-hash stream, keep hashes seen in >= minDocs
     * distinct documents and merge the surviving positions into maximal
     * [span_start, span_end] islands per document.
     */
-  private[ops] def duplicatedIslands(g: DataFrame, gramLen: Int,
-      minDocs: Int): DataFrame = {
+  /** Hash keys seen in >= minDocs distinct documents — the dup gate of
+    * [[duplicatedIslands]], also exposed via [[dupGramHashes]].
+    */
+  private def dupHashes(g: DataFrame, minDocs: Int): DataFrame = {
     val multi =
       if (minDocs == 2) min(col("doc_id")) =!= max(col("doc_id"))
       else countDistinct(col("doc_id")) >= minDocs
-    val dup = g.groupBy(col("h")).agg(multi.as("multi"))
+    g.groupBy(col("h")).agg(multi.as("multi"))
       .filter(col("multi")).select("h")
+  }
+
+  private[ops] def duplicatedIslands(g: DataFrame, gramLen: Int,
+      minDocs: Int): DataFrame = {
+    val dup = dupHashes(g, minDocs)
     val hits = g
       .join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + (gramLen - 1)).as("e"))

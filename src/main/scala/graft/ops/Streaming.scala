@@ -92,6 +92,81 @@ object Streaming {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim(key), "inner")
 
+  /** STREAMING CURATION — the q108 decision shape over an incoming
+    * `(ts, doc_id, text)` document stream, against STATIC reference
+    * state: the duplicated-gram hash set a prior batch q100 pass
+    * produced ([[SpanDedup.dupGramHashes]]). This is how the capstone
+    * deploys — the reference corpus is curated in batch; each NEW
+    * crawl batch is scored as it arrives:
+    *
+    *   - exact-dup suppression is first-arrival-wins streaming dedup on
+    *     `xxhash64(text)` within the watermark horizon
+    *     (`dropDuplicatesWithinWatermark` — bounded state, the T5
+    *     discipline);
+    *   - duplicate-span coverage probes the BROADCAST gram-hash set
+    *     with a per-row scalar kernel: the doc's rolling 24-gram
+    *     hashes (the very `xxhash64(substr)` values the batch set was
+    *     built from — [[gramCoverage]] uses Spark's own XXH64 so the
+    *     two sides can never disagree), flagged hits merged into
+    *     islands in one linear pass. A per-row kernel rather than an
+    *     explode + semi join + windowed re-aggregate: per-doc state
+    *     never leaves the row, so the STREAM side needs no stateful
+    *     aggregation at all and decisions emit immediately;
+    *   - token count + keep rule are the q108 expressions.
+    *
+    * The stream's only state is the dedup buffer; everything else is a
+    * map stage over broadcast state — the same economics at any rate.
+    */
+  def curationStream(docs: DataFrame, dupGrams: Array[Long],
+      gramLen: Int = 24, minTok: Int = 5, maxCoverage: Double = 0.5): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bSet = docs.sparkSession.sparkContext.broadcast(dupGrams.toSet)
+    val cov = udf { text: String =>
+      if (text == null) 0L else gramCoverage(text, bSet.value, gramLen)
+    }
+    val toks = split($"text", " ")
+    docs
+      .withColumn("th", xxhash64($"text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("th")
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("dup_chars", cov($"text"))
+      .withColumn("dup_coverage",
+        floor($"dup_chars".cast("double") * 1e6 / length($"text") + 0.5) / 1e6)
+      .withColumn("keep", $"n_tok" >= minTok && $"dup_coverage" <= maxCoverage)
+      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage", $"keep")
+  }
+
+  /** Characters of `text` covered by length-`gramLen` grams whose
+    * xxhash64 (seed 42 over UTF-8 bytes — bit-identical to Spark's
+    * `xxhash64(substr(...))`, asserted in StreamingSpec) is in `set`;
+    * overlapping/adjacent hits merge into islands before counting,
+    * matching [[SpanDedup.dupSpans]]'s span semantics. One linear scan
+    * per document. Positions are CHARACTER-indexed (String semantics —
+    * identical to SQL substr for BMP text; the documents fixture is
+    * ASCII).
+    */
+  private[graft] def gramCoverage(text: String, set: Set[Long], gramLen: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    if (text.length < gramLen) return 0L
+    var covered = 0L; var curStart = -1; var curEnd = -1
+    var p = 0
+    while (p + gramLen <= text.length) {
+      val h = XXH64.hashUTF8String(
+        UTF8String.fromString(text.substring(p, p + gramLen)), 42L)
+      if (set.contains(h)) {
+        val en = p + gramLen - 1
+        if (curStart < 0) { curStart = p; curEnd = en }
+        else if (p <= curEnd + 1) { curEnd = math.max(curEnd, en) }
+        else { covered += curEnd - curStart + 1; curStart = p; curEnd = en }
+      }
+      p += 1
+    }
+    if (curStart >= 0) covered += curEnd - curStart + 1
+    covered
+  }
+
   /** J7 (streaming variant, SURVEY §2.3) — stream-stream interval join:
     * each click matches the same user's views within
     * `[click_ts − lookback, click_ts]`, watermarked on BOTH sides.

@@ -620,4 +620,71 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === batch, "streamed windows != batch windows")
     }
   }
+
+  test("streaming curation kernel hash is bit-identical to Spark's xxhash64") {
+    val samples = Seq("abcdefghijklmnopqrstuvwx",
+      "the quick brown fox jump", "0123456789 0123456789 ab", "")
+    val sparkH = samples.toDF("g").select(xxhash64($"g")).as[Long].collect().toSeq
+    val kernel = samples.map(g =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g), 42L))
+    assert(kernel === sparkH)
+  }
+
+  test("streaming curation coverage equals the batch span coverage per doc") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = Seq(
+      (0L, s"intro $shared outro padding text here"),
+      (1L, s"$shared completely different tail content"),
+      (2L, "nothing in common with anything else at all, plain text")
+    ).toDF("doc_id", "text")
+    val set = ops.SpanDedup.dupGramHashes(ref, gramLen = 24)
+      .as[Long].collect().toSet
+    assert(set.nonEmpty)
+    val batchCov = ops.SpanDedup.dupSpans(ref, gramLen = 24)
+      .groupBy($"doc_id").agg(sum($"span_len").as("c"))
+      .as[(Long, Long)].collect().toMap
+    ref.as[(Long, String)].collect().foreach { case (id, text) =>
+      val got = ops.Streaming.gramCoverage(text, set, 24)
+      assert(got === batchCov.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
+  test("streaming curation: first arrival wins, coverage gates the keep") {
+    implicit val sql = spark.sqlContext
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = Seq(
+      (100L, s"ref one $shared ref one tail"),
+      (101L, s"ref two $shared ref two tail")).toDF("doc_id", "text")
+    val dupSet = ops.SpanDedup.dupGramHashes(ref, gramLen = 24)
+      .as[Long].collect()
+    val cleanText = "totally novel content with plenty of fresh words in it"
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.curationStream(input.toDF(), dupSet)
+      .writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(
+        TDoc(1L, cleanText, Timestamp.valueOf("2024-01-01 10:00:00")),
+        // mostly the shared run -> coverage > 0.5 -> dropped
+        TDoc(2L, s"x $shared y", Timestamp.valueOf("2024-01-01 10:01:00")),
+        // under 5 tokens -> dropped
+        TDoc(3L, "too few words here", Timestamp.valueOf("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      // same text as doc 1, later batch -> suppressed by streaming dedup
+      input.addData(
+        TDoc(4L, cleanText, Timestamp.valueOf("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val rows = spark.table("curation")
+        .select($"doc_id", $"dup_coverage", $"keep")
+        .as[(Long, Double, Boolean)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(rows.keySet === Set(1L, 2L, 3L), "doc 4 must be dedup-suppressed")
+      assert(rows(1L)._2 === true)
+      assert(rows(1L)._1 === 0.0)
+      assert(rows(2L)._2 === false, "span coverage must gate the keep")
+      assert(rows(2L)._1 > 0.5)
+      assert(rows(3L)._2 === false, "token floor must gate the keep")
+    }
+  }
 }
