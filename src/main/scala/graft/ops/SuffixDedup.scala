@@ -120,8 +120,64 @@ object SuffixDedup {
     * set bit. For L = 24 that is 3 class assignments + 2 shift joins.
     */
   def gramClasses(docs: DataFrame, gramLen: Int): DataFrame = {
+    val (g, persisted) = gramClassesWithHandles(docs, gramLen)
+    // EAGER: materialize before releasing the intermediate persists so
+    // no cached block outlives the call (the dupSpansExact discipline)
+    val out = g.localCheckpoint(true)
+    persisted.foreach(_.unpersist(false))
+    out
+  }
+
+  /** [[gramClasses]] plus the persisted intermediate level tables the
+    * plan reuses — the CALLER must unpersist them once the returned
+    * frame is materialized. Multiply-referenced levels are persisted
+    * because plain DataFrame reuse RE-EXECUTES the subtree per
+    * reference: for L = 24 the base-8 class table is read three times
+    * (the flat tuple) and without the persist each read would re-run
+    * the char explode + class window, tripling the dominant cost.
+    */
+  private def gramClassesWithHandles(docs: DataFrame,
+      gramLen: Int): (DataFrame, Seq[DataFrame]) = {
     require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
     val cs = chars(docs)
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def keep(df: DataFrame): DataFrame = {
+      val p = df.persist(); persisted += p; p
+    }
+    // FLAT fast path for small L: when the gram is at most 3 directBase
+    // chunks, one class assignment over the flat chunk tuple
+    // (r_b(p), r_b(p+b), …) — the shared base level computed ONCE and
+    // joined shifted, vs the doubling chain's level stack. The doubling
+    // path remains the LONG-L strategy — a flat tuple of L/b class
+    // columns would widen the final shuffle key linearly with L,
+    // exactly what doubling caps. Both paths produce identical classes
+    // (same literal-equality relation, same min(packed) representative
+    // over the same member sets); SuffixDedupSpec pins both paths to
+    // the hash formulation (flat at L=16/24, doubling at L=100).
+    val chunks = {
+      val full = gramLen / directBase
+      val rest = gramLen % directBase
+      Seq.fill(full)(directBase) ++ (if (rest > 0) Seq(rest) else Nil)
+    }
+    if (chunks.length == 1) {
+      return (directLevel(cs, gramLen)
+        .select(col("doc_id"), col("pos"), col("r").as("h")), persisted.toSeq)
+    }
+    if (chunks.length <= 3) {
+      val byLen: Map[Int, DataFrame] =
+        chunks.distinct.map(b => b -> keep(directLevel(cs, b))).toMap
+      var acc = byLen(chunks.head)
+        .select(col("doc_id"), col("pos"), col("packed"), col("r").as("r0"))
+      var off = chunks.head
+      chunks.tail.zipWithIndex.foreach { case (b, i) =>
+        val right = byLen(b).select(col("doc_id"),
+          (col("pos") - off).as("pos"), col("r").as(s"r${i + 1}"))
+        acc = acc.join(right, Seq("doc_id", "pos"))
+        off += b
+      }
+      return (classIds(acc, "r", (0 until chunks.length).map(i => s"r$i"): _*)
+        .select(col("doc_id"), col("pos"), col("r").as("h")), persisted.toSeq)
+    }
     // power-of-two levels needed: the set bits of gramLen, plus each
     // doubled level's half down to directBase
     val bits = (0 to 30).filter(b => (gramLen & (1 << b)) != 0)
@@ -132,10 +188,16 @@ object SuffixDedup {
       needed += k
       while (k > directBase) { k /= 2; needed += k }
     }
+    // a level is persisted iff referenced more than once (its double
+    // plus any compose step / repeated bit)
+    val refs = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    needed.foreach { k => if (k > directBase) refs(k / 2) += 1 }
+    bits.foreach { b => refs(b) += 1 }
     var levels = Map.empty[Int, DataFrame]
     needed.foreach { k =>
-      levels += k -> (if (k <= directBase) directLevel(cs, k)
-                      else doubled(levels(k / 2), k / 2))
+      val lvl = if (k <= directBase) directLevel(cs, k)
+                else doubled(levels(k / 2), k / 2)
+      levels += k -> (if (refs(k) > 1) keep(lvl) else lvl)
     }
     var acc = levels(bits.head)
     var off = bits.head
@@ -148,15 +210,22 @@ object SuffixDedup {
       acc = classIds(paired, "r", "ra", "rb")
       off += b
     }
-    acc.select(col("doc_id"), col("pos"), col("r").as("h"))
+    (acc.select(col("doc_id"), col("pos"), col("r").as("h")), persisted.toSeq)
   }
 
   /** [[SpanDedup.dupSpans]] with literal-equality gram classes instead
     * of hashes: identical contract, identical downstream, zero
-    * collision probability.
+    * collision probability. EAGER (localCheckpoint + release of the
+    * persisted level tables — the minhashNearDup persist discipline):
+    * no cached block outlives the call.
     */
-  def dupSpansExact(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame =
-    SpanDedup.duplicatedIslands(gramClasses(docs, gramLen), gramLen, minDocs)
+  def dupSpansExact(docs: DataFrame, gramLen: Int, minDocs: Int = 2): DataFrame = {
+    val (g, persisted) = gramClassesWithHandles(docs, gramLen)
+    val out = SpanDedup.duplicatedIslands(g, gramLen, minDocs)
+      .localCheckpoint(true)
+    persisted.foreach(_.unpersist(false))
+    out
+  }
 
   /** ORACLED exercise (q107): the q100 contract — repeated 24-char
     * spans across ≥ 2 distinct documents, merged islands — computed by
