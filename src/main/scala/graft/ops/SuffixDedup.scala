@@ -23,16 +23,18 @@ import org.apache.spark.sql.functions._
   * assigns a class id by GROUPING: the id of class (a, b) is the
   * minimum packed (doc, pos) holding that pair — deterministic,
   * collision-free, computed with one window shuffle, no total order
-  * anywhere. Rounds for L = 24: a DIRECT class on literal 8-char
-  * prefixes (the doubling base — see [[directLevel]]), one doubling
-  * to 16, then the asymmetric compose r24(p) = class-of
-  * (r16(p), r8(p+16)) — 3 class assignments + 2 shift joins.
+  * anywhere. Two strategies by L (see [[gramClassesWithHandles]]):
+  * small L (≤ 3 base-8 chunks, e.g. 24) takes a FLAT path — the
+  * base-8 class table computed once (persisted for the call) and
+  * joined shifted, one final class window over the chunk tuple; long
+  * L takes the doubling chain, which caps the shuffle key width the
+  * flat tuple would grow linearly with L.
   *
   * 100 TB posture: every stage is a keyed shuffle or a map of the
   * n-row character stream — per level, one shift self-join on
-  * (doc, pos+k) and one window class-min on (a, b); no driver state,
-  * no global sort, no per-round growth (level count is fixed by L).
-  * The constant is ~7 keyed shuffles of the char stream vs q100's
+  * (doc, pos+k) and one window class-min; no driver state, no global
+  * sort, no per-round growth (level count is fixed by L). The
+  * constant is ~6 keyed shuffles of the char stream vs q100's
   * single hashed aggregate — the documented price of exactness; q100
   * stays the cheap default, this is the collision-free audit pass.
   * Downstream (cross-doc gate, island merge) is byte-identical to
@@ -113,11 +115,11 @@ object SuffixDedup {
 
   /** (doc_id, pos, h) where `h` is the exact literal-equality class of
     * the length-`gramLen` substring at pos — the drop-in replacement
-    * for q100's xxhash64 gram key. Only the levels the binary
-    * decomposition of `gramLen` actually needs are built: direct
-    * substring classes up to [[directBase]] chars, prefix-doubled
-    * above (each level from its half), then one asymmetric compose per
-    * set bit. For L = 24 that is 3 class assignments + 2 shift joins.
+    * for q100's xxhash64 gram key. Strategy by L — flat chunk tuple
+    * for ≤ 3 base chunks, doubling chain above — see
+    * [[gramClassesWithHandles]]. EAGER: the returned frame is
+    * checkpointed and the intermediate persists released before
+    * returning.
     */
   def gramClasses(docs: DataFrame, gramLen: Int): DataFrame = {
     val (g, persisted) = gramClassesWithHandles(docs, gramLen)
