@@ -64,8 +64,10 @@ object WinnowFingerprints {
   val M = 2147483647L
 
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    // code points, not UTF-16 units — matches the oracle's per-code-
+    // point hash and [[WinnowedGramMins]]'s indexing for all text
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < k + w - 1) return new GenericArrayData(Array.empty[Long])
     val nGrams = n - k + 1
     // B^(k-1) mod M for the rolling drop-leading-char step
@@ -79,7 +81,7 @@ object WinnowFingerprints {
     val selected = new java.util.TreeSet[java.lang.Long]()
     var h = 0L
     i = 0
-    while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
     ring(0) = h
     // w=1 degenerates to "select every gram hash": gram 0's window is
     // complete immediately (the loop below only selects from gram 1 on)
@@ -87,7 +89,7 @@ object WinnowFingerprints {
     var g = 1 // index of the NEXT gram to hash
     while (g < nGrams) {
       // ((h − c_out·B^(k−1)) · B + c_in) mod M, kept non-negative
-      h = ((h - str.charAt(g - 1) * bk % M + M) % M * B + str.charAt(g + k - 1)) % M
+      h = ((h - cps(g - 1) * bk % M + M) % M * B + cps(g + k - 1)) % M
       ring(g % w) = h
       if (g >= w - 1) {
         var m = ring(0)

@@ -61,8 +61,15 @@ object WinnowedGramMins {
   import WinnowFingerprints.{B, M}
 
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    // CODE POINTS, not UTF-16 units: positions feed `substr` (which
+    // counts code points) in SpanDedup's literal-gram dup gate, and
+    // the DuckDB oracle hashes per code point — charAt indexing would
+    // shift every position after a supplementary-plane character and
+    // make the re-sliced gram misaligned (silent missed duplicates).
+    // For BMP text the two indexings coincide; this makes ALL text
+    // self-consistent.
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
     val nGrams = n - k + 1
     var bk = 1L
@@ -74,12 +81,12 @@ object WinnowedGramMins {
     val selected = new java.util.TreeMap[Long, Long]()
     var h = 0L
     i = 0
-    while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
     ring(0) = h
     if (w == 1) selected.put(1L, h)
     var g = 1
     while (g < nGrams) {
-      h = ((h - str.charAt(g - 1) * bk % M + M) % M * B + str.charAt(g + k - 1)) % M
+      h = ((h - cps(g - 1) * bk % M + M) % M * B + cps(g + k - 1)) % M
       ring(g % w) = h
       if (g >= w - 1) {
         // leftmost window minimum: scan grams g−w+1 … g in order,

@@ -27,7 +27,7 @@ object Quality {
   /** Tie-proof 6-decimal ratio: floor(p·1e6/q + 0.5)/1e6 — both engines
     * floor the IDENTICAL IEEE double, so no round()-tie divergence.
     */
-  private def microRatio(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+  private[ops] def microRatio(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
     floor(p.cast("double") * 1e6 / q + 0.5) / 1e6
 
   /** L6 (repetition signals) — per-document duplicate-n-gram stats, the
@@ -73,22 +73,6 @@ object Quality {
       .orderBy($"doc_id")
   }
 
-  /** L2/L5 (cross-document contamination) — for every document, how
-    * much of it is "seen elsewhere": the count and fraction of its
-    * DISTINCT word 3-gram shingles that also occur in at least one
-    * other document. The per-document signal behind
-    * exact-substring-overlap decontamination (train/test leakage
-    * checks) and boilerplate detection.
-    *
-    * Shape: distinct (doc, shingle) posting list (q39's first stage,
-    * persisted — it feeds both the document-frequency aggregate and the
-    * join back), then shingle-df join + per-doc aggregate. Shingles
-    * reduce to xxhash64 longs before the posting list exists (counts
-    * are hash-invariant; q39 precedent). Unlike q39's pair join there
-    * is NO self-join: a ubiquitous shingle costs one aggregate row,
-    * not a quadratic posting-list blowup, so this query needs no df
-    * cap to survive skew.
-    */
   /** ORACLED CAPSTONE (q108): the per-document CURATION DECISION — the
     * query a training-data pipeline actually ends with, composing the
     * engine's own building blocks in one plan:
@@ -148,6 +132,22 @@ object Quality {
     out
   }
 
+  /** L2/L5 (cross-document contamination) — for every document, how
+    * much of it is "seen elsewhere": the count and fraction of its
+    * DISTINCT word 3-gram shingles that also occur in at least one
+    * other document. The per-document signal behind
+    * exact-substring-overlap decontamination (train/test leakage
+    * checks) and boilerplate detection.
+    *
+    * Shape: distinct (doc, shingle) posting list (q39's first stage,
+    * persisted — it feeds both the document-frequency aggregate and the
+    * join back), then shingle-df join + per-doc aggregate. Shingles
+    * reduce to xxhash64 longs before the posting list exists (counts
+    * are hash-invariant; q39 precedent). Unlike q39's pair join there
+    * is NO self-join: a ubiquitous shingle costs one aggregate row,
+    * not a quadratic posting-list blowup, so this query needs no df
+    * cap to survive skew.
+    */
   def q59SharedShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Sources.documents(spark, dir)

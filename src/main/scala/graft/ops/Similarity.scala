@@ -83,26 +83,29 @@ object Similarity {
     String, (DataFrame, org.apache.spark.ml.clustering.KMeansModel)]()
 
   private def unitQuantizedCached(emb: DataFrame, cacheKey: String,
-      nLists: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) =
-    // compute() (not computeIfAbsent) so a STALE hit is replaced: the
-    // identityHashCode key is not unique across session lifetimes, and
-    // a checkpointed frame whose session has stopped would fail every
-    // query served from it — validate the live-session identity on
-    // every hit and rebuild on mismatch.
-    ivfCache.compute(
-      s"${System.identityHashCode(emb.sparkSession)}#$cacheKey#$nLists",
-      (_, cur) => {
-        val fresh = cur != null &&
-          (cur._1.sparkSession eq emb.sparkSession) &&
-          !cur._1.sparkSession.sparkContext.isStopped
-        if (fresh) cur
-        else {
-          val (vecs, model) = unitQuantized(emb, nLists)
-          val frozen = vecs.localCheckpoint(true)
-          vecs.unpersist(false)
-          (frozen, model)
-        }
+      nLists: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    // Stale hits must be replaced: the identityHashCode key is not
+    // unique across session lifetimes, and a checkpointed frame whose
+    // session has stopped would fail every query served from it. The
+    // freshness check runs on a LOCK-FREE get() first — compute()
+    // locks the bin even on a present key, and its remapping function
+    // (a full KMeans fit here) must not run under the bin lock for
+    // unrelated hits hashing to the same bin.
+    val key = s"${System.identityHashCode(emb.sparkSession)}#$cacheKey#$nLists"
+    def fresh(e: (DataFrame, org.apache.spark.ml.clustering.KMeansModel)) =
+      e != null && (e._1.sparkSession eq emb.sparkSession) &&
+        !e._1.sparkSession.sparkContext.isStopped
+    val cur = ivfCache.get(key)
+    if (fresh(cur)) cur
+    else ivfCache.compute(key, (_, c) =>
+      if (fresh(c)) c
+      else {
+        val (vecs, model) = unitQuantized(emb, nLists)
+        val frozen = vecs.localCheckpoint(true)
+        vecs.unpersist(false)
+        (frozen, model)
       })
+  }
 
   /** L2-normalize an MLlib vector (zero vector passes through) — the
     * shared unit-sphere projection for the LSH cosine paths (q26, q40).

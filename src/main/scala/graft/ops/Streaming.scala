@@ -120,7 +120,11 @@ object Streaming {
   def curationStream(docs: DataFrame, dupGrams: Array[Long],
       gramLen: Int = 24, minTok: Int = 5, maxCoverage: Double = 0.5): DataFrame = {
     import docs.sparkSession.implicits._
-    val bSet = docs.sparkSession.sparkContext.broadcast(dupGrams.toSet)
+    // sorted primitive array + binary search: a boxed Set[Long] costs
+    // ~48 B/entry in the broadcast and a hash+unbox per probe; the
+    // sorted long array keeps the "dup set broadcasts" claim cheap
+    val sorted = dupGrams.clone(); java.util.Arrays.sort(sorted)
+    val bSet = docs.sparkSession.sparkContext.broadcast(sorted)
     val cov = udf { text: String =>
       if (text == null) 0L else gramCoverage(text, bSet.value, gramLen)
     }
@@ -132,30 +136,48 @@ object Streaming {
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("dup_chars", cov($"text"))
       .withColumn("dup_coverage",
-        floor($"dup_chars".cast("double") * 1e6 / length($"text") + 0.5) / 1e6)
+        Quality.microRatio($"dup_chars", length($"text")))
       .withColumn("keep", $"n_tok" >= minTok && $"dup_coverage" <= maxCoverage)
       .select($"ts", $"doc_id", $"n_tok", $"dup_coverage", $"keep")
   }
 
   /** Characters of `text` covered by length-`gramLen` grams whose
     * xxhash64 (seed 42 over UTF-8 bytes — bit-identical to Spark's
-    * `xxhash64(substr(...))`, asserted in StreamingSpec) is in `set`;
-    * overlapping/adjacent hits merge into islands before counting,
-    * matching [[SpanDedup.dupSpans]]'s span semantics. One linear scan
-    * per document. Positions are CHARACTER-indexed (String semantics —
-    * identical to SQL substr for BMP text; the documents fixture is
-    * ASCII).
+    * `xxhash64(substr(...))`, asserted in StreamingSpec) is in the
+    * SORTED `dupGrams` array; overlapping/adjacent hits merge into
+    * islands before counting, matching [[SpanDedup.dupSpans]]'s span
+    * semantics. ZERO-COPY per position: the document is UTF-8-encoded
+    * once and each gram hashes a byte-range view — positions and gram
+    * boundaries are CODE-POINT indexed (substr semantics, any text),
+    * with a per-code-point byte-offset table built in the same single
+    * pass as the encoding.
     */
-  private[graft] def gramCoverage(text: String, set: Set[Long], gramLen: Int): Long = {
+  private[graft] def gramCoverage(text: String, dupGrams: Array[Long],
+      gramLen: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
-    if (text.length < gramLen) return 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // byte offset of each code-point position (plus the end sentinel)
+    val nCp = text.codePointCount(0, text.length)
+    if (nCp < gramLen) return 0L
+    val byteOff = new Array[Int](nCp + 1)
+    var ci = 0; var bi = 0; var cp = 0
+    while (ci < text.length) {
+      byteOff(cp) = bi
+      val c = text.codePointAt(ci)
+      bi += (if (c < 0x80) 1 else if (c < 0x800) 2
+             else if (c < 0x10000) 3 else 4)
+      ci += Character.charCount(c)
+      cp += 1
+    }
+    byteOff(nCp) = bi
+    val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
     var covered = 0L; var curStart = -1; var curEnd = -1
     var p = 0
-    while (p + gramLen <= text.length) {
-      val h = XXH64.hashUTF8String(
-        UTF8String.fromString(text.substring(p, p + gramLen)), 42L)
-      if (set.contains(h)) {
+    while (p + gramLen <= nCp) {
+      val off = byteOff(p)
+      val h = XXH64.hashUnsafeBytes(bytes, base + off,
+        byteOff(p + gramLen) - off, 42L)
+      if (java.util.Arrays.binarySearch(dupGrams, h) >= 0) {
         val en = p + gramLen - 1
         if (curStart < 0) { curStart = p; curEnd = en }
         else if (p <= curEnd + 1) { curEnd = math.max(curEnd, en) }

@@ -190,10 +190,13 @@ object SuffixDedup {
       needed += k
       while (k > directBase) { k /= 2; needed += k }
     }
-    // a level is persisted iff referenced more than once (its double
-    // plus any compose step / repeated bit)
+    // a level is persisted iff its plan is referenced more than once:
+    // doubled() SELF-JOINS its input, so a doubling counts as TWO
+    // references to the half level (undercounting it as one leaves the
+    // half's subtree executing twice per round — the cost the persist
+    // exists to remove), plus one reference per compose-step bit
     val refs = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
-    needed.foreach { k => if (k > directBase) refs(k / 2) += 1 }
+    needed.foreach { k => if (k > directBase) refs(k / 2) += 2 }
     bits.foreach { b => refs(b) += 1 }
     var levels = Map.empty[Int, DataFrame]
     needed.foreach { k =>

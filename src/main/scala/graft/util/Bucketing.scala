@@ -76,13 +76,21 @@ object Bucketing {
     // per (session, dir), so with GLOBAL names a second dir in the same
     // session would overwrite the tables while the first dir's memo
     // entry still points at them — a later call for the first dir would
-    // silently join the second dir's data.
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(dir).getAbsolutePath).toLong & 0xffffffffL)
+    // silently join the second dir's data. Both the memo key and the
+    // suffix use the CANONICAL path (two spellings of one dir must not
+    // rebuild the layout) and the suffix carries 64 hash bits (two
+    // murmur seeds) so distinct dirs cannot share a table name at the
+    // 2^-32 odds a single 32-bit hash would leave.
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val suffix = {
+      import scala.util.hashing.MurmurHash3.stringHash
+      f"${(stringHash(canonical, 0x9747b28c).toLong & 0xffffffffL) << 32 |
+        (stringHash(canonical, 0x85ebca6b).toLong & 0xffffffffL)}%016x"
+    }
     val ordersTable = s"graft_q101_orders_$suffix"
     val lineitemTable = s"graft_q101_lineitem_$suffix"
-    laidOut.computeIfAbsent(s"${System.identityHashCode(spark)}#$dir", _ => {
+    val memoKey = s"${System.identityHashCode(spark)}#$canonical"
+    def build(ignored: String): java.nio.file.Path = {
       val base = java.nio.file.Files.createTempDirectory("graft-q101")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try deleteRecursively(base) catch { case _: Throwable => () }))
@@ -91,7 +99,17 @@ object Bucketing {
       writeBucketed(graft.ops.Sources.lineitem(spark, dir), lineitemTable,
         s"$base/lineitem", "l_orderkey", 16)
       base
-    })
+    }
+    laidOut.computeIfAbsent(memoKey, build)
+    // Staleness guard (the ivfCache discipline): identityHashCode keys
+    // are not unique across session lifetimes — a memo hit whose tables
+    // are absent from THIS session's catalog is a dead session's entry
+    // (or a dropped layout); rebuild rather than failing the read.
+    if (!spark.catalog.tableExists(ordersTable) ||
+        !spark.catalog.tableExists(lineitemTable)) {
+      laidOut.remove(memoKey)
+      laidOut.computeIfAbsent(memoKey, build)
+    }
     val price = $"l_extendedprice".cast("decimal(12,2)")
     val disc  = $"l_discount".cast("decimal(3,2)")
     spark.table(lineitemTable).hint("merge")

@@ -639,7 +639,7 @@ class StreamingSpec extends SparkTestBase {
       (2L, "nothing in common with anything else at all, plain text")
     ).toDF("doc_id", "text")
     val set = ops.SpanDedup.dupGramHashes(ref, gramLen = 24)
-      .as[Long].collect().toSet
+      .as[Long].collect().sorted
     assert(set.nonEmpty)
     val batchCov = ops.SpanDedup.dupSpans(ref, gramLen = 24)
       .groupBy($"doc_id").agg(sum($"span_len").as("c"))
