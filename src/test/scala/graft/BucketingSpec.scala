@@ -72,4 +72,17 @@ class BucketingSpec extends SparkTestBase {
     // entry cleanly instead of colliding
     assert(util.Bucketing.q101BucketedJoin(spark, d).count() === got.size)
   }
+
+  test("q101 memo staleness: a dropped catalog table triggers a rebuild") {
+    val d = "/root/testdata/sf0.001"
+    val first = graft.util.Bucketing.q101BucketedJoin(spark, d).collect()
+    // simulate a stale memo hit (dead-session hash collision / dropped
+    // layout): the tables vanish from the catalog while the memo entry
+    // survives — the guard must rebuild instead of failing the read
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_q101_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val second = graft.util.Bucketing.q101BucketedJoin(spark, d).collect()
+    assert(second.map(_.toString).toSeq === first.map(_.toString).toSeq)
+  }
 }

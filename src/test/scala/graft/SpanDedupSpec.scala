@@ -157,6 +157,34 @@ class SpanDedupSpec extends SparkTestBase {
       s"shared run [$s,$e] of docs ($ida,$idb) missed in $ida")
   }
 
+  test("winnowed dup gate survives supplementary-plane characters") {
+    // An astral (non-BMP) char before a shared run: UTF-16 charAt
+    // indexing would shift every later position by one and misalign the
+    // literal-gram re-slice (the round-13 review finding). With the
+    // code-point kernels, the run is still found and the spans align
+    // with the exact (q100) path, whose positions were always
+    // code-point substr semantics.
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    val emoji = new String(Character.toChars(0x1F600)) // 1 code point, 2 UTF-16 units
+    val d = docs(
+      1L -> s"$emoji$shared tail one",
+      2L -> s"prefix2 $shared tail two",
+      3L -> "no overlap with anything else at all, plain filler text")
+    val winnowed = ops.SpanDedup.winnowedDupSpans(d, gramLen = 24, window = 4)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(winnowed.exists(_._1 == 1L), "doc with astral prefix must flag")
+    assert(winnowed.exists(_._1 == 2L))
+    val exact = ops.SpanDedup.dupSpans(d, gramLen = 24)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    // winnowed spans are sub-intervals of exact spans, in CODE POINTS
+    winnowed.foreach { case (id, s0, e0) =>
+      assert(exact.exists { case (i2, s2, e2) =>
+        i2 == id && s2 <= s0 && e0 <= e2 }, s"($id,$s0,$e0) not within exact")
+    }
+  }
+
   test("q104 on the fixture: bounded within-doc spans, thinner stream than q100") {
     val out = ops.SpanDedup.q104WinnowedSpans(spark, "/root/testdata/sf0.001")
     val rows = out.as[(Long, Long, Long, Long)].collect().toSeq
