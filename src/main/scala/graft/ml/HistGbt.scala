@@ -63,7 +63,8 @@ object HistGbt {
     * the broadcast payload primitive.
     */
   final case class Tree(feature: Array[Int], threshold: Array[Int],
-      left: Array[Int], right: Array[Int], value: Array[Double]) {
+      left: Array[Int], right: Array[Int], value: Array[Double],
+      gain: Array[Double]) {
 
     def route(bins: Array[Byte]): Int = {
       var n = 0
@@ -276,6 +277,7 @@ object HistGbt {
     }
     walk(root)
     (Tree(feats.toArray, thr.toArray, lft.toArray, rgt.toArray,
+      new Array[Double](feats.length),
       new Array[Double](feats.length)), leafIds.toMap)
   }
 
@@ -339,20 +341,24 @@ object HistGbt {
     val lft = scala.collection.mutable.ArrayBuffer[Int]()
     val rgt = scala.collection.mutable.ArrayBuffer[Int]()
     val vals = scala.collection.mutable.ArrayBuffer[Double]()
+    val gains = scala.collection.mutable.ArrayBuffer[Double]()
     def walk(n: BNode): Int = {
       val id = feats.length
       if (n.leftChild == null) {
         feats += -1; thr += -1; lft += -1; rgt += -1
         vals += -n.g / (n.h + lambda)
+        gains += 0.0
       } else {
         feats += n.feature; thr += n.threshold; lft += -1; rgt += -1; vals += 0.0
+        gains += n.gain // realized split gain, recorded for importances
         val l = walk(n.leftChild); lft(id) = l
         val r = walk(n.rightChild); rgt(id) = r
       }
       id
     }
     walk(root)
-    Tree(feats.toArray, thr.toArray, lft.toArray, rgt.toArray, vals.toArray)
+    Tree(feats.toArray, thr.toArray, lft.toArray, rgt.toArray, vals.toArray,
+      gains.toArray)
   }
 
   // --- boosting driver ----------------------------------------------------
@@ -463,6 +469,31 @@ object HistGbt {
     }
   }
 
+  /** Gain-based feature importances (LightGBM's
+    * `importance_type='gain'`): for every internal node, the Newton
+    * structure-score improvement its split realized —
+    * G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ), re-derived from the
+    * fitted leaf statistics — summed per feature across every tree of
+    * every round and class. Leaf values are −G/(H+λ), so a subtree's
+    * (G, H) aggregate is NOT recoverable from values alone; the split
+    * gains are therefore recorded at FIT time (see [[Tree.gain]]) and
+    * this just sums them. Normalized to 1 when `normalize` (the
+    * plotting convention).
+    */
+  def featureImportances(model: Model, numFeatures: Int,
+      normalize: Boolean = true): Array[Double] = {
+    val imp = new Array[Double](numFeatures)
+    model.rounds.foreach(_.foreach { t =>
+      var n = 0
+      while (n < t.feature.length) {
+        if (t.feature(n) >= 0) imp(t.feature(n)) += t.gain(n)
+        n += 1
+      }
+    })
+    val s = imp.sum
+    if (normalize && s > 0) imp.map(_ / s) else imp
+  }
+
   /** M7 for the custom learner: persist a fitted [[Model]] as three
     * parquet tables (trees flattened to primitive arrays, per-dim bin
     * edges, scalar meta) so a model trained at ingest is loadable in
@@ -477,9 +508,10 @@ object HistGbt {
     import spark.implicits._
     model.rounds.zipWithIndex.flatMap { case (trees, m) =>
       trees.zipWithIndex.map { case (t, k) =>
-        (m, k, t.feature, t.threshold, t.left, t.right, t.value)
+        (m, k, t.feature, t.threshold, t.left, t.right, t.value, t.gain)
       }
-    }.toDF("round", "cls", "feature", "threshold", "left", "right", "value")
+    }.toDF("round", "cls", "feature", "threshold", "left", "right", "value",
+      "gain")
       .write.mode("overwrite").parquet(s"$path/trees")
     model.binEdges.zipWithIndex.map { case (e, d) => (d, e) }.toSeq
       .toDF("dim", "edges")
@@ -499,12 +531,13 @@ object HistGbt {
       .sortBy(_._1).map(_._2.toArray)
     val trees = spark.read.parquet(s"$path/trees")
       .select($"round", $"cls", $"feature", $"threshold", $"left",
-        $"right", $"value")
-      .as[(Int, Int, Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Double])]
+        $"right", $"value", $"gain")
+      .as[(Int, Int, Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Double],
+        Seq[Double])]
       .collect()
     val rounds = trees.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ts) =>
       ts.sortBy(_._2).map(t => Tree(t._3.toArray, t._4.toArray,
-        t._5.toArray, t._6.toArray, t._7.toArray)).toArray
+        t._5.toArray, t._6.toArray, t._7.toArray, t._8.toArray)).toArray
     }.toVector
     Model(priors, rounds, lr, edges)
   }

@@ -152,6 +152,26 @@ class HistGbtSpec extends graft.SparkTestBase {
     assert(r.getBoolean(4), "train deviance decreases every round")
   }
 
+  test("gain importances: the separating feature dominates; normalized sum 1") {
+    // Feature 0 separates the classes with a huge gradient gap; feature
+    // 1 is pure noise. Gain-based importances must put (nearly) all
+    // mass on feature 0.
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val y = i % 2
+      (y.toDouble, org.apache.spark.ml.linalg.Vectors.dense(
+        y * 10.0 + rnd.nextGaussian() * 0.1, rnd.nextGaussian()))
+    }
+    val df = spark.createDataFrame(rows).toDF("label_idx", "pca")
+    val model = HistGbt.fit(df, numClasses = 2, maxIter = 3, maxLeaves = 4,
+      maxDepth = 3, maxBins = 16, sampleTarget = 1000)
+    val imp = HistGbt.featureImportances(model, numFeatures = 2)
+    assert(math.abs(imp.sum - 1.0) < 1e-9)
+    assert(imp(0) > 0.9, s"separating feature should dominate: ${imp.toSeq}")
+    val raw = HistGbt.featureImportances(model, 2, normalize = false)
+    assert(raw(0) > 0.0 && raw.sum > 0.0)
+  }
+
   test("M7: model round-trips through parquet with identical predictions") {
     val (train, test) = graft.util.Sampling.split8515(tenClass, 42L)
     val model = HistGbt.fit(train, numClasses = 10, maxIter = 2,
