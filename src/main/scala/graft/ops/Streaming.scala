@@ -156,20 +156,26 @@ object Streaming {
       gramLen: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    // byte offset of each code-point position (plus the end sentinel)
-    val nCp = text.codePointCount(0, text.length)
+    // Per-code-point byte offsets derived FROM the encoded bytes (lead
+    // bytes are the non-continuation ones): offsets can never run past
+    // the array, even for malformed input — walking the STRING by
+    // codePointAt counts an unpaired surrogate as 3 bytes while
+    // getBytes encodes it as '?' (1 byte), which would desync the
+    // offsets and read past the buffer through the unsafe hash.
+    var nCp = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) nCp += 1
+      bi += 1
+    }
     if (nCp < gramLen) return 0L
     val byteOff = new Array[Int](nCp + 1)
-    var ci = 0; var bi = 0; var cp = 0
-    while (ci < text.length) {
-      byteOff(cp) = bi
-      val c = text.codePointAt(ci)
-      bi += (if (c < 0x80) 1 else if (c < 0x800) 2
-             else if (c < 0x10000) 3 else 4)
-      ci += Character.charCount(c)
-      cp += 1
+    var cp = 0; bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) { byteOff(cp) = bi; cp += 1 }
+      bi += 1
     }
-    byteOff(nCp) = bi
+    byteOff(nCp) = bytes.length
     val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
     var covered = 0L; var curStart = -1; var curEnd = -1
     var p = 0

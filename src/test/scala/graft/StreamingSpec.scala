@@ -650,6 +650,29 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming curation coverage handles multi-byte text (parity with batch)") {
+    // é (2 UTF-8 bytes) and an emoji (4 bytes) around a shared run: the
+    // byte-offset table must keep kernel gram hashes aligned with the
+    // Spark-side xxhash64(substr) values the dup set is built from.
+    val emoji = new String(Character.toChars(0x1F680))
+    val shared = "caf\u00e9 quality r\u00e9sum\u00e9 shared run contents here"
+    val ref = Seq(
+      (0L, s"$emoji intro $shared tail one"),
+      (1L, s"pr\u00e9fixe $shared tail two"),
+      (2L, "nothing shared with the others, plain ascii filler")
+    ).toDF("doc_id", "text")
+    val set = ops.SpanDedup.dupGramHashes(ref, gramLen = 24)
+      .as[Long].collect().sorted
+    assert(set.nonEmpty)
+    val batchCov = ops.SpanDedup.dupSpans(ref, gramLen = 24)
+      .groupBy($"doc_id").agg(sum($"span_len").as("c"))
+      .as[(Long, Long)].collect().toMap
+    ref.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(ops.Streaming.gramCoverage(text, set, 24) ===
+        batchCov.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
   test("streaming curation: first arrival wins, coverage gates the keep") {
     implicit val sql = spark.sqlContext
     val shared = "the quick brown fox jumps over the lazy dog again and again"
