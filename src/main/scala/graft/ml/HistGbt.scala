@@ -470,19 +470,20 @@ object HistGbt {
   }
 
   /** Gain-based feature importances (LightGBM's
-    * `importance_type='gain'`): for every internal node, the Newton
-    * structure-score improvement its split realized —
-    * G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ), re-derived from the
-    * fitted leaf statistics — summed per feature across every tree of
-    * every round and class. Leaf values are −G/(H+λ), so a subtree's
-    * (G, H) aggregate is NOT recoverable from values alone; the split
-    * gains are therefore recorded at FIT time (see [[Tree.gain]]) and
-    * this just sums them. Normalized to 1 when `normalize` (the
-    * plotting convention).
+    * `importance_type='gain'`): for every internal node, the REALIZED
+    * split gain recorded at fit time —
+    * ½·(G_L²/(H_L+λ) + G_R²/(H_R+λ) − G²/(H+λ)) − γ, exactly what
+    * [[findBestSplit]] maximized — summed per feature across every
+    * tree of every round and class. Recording at fit time is forced:
+    * leaf values are −G/(H+λ), so a subtree's (G, H) aggregate is NOT
+    * recoverable from the persisted values alone. Feature count comes
+    * from the model's own bin mapper. Normalized to 1 when
+    * `normalize` (the plotting convention); raw values carry the ½
+    * factor and the −γ shift when gamma > 0.
     */
-  def featureImportances(model: Model, numFeatures: Int,
+  def featureImportances(model: Model,
       normalize: Boolean = true): Array[Double] = {
-    val imp = new Array[Double](numFeatures)
+    val imp = new Array[Double](model.binEdges.length)
     model.rounds.foreach(_.foreach { t =>
       var n = 0
       while (n < t.feature.length) {
@@ -529,7 +530,15 @@ object HistGbt {
     val edges = spark.read.parquet(s"$path/edges")
       .select($"dim", $"edges").as[(Int, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
-    val trees = spark.read.parquet(s"$path/trees")
+    val treesRaw = spark.read.parquet(s"$path/trees")
+    // models persisted before gains were recorded (round-13 schema
+    // change) load with zero gains rather than failing — predictions
+    // never read gains, only featureImportances does
+    val withGain =
+      if (treesRaw.columns.contains("gain")) treesRaw
+      else treesRaw.withColumn("gain",
+        transform($"value", _ => lit(0.0)))
+    val trees = withGain
       .select($"round", $"cls", $"feature", $"threshold", $"left",
         $"right", $"value", $"gain")
       .as[(Int, Int, Seq[Int], Seq[Int], Seq[Int], Seq[Int], Seq[Double],

@@ -149,8 +149,9 @@ object Streaming {
     * semantics. ZERO-COPY per position: the document is UTF-8-encoded
     * once and each gram hashes a byte-range view — positions and gram
     * boundaries are CODE-POINT indexed (substr semantics, any text),
-    * with a per-code-point byte-offset table built in the same single
-    * pass as the encoding.
+    * with a per-code-point byte-offset table derived from the encoded
+    * bytes themselves (two cheap scans; see the in-body note on why
+    * walking the String instead would desync on unpaired surrogates).
     */
   private[graft] def gramCoverage(text: String, dupGrams: Array[Long],
       gramLen: Int): Long = {

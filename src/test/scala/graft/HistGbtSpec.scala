@@ -165,10 +165,10 @@ class HistGbtSpec extends graft.SparkTestBase {
     val df = spark.createDataFrame(rows).toDF("label_idx", "pca")
     val model = HistGbt.fit(df, numClasses = 2, maxIter = 3, maxLeaves = 4,
       maxDepth = 3, maxBins = 16, sampleTarget = 1000)
-    val imp = HistGbt.featureImportances(model, numFeatures = 2)
+    val imp = HistGbt.featureImportances(model)
     assert(math.abs(imp.sum - 1.0) < 1e-9)
     assert(imp(0) > 0.9, s"separating feature should dominate: ${imp.toSeq}")
-    val raw = HistGbt.featureImportances(model, 2, normalize = false)
+    val raw = HistGbt.featureImportances(model, normalize = false)
     assert(raw(0) > 0.0 && raw.sum > 0.0)
   }
 
