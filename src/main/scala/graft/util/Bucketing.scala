@@ -55,6 +55,12 @@ object Bucketing {
   private val laidOut =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Number of layout BUILDS this process has paid — lets tests (and
+    * bench forensics) assert that warm repeats hit the memo instead of
+    * silently re-laying-out (round-13 driver read 3× the warm cost).
+    */
+  private[graft] val layoutBuilds = new java.util.concurrent.atomic.AtomicLong
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -90,7 +96,7 @@ object Bucketing {
     val ordersTable = s"graft_q101_orders_$suffix"
     val lineitemTable = s"graft_q101_lineitem_$suffix"
     val memoKey = s"${System.identityHashCode(spark)}#$canonical"
-    def build(ignored: String): java.nio.file.Path = {
+    def build(): java.nio.file.Path = {
       val base = java.nio.file.Files.createTempDirectory("graft-q101")
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try deleteRecursively(base) catch { case _: Throwable => () }))
@@ -98,18 +104,27 @@ object Bucketing {
         s"$base/orders", "o_orderkey", 16)
       writeBucketed(graft.ops.Sources.lineitem(spark, dir), lineitemTable,
         s"$base/lineitem", "l_orderkey", 16)
+      layoutBuilds.incrementAndGet()
+      // Build-vs-warm is observable in any run's stderr: a repeat that
+      // logs this line did NOT hit the memo (round-13 bench forensics).
+      System.err.println(s"[graft] q101 bucketed layout BUILD for $canonical")
       base
     }
-    laidOut.computeIfAbsent(memoKey, build)
-    // Staleness guard (the ivfCache discipline): identityHashCode keys
-    // are not unique across session lifetimes — a memo hit whose tables
-    // are absent from THIS session's catalog is a dead session's entry
-    // (or a dropped layout); rebuild rather than failing the read.
-    if (!spark.catalog.tableExists(ordersTable) ||
-        !spark.catalog.tableExists(lineitemTable)) {
-      laidOut.remove(memoKey)
-      laidOut.computeIfAbsent(memoKey, build)
-    }
+    // Staleness check AND rebuild run atomically under the per-key bin
+    // lock (advisor round 13): the earlier unlocked check→remove→
+    // computeIfAbsent sequence let a concurrent reader observe the
+    // window between a stale entry's drop and its re-register. A hit
+    // re-validates its catalog entries before being served —
+    // identityHashCode keys are not unique across session lifetimes, so
+    // a hit whose tables are absent from THIS session's catalog is a
+    // dead session's entry (or a dropped layout); rebuild rather than
+    // failing the read. The layout write deliberately runs under the
+    // lock: concurrent callers for the same key must wait for it, not
+    // race it.
+    laidOut.compute(memoKey, (_, cur) =>
+      if (cur != null && spark.catalog.tableExists(ordersTable) &&
+          spark.catalog.tableExists(lineitemTable)) cur
+      else build())
     val price = $"l_extendedprice".cast("decimal(12,2)")
     val disc  = $"l_discount".cast("decimal(3,2)")
     spark.table(lineitemTable).hint("merge")
