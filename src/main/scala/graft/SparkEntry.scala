@@ -126,16 +126,24 @@ object SparkEntry {
     "q106_cms_bounds" -> (Sketches.q106CmsBounds _),
     "q107_suffix_dedup" -> (SuffixDedup.q107SuffixDedup _),
     "q108_curation" -> (Quality.q108Curation _),
+    "q109_remove_winnowed" -> (SpanDedup.q109RemoveWinnowed _),
+    "q110_remove_exact" -> (SuffixDedup.q110RemoveExact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  /** q100 span-derivation SQL, shared verbatim by q107: two
-    * independent algorithms (hashed grams vs literal suffix-rank
-    * classes), one contract, one oracle.
+  /** The span-dedup oracle family is COMPOSED from four shared SQL
+    * fragments — two hit-derivation heads (hashed stride-1 grams;
+    * winnowed selection) × two tails (emit merged spans; remove spans
+    * and emit the cleaned corpus) — so each of q100/q102/q104/q107/
+    * q109/q110 is one head+tail concatenation and a fix to the shared
+    * islands merge or segment walk fixes every member at once.
+    *
+    * [[hashedHitCtesSql]]: 24-char gram explode (1-based substr on
+    * both engines) + >=2-distinct-doc gate -> hits(doc_id, pos, e).
     */
-  private val spanDedupOracleSql: String =
+  private val hashedHitCtesSql: String =
     """WITH g AS (
         |  SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
         |  FROM documents,
@@ -143,8 +151,13 @@ object SparkEntry {
         |dup AS (SELECT gram FROM g GROUP BY gram
         |        HAVING count(DISTINCT doc_id) >= 2),
         |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
-        |         WHERE gram IN (SELECT gram FROM dup)),
-        |isl AS (
+        |         WHERE gram IN (SELECT gram FROM dup)),""".stripMargin
+
+  /** Gaps-and-islands merge: hits -> grp (one row per surviving gram
+    * hit, gid numbering maximal overlapping/adjacent runs per doc).
+    */
+  private val islandCtesSql: String =
+    """isl AS (
         |  SELECT doc_id, pos, e,
         |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
@@ -152,12 +165,91 @@ object SparkEntry {
         |  FROM hits),
         |grp AS (SELECT doc_id, pos, e,
         |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
-        |        FROM isl)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |        FROM isl)""".stripMargin
+
+  /** Emit-spans tail: grp -> the merged (span_start, span_end,
+    * span_len) frame, the q100/q104/q107 result shape.
+    */
+  private val spanSelectSql: String =
+    """SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(e) AS BIGINT) AS span_end,
         |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
         |FROM grp GROUP BY doc_id, gid
         |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Removal tail: grp -> the cleaned corpus. A lag-window segment
+    * walk rebuilds each document from the keep-ranges between its
+    * spans, so every byte of every cleaned document is hash-checked.
+    */
+  private val spanRemovalTailSql: String =
+    """spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |          FROM grp GROUP BY doc_id, gid),
+        |seg AS (
+        |  SELECT doc_id, span_start, span_end,
+        |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+        |             0) AS prev_end
+        |  FROM spans),
+        |cleaned AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.prev_end + 1 AS INT),
+        |        CAST(s.span_start - s.prev_end - 1 AS INT)),
+        |      '' ORDER BY s.span_start)
+        |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
+        |  FROM seg s
+        |  JOIN documents d ON d.doc_id = s.doc_id
+        |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
+        |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
+        |  GROUP BY s.doc_id, d.text, m.max_end)
+        |SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text,
+        |  CAST(length(COALESCE(c.clean, d.text)) AS INT) AS clean_len
+        |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+
+  /** q100 span-derivation SQL, shared verbatim by q107: two
+    * independent algorithms (hashed grams vs literal suffix-rank
+    * classes), one contract, one oracle.
+    */
+  private val spanDedupOracleSql: String =
+    s"$hashedHitCtesSql\n$islandCtesSql\n$spanSelectSql"
+
+  /** q102 removal SQL, shared verbatim by q110: the hash path and the
+    * suffix-exact path flag identical spans, so their cleaned corpora
+    * must be byte-identical too.
+    */
+  private val spanRemovalOracleSql: String =
+    s"$hashedHitCtesSql\n$islandCtesSql,\n$spanRemovalTailSql"
+
+  /** Winnowed hit head (q104/q109): DuckDB re-derives the SAME
+    * winnowed selection (base-131 poly hash mod 2^31-1 per 24-gram,
+    * leftmost window-min of every 8-hash window — list_position
+    * returns the first match, matching the kernel's strict-< scan);
+    * the dup GATE then keys on the LITERAL gram at each selected
+    * position (Spark: xxhash64 of the same substring — the q100
+    * injective-hash idiom), NOT the 31-bit selection fingerprint,
+    * whose ~n^2/2^32 collisions would flag never-duplicated text.
+    */
+  private val winnowedHitCtesSql: String =
+    """WITH g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, length(text)-23),
+        |    i -> list_reduce(
+        |           list_transform(generate_series(0,23),
+        |             j -> CAST(ascii(text[i+j:i+j]) AS BIGINT)),
+        |           (acc, c) -> (acc * 131 + c) % 2147483647)) AS gh
+        |  FROM documents WHERE length(text) >= 31),
+        |sel AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(u.j + list_position(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)],
+        |      list_min(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)])) - 1
+        |      AS BIGINT) AS pos
+        |  FROM g, unnest(generate_series(1, CAST(len(gh) AS BIGINT) - 7)) AS u(j)),
+        |selg AS (
+        |  SELECT s.doc_id, s.pos,
+        |    substr(d.text, CAST(s.pos AS INT), 24) AS gram
+        |  FROM sel s JOIN documents d USING (doc_id)),
+        |dup AS (SELECT gram FROM selg GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM selg
+        |         WHERE gram IN (SELECT gram FROM dup)),""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // exact substring dedup: the FULL pipeline re-derived relationally —
@@ -181,46 +273,11 @@ object SparkEntry {
     // span REMOVAL (the consuming half of q100): same span derivation,
     // then a lag-window segment walk rebuilds each cleaned document —
     // every byte of the cleaned corpus is hash-checked
-    "q102_remove_spans" ->
-      """WITH g AS (
-        |  SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
-        |  FROM documents,
-        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |dup AS (SELECT gram FROM g GROUP BY gram
-        |        HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
-        |         WHERE gram IN (SELECT gram FROM dup)),
-        |isl AS (
-        |  SELECT doc_id, pos, e,
-        |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM hits),
-        |grp AS (SELECT doc_id, pos, e,
-        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
-        |        FROM isl),
-        |spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
-        |          FROM grp GROUP BY doc_id, gid),
-        |seg AS (
-        |  SELECT doc_id, span_start, span_end,
-        |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
-        |             0) AS prev_end
-        |  FROM spans),
-        |cleaned AS (
-        |  SELECT s.doc_id,
-        |    string_agg(substr(d.text, CAST(s.prev_end + 1 AS INT),
-        |        CAST(s.span_start - s.prev_end - 1 AS INT)),
-        |      '' ORDER BY s.span_start)
-        |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
-        |  FROM seg s
-        |  JOIN documents d ON d.doc_id = s.doc_id
-        |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
-        |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
-        |  GROUP BY s.doc_id, d.text, m.max_end)
-        |SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text,
-        |  CAST(length(COALESCE(c.clean, d.text)) AS INT) AS clean_len
-        |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q102_remove_spans" -> spanRemovalOracleSql,
+    // q110: SAME oracle — the suffix-exact spans are q100's spans
+    // (q107's shared oracle), so the cleaned corpus must be
+    // byte-identical to q102's
+    "q110_remove_exact" -> spanRemovalOracleSql,
     // bounds check for the MinHash candidate path (q76/q88 pattern):
     // recall vs the exact 5-shingle Jaccard pairs at sim >= 0.6 is
     // deterministic under the fixed seed; the oracle pins the contract
@@ -236,41 +293,12 @@ object SparkEntry {
     // would flag never-duplicated text; same islands merge, so every
     // winnowed span boundary is hash-checked
     "q104_winnowed_spans" ->
-      """WITH g AS (
-        |  SELECT doc_id, list_transform(generate_series(1, length(text)-23),
-        |    i -> list_reduce(
-        |           list_transform(generate_series(0,23),
-        |             j -> CAST(ascii(text[i+j:i+j]) AS BIGINT)),
-        |           (acc, c) -> (acc * 131 + c) % 2147483647)) AS gh
-        |  FROM documents WHERE length(text) >= 31),
-        |sel AS (
-        |  SELECT DISTINCT doc_id,
-        |    CAST(u.j + list_position(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)],
-        |      list_min(gh[CAST(u.j AS INT):CAST(u.j + 7 AS INT)])) - 1
-        |      AS BIGINT) AS pos
-        |  FROM g, unnest(generate_series(1, CAST(len(gh) AS BIGINT) - 7)) AS u(j)),
-        |selg AS (
-        |  SELECT s.doc_id, s.pos,
-        |    substr(d.text, CAST(s.pos AS INT), 24) AS gram
-        |  FROM sel s JOIN documents d USING (doc_id)),
-        |dup AS (SELECT gram FROM selg GROUP BY gram
-        |        HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM selg
-        |         WHERE gram IN (SELECT gram FROM dup)),
-        |isl AS (
-        |  SELECT doc_id, pos, e,
-        |    CASE WHEN pos > COALESCE(max(e) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM hits),
-        |grp AS (SELECT doc_id, pos, e,
-        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
-        |        FROM isl)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(e) AS BIGINT) AS span_end,
-        |  CAST(max(e) - min(pos) + 1 AS BIGINT) AS span_len
-        |FROM grp GROUP BY doc_id, gid
-        |ORDER BY doc_id, span_start""".stripMargin,
+      s"$winnowedHitCtesSql\n$islandCtesSql\n$spanSelectSql",
+    // q109: the winnowed spans CONSUMED — same winnowed derivation,
+    // then the shared removal tail; every byte of the scale variant's
+    // cleaned corpus is hash-checked like q102's
+    "q109_remove_winnowed" ->
+      s"$winnowedHitCtesSql\n$islandCtesSql,\n$spanRemovalTailSql",
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -227,4 +227,23 @@ object SpanDedup {
     winnowedDupSpans(Sources.documents(spark, dir), gramLen = 24, window = 8,
       minDocs = 2)
       .orderBy(col("doc_id"), col("span_start"))
+
+  /** ORACLED exercise (q109): the cleaned corpus under the WINNOWED
+    * span list — [[removeSpans]] composed with [[winnowedDupSpans]]
+    * (q104's spans), so the scale variant's removal is consumed
+    * end-to-end exactly like q102 consumes q100's: every byte of every
+    * cleaned document hash-checked against the DuckDB re-derivation of
+    * the same winnowed selection + segment walk. Winnowed spans are
+    * sub-intervals of the exact ones (the documented recall trade), so
+    * this is the corpus a throughput-bound pipeline would actually
+    * emit.
+    */
+  def q109RemoveWinnowed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    removeSpans(docs,
+        winnowedDupSpans(docs, gramLen = 24, window = 8, minDocs = 2))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -277,4 +277,21 @@ object SuffixDedup {
     dupSpansExact(Sources.documents(spark, dir), gramLen = 24, minDocs = 2,
         cacheKey = Some(dir))
       .orderBy(col("doc_id"), col("span_start"))
+
+  /** ORACLED exercise (q110): the cleaned corpus under the
+    * SUFFIX-EXACT span list — [[SpanDedup.removeSpans]] composed with
+    * [[dupSpansExact]], closing the loop for the collision-free path
+    * the way q102 closes it for the hash path. The spans are provably
+    * identical to q100's (q107's shared oracle), so the oracle is
+    * q102's removal SQL verbatim: every byte of the audit-grade
+    * cleaned corpus is hash-checked end-to-end.
+    */
+  def q110RemoveExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    SpanDedup.removeSpans(docs,
+        dupSpansExact(docs, gramLen = 24, minDocs = 2, cacheKey = Some(dir)))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
 }
