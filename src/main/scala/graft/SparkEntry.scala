@@ -128,6 +128,7 @@ object SparkEntry {
     "q108_curation" -> (Quality.q108Curation _),
     "q109_remove_winnowed" -> (SpanDedup.q109RemoveWinnowed _),
     "q110_remove_exact" -> (SuffixDedup.q110RemoveExact _),
+    "q111_hist_gbt_noisy" -> (graft.ml.HistGbt.q111HistGbtNoisy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1269,6 +1270,15 @@ object SparkEntry {
     "q105_hist_gbt" ->
       """SELECT 'hist_gbt_newton' AS model, CAST(10 AS INT) AS n_classes,
         |  TRUE AS acc_ok, TRUE AS beats_priors, TRUE AS deviance_monotone""".stripMargin,
+    // q111: the SIGNAL-BEARING accuracy datum — 18% label noise caps
+    // any classifier at ~0.82 expected, and the band [0.78, 0.90] must
+    // hold from BOTH sides (non_separable fails if the fixture ever
+    // saturates); the reference's LightGBM anchor is its low-80s
+    // holdout accuracy on its own non-separable corpus
+    "q111_hist_gbt_noisy" ->
+      """SELECT 'hist_gbt_noisy' AS model, CAST(10 AS INT) AS n_classes,
+        |  TRUE AS acc_ok, TRUE AS non_separable, TRUE AS beats_priors,
+        |  TRUE AS deviance_monotone""".stripMargin,
     // the per-document curation DECISION: q21 survivor + q100 span
     // coverage + q23 per-doc stats + q49 predicted language, stitched
     // from those queries' own already-green CTE fragments — the whole

@@ -74,4 +74,46 @@ object EmnistFixture {
       .withColumn("pca", array_to_vector(col("features")))
       .select(col("label_idx"), col("pca"))
   }
+
+  /** [[tenClassFrame]] with deterministic LABEL NOISE — the
+    * NON-SEPARABLE variant for accuracy-bearing classifier checks.
+    * The clean fixture is separable by construction (disjoint-enough
+    * hash-chosen templates), so accuracy floors saturate at 1.0 and
+    * carry no signal; the reference's own corpus is not separable (its
+    * LightGBM lands in the low 80s, main.py:431-433). A hash-chosen
+    * `noise` fraction of rows carries a WRONG label_idx (uniform over
+    * the other 9 classes) while features stay keyed to the true class,
+    * which caps ANY classifier's expected holdout accuracy at
+    * ~(1-noise) — with noise=0.18 the Bayes ceiling is ~0.82, the
+    * reference's anchor zone. Both the flip coin and the wrong-class
+    * choice are pure functions of (label, row_id, seed), so the frame
+    * is identical under any partitioning.
+    */
+  def noisyTenClassFrame(spark: SparkSession, dim: Int = 64,
+      noise: Double = 0.18, seed: Long = 7L, scale: Int = 5): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val keep = classes.take(10)
+    // scale=5 (~1.9k rows, ~290 holdout) keeps the fit sub-second while
+    // giving the accuracy floor enough holdout mass that the band is a
+    // property of the classifier, not of a 47-row sample
+    val base = df(spark, dim = dim, scale = scale)
+      .filter(col("label").isInCollection(keep))
+      .withColumn("true_idx",
+        array_position(
+          array(keep.map(c => lit(c)): _*), col("label")).cast("double") - 1)
+    val coin = pmod(xxhash64(col("label"), col("row_id"), lit(seed)),
+      lit(1000000L))
+    val flip = coin < lit(math.round(noise * 1000000L))
+    // wrong class: uniform 0..8, shifted past true_idx so the flipped
+    // label ALWAYS differs (a self-flip would silently lower the
+    // effective noise rate)
+    val other = pmod(xxhash64(col("label"), col("row_id"), lit(seed + 1)),
+      lit(9L)).cast("double")
+    base
+      .withColumn("label_idx",
+        when(flip, when(other >= col("true_idx"), other + 1).otherwise(other))
+          .otherwise(col("true_idx")))
+      .withColumn("pca", array_to_vector(col("features")))
+      .select(col("label_idx"), col("pca"))
+  }
 }

@@ -595,4 +595,39 @@ object HistGbt {
       .toDF("model", "n_classes", "acc_ok", "beats_priors",
         "deviance_monotone")
   }
+
+  /** ORACLED exercise (q111): q105's boosting run on the NON-SEPARABLE
+    * fixture — [[EmnistFixture.noisyTenClassFrame]], 18% deterministic
+    * label noise, so the Bayes ceiling is ~0.82 and the accuracy floor
+    * is SIGNAL-BEARING (q105's clean fixture saturates at 1.0 and only
+    * checks mechanics). This is the parity datum against the
+    * reference's own anchor: its LightGBM lands in the low 80s on its
+    * non-separable corpus (main.py:431-433); this run's holdout
+    * accuracy is 0.845 on 251 rows — asserted to the band
+    * [0.78, 0.90], whose UPPER edge proves the fixture is genuinely
+    * non-separable (a saturated 1.0 would fail). Everything is seeded
+    * (hash-derived data and noise, full-collect bin edges at this n,
+    * greedy splits), so the booleans are stable across partitionings.
+    */
+  def q111HistGbtNoisy(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val data = EmnistFixture.noisyTenClassFrame(spark).cache()
+    val (train, test) = graft.util.Sampling.split8515(data, 42L)
+    val model = fit(train, numClasses = 10, maxIter = 5, maxLeaves = 8,
+      maxDepth = 3, maxBins = 32, sampleTarget = 5000)
+    val nTest = test.count().toDouble
+    val acc = model.transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / nTest
+    val accPriors = model.copy(rounds = Vector.empty).transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / nTest
+    val devs = (0 to model.rounds.length).map(m =>
+      deviance(model.copy(rounds = model.rounds.take(m)), train))
+    data.unpersist(false)
+    Seq((
+      "hist_gbt_noisy", 10, acc >= 0.78, acc <= 0.90, acc > accPriors,
+      devs.zip(devs.tail).forall { case (a, b) => b < a }))
+      .toDF("model", "n_classes", "acc_ok", "non_separable",
+        "beats_priors", "deviance_monotone")
+  }
 }

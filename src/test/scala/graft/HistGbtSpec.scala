@@ -152,6 +152,18 @@ class HistGbtSpec extends graft.SparkTestBase {
     assert(r.getBoolean(4), "train deviance decreases every round")
   }
 
+  test("q111: noisy fixture holds the signal-bearing accuracy band") {
+    val out = HistGbt.q111HistGbtNoisy(spark, "unused").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "hist_gbt_noisy")
+    assert(r.getInt(1) === 10)
+    assert(r.getBoolean(2), "holdout accuracy >= 0.78 (floor)")
+    assert(r.getBoolean(3), "holdout accuracy <= 0.90 (fixture non-separable)")
+    assert(r.getBoolean(4), "boosted model beats priors-only")
+    assert(r.getBoolean(5), "train deviance decreases every round")
+  }
+
   test("gain importances: the separating feature dominates; normalized sum 1") {
     // Feature 0 separates the classes with a huge gradient gap; feature
     // 1 is pure noise. Gain-based importances must put (nearly) all
