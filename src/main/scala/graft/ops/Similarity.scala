@@ -229,6 +229,82 @@ object Similarity {
     out
   }
 
+  /** The ON-DISK IVF layout behind [[q45AnnIvf]]'s scale claim,
+    * written out: the assigned corpus `partitionBy("ivf_list")` (one
+    * directory per cell, one file per cell here — at scale,
+    * `repartition(filesPerCell, ...)` inside each cell) plus the
+    * centroid table — a self-contained parquet IVF index. A probed
+    * query ([[ivfIndexTopK]]) then reads only the probed cells'
+    * DIRECTORIES: Spark's static partition pruning never lists, opens,
+    * or scans any other cell's files, which is how IVF indexes shard
+    * at 100 TB (one cell = one partition subtree). `IvfLayoutSpec`
+    * proves it with the files-touched pattern: every file a probed
+    * query reads lives under a probed `ivf_list=` directory.
+    *
+    * The pre-write `repartition(col("ivf_list"))` is the
+    * [[graft.util.Bucketing.writeBucketed]] discipline: without it
+    * every input task writes a sliver into every cell directory
+    * (tasks × cells small files).
+    */
+  def writeIvfIndex(emb: DataFrame, path: String, nLists: Int): Unit = {
+    import emb.sparkSession.implicits._
+    val (vecs, model) = unitQuantized(emb, nLists)
+    model.transform(vecs)
+      .select($"vec_id", $"label", $"unit", $"ivf_list")
+      .repartition(col("ivf_list"))
+      .write.partitionBy("ivf_list").mode("overwrite").parquet(s"$path/cells")
+    emb.sparkSession.createDataset(
+        model.clusterCenters.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    vecs.unpersist(false)
+  }
+
+  /** Rank a written index's cells for `queryVec` and return the
+    * `nProbe` best — the same assignment-score ranking as [[ivfTopK]]
+    * (argmax u·c − ‖c‖²/2 over the UNIT query), driver-side over the
+    * bounded centroid table. Public so tests and callers can turn the
+    * probe set into their own pruned scans.
+    */
+  def probedCells(spark: SparkSession, path: String, queryVec: Seq[Double],
+      nProbe: Int): Seq[Int] = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect()
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"need 1 <= nProbe <= ${centroids.length}, got $nProbe")
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val qu = if (qNorm == 0.0) queryVec else queryVec.map(_ / qNorm)
+    centroids.map { case (i, ca) =>
+        (i, ca.zip(qu).map { case (a, b) => a * b }.sum -
+          ca.map(x => x * x).sum / 2.0)
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+  }
+
+  /** Exact cosine top-k INSIDE the probed cells of a written IVF index
+    * — the query half of [[writeIvfIndex]]. The `ivf_list IN (...)`
+    * predicate is a PARTITION filter, so the scan is statically pruned
+    * to the probed directories; centroid ranking is driver-side;
+    * no shuffle at query time (TakeOrderedAndProject over the pruned
+    * scan).
+    */
+  def ivfIndexTopK(spark: SparkSession, path: String, queryVec: Seq[Double],
+      k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val probed = probedCells(spark, path, queryVec, nProbe)
+    spark.read.parquet(s"$path/cells")
+      .filter($"ivf_list".isin(probed: _*))
+      .select($"vec_id", $"label", $"ivf_list".cast("int").as("ivf_list"),
+        cosineSimilarity($"unit", typedlit(queryVec)).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(k)
+      .select($"vec_id", $"label", $"ivf_list", round($"cos", 6).as("cosine"))
+      .orderBy($"vec_id")
+  }
+
   /** L2 — near-duplicate candidate pairs via MinHashLSH over token
     * 5-shingles (HashingTF to a 2^18 binary space). Self-join touches
     * only colliding buckets; pairs deduped by (a<b). Rows-only (LSH

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The IVF partitioned-layout claim, ASSERTED (`ops/Similarity.scala`
+  * `writeIvfIndex`/`ivfIndexTopK`): writing the assigned corpus
+  * `partitionBy("ivf_list")` makes a probed query's scan statically
+  * partition-pruned — only the probed cells' files are ever touched.
+  * The files-touched pattern is LayoutSpec's z-order proof applied to
+  * the ANN index layout.
+  */
+class IvfLayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("probed IVF query touches ONLY the probed cells' files, and is exact within them") {
+    val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val base = Files.createTempDirectory("graft-ivf").toString
+    val nLists = 8
+    ops.Similarity.writeIvfIndex(emb, base, nLists)
+
+    val qv = emb.filter($"vec_id" === 0L)
+      .select(transform($"embedding", _.cast("double")))
+      .head().getSeq[Double](0)
+    val nProbe = 2
+    val probed = ops.Similarity.probedCells(spark, base, qv, nProbe)
+    assert(probed.length === nProbe)
+
+    // 1. the layout is real: one directory per non-empty cell, more
+    //    cell dirs than the probe set (pruning has something to skip)
+    val cellDirs = new java.io.File(s"$base/cells").listFiles()
+      .filter(_.getName.startsWith("ivf_list=")).map(_.getName).toSet
+    assert(cellDirs.size > nProbe, s"fixture clustered into $cellDirs")
+
+    // 2. files-touched: every file the probed scan reads lives under a
+    //    probed ivf_list= directory — the partition filter pruned the
+    //    rest at listing time, not post-scan
+    val touched = spark.read.parquet(s"$base/cells")
+      .filter($"ivf_list".isin(probed: _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(touched.nonEmpty)
+    val allowed = probed.map(c => s"/ivf_list=$c/").toSet
+    assert(touched.forall(f => allowed.exists(f.contains)),
+      s"scan touched non-probed files: ${touched.mkString("\n")}")
+    val allFiles = spark.read.parquet(s"$base/cells")
+      .select(input_file_name()).distinct().count()
+    assert(touched.length < allFiles,
+      "pruned scan must touch strictly fewer files than the full table")
+
+    // 3. the plan prunes STATICALLY: the ivf_list predicate is a
+    //    PartitionFilter on the scan, not a data filter
+    val plan = spark.read.parquet(s"$base/cells")
+      .filter($"ivf_list".isin(probed: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"),
+      s"expected a partition filter on ivf_list:\n$plan")
+
+    // 4. exact within the probed cells: the top-k equals brute force
+    //    over the SAME cells read without the pruned path
+    val got = ops.Similarity.ivfIndexTopK(spark, base, qv, k = 10, nProbe)
+      .select($"vec_id", $"cosine").as[(Long, Double)].collect().toSeq
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val brute = spark.read.parquet(s"$base/cells")
+      .where($"ivf_list".cast("int").isin(probed: _*))
+      .select($"vec_id", $"unit").as[(Long, Seq[Double])].collect()
+      .map { case (id, u) =>
+        (id, u.zip(qv).map { case (a, b) => a * b }.sum / qn)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+      .map { case (id, c) =>
+        (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      .sortBy(_._1).toSeq
+    assert(got === brute)
+  }
+}
