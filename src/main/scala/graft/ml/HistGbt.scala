@@ -154,11 +154,24 @@ object HistGbt {
       rows.foreach(_ => n.add(1L)) // count; rows is cached by caller
       math.min(1.0, sampleTarget.toDouble / math.max(1L, n.value))
     }
+    // CONTENT-keyed Bernoulli filter (advisor round 13): the previous
+    // per-partition-seeded RNG sampled by partition-local row order, so
+    // with n > sampleTarget the bin edges — and therefore the whole fit
+    // — depended on partitioning. Hashing the row's own values keeps
+    // the "deterministic under any partitioning" claim true on every
+    // path, not just the full-collect one (duplicate rows sample
+    // together — harmless for quantile edges).
     val sample =
       if (frac >= 1.0) rows.collect()
-      else rows.mapPartitionsWithIndex { (pid, it) =>
-        val rnd = new scala.util.Random(0x9E3779B9L * (pid + 1))
-        it.filter(_ => rnd.nextDouble() < frac)
+      else rows.filter { v =>
+        val arr = v.toArray
+        var h = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < arr.length) {
+          h = (h ^ java.lang.Double.doubleToLongBits(arr(i))) * 0x100000001B3L
+          i += 1
+        }
+        ((h >>> 11).toDouble / (1L << 53).toDouble) < frac
       }.collect()
     require(sample.nonEmpty, "empty training set")
     Array.tabulate(dims) { d =>
@@ -371,8 +384,43 @@ object HistGbt {
       labelCol: String = "label_idx", maxIter: Int = 10, maxLeaves: Int = 15,
       maxDepth: Int = 8, maxBins: Int = 64, learningRate: Double = 0.3,
       lambda: Double = 1.0, gamma: Double = 0.0, minChildHess: Double = 1e-3,
-      sampleTarget: Int = 20000, treeParallelism: Int = 8): Model = {
+      sampleTarget: Int = 20000, treeParallelism: Int = 8): Model =
+    fitValidated(train, numClasses, featuresCol, labelCol, maxIter, maxLeaves,
+      maxDepth, maxBins, learningRate, lambda, gamma, minChildHess,
+      sampleTarget, treeParallelism).model
+
+  /** [[fitValidated]]'s result: the (possibly truncated) model, the
+    * validation deviance after each round (index 0 = priors-only —
+    * empty when no validation frame was given), and the best round
+    * count (argmin of `valDeviance`; `model.rounds.length` when no
+    * early stopping ran).
+    */
+  final case class FitResult(model: Model, valDeviance: Vector[Double],
+      bestIter: Int)
+
+  /** [[fit]] with LightGBM-style VALIDATION TRACKING + EARLY STOPPING
+    * (the reference tunes `n_estimators` over 40–60 for exactly this
+    * trade, main.py:404-406): when `validation` is given, its mean
+    * multinomial deviance is evaluated after every round — the
+    * validation frame is binned ONCE with the training bin mapper and
+    * its score vectors advance incrementally alongside the training
+    * set's, so each evaluation is one cheap aggregate, never a
+    * full-model rescore. With `earlyStoppingRounds` = r > 0, training
+    * stops once r consecutive rounds fail to improve the best
+    * validation deviance, and the model is truncated to the best
+    * round (LightGBM's `best_iteration` contract).
+    */
+  def fitValidated(train: DataFrame, numClasses: Int,
+      featuresCol: String = "pca", labelCol: String = "label_idx",
+      maxIter: Int = 10, maxLeaves: Int = 15,
+      maxDepth: Int = 8, maxBins: Int = 64, learningRate: Double = 0.3,
+      lambda: Double = 1.0, gamma: Double = 0.0, minChildHess: Double = 1e-3,
+      sampleTarget: Int = 20000, treeParallelism: Int = 8,
+      validation: Option[DataFrame] = None,
+      earlyStoppingRounds: Int = 0): FitResult = {
     require(maxIter >= 1 && numClasses >= 2 && maxBins >= 2 && maxBins <= 256)
+    require(earlyStoppingRounds == 0 || validation.isDefined,
+      "earlyStoppingRounds needs a validation frame")
     val spark = train.sparkSession
     val sc = spark.sparkContext
 
@@ -393,26 +441,68 @@ object HistGbt {
       math.log((counts.getOrElse(k, 0L) + 1L) / total))
     val bPriors = sc.broadcast(priors)
 
-    var scored: RDD[(Array[Byte], Int, Array[Double])] = raw.map {
-      case (f, y) =>
+    def binned(rows: RDD[(MlVector, Int)]):
+        RDD[(Array[Byte], Int, Array[Double])] = {
+      val out = rows.map { case (f, y) =>
         val e = bEdges.value
         val b = new Array[Byte](e.length)
         var d = 0
         while (d < e.length) { b(d) = binOf(f(d), e(d)).toByte; d += 1 }
         (b, y, bPriors.value.clone())
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    scored.localCheckpoint()
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      out.localCheckpoint()
+      out.count()
+      out
+    }
+    var scored: RDD[(Array[Byte], Int, Array[Double])] = binned(raw)
     // materialize the binned matrix BEFORE dropping the raw cache —
     // unpersisting first would force the first round to recompute the
     // whole source scan (select + vector decode) that the persist paid
-    scored.count()
     raw.unpersist(false)
+    // the validation frame (if any) is binned with the SAME mapper and
+    // priors, so its deviance trajectory is comparable round to round
+    var scoredVal: Option[RDD[(Array[Byte], Int, Array[Double])]] =
+      validation.map { vdf =>
+        binned(vdf.select(col(featuresCol), col(labelCol).cast("int"))
+          .rdd.map(r => (r.getAs[MlVector](0), r.getInt(1))))
+      }
+    // NOTE on broadcast lifetime (advisor round 13): bEdges/bPriors
+    // (and each round's bTrees below) must NOT be destroy()'d even
+    // after the checkpoint truncates lineage — the checkpointed RDD
+    // OBJECT retains its map closure, which is re-serialized into the
+    // taskBinary of every later stage over a descendant, and
+    // serializing a destroyed broadcast throws INTERNAL_ERROR_BROADCAST
+    // (measured). Accumulation is bounded instead by reachability:
+    // markCheckpointed() clears dependencies, so each retired round's
+    // RDD — and with it the only reference to that round's broadcast —
+    // becomes unreachable as soon as the next round lands, and the
+    // ContextCleaner reclaims it. At any moment only the live rounds'
+    // broadcasts (≤ 3: edges, priors, current trees) are pinned.
+
+    // mean multinomial deviance straight off the maintained score
+    // vectors — one aggregate, no model application
+    def meanNll(rdd: RDD[(Array[Byte], Int, Array[Double])]): Double =
+      rdd.map { case (_, y, s) =>
+        val mx = s.max
+        val z = s.map(v => math.exp(v - mx)).sum
+        -(s(y) - mx - math.log(z))
+      }.mean()
 
     val pool = Executors.newFixedThreadPool(math.max(1, treeParallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val rounds = Vector.newBuilder[Array[Tree]]
-      for (_ <- 0 until maxIter) {
+      val valDevs = Vector.newBuilder[Double]
+      var bestDev = Double.MaxValue
+      var bestIter = 0
+      scoredVal.foreach { sv =>
+        val d0 = meanNll(sv)
+        valDevs += d0
+        bestDev = d0
+      }
+      var m = 0
+      var stop = false
+      while (m < maxIter && !stop) {
         // one pass: softmax probs → per-class (g, h) alongside the bins
         val withGH: RDD[(Array[Byte], Array[Double], Array[Double])] =
           scored.map { case (b, y, s) =>
@@ -445,27 +535,60 @@ object HistGbt {
         } finally withGH.unpersist(false)
         rounds += trees
 
-        // one broadcast-trees map stage updates all K scores
+        // one broadcast-trees map stage updates all K scores (train and,
+        // when present, validation — its vectors ride the same trees)
         val bTrees = sc.broadcast(trees)
         val lr = learningRate
+        def advance(cur: RDD[(Array[Byte], Int, Array[Double])]):
+            RDD[(Array[Byte], Int, Array[Double])] = {
+          val next = cur.map { case (b, y, s) =>
+            val t = bTrees.value
+            val s2 = new Array[Double](s.length)
+            var k = 0
+            while (k < s.length) {
+              s2(k) = s(k) + lr * t(k).predictBinned(b); k += 1
+            }
+            (b, y, s2)
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+          // a failure materializing the new round must release the NEW
+          // blocks and leave the var at prev so the outer finally still
+          // releases the old ones (advisor round 13: the previous shape
+          // leaked prev if this count threw)
+          try {
+            next.localCheckpoint()
+            next.count()
+          } catch { case e: Throwable => next.unpersist(false); throw e }
+          next
+        }
         val prev = scored
-        scored = scored.map { case (b, y, s) =>
-          val t = bTrees.value
-          val s2 = new Array[Double](s.length)
-          var k = 0
-          while (k < s.length) {
-            s2(k) = s(k) + lr * t(k).predictBinned(b); k += 1
-          }
-          (b, y, s2)
-        }.persist(StorageLevel.MEMORY_AND_DISK)
-        scored.localCheckpoint()
-        scored.count()
+        scored = advance(prev)
         prev.unpersist(false)
+        scoredVal.foreach { sv =>
+          scoredVal = Some(advance(sv))
+          sv.unpersist(false)
+        }
+        // bTrees is NOT destroyed here — the new scored/scoredVal RDDs'
+        // closures still reference it (see the broadcast-lifetime note
+        // above); it becomes ContextCleaner-collectable when the next
+        // round replaces them
+        m += 1
+        scoredVal.foreach { sv =>
+          val dev = meanNll(sv)
+          valDevs += dev
+          if (dev < bestDev - 1e-12) { bestDev = dev; bestIter = m }
+          else if (earlyStoppingRounds > 0 &&
+              m - bestIter >= earlyStoppingRounds) stop = true
+        }
       }
-      Model(priors, rounds.result(), learningRate, edges)
+      val all = rounds.result()
+      val truncate = earlyStoppingRounds > 0
+      val kept = if (truncate) all.take(bestIter) else all
+      FitResult(Model(priors, kept, learningRate, edges), valDevs.result(),
+        if (scoredVal.isDefined) bestIter else all.length)
     } finally {
       pool.shutdown()
       scored.unpersist(false)
+      scoredVal.foreach(_.unpersist(false))
     }
   }
 

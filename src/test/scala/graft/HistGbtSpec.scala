@@ -164,6 +164,29 @@ class HistGbtSpec extends graft.SparkTestBase {
     assert(r.getBoolean(5), "train deviance decreases every round")
   }
 
+  test("early stopping: stops at the validation minimum and truncates to it") {
+    val data = EmnistFixture.noisyTenClassFrame(spark).cache()
+    val (train, holdout) = graft.util.Sampling.split8515(data, 42L)
+    val res = HistGbt.fitValidated(train, numClasses = 10, maxIter = 40,
+      maxLeaves = 8, maxDepth = 3, maxBins = 32, sampleTarget = 5000,
+      validation = Some(holdout), earlyStoppingRounds = 3)
+    val roundsRun = res.valDeviance.length - 1 // index 0 = priors-only
+    assert(roundsRun < 40, "noisy fixture must trigger the early stop")
+    // best iteration is the argmin of the recorded trajectory; the
+    // model is truncated to exactly that many rounds, and training ran
+    // exactly `patience` rounds past it
+    val best = res.valDeviance.zipWithIndex.minBy(_._1)._2
+    assert(res.bestIter === best)
+    assert(res.model.rounds.length === res.bestIter)
+    assert(roundsRun === res.bestIter + 3)
+    // consistency: a fresh application of the truncated model scores
+    // the validation frame to the deviance the incremental vectors
+    // recorded at that round
+    val d = HistGbt.deviance(res.model, holdout)
+    assert(math.abs(d - res.valDeviance(res.bestIter)) < 1e-9)
+    data.unpersist(false)
+  }
+
   test("gain importances: the separating feature dominates; normalized sum 1") {
     // Feature 0 separates the classes with a huge gradient gap; feature
     // 1 is pure noise. Gain-based importances must put (nearly) all
