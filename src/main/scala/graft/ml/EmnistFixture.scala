@@ -115,5 +115,12 @@ object EmnistFixture {
           .otherwise(col("true_idx")))
       .withColumn("pca", array_to_vector(col("features")))
       .select(col("label_idx"), col("pca"))
+      // collapse df()'s 8·scale generation partitions back to 8: the
+      // boosting consumer runs hundreds of tiny treeAggregate jobs over
+      // this frame, and at ~2k rows their cost is TASK COUNT, not data
+      // (measured: q111 ~8 s at 40 partitions, ~3 s at 8). Fit results
+      // are partitioning-independent (content-hashed sampling,
+      // full-collect edges at this n), so this is purely a cost knob.
+      .coalesce(8)
   }
 }

@@ -391,12 +391,13 @@ object HistGbt {
 
   /** [[fitValidated]]'s result: the (possibly truncated) model, the
     * validation deviance after each round (index 0 = priors-only —
-    * empty when no validation frame was given), and the best round
-    * count (argmin of `valDeviance`; `model.rounds.length` when no
-    * early stopping ran).
+    * empty when no validation frame was given), the best round count
+    * (argmin of `valDeviance`; `model.rounds.length` when no early
+    * stopping ran), and the training deviance trajectory (same
+    * indexing — empty unless `trackTrainingDeviance`).
     */
   final case class FitResult(model: Model, valDeviance: Vector[Double],
-      bestIter: Int)
+      bestIter: Int, trainDeviance: Vector[Double] = Vector.empty)
 
   /** [[fit]] with LightGBM-style VALIDATION TRACKING + EARLY STOPPING
     * (the reference tunes `n_estimators` over 40–60 for exactly this
@@ -417,7 +418,8 @@ object HistGbt {
       lambda: Double = 1.0, gamma: Double = 0.0, minChildHess: Double = 1e-3,
       sampleTarget: Int = 20000, treeParallelism: Int = 8,
       validation: Option[DataFrame] = None,
-      earlyStoppingRounds: Int = 0): FitResult = {
+      earlyStoppingRounds: Int = 0,
+      trackTrainingDeviance: Boolean = false): FitResult = {
     require(maxIter >= 1 && numClasses >= 2 && maxBins >= 2 && maxBins <= 256)
     require(earlyStoppingRounds == 0 || validation.isDefined,
       "earlyStoppingRounds needs a validation frame")
@@ -493,6 +495,11 @@ object HistGbt {
     try {
       val rounds = Vector.newBuilder[Array[Tree]]
       val valDevs = Vector.newBuilder[Double]
+      // the TRAINING trajectory reads the training score vectors the
+      // loop maintains anyway — one tiny aggregate per round, no
+      // second binned copy of the corpus (what passing the training
+      // frame as `validation` would cost)
+      val trainDevs = Vector.newBuilder[Double]
       var bestDev = Double.MaxValue
       var bestIter = 0
       scoredVal.foreach { sv =>
@@ -500,6 +507,7 @@ object HistGbt {
         valDevs += d0
         bestDev = d0
       }
+      if (trackTrainingDeviance) trainDevs += meanNll(scored)
       var m = 0
       var stop = false
       while (m < maxIter && !stop) {
@@ -572,6 +580,7 @@ object HistGbt {
         // above); it becomes ContextCleaner-collectable when the next
         // round replaces them
         m += 1
+        if (trackTrainingDeviance) trainDevs += meanNll(scored)
         scoredVal.foreach { sv =>
           val dev = meanNll(sv)
           valDevs += dev
@@ -584,7 +593,8 @@ object HistGbt {
       val truncate = earlyStoppingRounds > 0
       val kept = if (truncate) all.take(bestIter) else all
       FitResult(Model(priors, kept, learningRate, edges), valDevs.result(),
-        if (scoredVal.isDefined) bestIter else all.length)
+        if (scoredVal.isDefined) bestIter else all.length,
+        trainDevs.result())
     } finally {
       pool.shutdown()
       scored.unpersist(false)
@@ -702,15 +712,20 @@ object HistGbt {
     import spark.implicits._
     val data = EmnistFixture.tenClassFrame(spark).cache()
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
-    val model = fit(train, numClasses = 10, maxIter = 5, maxLeaves = 8,
-      maxDepth = 3, maxBins = 32, sampleTarget = 5000)
+    // the train-deviance trajectory rides fitValidated's incremental
+    // score vectors (one cheap aggregate per round) instead of
+    // re-applying each truncated model to the corpus after the fact —
+    // HistGbtSpec pins the incremental values to fresh deviance() runs
+    val res = fitValidated(train, numClasses = 10, maxIter = 5,
+      maxLeaves = 8, maxDepth = 3, maxBins = 32, sampleTarget = 5000,
+      trackTrainingDeviance = true)
+    val model = res.model
     val nTest = test.count().toDouble
     val acc = model.transform(test)
       .filter(col("prediction") === col("label_idx")).count() / nTest
     val accPriors = model.copy(rounds = Vector.empty).transform(test)
       .filter(col("prediction") === col("label_idx")).count() / nTest
-    val devs = (0 to model.rounds.length).map(m =>
-      deviance(model.copy(rounds = model.rounds.take(m)), train))
+    val devs = res.trainDeviance
     data.unpersist(false)
     Seq((
       "hist_gbt_newton", 10, acc >= 0.9, acc > accPriors,
@@ -737,15 +752,17 @@ object HistGbt {
     import spark.implicits._
     val data = EmnistFixture.noisyTenClassFrame(spark).cache()
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
-    val model = fit(train, numClasses = 10, maxIter = 5, maxLeaves = 8,
-      maxDepth = 3, maxBins = 32, sampleTarget = 5000)
+    // incremental train-deviance trajectory, the q105 discipline
+    val res = fitValidated(train, numClasses = 10, maxIter = 5,
+      maxLeaves = 8, maxDepth = 3, maxBins = 32, sampleTarget = 5000,
+      trackTrainingDeviance = true)
+    val model = res.model
     val nTest = test.count().toDouble
     val acc = model.transform(test)
       .filter(col("prediction") === col("label_idx")).count() / nTest
     val accPriors = model.copy(rounds = Vector.empty).transform(test)
       .filter(col("prediction") === col("label_idx")).count() / nTest
-    val devs = (0 to model.rounds.length).map(m =>
-      deviance(model.copy(rounds = model.rounds.take(m)), train))
+    val devs = res.trainDeviance
     data.unpersist(false)
     Seq((
       "hist_gbt_noisy", 10, acc >= 0.78, acc <= 0.90, acc > accPriors,
