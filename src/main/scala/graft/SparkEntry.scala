@@ -129,6 +129,7 @@ object SparkEntry {
     "q109_remove_winnowed" -> (SpanDedup.q109RemoveWinnowed _),
     "q110_remove_exact" -> (SuffixDedup.q110RemoveExact _),
     "q111_hist_gbt_noisy" -> (graft.ml.HistGbt.q111HistGbtNoisy _),
+    "q112_decontaminate" -> (SpanDedup.q112Decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -300,6 +301,27 @@ object SparkEntry {
     // cleaned corpus is hash-checked like q102's
     "q109_remove_winnowed" ->
       s"$winnowedHitCtesSql\n$islandCtesSql,\n$spanRemovalTailSql",
+    // benchmark decontamination: cross-corpus containment (every 97th
+    // doc is the eval set), islands merge, per-doc rollup — the hit
+    // head swaps the cross-doc dup gate for membership in the
+    // benchmark gram set; islands CTEs shared with the q100 family
+    "q112_decontaminate" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
+        |       FROM be,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |      FROM tr,
+        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM bg)),
+        |$islandCtesSql,
+        |spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
+        |          FROM grp GROUP BY doc_id, gid)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(e2 - s + 1) AS BIGINT) AS contaminated_chars
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -98,6 +98,15 @@ object SpanDedup {
     val hits = g
       .join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + (gramLen - 1)).as("e"))
+    mergeIslands(hits)
+  }
+
+  /** Gaps-and-islands merge of a (doc_id, pos, e) hit stream into
+    * maximal per-document [span_start, span_end] intervals — the shared
+    * tail of [[duplicatedIslands]] and [[decontaminate]]. ONE window
+    * shuffle keyed by doc_id.
+    */
+  private[ops] def mergeIslands(hits: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMaxEnd = max(col("e"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -227,6 +236,57 @@ object SpanDedup {
     winnowedDupSpans(Sources.documents(spark, dir), gramLen = 24, window = 8,
       minDocs = 2)
       .orderBy(col("doc_id"), col("span_start"))
+
+  /** BENCHMARK DECONTAMINATION — the cross-corpus containment check a
+    * training pipeline runs before any eval claim (the GPT-3 appendix-C
+    * / C4-analysis recipe, re-expressed at the character-gram level):
+    * flag every TRAINING document containing any length-`gramLen` gram
+    * that occurs anywhere in the BENCHMARK set, with the contaminated
+    * positions merged to maximal spans and rolled up per document
+    * (span count + contaminated character mass — the evidence a
+    * drop/clean decision needs).
+    *
+    * Distinct from within-corpus dedup (q100 family): the gate is
+    * membership in a FOREIGN corpus's gram set, not cross-doc
+    * multiplicity.
+    *
+    * 100 TB posture: eval sets are tiny by definition, so the distinct
+    * benchmark gram-hash set is broadcast-sized and the semi join adds
+    * NO shuffle of the training gram stream (the q100 broadcast
+    * argument, strengthened — here the small side is small by
+    * construction, not just on clean corpora); the only keyed shuffle
+    * is the per-doc islands window. Training grams explode in one map
+    * stage and never outlive it.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      gramLen: Int): DataFrame = {
+    val benchHashes = grams(bench, gramLen)
+      .select(xxhash64(col("gram")).as("h")).distinct()
+    val hits = grams(train, gramLen)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
+      .join(benchHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), (col("pos") + (gramLen - 1)).as("e"))
+    mergeIslands(hits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("contaminated_chars"))
+  }
+
+  /** ORACLED exercise (q112): [[decontaminate]] with a deterministic
+    * split of the documents table — every 97th doc_id plays the
+    * benchmark set, the rest the training corpus (the fixture's
+    * planted duplicates guarantee non-vacuous contamination). DuckDB
+    * re-derives the full pipeline — both gram explodes, the
+    * containment gate, islands merge, per-doc rollup — so every span
+    * count and contaminated-character mass is hash-checked.
+    */
+  def q112Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), gramLen = 24)
+      .orderBy(col("doc_id"))
+  }
 
   /** ORACLED exercise (q109): the cleaned corpus under the WINNOWED
     * span list — [[removeSpans]] composed with [[winnowedDupSpans]]

@@ -224,6 +224,29 @@ class SpanDedupSpec extends SparkTestBase {
     assert(checked > 0) // the fixture does contain cross-doc shared runs
   }
 
+  test("decontaminate flags only benchmark containment, never train-only repeats") {
+    val shared = "the quick brown fox jumps over" // 30 chars
+    val trainRun = "zebra yak xylophone walrus vole!" // 32 chars, train-only
+    val train = Seq(
+      (1L, s"A$shared tail."),          // contaminated: shares 30 chars w/ bench
+      (2L, s"pre $trainRun mid $trainRun"), // repeats only within TRAIN
+      (3L, s"also has $trainRun here."),    // shares with doc 2, NOT with bench
+      (4L, "totally unrelated content, nothing shared anywhere at all."))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark question: $shared indeed."))
+      .toDF("doc_id", "text")
+    val got = ops.SpanDedup.decontaminate(train, bench, gramLen = 24)
+      .select($"doc_id", $"n_spans", $"contaminated_chars")
+      .as[(Long, Long, Long)].collect().toSet
+    // only doc 1 is flagged: docs 2/3 share a run with EACH OTHER but
+    // no gram with the benchmark — the containment gate, not dedup
+    assert(got.map(_._1) === Set(1L))
+    // both sides follow the planted run with a space, so the true
+    // shared run is 31 chars — the gram pass finds the maximal run,
+    // not the planted string (the SuffixDedupSpec hand-case lesson)
+    assert(got === Set((1L, 1L, 31L)))
+  }
+
   test("q100 runs on the real fixture: bounded, sorted, within-doc spans") {
     val out = ops.SpanDedup.q100SubstringDedup(spark, "/root/testdata/sf0.001")
     val rows = out.as[(Long, Long, Long, Long)].collect().toSeq
