@@ -130,6 +130,7 @@ object SparkEntry {
     "q110_remove_exact" -> (SuffixDedup.q110RemoveExact _),
     "q111_hist_gbt_noisy" -> (graft.ml.HistGbt.q111HistGbtNoisy _),
     "q112_decontaminate" -> (SpanDedup.q112Decontaminate _),
+    "q113_lm_perplexity" -> (Quality.q113LmPerplexity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,6 +323,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(e2 - s + 1) AS BIGINT) AS contaminated_chars
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet-style LM scoring: add-one-smoothed char-bigram model from
+    // every 3rd doc, bits-per-transition for the rest — DuckDB
+    // re-derives counts, smoothing, and the per-doc mean; both engines
+    // round the log2 score at 6 decimals (the cosine precedent)
+    "q113_lm_perplexity" ->
+      """WITH rb AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
+        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
+        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
+        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
+        |cb AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM documents WHERE doc_id % 3 <> 0 AND length(text) >= 2),
+        |j AS (
+        |  SELECT cb.doc_id,
+        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
+        |  FROM cb
+        |  LEFT JOIN cnt2 USING (bigram)
+        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
+        |  CROSS JOIN voc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(-avg(logp) / ln(2), 6) AS bits_per_transition
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

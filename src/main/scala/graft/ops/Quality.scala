@@ -30,6 +30,68 @@ object Quality {
   private[ops] def microRatio(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
     floor(p.cast("double") * 1e6 / q + 0.5) / 1e6
 
+  /** L6 — CCNet-style LANGUAGE-MODEL quality scoring (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data" — public): train an add-one-smoothed character
+    * BIGRAM model on a REFERENCE corpus and score every candidate
+    * document by its mean negative log₂ transition probability (bits
+    * per transition = log₂ perplexity under the reference model).
+    * Out-of-distribution documents — garbled text, boilerplate,
+    * foreign-language — score high and are what the CCNet perplexity
+    * gate buckets/drops before training. q49's classifier matches
+    * DISTINCT bigram profiles; the model here counts the full stream
+    * ([[graft.expressions.CharBigramStream]]) with multiplicity.
+    *
+    * Model, exactly (shared with the DuckDB oracle): over reference
+    * transitions ab, P(b|a) = (cnt₂(ab)+1) / (cnt₁(a)+V) with
+    * cnt₁(a) = Σ_b cnt₂(ab) and V = |distinct successor chars| —
+    * unseen contexts fall back to the uniform 1/V.
+    *
+    * 100 TB posture: the model is BOUNDED BY THE ALPHABET (≤ |Σ|²
+    * bigram rows + |Σ| context rows + 1 scalar), independent of corpus
+    * size, so all three model tables broadcast; the candidate stream
+    * is one map stage (kernel explode) + broadcast joins + one per-doc
+    * aggregate — a single keyed shuffle end to end. Scoring is
+    * embarrassingly parallel, the CCNet deployment shape.
+    */
+  def lmScore(candidates: DataFrame, reference: DataFrame): DataFrame = {
+    import candidates.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
+    val rb = reference.filter(length($"text") >= 2)
+      .select(explode(charBigramStream(lower($"text"))).as("bigram"))
+    val cnt2 = rb.groupBy($"bigram").agg(count(lit(1)).as("c2"))
+    val cnt1 = rb.groupBy(substring($"bigram", 1, 1).as("ctx"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = rb.select(
+      countDistinct(substring($"bigram", 2, 1)).as("v"))
+    candidates.filter(length($"text") >= 2)
+      .select($"doc_id", explode(charBigramStream(lower($"text"))).as("bigram"))
+      .join(broadcast(cnt2), Seq("bigram"), "left")
+      .withColumn("ctx", substring($"bigram", 1, 1))
+      .join(broadcast(cnt1), Seq("ctx"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("logp",
+        log((coalesce($"c2", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + $"v")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(-avg($"logp") / log(lit(2.0)), 6).as("bits_per_transition"))
+  }
+
+  /** ORACLED exercise (q113): [[lmScore]] with a deterministic corpus
+    * split — every 3rd doc_id trains the reference bigram model, the
+    * rest are scored. DuckDB re-derives the counts, the smoothing
+    * algebra, and the per-doc aggregate, so every document's bits
+    * score is hash-checked at 6 decimals.
+    */
+  def q113LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    lmScore(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** L6 (repetition signals) — per-document duplicate-n-gram stats, the
     * Gopher repetition filters: the fraction of word 2-grams taken by
     * the single most frequent 2-gram, and the fraction of word 3-gram

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CosineSimilarity, EmnistFeatures, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, EmnistFeatures, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -40,6 +40,12 @@ object GraftColumns {
     */
   def charBigrams(c: Column): Column =
     ExpressionUtils.column(CharBigrams(ExpressionUtils.expression(c)))
+
+  /** ALL adjacent char bigrams with multiplicity — the LM count stream
+    * (see [[graft.expressions.CharBigramStream]]).
+    */
+  def charBigramStream(c: Column): Column =
+    ExpressionUtils.column(CharBigramStream(ExpressionUtils.expression(c)))
 
   /** 64-bit token-level SimHash of a string column, map-only (see
     * [[graft.expressions.SimHash64]]).

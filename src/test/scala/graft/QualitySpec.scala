@@ -34,6 +34,42 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("lm score: out-of-distribution text costs more bits than reference-like text") {
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the lazy dog sleeps while the quick fox runs over the hill"),
+      (102L, "a quick brown dog and a lazy fox over the hills we go"))
+      .toDF("doc_id", "text")
+    val candidates = Seq(
+      (1L, "the quick brown dog jumps over the lazy fox"), // in-distribution
+      (2L, "zxqj vwkp qqzz xjvw kpzx wqjz"))               // garbled
+      .toDF("doc_id", "text")
+    val got = ops.Quality.lmScore(candidates, reference)
+      .select($"doc_id", $"bits_per_transition")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(2L) > got(1L) + 1.0,
+      s"garbled text must cost clearly more bits: $got")
+    // scores are bits: positive, and bounded by log2 of the uniform
+    // fallback's worst case (1/(V) with V <= alphabet)
+    assert(got.values.forall(b => b > 0.0 && b < 16.0))
+  }
+
+  test("lm score: bigram stream kernel matches the HOF multiplicity formulation") {
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
+    val docs = Seq((1L, "abab"), (2L, "x"), (3L, ""), (4L, "hello world"))
+      .toDF("doc_id", "text")
+    val kernel = docs.select($"doc_id",
+      charBigramStream($"text").as("b")).as[(Long, Seq[String])].collect().toMap
+    // sliding(2) is the scala-side reference semantics: all adjacent
+    // pairs in order, duplicates KEPT (what separates this from the
+    // distinct CharBigrams kernel)
+    assert(kernel(1L) === Seq("ab", "ba", "ab"))
+    assert(kernel(2L) === Seq.empty)
+    assert(kernel(3L) === Seq.empty)
+    assert(kernel(4L) === "hello world".sliding(2).toSeq)
+  }
+
   test("shared shingles: fraction of a doc's distinct 3-grams seen in any other doc") {
     withTempDocs(Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"
