@@ -78,6 +78,70 @@ object Quality {
         round(-avg($"logp") / log(lit(2.0)), 6).as("bits_per_transition"))
   }
 
+  /** [[lmScore]]'s model COLLECTED to a broadcast-friendly primitive
+    * form — legitimate precisely because the model is ALPHABET-bounded
+    * (|Σ|² bigram + |Σ| context entries + 1 scalar, independent of
+    * corpus size; the q108 "small summaries" discipline). BMP bigrams
+    * pack to a 32-bit key (a << 16 | b) over two sorted primitive
+    * arrays + binary search — the [[graft.ops.Streaming.curationStream]]
+    * sorted-array economics, no boxed maps in the broadcast.
+    * [[bits]] reproduces [[lmScore]]'s per-document score (same
+    * smoothing algebra, same lowercase normalization; parity asserted
+    * in QualitySpec/StreamingSpec at 1e-6).
+    */
+  final case class CharLm(bigramKeys: Array[Int], bigramCounts: Array[Long],
+      ctxKeys: Array[Int], ctxCounts: Array[Long], vocab: Long) {
+
+    private def lookup(keys: Array[Int], counts: Array[Long], k: Int): Long = {
+      val i = java.util.Arrays.binarySearch(keys, k)
+      if (i >= 0) counts(i) else 0L
+    }
+
+    /** Mean negative log₂ transition probability of `text` under the
+      * model — [[lmScore]]'s `bits_per_transition`, per row. Texts with
+      * no transition (< 2 chars) score 0 (they carry no evidence; the
+      * admission token floor gates them anyway).
+      */
+    def bits(text: String): Double = {
+      if (text == null || text.length < 2) return 0.0
+      val t = text.toLowerCase(java.util.Locale.ROOT)
+      var i = 0; var sum = 0.0; var n = 0
+      while (i < t.length - 1) {
+        val key = (t.charAt(i).toInt << 16) | t.charAt(i + 1).toInt
+        val c2 = lookup(bigramKeys, bigramCounts, key)
+        val c1 = lookup(ctxKeys, ctxCounts, t.charAt(i).toInt)
+        sum += math.log((c2 + 1.0) / (c1 + vocab))
+        n += 1; i += 1
+      }
+      if (n == 0) 0.0 else -(sum / n) / math.log(2.0)
+    }
+  }
+
+  /** Fit a [[CharLm]] from a reference corpus — the same count frames
+    * as [[lmScore]] (one explode + two aggregates + one distinct),
+    * collected because they are alphabet-bounded by construction.
+    */
+  def charLm(reference: DataFrame): CharLm = {
+    import reference.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
+    val rb = reference.filter(length($"text") >= 2)
+      .select(explode(charBigramStream(lower($"text"))).as("bigram"))
+      .persist()
+    val big = rb.groupBy($"bigram").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+      .map { case (b, c) => ((b.charAt(0).toInt << 16) | b.charAt(1).toInt, c) }
+      .sortBy(_._1)
+    val ctx = rb.groupBy(substring($"bigram", 1, 1).as("ctx"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+      .map { case (a, c) => (a.charAt(0).toInt, c) }
+      .sortBy(_._1)
+    val v = rb.select(countDistinct(substring($"bigram", 2, 1)))
+      .head().getLong(0)
+    rb.unpersist(false)
+    CharLm(big.map(_._1), big.map(_._2), ctx.map(_._1), ctx.map(_._2), v)
+  }
+
   /** ORACLED exercise (q113): [[lmScore]] with a deterministic corpus
     * split — every 3rd doc_id trains the reference bigram model, the
     * rest are scored. DuckDB re-derives the counts, the smoothing

@@ -258,10 +258,17 @@ object SpanDedup {
     * is the per-doc islands window. Training grams explode in one map
     * stage and never outlive it.
     */
+  /** The benchmark set's distinct gram-hash frame — [[decontaminate]]'s
+    * gate state exposed as reusable index surface (what
+    * [[Streaming.admissionStream]] broadcasts), mirroring
+    * [[dupGramHashes]] for the dedup gate.
+    */
+  def benchGramHashes(bench: DataFrame, gramLen: Int): DataFrame =
+    grams(bench, gramLen).select(xxhash64(col("gram")).as("h")).distinct()
+
   def decontaminate(train: DataFrame, bench: DataFrame,
       gramLen: Int): DataFrame = {
-    val benchHashes = grams(bench, gramLen)
-      .select(xxhash64(col("gram")).as("h")).distinct()
+    val benchHashes = benchGramHashes(bench, gramLen)
     val hits = grams(train, gramLen)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
       .join(benchHashes, Seq("h"), "left_semi")

@@ -141,6 +141,64 @@ object Streaming {
       .select($"ts", $"doc_id", $"n_tok", $"dup_coverage", $"keep")
   }
 
+  /** STREAMING ADMISSION — [[curationStream]] extended to the full
+    * pre-training gate a crawl pipeline runs per incoming document,
+    * each signal probing STATIC broadcast state built by a prior batch
+    * pass:
+    *
+    *   - exact-dup suppression + duplicate-span coverage: exactly
+    *     [[curationStream]]'s kernels (watermarked first-arrival-wins
+    *     dedup; [[gramCoverage]] vs the q100 dup-gram set);
+    *   - benchmark DECONTAMINATION (q112's gate, per row): the SAME
+    *     [[gramCoverage]] kernel probing the BENCHMARK gram-hash set —
+    *     contaminated character mass, islands-merged, no new kernel;
+    *   - LM quality (q113's gate, per row): bits-per-transition under
+    *     the broadcast [[Quality.CharLm]] — alphabet-bounded model,
+    *     so the broadcast is small at ANY reference-corpus size.
+    *
+    * keep = token floor AND coverage cap AND zero contamination AND
+    * bits cap. The stream's only state remains the dedup buffer; all
+    * four signals are map-stage probes of broadcast state — decisions
+    * emit immediately in append mode, the same economics at any rate.
+    */
+  def admissionStream(docs: DataFrame, dupGrams: Array[Long],
+      benchGrams: Array[Long], lm: Quality.CharLm, gramLen: Int = 24,
+      minTok: Int = 5, maxCoverage: Double = 0.5,
+      maxBits: Double = 6.0): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val sortedDup = dupGrams.clone(); java.util.Arrays.sort(sortedDup)
+    val sortedBench = benchGrams.clone(); java.util.Arrays.sort(sortedBench)
+    val bDup = sc.broadcast(sortedDup)
+    val bBench = sc.broadcast(sortedBench)
+    val bLm = sc.broadcast(lm)
+    val cov = udf { text: String =>
+      if (text == null) 0L else gramCoverage(text, bDup.value, gramLen)
+    }
+    val contam = udf { text: String =>
+      if (text == null) 0L else gramCoverage(text, bBench.value, gramLen)
+    }
+    val bits = udf { text: String =>
+      BigDecimal(bLm.value.bits(text))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val toks = split($"text", " ")
+    docs
+      .withColumn("th", xxhash64($"text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("th")
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("dup_coverage",
+        Quality.microRatio(cov($"text"), length($"text")))
+      .withColumn("contaminated_chars", contam($"text"))
+      .withColumn("lm_bits", bits($"text"))
+      .withColumn("keep",
+        $"n_tok" >= minTok && $"dup_coverage" <= maxCoverage &&
+          $"contaminated_chars" === 0L && $"lm_bits" <= maxBits)
+      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage",
+        $"contaminated_chars", $"lm_bits", $"keep")
+  }
+
   /** Characters of `text` covered by length-`gramLen` grams whose
     * xxhash64 (seed 42 over UTF-8 bytes — bit-identical to Spark's
     * `xxhash64(substr(...))`, asserted in StreamingSpec) is in the

@@ -70,6 +70,29 @@ class QualitySpec extends SparkTestBase {
     assert(kernel(4L) === "hello world".sliding(2).toSeq)
   }
 
+  test("CharLm.bits reproduces the batch lmScore per document") {
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "The Lazy Dog sleeps WHILE the quick fox runs over the hill"))
+      .toDF("doc_id", "text")
+    val candidates = Seq(
+      (1L, "the quick brown dog jumps over the lazy fox"),
+      (2L, "zxqj vwkp qqzz xjvw kpzx wqjz"),
+      (3L, "MIXED Case Text With The Usual Words Again"))
+      .toDF("doc_id", "text")
+    val batch = ops.Quality.lmScore(candidates, reference)
+      .select($"doc_id", $"bits_per_transition")
+      .as[(Long, Double)].collect().toMap
+    val lm = ops.Quality.charLm(reference)
+    candidates.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(math.abs(lm.bits(text) - batch(id)) < 1e-6,
+        s"doc $id: kernel ${lm.bits(text)} vs batch ${batch(id)}")
+    }
+    // degenerate inputs score 0, not NaN
+    assert(lm.bits(null) === 0.0)
+    assert(lm.bits("x") === 0.0)
+  }
+
   test("shared shingles: fraction of a doc's distinct 3-grams seen in any other doc") {
     withTempDocs(Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"

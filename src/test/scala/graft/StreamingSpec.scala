@@ -673,6 +673,74 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming admission: contamination and LM bits gate alongside coverage") {
+    implicit val sql = spark.sqlContext
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = Seq(
+      (100L, s"ref one $shared ref one tail"),
+      (101L, s"ref two $shared ref two tail")).toDF("doc_id", "text")
+    val dupSet = ops.SpanDedup.dupGramHashes(ref, gramLen = 24)
+      .as[Long].collect()
+    val benchRun = "held out benchmark question about arithmetic sums"
+    val bench = Seq((200L, s"Q: $benchRun A: forty-two"))
+      .toDF("doc_id", "text")
+    val benchSet = ops.SpanDedup.benchGramHashes(bench, gramLen = 24)
+      .as[Long].collect()
+    // LM reference: plain English-like text, so garbled strings score
+    // far above the cap while normal sentences stay under it
+    val lmRef = Seq(
+      (300L, "plenty of plain reference words repeated over and over here"),
+      (301L, "more plain reference words with the usual letters in them"))
+      .toDF("doc_id", "text")
+    val lm = ops.Quality.charLm(lmRef)
+    val cleanText = "plain words over and over with the usual letters here"
+    val garbled = "zq zq vk vk xj xj wp wp zq vk xj wp zq vk xj wp"
+    assert(lm.bits(cleanText) < lm.bits(garbled))
+    val maxBits = (lm.bits(cleanText) + lm.bits(garbled)) / 2
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.admissionStream(input.toDF(), dupSet, benchSet,
+        lm, maxBits = maxBits)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(
+        TDoc(1L, cleanText, Timestamp.valueOf("2024-01-01 10:00:00")),
+        // contains a full benchmark run -> contaminated -> dropped
+        TDoc(2L, s"training doc quoting $benchRun verbatim inside",
+          Timestamp.valueOf("2024-01-01 10:01:00")),
+        // out-of-distribution under the LM -> dropped
+        TDoc(3L, garbled, Timestamp.valueOf("2024-01-01 10:02:00")),
+        // mostly the shared dup run -> coverage gate -> dropped
+        TDoc(4L, s"x $shared y", Timestamp.valueOf("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val rows = spark.table("admission")
+        .select($"doc_id", $"contaminated_chars", $"lm_bits", $"keep")
+        .as[(Long, Long, Double, Boolean)].collect()
+        .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+      assert(rows(1L)._3 === true, "clean doc must pass every gate")
+      assert(rows(1L)._1 === 0L)
+      assert(rows(2L)._3 === false, "benchmark containment must gate")
+      assert(rows(2L)._1 >= benchRun.length,
+        "contaminated mass must cover at least the quoted run")
+      assert(rows(3L)._3 === false, "LM bits must gate")
+      assert(rows(3L)._2 > maxBits)
+      assert(rows(4L)._3 === false, "dup coverage must still gate")
+      // per-row contamination mass equals the batch decontaminate rollup
+      val streamDocs = Seq(
+        (1L, cleanText),
+        (2L, s"training doc quoting $benchRun verbatim inside"),
+        (3L, garbled),
+        (4L, s"x $shared y")).toDF("doc_id", "text")
+      val batchContam = ops.SpanDedup.decontaminate(streamDocs, bench, 24)
+        .select($"doc_id", $"contaminated_chars")
+        .as[(Long, Long)].collect().toMap
+      rows.foreach { case (id, (mass, _, _)) =>
+        assert(mass === batchContam.getOrElse(id, 0L), s"doc $id")
+      }
+    }
+  }
+
   test("streaming curation: first arrival wins, coverage gates the keep") {
     implicit val sql = spark.sqlContext
     val shared = "the quick brown fox jumps over the lazy dog again and again"
