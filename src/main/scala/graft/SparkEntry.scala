@@ -131,6 +131,7 @@ object SparkEntry {
     "q111_hist_gbt_noisy" -> (graft.ml.HistGbt.q111HistGbtNoisy _),
     "q112_decontaminate" -> (SpanDedup.q112Decontaminate _),
     "q113_lm_perplexity" -> (Quality.q113LmPerplexity _),
+    "q114_admission" -> (Quality.q114Admission _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -349,6 +350,61 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
         |  round(-avg(logp) / ln(2), 6) AS bits_per_transition
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // batch admission capstone: q112's contamination CTEs + q113's LM
+    // CTEs (candidates = the training split) + the q108 survivor /
+    // token-stats fragments, composed into the per-doc keep/drop frame
+    // the streaming admission arm computes per row
+    "q114_admission" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
+        |       FROM be,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |      FROM tr,
+        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM bg)),
+        |$islandCtesSql,
+        |cspans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
+        |           FROM grp GROUP BY doc_id, gid),
+        |contam AS (SELECT doc_id, sum(e2 - s + 1) AS contaminated_chars
+        |           FROM cspans GROUP BY doc_id),
+        |rb AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
+        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
+        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
+        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
+        |cb AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM tr WHERE length(text) >= 2),
+        |j AS (
+        |  SELECT cb.doc_id,
+        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
+        |  FROM cb
+        |  LEFT JOIN cnt2 USING (bigram)
+        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
+        |  CROSS JOIN voc),
+        |lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
+        |       FROM j GROUP BY doc_id),
+        |surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
+        |stats AS (SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM tr)
+        |SELECT d.doc_id, d.n_tok,
+        |  CAST(COALESCE(c.contaminated_chars, 0) AS BIGINT) AS contaminated_chars,
+        |  COALESCE(l.lm_bits, 0.0) AS lm_bits,
+        |  d.doc_id = s.survivor_id AS is_survivor,
+        |  (d.doc_id = s.survivor_id AND d.n_tok >= 5 AND
+        |   COALESCE(c.contaminated_chars, 0) = 0 AND
+        |   COALESCE(l.lm_bits, 0.0) <= 6.0) AS keep
+        |FROM stats d
+        |JOIN surv s ON d.text = s.text
+        |LEFT JOIN contam c USING (doc_id)
+        |LEFT JOIN lm l USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -156,6 +156,52 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** ORACLED exercise (q114): the batch ADMISSION decision — the
+    * gates [[graft.ops.Streaming.admissionStream]] applies per
+    * incoming document, computed for the whole candidate corpus in
+    * one plan: exact-dup survivorship (within the candidates), q112's
+    * benchmark-contamination mass, q113's LM bits, and the token
+    * floor. Complements q108 (which carries the coverage/language
+    * signals); together the two capstones and the stream arm compute
+    * the SAME decisions from the same audited pieces. No new wide
+    * shuffle: the composition joins per-doc summaries only. The
+    * oracle stitches q112's and q113's own green CTEs plus the q108
+    * survivor/stats fragments — every mass, bits value, and boolean
+    * hash-checked row-for-row.
+    */
+  def q114Admission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val contam = SpanDedup.decontaminate(cands, bench, gramLen = 24)
+    val lm = lmScore(cands, lmRef)
+    val surv = cands.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    val toks = split($"text", " ")
+    cands
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .join(contam.select($"doc_id", $"contaminated_chars"),
+        Seq("doc_id"), "left")
+      .join(lm.select($"doc_id", $"bits_per_transition"),
+        Seq("doc_id"), "left")
+      .withColumn("n_tok", size(toks).cast("long"))
+      // short docs are absent from the LM output; 0 bits matches the
+      // CharLm.bits convention (no transition = no evidence)
+      .withColumn("contaminated_chars",
+        coalesce($"contaminated_chars", lit(0L)))
+      .withColumn("lm_bits", coalesce($"bits_per_transition", lit(0.0)))
+      .withColumn("is_survivor", $"doc_id" === $"survivor_id")
+      .withColumn("keep",
+        $"is_survivor" && $"n_tok" >= 5 &&
+          $"contaminated_chars" === 0L && $"lm_bits" <= 6.0)
+      .select($"doc_id", $"n_tok", $"contaminated_chars", $"lm_bits",
+        $"is_survivor", $"keep")
+      .orderBy($"doc_id")
+  }
+
   /** L6 (repetition signals) — per-document duplicate-n-gram stats, the
     * Gopher repetition filters: the fraction of word 2-grams taken by
     * the single most frequent 2-gram, and the fraction of word 3-gram
