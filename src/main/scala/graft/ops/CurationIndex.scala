@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for the ADMISSION-GATE state ([[Streaming.admissionStream]]'s
+  * static side) — the M7 save/load contract applied to curation
+  * indexes: the dup-gram set (q100's first half), the benchmark
+  * gram set (q112's gate), and the [[Quality.CharLm]] bigram model
+  * (q113's gate) written as one parquet directory tree, so the state
+  * a batch pass builds on the full corpus is loadable by any later
+  * session — the batch-curates / stream-scores deployment split
+  * without recomputing a corpus-sized pass per stream start.
+  *
+  * Layout: `path/dup_grams` (one long column), `path/bench_grams`
+  * (same), `path/lm_bigrams` (key, count), `path/lm_ctx`
+  * (key, count), `path/lm_meta` (vocab scalar). Everything is
+  * columnar and inspectable with the same tools as any other table;
+  * the two gram sets are corpus-dependent but SMALL (dup grams on
+  * clean corpora, bench grams by definition), and the LM tables are
+  * alphabet-bounded.
+  */
+object CurationIndex {
+
+  final case class Index(dupGrams: Array[Long], benchGrams: Array[Long],
+      lm: Quality.CharLm)
+
+  /** Build the three gate states from their corpora and persist. The
+    * heavy work (the dup-gram aggregate over the reference corpus) is
+    * exactly q100's first half — paid once here, at layout time.
+    */
+  def write(spark: SparkSession, path: String, reference: DataFrame,
+      bench: DataFrame, lmReference: DataFrame, gramLen: Int = 24): Unit = {
+    import spark.implicits._
+    SpanDedup.dupGramHashes(reference, gramLen)
+      .write.mode("overwrite").parquet(s"$path/dup_grams")
+    SpanDedup.benchGramHashes(bench, gramLen)
+      .write.mode("overwrite").parquet(s"$path/bench_grams")
+    val lm = Quality.charLm(lmReference)
+    lm.bigramKeys.zip(lm.bigramCounts).toSeq.toDF("key", "count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_bigrams")
+    lm.ctxKeys.zip(lm.ctxCounts).toSeq.toDF("key", "count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_meta_ctx")
+    Seq(lm.vocab).toDF("vocab")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_meta")
+  }
+
+  /** Load an index written by [[write]] into the driver-side form
+    * [[Streaming.admissionStream]] broadcasts. The collects are
+    * bounded by the same arguments that let the stream broadcast
+    * them (small gram sets, alphabet-bounded model).
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    import spark.implicits._
+    val dup = spark.read.parquet(s"$path/dup_grams")
+      .as[Long].collect().sorted
+    val bench = spark.read.parquet(s"$path/bench_grams")
+      .as[Long].collect().sorted
+    val big = spark.read.parquet(s"$path/lm_bigrams")
+      .select($"key", $"count").as[(Int, Long)].collect().sortBy(_._1)
+    val ctx = spark.read.parquet(s"$path/lm_meta_ctx")
+      .select($"key", $"count").as[(Int, Long)].collect().sortBy(_._1)
+    val vocab = spark.read.parquet(s"$path/lm_meta")
+      .select($"vocab").as[Long].head()
+    Index(dup, bench,
+      Quality.CharLm(big.map(_._1), big.map(_._2),
+        ctx.map(_._1), ctx.map(_._2), vocab))
+  }
+}

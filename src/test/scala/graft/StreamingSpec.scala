@@ -741,6 +741,31 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("curation index round-trips: a loaded index yields identical admission state") {
+    val ref = Seq(
+      (100L, "ref one the quick brown fox jumps over the lazy dog tail"),
+      (101L, "ref two the quick brown fox jumps over the lazy dog tail"))
+      .toDF("doc_id", "text")
+    val bench = Seq((200L, "a held out benchmark question about arithmetic"))
+      .toDF("doc_id", "text")
+    val lmRef = Seq((300L, "plain reference words with the usual letters"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-curidx").toString
+    ops.CurationIndex.write(spark, base, ref, bench, lmRef)
+    val idx = ops.CurationIndex.load(spark, base)
+    // gram sets equal the frames they were built from
+    assert(idx.dupGrams.toSeq ===
+      ops.SpanDedup.dupGramHashes(ref, 24).as[Long].collect().sorted.toSeq)
+    assert(idx.benchGrams.toSeq ===
+      ops.SpanDedup.benchGramHashes(bench, 24).as[Long].collect().sorted.toSeq)
+    assert(idx.dupGrams.nonEmpty && idx.benchGrams.nonEmpty)
+    // the loaded LM scores every probe identically to a fresh fit
+    val fresh = ops.Quality.charLm(lmRef)
+    Seq("plain words again", "zxqj vwkp", "The Usual LETTERS").foreach { t =>
+      assert(idx.lm.bits(t) === fresh.bits(t), t)
+    }
+  }
+
   test("streaming curation: first arrival wins, coverage gates the keep") {
     implicit val sql = spark.sqlContext
     val shared = "the quick brown fox jumps over the lazy dog again and again"
