@@ -247,6 +247,40 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got === Set((1L, 1L, 31L)))
   }
 
+  test("decontaminate matches a brute-force oracle on a random small corpus") {
+    // same adversarial 3-letter alphabet as the dupSpans property test:
+    // heavy gram collisions exercise the containment gate, islands
+    // merge, and rollup together
+    val L = 5
+    val rnd = new scala.util.Random(11)
+    def doc() = (0 until (20 + rnd.nextInt(60)))
+      .map(_ => "abc" (rnd.nextInt(3))).mkString
+    val trainRows = (0L until 30L).map(i => i -> doc())
+    val benchRows = (100L until 104L).map(i => i -> doc())
+    val benchGrams = benchRows.flatMap { case (_, t) =>
+      (0 to t.length - L).map(p => t.substring(p, p + L)) }.toSet
+    val expected = trainRows.flatMap { case (id, t) =>
+      val hits = (0 to t.length - L).map(p => (p + 1, t.substring(p, p + L)))
+        .filter(h => benchGrams(h._2))
+        .map(h => (h._1.toLong, h._1.toLong + L - 1))
+      if (hits.isEmpty) None
+      else {
+        val merged = hits.drop(1).foldLeft(Vector(hits.head)) { (acc, cur) =>
+          val (s, e) = acc.last
+          if (cur._1 <= e + 1) acc.init :+ ((s, math.max(e, cur._2)))
+          else acc :+ cur
+        }
+        Some((id, merged.size.toLong, merged.map { case (s, e) => e - s + 1 }.sum))
+      }
+    }.sortBy(_._1)
+    val got = ops.SpanDedup.decontaminate(
+        docs(trainRows: _*), docs(benchRows: _*), gramLen = L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "3-letter corpus must contaminate")
+  }
+
   test("q100 runs on the real fixture: bounded, sorted, within-doc spans") {
     val out = ops.SpanDedup.q100SubstringDedup(spark, "/root/testdata/sf0.001")
     val rows = out.as[(Long, Long, Long, Long)].collect().toSeq
