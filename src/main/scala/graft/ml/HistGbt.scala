@@ -465,8 +465,15 @@ object HistGbt {
     // priors, so its deviance trajectory is comparable round to round
     var scoredVal: Option[RDD[(Array[Byte], Int, Array[Double])]] =
       validation.map { vdf =>
-        binned(vdf.select(col(featuresCol), col(labelCol).cast("int"))
+        val sv = binned(vdf.select(col(featuresCol), col(labelCol).cast("int"))
           .rdd.map(r => (r.getAs[MlVector](0), r.getInt(1))))
+        // an empty holdout would otherwise surface as an opaque
+        // "empty collection" from RDD.mean() inside the first
+        // deviance evaluation
+        require(!sv.isEmpty(),
+          "fitValidated: validation frame has no rows — early stopping " +
+            "needs a non-empty holdout")
+        sv
       }
     // NOTE on broadcast lifetime (advisor round 13): bEdges/bPriors
     // (and each round's bTrees below) must NOT be destroy()'d even

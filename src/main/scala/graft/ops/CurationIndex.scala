@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * without recomputing a corpus-sized pass per stream start.
   *
   * Layout: `path/dup_grams` (one long column), `path/bench_grams`
-  * (same), `path/lm_bigrams` (key, count), `path/lm_ctx`
+  * (same), `path/lm_bigrams` (key, count), `path/lm_meta_ctx`
   * (key, count), `path/lm_meta` (vocab scalar). Everything is
   * columnar and inspectable with the same tools as any other table;
   * the two gram sets are corpus-dependent but SMALL (dup grams on

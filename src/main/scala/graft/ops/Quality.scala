@@ -57,12 +57,19 @@ object Quality {
   def lmScore(candidates: DataFrame, reference: DataFrame): DataFrame = {
     import candidates.sparkSession.implicits._
     import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
-    val rb = reference.filter(length($"text") >= 2)
+    // ONE corpus explode: the context counts and vocabulary derive
+    // from the (alphabet-bounded) bigram table — cnt₁(a) = Σ_b
+    // cnt₂(ab), V = |distinct successors| — so the reference scan
+    // runs once, not once per model table. The eager checkpoint
+    // freezes the tiny table; without it each derived aggregate would
+    // re-execute the corpus subtree (plain DataFrame reuse re-runs).
+    val cnt2 = reference.filter(length($"text") >= 2)
       .select(explode(charBigramStream(lower($"text"))).as("bigram"))
-    val cnt2 = rb.groupBy($"bigram").agg(count(lit(1)).as("c2"))
-    val cnt1 = rb.groupBy(substring($"bigram", 1, 1).as("ctx"))
-      .agg(count(lit(1)).as("c1"))
-    val vocab = rb.select(
+      .groupBy($"bigram").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val cnt1 = cnt2.groupBy(substring($"bigram", 1, 1).as("ctx"))
+      .agg(sum($"c2").as("c1"))
+    val vocab = cnt2.select(
       countDistinct(substring($"bigram", 2, 1)).as("v"))
     candidates.filter(length($"text") >= 2)
       .select($"doc_id", explode(charBigramStream(lower($"text"))).as("bigram"))
@@ -104,7 +111,7 @@ object Quality {
       */
     def bits(text: String): Double = {
       if (text == null || text.length < 2) return 0.0
-      val t = text.toLowerCase(java.util.Locale.ROOT)
+      val t = CharLm.sparkLower(text)
       var i = 0; var sum = 0.0; var n = 0
       while (i < t.length - 1) {
         val key = (t.charAt(i).toInt << 16) | t.charAt(i + 1).toInt
@@ -117,28 +124,56 @@ object Quality {
     }
   }
 
-  /** Fit a [[CharLm]] from a reference corpus — the same count frames
-    * as [[lmScore]] (one explode + two aggregates + one distinct),
-    * collected because they are alphabet-bounded by construction.
+  object CharLm {
+    /** Lowercase with Spark's EXACT `lower()` semantics so kernel and
+      * batch scores agree under ANY JVM default locale: UTF8String
+      * takes a locale-free ASCII fast path for all-ASCII strings and
+      * falls back to default-locale `String.toLowerCase` otherwise.
+      * A plain `toLowerCase(Locale.ROOT)` would diverge from the batch
+      * path on e.g. a tr-TR JVM ('I' → 'ı' on the slow path), and a
+      * plain default-locale call would diverge on ASCII text under the
+      * same locale (Spark's fast path keeps 'I' → 'i').
+      */
+    private[Quality] def sparkLower(s: String): String = {
+      var ascii = true
+      var i = 0
+      while (ascii && i < s.length) {
+        if (s.charAt(i) >= 0x80) ascii = false
+        i += 1
+      }
+      if (!ascii) s.toLowerCase()
+      else {
+        val a = s.toCharArray
+        var j = 0
+        while (j < a.length) {
+          val c = a(j)
+          if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+          j += 1
+        }
+        new String(a)
+      }
+    }
+  }
+
+  /** Fit a [[CharLm]] from a reference corpus — the same count frame
+    * as [[lmScore]]: ONE corpus explode into the bigram aggregate,
+    * collected because it is alphabet-bounded by construction; the
+    * context counts and vocabulary derive driver-side from the
+    * collected table (cnt₁(a) = Σ_b cnt₂(ab); V = |distinct
+    * successors|), costing zero extra corpus passes.
     */
   def charLm(reference: DataFrame): CharLm = {
     import reference.sparkSession.implicits._
     import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
-    val rb = reference.filter(length($"text") >= 2)
+    val big = reference.filter(length($"text") >= 2)
       .select(explode(charBigramStream(lower($"text"))).as("bigram"))
-      .persist()
-    val big = rb.groupBy($"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"bigram").agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect()
       .map { case (b, c) => ((b.charAt(0).toInt << 16) | b.charAt(1).toInt, c) }
       .sortBy(_._1)
-    val ctx = rb.groupBy(substring($"bigram", 1, 1).as("ctx"))
-      .agg(count(lit(1)).as("c"))
-      .as[(String, Long)].collect()
-      .map { case (a, c) => (a.charAt(0).toInt, c) }
-      .sortBy(_._1)
-    val v = rb.select(countDistinct(substring($"bigram", 2, 1)))
-      .head().getLong(0)
-    rb.unpersist(false)
+    val ctx = big.groupBy(_._1 >>> 16).view
+      .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
+    val v = big.map(_._1 & 0xffff).distinct.length.toLong
     CharLm(big.map(_._1), big.map(_._2), ctx.map(_._1), ctx.map(_._2), v)
   }
 

@@ -172,26 +172,31 @@ object Streaming {
     val bDup = sc.broadcast(sortedDup)
     val bBench = sc.broadcast(sortedBench)
     val bLm = sc.broadcast(lm)
-    val cov = udf { text: String =>
-      if (text == null) 0L else gramCoverage(text, bDup.value, gramLen)
-    }
-    val contam = udf { text: String =>
-      if (text == null) 0L else gramCoverage(text, bBench.value, gramLen)
-    }
-    val bits = udf { text: String =>
-      BigDecimal(bLm.value.bits(text))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ONE text pass per row: both gram sets probe the same encoded
+    // bytes / gram hashes ([[gramCoverageMulti]]) and the LM walk
+    // rides the same UDF call — three separate UDFs would re-encode
+    // and re-hash the document per signal on the streaming hot path
+    val gates = udf { text: String =>
+      if (text == null) (0L, 0L, 0.0)
+      else {
+        val cov = gramCoverageMulti(text,
+          Array(bDup.value, bBench.value), gramLen)
+        val bits = BigDecimal(bLm.value.bits(text))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cov(0), cov(1), bits)
+      }
     }
     val toks = split($"text", " ")
     docs
       .withColumn("th", xxhash64($"text"))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("th")
+      .withColumn("g", gates($"text"))
       .withColumn("n_tok", size(toks).cast("long"))
       .withColumn("dup_coverage",
-        Quality.microRatio(cov($"text"), length($"text")))
-      .withColumn("contaminated_chars", contam($"text"))
-      .withColumn("lm_bits", bits($"text"))
+        Quality.microRatio($"g._1", length($"text")))
+      .withColumn("contaminated_chars", $"g._2")
+      .withColumn("lm_bits", $"g._3")
       .withColumn("keep",
         $"n_tok" >= minTok && $"dup_coverage" <= maxCoverage &&
           $"contaminated_chars" === 0L && $"lm_bits" <= maxBits)
@@ -212,8 +217,21 @@ object Streaming {
     * walking the String instead would desync on unpaired surrogates).
     */
   private[graft] def gramCoverage(text: String, dupGrams: Array[Long],
-      gramLen: Int): Long = {
+      gramLen: Int): Long =
+    gramCoverageMulti(text, Array(dupGrams), gramLen)(0)
+
+  /** [[gramCoverage]] against SEVERAL hash sets in one pass: the text
+    * is UTF-8-encoded once, the offset table built once, and each
+    * gram hashed ONCE, with one binary-search probe and one island
+    * cursor per set — what lets [[admissionStream]] score the dup set
+    * and the benchmark set per row without reprocessing the document
+    * twice. Returns one covered-character count per set, in order.
+    */
+  private[graft] def gramCoverageMulti(text: String, sets: Array[Array[Long]],
+      gramLen: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
+    val k = sets.length
+    val covered = new Array[Long](k)
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // Per-code-point byte offsets derived FROM the encoded bytes (lead
     // bytes are the non-continuation ones): offsets can never run past
@@ -227,7 +245,7 @@ object Streaming {
       if ((bytes(bi) & 0xC0) != 0x80) nCp += 1
       bi += 1
     }
-    if (nCp < gramLen) return 0L
+    if (nCp < gramLen) return covered
     val byteOff = new Array[Int](nCp + 1)
     var cp = 0; bi = 0
     while (bi < bytes.length) {
@@ -236,21 +254,34 @@ object Streaming {
     }
     byteOff(nCp) = bytes.length
     val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
-    var covered = 0L; var curStart = -1; var curEnd = -1
+    val curStart = Array.fill(k)(-1)
+    val curEnd = Array.fill(k)(-1)
     var p = 0
     while (p + gramLen <= nCp) {
       val off = byteOff(p)
       val h = XXH64.hashUnsafeBytes(bytes, base + off,
         byteOff(p + gramLen) - off, 42L)
-      if (java.util.Arrays.binarySearch(dupGrams, h) >= 0) {
-        val en = p + gramLen - 1
-        if (curStart < 0) { curStart = p; curEnd = en }
-        else if (p <= curEnd + 1) { curEnd = math.max(curEnd, en) }
-        else { covered += curEnd - curStart + 1; curStart = p; curEnd = en }
+      var si = 0
+      while (si < k) {
+        if (java.util.Arrays.binarySearch(sets(si), h) >= 0) {
+          val en = p + gramLen - 1
+          if (curStart(si) < 0) { curStart(si) = p; curEnd(si) = en }
+          else if (p <= curEnd(si) + 1) {
+            curEnd(si) = math.max(curEnd(si), en)
+          } else {
+            covered(si) += curEnd(si) - curStart(si) + 1
+            curStart(si) = p; curEnd(si) = en
+          }
+        }
+        si += 1
       }
       p += 1
     }
-    if (curStart >= 0) covered += curEnd - curStart + 1
+    var si = 0
+    while (si < k) {
+      if (curStart(si) >= 0) covered(si) += curEnd(si) - curStart(si) + 1
+      si += 1
+    }
     covered
   }
 

@@ -151,6 +151,17 @@ object SuffixDedup {
     * entries are a BOUNDED set (one per dataset variant) and stale
     * entries from stopped sessions are replaced on a lock-free
     * freshness check, never served.
+    *
+    * CONTRACT: `cacheKey` IS the identity assertion — the caller
+    * promises `docs` is exactly the dataset the key names (the
+    * ivfCache contract). A hit is served WITHOUT inspecting the frame,
+    * so passing a filtered/modified frame under an existing key
+    * silently returns the named dataset's classes, not the frame's.
+    * Derived frames must use a distinct key or no key at all. Size
+    * note: unlike the few-MB ANN indexes, a class table is one row per
+    * corpus CHARACTER (~34 MB at sf0.1) — still one bounded entry per
+    * named dataset, but budget for it when memoizing many datasets in
+    * one process.
     */
   private val gramClassCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -254,7 +265,9 @@ object SuffixDedup {
     case Some(k) =>
       // Named corpus: serve the class table from the memo (built once
       // per (session, dataset, L)); only the downstream dup gate +
-      // island merge run per call.
+      // island merge run per call. The key asserts `docs` IS that
+      // dataset — see the gramClassCache contract; pass None for any
+      // derived/filtered frame.
       SpanDedup.duplicatedIslands(
         gramClassesCached(docs, k, gramLen), gramLen, minDocs)
     case None =>

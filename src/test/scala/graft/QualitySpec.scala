@@ -78,7 +78,10 @@ class QualitySpec extends SparkTestBase {
     val candidates = Seq(
       (1L, "the quick brown dog jumps over the lazy fox"),
       (2L, "zxqj vwkp qqzz xjvw kpzx wqjz"),
-      (3L, "MIXED Case Text With The Usual Words Again"))
+      (3L, "MIXED Case Text With The Usual Words Again"),
+      // non-ASCII forces Spark's slow lowercase path — the kernel must
+      // take the same branch (CharLm.sparkLower) or bits diverge
+      (4L, "CAFÉ résumé QUALITÉ over the lazy dog"))
       .toDF("doc_id", "text")
     val batch = ops.Quality.lmScore(candidates, reference)
       .select($"doc_id", $"bits_per_transition")

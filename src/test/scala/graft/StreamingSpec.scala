@@ -631,6 +631,28 @@ class StreamingSpec extends SparkTestBase {
     assert(kernel === sparkH)
   }
 
+  test("multi-set coverage kernel equals per-set single calls") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = Seq(
+      (0L, s"intro $shared outro"), (1L, s"$shared different tail"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "a held out benchmark question about arithmetic"))
+      .toDF("doc_id", "text")
+    val setA = ops.SpanDedup.dupGramHashes(ref, 24).as[Long].collect().sorted
+    val setB = ops.SpanDedup.benchGramHashes(bench, 24).as[Long].collect().sorted
+    val probes = Seq(
+      s"x $shared y",
+      "training doc quoting a held out benchmark question about arithmetic",
+      s"both: $shared plus a held out benchmark question about arithmetic",
+      "neither matches anything at all in either set of grams",
+      "short")
+    probes.foreach { t =>
+      val multi = ops.Streaming.gramCoverageMulti(t, Array(setA, setB), 24)
+      assert(multi(0) === ops.Streaming.gramCoverage(t, setA, 24), t)
+      assert(multi(1) === ops.Streaming.gramCoverage(t, setB, 24), t)
+    }
+  }
+
   test("streaming curation coverage equals the batch span coverage per doc") {
     val shared = "the quick brown fox jumps over the lazy dog again and again"
     val ref = Seq(
