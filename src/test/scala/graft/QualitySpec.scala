@@ -55,6 +55,25 @@ class QualitySpec extends SparkTestBase {
     assert(got.values.forall(b => b > 0.0 && b < 16.0))
   }
 
+  test("plan shapes: q112 semi-joins broadcast; q113 model joins broadcast") {
+    val d = "/root/testdata/sf0.001"
+    val p112 = ops.SpanDedup.q112Decontaminate(spark, d)
+      .queryExecution.executedPlan.toString
+    // the benchmark gram set is tiny by construction — the containment
+    // gate must be a broadcast semi join, never a shuffle of the
+    // training gram stream
+    assert(p112.contains("BroadcastHashJoin") && p112.contains("LeftSemi"),
+      p112.linesIterator.take(30).mkString("\n"))
+    val p113 = ops.Quality.q113LmPerplexity(spark, d)
+      .queryExecution.executedPlan.toString
+    // both model joins (bigram counts, context counts) broadcast — the
+    // alphabet-bounded-model claim as a plan property; the only
+    // SortMergeJoin-free exchange left is the per-doc aggregate
+    assert(!p113.contains("SortMergeJoin"),
+      p113.linesIterator.take(30).mkString("\n"))
+    assert("BroadcastHashJoin".r.findAllIn(p113).size >= 2, p113)
+  }
+
   test("lm score: bigram stream kernel matches the HOF multiplicity formulation") {
     import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
     val docs = Seq((1L, "abab"), (2L, "x"), (3L, ""), (4L, "hello world"))
