@@ -132,6 +132,7 @@ object SparkEntry {
     "q112_decontaminate" -> (SpanDedup.q112Decontaminate _),
     "q113_lm_perplexity" -> (Quality.q113LmPerplexity _),
     "q114_admission" -> (Quality.q114Admission _),
+    "q115_remove_contaminated" -> (SpanDedup.q115RemoveContaminated _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,9 +185,12 @@ object SparkEntry {
   /** Removal tail: grp -> the cleaned corpus. A lag-window segment
     * walk rebuilds each document from the keep-ranges between its
     * spans, so every byte of every cleaned document is hash-checked.
+    * `docsRel` names the relation being cleaned — the whole table for
+    * the dedup heads, the training CTE for the containment head
+    * (q115).
     */
-  private val spanRemovalTailSql: String =
-    """spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+  private def spanRemovalTailSql(docsRel: String = "documents"): String =
+    s"""spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
         |          FROM grp GROUP BY doc_id, gid),
         |seg AS (
         |  SELECT doc_id, span_start, span_end,
@@ -200,13 +204,13 @@ object SparkEntry {
         |      '' ORDER BY s.span_start)
         |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
         |  FROM seg s
-        |  JOIN documents d ON d.doc_id = s.doc_id
+        |  JOIN $docsRel d ON d.doc_id = s.doc_id
         |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
         |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
         |  GROUP BY s.doc_id, d.text, m.max_end)
         |SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text,
         |  CAST(length(COALESCE(c.clean, d.text)) AS INT) AS clean_len
-        |FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+        |FROM $docsRel d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin
 
   /** q100 span-derivation SQL, shared verbatim by q107: two
@@ -221,7 +225,7 @@ object SparkEntry {
     * must be byte-identical too.
     */
   private val spanRemovalOracleSql: String =
-    s"$hashedHitCtesSql\n$islandCtesSql,\n$spanRemovalTailSql"
+    s"$hashedHitCtesSql\n$islandCtesSql,\n${spanRemovalTailSql()}"
 
   /** Winnowed hit head (q104/q109): DuckDB re-derives the SAME
     * winnowed selection (base-131 poly hash mod 2^31-1 per 24-gram,
@@ -302,7 +306,7 @@ object SparkEntry {
     // then the shared removal tail; every byte of the scale variant's
     // cleaned corpus is hash-checked like q102's
     "q109_remove_winnowed" ->
-      s"$winnowedHitCtesSql\n$islandCtesSql,\n$spanRemovalTailSql",
+      s"$winnowedHitCtesSql\n$islandCtesSql,\n${spanRemovalTailSql()}",
     // benchmark decontamination: cross-corpus containment (every 97th
     // doc is the eval set), islands merge, per-doc rollup — the hit
     // head swaps the cross-doc dup gate for membership in the
@@ -324,6 +328,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(e2 - s + 1) AS BIGINT) AS contaminated_chars
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // surgical decontamination: q112's containment head + the shared
+    // removal tail over the TRAINING split — the third head×tail
+    // composition; every byte of every cleaned training document
+    // hash-checked
+    // NOTE: the tail is concatenated OUTSIDE the stripMargin — its
+    // `|| substr` concat lines would otherwise lose a pipe to the
+    // outer margin strip
+    "q115_remove_contaminated" ->
+      ("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
+        |       FROM be,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |      FROM tr,
+        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM bg)),""".stripMargin +
+        s"\n$islandCtesSql,\n${spanRemovalTailSql("tr")}"),
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

@@ -266,7 +266,13 @@ object SpanDedup {
   def benchGramHashes(bench: DataFrame, gramLen: Int): DataFrame =
     grams(bench, gramLen).select(xxhash64(col("gram")).as("h")).distinct()
 
-  def decontaminate(train: DataFrame, bench: DataFrame,
+  /** The merged contaminated SPANS of every training document — the
+    * interval-level view behind [[decontaminate]]'s rollup, exposed so
+    * the removal tail can consume it ([[q115RemoveContaminated]]):
+    * surgical span excision keeps the document minus the quoted
+    * benchmark text, where the per-doc gate would drop it whole.
+    */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
       gramLen: Int): DataFrame = {
     val benchHashes = benchGramHashes(bench, gramLen)
     val hits = grams(train, gramLen)
@@ -274,10 +280,14 @@ object SpanDedup {
       .join(benchHashes, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), (col("pos") + (gramLen - 1)).as("e"))
     mergeIslands(hits)
+  }
+
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      gramLen: Int): DataFrame =
+    contaminationSpans(train, bench, gramLen)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_len")).as("contaminated_chars"))
-  }
 
   /** ORACLED exercise (q112): [[decontaminate]] with a deterministic
     * split of the documents table — every 97th doc_id plays the
@@ -292,6 +302,28 @@ object SpanDedup {
     decontaminate(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0), gramLen = 24)
+      .orderBy(col("doc_id"))
+  }
+
+  /** ORACLED exercise (q115): the SURGICALLY decontaminated corpus —
+    * [[removeSpans]] composed with [[contaminationSpans]], excising
+    * the quoted benchmark text from each training document instead of
+    * dropping the document (q114's row-level gate): the higher-recall
+    * decontamination mode when contamination is a quoted passage
+    * inside an otherwise-good document. Third head×tail composition
+    * of the span family: every hit head (cross-doc dup, winnowed,
+    * containment) now composes with both tails (flag, remove), all
+    * from the same shared SQL fragments — every byte of every cleaned
+    * training document hash-checked.
+    */
+  def q115RemoveContaminated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    val cands = docs.filter(col("doc_id") % 97 =!= 0)
+    removeSpans(cands,
+        contaminationSpans(cands, docs.filter(col("doc_id") % 97 === 0),
+          gramLen = 24))
+      .select(col("doc_id"), col("clean_text"),
+        length(col("clean_text")).as("clean_len"))
       .orderBy(col("doc_id"))
   }
 
