@@ -133,6 +133,7 @@ object SparkEntry {
     "q113_lm_perplexity" -> (Quality.q113LmPerplexity _),
     "q114_admission" -> (Quality.q114Admission _),
     "q115_remove_contaminated" -> (SpanDedup.q115RemoveContaminated _),
+    "q116_shipped_corpus" -> (Quality.q116ShippedCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -347,6 +348,87 @@ object SparkEntry {
         |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
         |         WHERE gram IN (SELECT gram FROM bg)),""".stripMargin +
         s"\n$islandCtesSql,\n${spanRemovalTailSql("tr")}"),
+    // the corpus that ships, end to end: survivor + token-floor + LM
+    // gates (q114's, minus the contamination row-drop), surgical
+    // excision of benchmark text from the admitted docs (q115), then
+    // q92's packing of the CLEANED text — every token count and
+    // example boundary of the final training corpus hash-checked
+    "q116_shipped_corpus" ->
+      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+        |rb AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
+        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
+        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
+        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
+        |cb AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM tr WHERE length(text) >= 2),
+        |j AS (
+        |  SELECT cb.doc_id,
+        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
+        |  FROM cb
+        |  LEFT JOIN cnt2 USING (bigram)
+        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
+        |  CROSS JOIN voc),
+        |lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
+        |       FROM j GROUP BY doc_id),
+        |surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
+        |kept AS (
+        |  SELECT d.doc_id, d.text FROM tr d
+        |  JOIN surv s ON d.text = s.text
+        |  LEFT JOIN lm l ON l.doc_id = d.doc_id
+        |  WHERE d.doc_id = s.survivor_id
+        |    AND len(string_split(d.text, ' ')) >= 5
+        |    AND COALESCE(l.lm_bits, 0.0) <= 6.0),
+        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
+        |       FROM be,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |      FROM kept,
+        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM bg)),
+        |$islandCtesSql,
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |          FROM grp GROUP BY doc_id, gid),
+        |seg AS (
+        |  SELECT doc_id, span_start, span_end,
+        |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+        |             0) AS prev_end
+        |  FROM spans),
+        |cleanedagg AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.prev_end + 1 AS INT),
+        |        CAST(s.span_start - s.prev_end - 1 AS INT)),
+        |      '' ORDER BY s.span_start)
+        |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
+        |  FROM seg s
+        |  JOIN kept d ON d.doc_id = s.doc_id
+        |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
+        |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
+        |  GROUP BY s.doc_id, d.text, m.max_end),
+        |cleaned AS (
+        |  SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text
+        |  FROM kept d LEFT JOIN cleanedagg c ON c.doc_id = d.doc_id),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM cleaned),
+        |cp AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS first_example,
+        |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((cum_before + n_tokens - 1) // 512
+        |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
+        |FROM cp ORDER BY doc_id""".stripMargin,
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

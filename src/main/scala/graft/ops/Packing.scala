@@ -30,7 +30,7 @@ object Packing {
     */
   private val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
-  private def bpeishCount(text: Column): Column =
+  private[ops] def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
 
   /** Deterministic train/val/test assignment: bucket = the first 8 md5

@@ -237,6 +237,62 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** ORACLED exercise (q116): the corpus that SHIPS — the full
+    * pipeline end to end in one plan. Gates: exact-dup survivorship,
+    * token floor, q113's LM cap (contamination handled by EXCISION
+    * rather than q114's row drop — the higher-recall mode); then
+    * q115's surgical removal of quoted benchmark text from the
+    * admitted documents; then q92's sequence packing of the CLEANED
+    * text into 512-token examples via the distributed prefix sum.
+    * Output is q92's shape over the shipped corpus: per surviving
+    * document, its token count and the packed-example range it lands
+    * in. Every stage reuses an audited component; the oracle stitches
+    * their green CTEs (LM + survivor + containment + removal walk +
+    * packing) so every token count and example boundary of the final
+    * training corpus is hash-checked.
+    *
+    * 100 TB posture is the union of its parts: broadcast-gated map
+    * stages (containment, LM), per-doc keyed aggregates/joins of
+    * small summaries, the grouped removal walk, and the two-scan
+    * distributed prefix sum — no new shuffle class beyond the
+    * components'.
+    */
+  def q116ShippedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val surv = cands.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    val lm = lmScore(cands, docs.filter($"doc_id" % 3 === 0))
+      .select($"doc_id", $"bits_per_transition")
+    // kept feeds BOTH removal sides (gram stream + join-back) and
+    // cleaned feeds the prefix sum's two passes — plain DataFrame
+    // reuse would re-execute the gate/removal subtrees per reference
+    // (the gramClassesWithHandles persist discipline); the small
+    // output is frozen eagerly so both persists release before return
+    val kept = cands
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .join(lm, Seq("doc_id"), "left")
+      .filter($"doc_id" === $"survivor_id" &&
+        size(split($"text", " ")) >= 5 &&
+        coalesce($"bits_per_transition", lit(0.0)) <= 6.0)
+      .select($"doc_id", $"text")
+      .persist()
+    val cleaned = SpanDedup.removeSpans(kept,
+        SpanDedup.contaminationSpans(kept, bench, gramLen = 24))
+      .select($"doc_id", $"clean_text")
+      .persist()
+    val out = Packing.sequencePack(cleaned, "doc_id",
+        Packing.bpeishCount($"clean_text"), 512L)
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    kept.unpersist(false)
+    cleaned.unpersist(false)
+    out
+  }
+
   /** L6 (repetition signals) — per-document duplicate-n-gram stats, the
     * Gopher repetition filters: the fraction of word 2-grams taken by
     * the single most frequent 2-gram, and the fraction of word 3-gram
