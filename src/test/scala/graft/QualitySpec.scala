@@ -55,6 +55,16 @@ class QualitySpec extends SparkTestBase {
     assert(got.values.forall(b => b > 0.0 && b < 16.0))
   }
 
+  test("q116 releases its persists (CacheManager empty after the capstone)") {
+    spark.catalog.clearCache()
+    val out = ops.Quality.q116ShippedCorpus(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    // kept/cleaned persist across their dual references inside the
+    // plan and must be released once the eager output checkpoint lands
+    assert(org.apache.spark.sql.graftshim.GraftColumns.cacheIsEmpty(spark),
+      "q116 leaked a persisted DataFrame")
+  }
+
   test("plan shapes: q112 semi-joins broadcast; q113 model joins broadcast") {
     val d = "/root/testdata/sf0.001"
     val p112 = ops.SpanDedup.q112Decontaminate(spark, d)
