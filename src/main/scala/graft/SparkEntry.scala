@@ -260,6 +260,62 @@ object SparkEntry {
         |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM selg
         |         WHERE gram IN (SELECT gram FROM dup)),""".stripMargin
 
+  /** Deterministic training/benchmark split shared by the containment
+    * family (q112/q114/q115/q116): every 97th doc plays the eval set.
+    * Fragments below end WITHOUT a trailing comma; compositions join
+    * with ",\n" and are concatenated OUTSIDE any stripMargin (the
+    * removal tail's `||` concat lines would lose a pipe to an outer
+    * margin strip).
+    */
+  private val trainBenchSplitSql: String =
+    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0)""".stripMargin
+
+  /** Containment hit head: the benchmark gram set gating `srcRel`'s
+    * gram stream -> hits(doc_id, pos, e). The q112 gate, shared by
+    * every oracle that flags or excises benchmark text.
+    */
+  private def containmentHitCtesSql(srcRel: String): String =
+    s"""bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
+        |       FROM be,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
+        |      FROM $srcRel,
+        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
+        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
+        |         WHERE gram IN (SELECT gram FROM bg))""".stripMargin
+
+  /** LM model + per-bigram scoring CTEs (q113/q114/q116): add-one-
+    * smoothed bigram model from every 3rd doc, log-probs for
+    * `candsRel`'s bigram stream -> j(doc_id, logp).
+    */
+  private def lmCtesSql(candsRel: String): String =
+    s"""rb AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
+        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
+        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
+        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
+        |cb AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM $candsRel AS cand_src WHERE length(text) >= 2),
+        |j AS (
+        |  SELECT cb.doc_id,
+        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
+        |  FROM cb
+        |  LEFT JOIN cnt2 USING (bigram)
+        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
+        |  CROSS JOIN voc)""".stripMargin
+
+  /** Per-doc LM rollup CTE over `j` — the bits value q114/q116 gate on
+    * (q113's own final select additionally reports n_transitions).
+    */
+  private val lmAggCteSql: String =
+    """lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
+        |       FROM j GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // exact substring dedup: the FULL pipeline re-derived relationally —
     // 24-char gram explode (1-based substr on both engines), >=2-distinct-
@@ -313,87 +369,36 @@ object SparkEntry {
     // head swaps the cross-doc dup gate for membership in the
     // benchmark gram set; islands CTEs shared with the q100 family
     "q112_decontaminate" ->
-      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
-        |       FROM be,
-        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
-        |      FROM tr,
-        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
-        |         WHERE gram IN (SELECT gram FROM bg)),
-        |$islandCtesSql,
-        |spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
+      (s"$trainBenchSplitSql,\n${containmentHitCtesSql("tr")},\n$islandCtesSql,\n" +
+        """spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
         |          FROM grp GROUP BY doc_id, gid)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(e2 - s + 1) AS BIGINT) AS contaminated_chars
-        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // surgical decontamination: q112's containment head + the shared
     // removal tail over the TRAINING split — the third head×tail
     // composition; every byte of every cleaned training document
     // hash-checked
-    // NOTE: the tail is concatenated OUTSIDE the stripMargin — its
-    // `|| substr` concat lines would otherwise lose a pipe to the
-    // outer margin strip
     "q115_remove_contaminated" ->
-      ("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
-        |       FROM be,
-        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
-        |      FROM tr,
-        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
-        |         WHERE gram IN (SELECT gram FROM bg)),""".stripMargin +
-        s"\n$islandCtesSql,\n${spanRemovalTailSql("tr")}"),
+      (s"$trainBenchSplitSql,\n${containmentHitCtesSql("tr")},\n" +
+        s"$islandCtesSql,\n${spanRemovalTailSql("tr")}"),
     // the corpus that ships, end to end: survivor + token-floor + LM
     // gates (q114's, minus the contamination row-drop), surgical
     // excision of benchmark text from the admitted docs (q115), then
     // q92's packing of the CLEANED text — every token count and
     // example boundary of the final training corpus hash-checked
     "q116_shipped_corpus" ->
-      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-        |rb AS (
-        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
-        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
-        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
-        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
-        |cb AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM tr WHERE length(text) >= 2),
-        |j AS (
-        |  SELECT cb.doc_id,
-        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
-        |  FROM cb
-        |  LEFT JOIN cnt2 USING (bigram)
-        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
-        |  CROSS JOIN voc),
-        |lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
-        |       FROM j GROUP BY doc_id),
-        |surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
+      (s"$trainBenchSplitSql,\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
+        """surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
         |kept AS (
         |  SELECT d.doc_id, d.text FROM tr d
         |  JOIN surv s ON d.text = s.text
         |  LEFT JOIN lm l ON l.doc_id = d.doc_id
         |  WHERE d.doc_id = s.survivor_id
         |    AND len(string_split(d.text, ' ')) >= 5
-        |    AND COALESCE(l.lm_bits, 0.0) <= 6.0),
-        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
-        |       FROM be,
-        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
-        |      FROM kept,
-        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
-        |         WHERE gram IN (SELECT gram FROM bg)),
-        |$islandCtesSql,
-        |spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |    AND COALESCE(l.lm_bits, 0.0) <= 6.0)""".stripMargin +
+        s",\n${containmentHitCtesSql("kept")},\n$islandCtesSql,\n" +
+        """spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
         |          FROM grp GROUP BY doc_id, gid),
         |seg AS (
         |  SELECT doc_id, span_start, span_end,
@@ -428,74 +433,28 @@ object SparkEntry {
         |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
         |  CAST((cum_before + n_tokens - 1) // 512
         |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
-        |FROM cp ORDER BY doc_id""".stripMargin,
+        |FROM cp ORDER BY doc_id""".stripMargin),
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines
     // round the log2 score at 6 decimals (the cosine precedent)
     "q113_lm_perplexity" ->
-      """WITH rb AS (
-        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
-        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
-        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
-        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
-        |cb AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM documents WHERE doc_id % 3 <> 0 AND length(text) >= 2),
-        |j AS (
-        |  SELECT cb.doc_id,
-        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
-        |  FROM cb
-        |  LEFT JOIN cnt2 USING (bigram)
-        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
-        |  CROSS JOIN voc)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+      (s"WITH ${lmCtesSql("(SELECT * FROM documents WHERE doc_id % 3 <> 0)")}\n" +
+        """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
         |  round(-avg(logp) / ln(2), 6) AS bits_per_transition
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // batch admission capstone: q112's contamination CTEs + q113's LM
     // CTEs (candidates = the training split) + the q108 survivor /
     // token-stats fragments, composed into the per-doc keep/drop frame
     // the streaming admission arm computes per row
     "q114_admission" ->
-      s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-        |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
-        |bg AS (SELECT DISTINCT substr(text, CAST(u.i AS INT), 24) AS gram
-        |       FROM be,
-        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |g AS (SELECT doc_id, u.i AS pos, substr(text, CAST(u.i AS INT), 24) AS gram
-        |      FROM tr,
-        |      unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)),
-        |hits AS (SELECT doc_id, pos, pos + 23 AS e FROM g
-        |         WHERE gram IN (SELECT gram FROM bg)),
-        |$islandCtesSql,
-        |cspans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
+      (s"$trainBenchSplitSql,\n${containmentHitCtesSql("tr")},\n$islandCtesSql,\n" +
+        """cspans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
         |           FROM grp GROUP BY doc_id, gid),
         |contam AS (SELECT doc_id, sum(e2 - s + 1) AS contaminated_chars
-        |           FROM cspans GROUP BY doc_id),
-        |rb AS (
-        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
-        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
-        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
-        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
-        |cb AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM tr WHERE length(text) >= 2),
-        |j AS (
-        |  SELECT cb.doc_id,
-        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
-        |  FROM cb
-        |  LEFT JOIN cnt2 USING (bigram)
-        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
-        |  CROSS JOIN voc),
-        |lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
-        |       FROM j GROUP BY doc_id),
-        |surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
+        |           FROM cspans GROUP BY doc_id)""".stripMargin +
+        s",\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
+        """surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
         |stats AS (SELECT doc_id, text,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM tr)
         |SELECT d.doc_id, d.n_tok,
@@ -509,7 +468,7 @@ object SparkEntry {
         |JOIN surv s ON d.text = s.text
         |LEFT JOIN contam c USING (doc_id)
         |LEFT JOIN lm l USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -264,20 +264,28 @@ object Quality {
     val cands = docs.filter($"doc_id" % 97 =!= 0)
     val surv = cands.groupBy(xxhash64($"text").as("th"))
       .agg(min($"doc_id").as("survivor_id"))
-    val lm = lmScore(cands, docs.filter($"doc_id" % 3 === 0))
+    // cheap gates FIRST: survivorship + token floor drop rows before
+    // the LM's per-character bigram explode ever sees them — on a
+    // duplicate-heavy corpus scoring the duplicate copies would be
+    // pure discarded work (bits is a per-doc pure function, so the
+    // output is byte-identical either way; unlike q114, nothing here
+    // reports bits for dropped docs)
+    val gated = cands
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .filter($"doc_id" === $"survivor_id" &&
+        size(split($"text", " ")) >= 5)
+      .select($"doc_id", $"text")
+    val lm = lmScore(gated, docs.filter($"doc_id" % 3 === 0))
       .select($"doc_id", $"bits_per_transition")
     // kept feeds BOTH removal sides (gram stream + join-back) and
     // cleaned feeds the prefix sum's two passes — plain DataFrame
     // reuse would re-execute the gate/removal subtrees per reference
     // (the gramClassesWithHandles persist discipline); the small
     // output is frozen eagerly so both persists release before return
-    val kept = cands
-      .withColumn("th", xxhash64($"text"))
-      .join(surv, Seq("th"))
+    val kept = gated
       .join(lm, Seq("doc_id"), "left")
-      .filter($"doc_id" === $"survivor_id" &&
-        size(split($"text", " ")) >= 5 &&
-        coalesce($"bits_per_transition", lit(0.0)) <= 6.0)
+      .filter(coalesce($"bits_per_transition", lit(0.0)) <= 6.0)
       .select($"doc_id", $"text")
       .persist()
     val cleaned = SpanDedup.removeSpans(kept,

@@ -274,7 +274,13 @@ object SpanDedup {
     */
   def contaminationSpans(train: DataFrame, bench: DataFrame,
       gramLen: Int): DataFrame = {
-    val benchHashes = benchGramHashes(bench, gramLen)
+    // EXPLICIT broadcast: the distinct bench gram set is small by
+    // definition (eval sets), but the planner's static estimate tracks
+    // the scanned table, not the aggregate's output — without the hint
+    // a large-enough bench TABLE would tip the semi join to sort-merge
+    // and shuffle the whole training gram stream, the exact plan the
+    // 100 TB posture (and the QualitySpec plan assertion) forbids
+    val benchHashes = broadcast(benchGramHashes(bench, gramLen))
     val hits = grams(train, gramLen)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h"))
       .join(benchHashes, Seq("h"), "left_semi")
