@@ -141,6 +141,14 @@ object Bench {
       // N's debt to query N+1 and making per-query numbers
       // non-attributable across rounds.
       System.gc()
+      // After a HEAVY query, additionally let the async ContextCleaner
+      // drain: persist/checkpoint blocks are removed on a background
+      // thread triggered by the GC above, and on a contended host that
+      // work otherwise lands inside the next (micro-)query's timer —
+      // the round-14 driver charged q116's tail to q11 (5.7x baseline
+      // on unchanged code). A short settle + second GC after >2 s
+      // queries costs ~0.3 s across the whole suite.
+      if (secs > 2.0) { Thread.sleep(150); System.gc() }
       name -> secs
     }
     // 2-decimal (10 ms) precision: the driver captures only the last 2000

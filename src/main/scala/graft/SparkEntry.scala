@@ -134,6 +134,7 @@ object SparkEntry {
     "q114_admission" -> (Quality.q114Admission _),
     "q115_remove_contaminated" -> (SpanDedup.q115RemoveContaminated _),
     "q116_shipped_corpus" -> (Quality.q116ShippedCorpus _),
+    "q117_shipped_corpus_neardup" -> (Quality.q117ShippedCorpusNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -267,9 +268,11 @@ object SparkEntry {
     * removal tail's `||` concat lines would lose a pipe to an outer
     * margin strip).
     */
-  private val trainBenchSplitSql: String =
-    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+  private val trainBenchSplitBodySql: String =
+    """tr AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
         |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0)""".stripMargin
+
+  private val trainBenchSplitSql: String = "WITH " + trainBenchSplitBodySql
 
   /** Containment hit head: the benchmark gram set gating `srcRel`'s
     * gram stream -> hits(doc_id, pos, e). The q112 gate, shared by
@@ -315,6 +318,102 @@ object SparkEntry {
   private val lmAggCteSql: String =
     """lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
         |       FROM j GROUP BY doc_id)""".stripMargin
+
+  /** Near-dup LOSER CTEs (q55/q117): q43's transitive closure over
+    * `srcRel`'s exact-Jaccard pairs -> losers(doc_id), every non-min-id
+    * cluster member. RECURSIVE — a composition using this fragment must
+    * open with `WITH RECURSIVE`.
+    */
+  private def nearDupLoserCtesSql(srcRel: String): String =
+    s"""tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM $srcRel
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(node, peer) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+        |losers AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY node
+        |  HAVING node <> min(peer))""".stripMargin
+
+  /** Admitted-set CTE of the corpus capstones (q116/q117): exact-dup
+    * survivor + token floor + LM cap, with `extraGate` appended for
+    * q117's near-dup condition.
+    */
+  private def shippedKeptCteSql(extraGate: String): String =
+    """surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
+        |kept AS (
+        |  SELECT d.doc_id, d.text FROM tr d
+        |  JOIN surv s ON d.text = s.text
+        |  LEFT JOIN lm l ON l.doc_id = d.doc_id
+        |  WHERE d.doc_id = s.survivor_id
+        |    AND len(string_split(d.text, ' ')) >= 5
+        |    AND COALESCE(l.lm_bits, 0.0) <= 6.0""".stripMargin +
+      extraGate + ")"
+
+  /** Shared tail of the corpus capstones: surgical excision of
+    * benchmark text from `kept` (grp comes from the containment head +
+    * islands merge), then 512-token sequence packing of the cleaned
+    * text — q116/q117's result shape.
+    */
+  private val shippedCorpusTailSql: String =
+    """spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |          FROM grp GROUP BY doc_id, gid),
+        |seg AS (
+        |  SELECT doc_id, span_start, span_end,
+        |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+        |             0) AS prev_end
+        |  FROM spans),
+        |cleanedagg AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.prev_end + 1 AS INT),
+        |        CAST(s.span_start - s.prev_end - 1 AS INT)),
+        |      '' ORDER BY s.span_start)
+        |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
+        |  FROM seg s
+        |  JOIN kept d ON d.doc_id = s.doc_id
+        |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
+        |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
+        |  GROUP BY s.doc_id, d.text, m.max_end),
+        |cleaned AS (
+        |  SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text
+        |  FROM kept d LEFT JOIN cleanedagg c ON c.doc_id = d.doc_id),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM cleaned),
+        |cp AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS first_example,
+        |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((cum_before + n_tokens - 1) // 512
+        |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
+        |FROM cp ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // exact substring dedup: the FULL pipeline re-derived relationally —
@@ -389,51 +488,20 @@ object SparkEntry {
     // example boundary of the final training corpus hash-checked
     "q116_shipped_corpus" ->
       (s"$trainBenchSplitSql,\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
-        """surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
-        |kept AS (
-        |  SELECT d.doc_id, d.text FROM tr d
-        |  JOIN surv s ON d.text = s.text
-        |  LEFT JOIN lm l ON l.doc_id = d.doc_id
-        |  WHERE d.doc_id = s.survivor_id
-        |    AND len(string_split(d.text, ' ')) >= 5
-        |    AND COALESCE(l.lm_bits, 0.0) <= 6.0)""".stripMargin +
-        s",\n${containmentHitCtesSql("kept")},\n$islandCtesSql,\n" +
-        """spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
-        |          FROM grp GROUP BY doc_id, gid),
-        |seg AS (
-        |  SELECT doc_id, span_start, span_end,
-        |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
-        |             0) AS prev_end
-        |  FROM spans),
-        |cleanedagg AS (
-        |  SELECT s.doc_id,
-        |    string_agg(substr(d.text, CAST(s.prev_end + 1 AS INT),
-        |        CAST(s.span_start - s.prev_end - 1 AS INT)),
-        |      '' ORDER BY s.span_start)
-        |      || substr(d.text, CAST(m.max_end + 1 AS INT)) AS clean
-        |  FROM seg s
-        |  JOIN kept d ON d.doc_id = s.doc_id
-        |  JOIN (SELECT doc_id, max(span_end) AS max_end FROM spans
-        |        GROUP BY doc_id) m ON m.doc_id = s.doc_id
-        |  GROUP BY s.doc_id, d.text, m.max_end),
-        |cleaned AS (
-        |  SELECT d.doc_id, COALESCE(c.clean, d.text) AS clean_text
-        |  FROM kept d LEFT JOIN cleanedagg c ON c.doc_id = d.doc_id),
-        |t AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
-        |  FROM cleaned),
-        |cp AS (
-        |  SELECT doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |  FROM t WHERE n_tokens > 0)
-        |SELECT doc_id, n_tokens,
-        |  CAST(cum_before // 512 AS BIGINT) AS first_example,
-        |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
-        |  CAST((cum_before + n_tokens - 1) // 512
-        |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
-        |FROM cp ORDER BY doc_id""".stripMargin),
+        s"${shippedKeptCteSql("")},\n${containmentHitCtesSql("kept")},\n" +
+        s"$islandCtesSql,\n$shippedCorpusTailSql"),
+    // q117: q116's pipeline with the NEAR-DUP gate folded in — q55's
+    // recursive transitive closure (over the training split) supplies
+    // `losers`, and the kept CTE adds the anti-membership condition;
+    // every other fragment is q116's verbatim, so the two capstones
+    // share one oracle text modulo the extra gate
+    "q117_shipped_corpus_neardup" ->
+      (s"WITH RECURSIVE $trainBenchSplitBodySql,\n" +
+        s"${nearDupLoserCtesSql("tr")},\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
+        shippedKeptCteSql(
+          "\n    AND d.doc_id NOT IN (SELECT doc_id FROM losers)") +
+        s",\n${containmentHitCtesSql("kept")},\n" +
+        s"$islandCtesSql,\n$shippedCorpusTailSql"),
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines
@@ -950,40 +1018,10 @@ object SparkEntry {
     // q43's transitive closure re-derived, then survivors = docs minus
     // non-survivor cluster members (node != its component min)
     "q55_dedup_corpus" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |   unnest(list_transform(generate_series(1, len(t) - 2),
-        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tok),
-        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM shared
-        |  JOIN sizes na ON doc_a = na.doc_id
-        |  JOIN sizes nb ON doc_b = nb.doc_id
-        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
-        |reach(node, peer) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
-        |losers AS (
-        |  SELECT node AS doc_id FROM reach GROUP BY node
-        |  HAVING node <> min(peer))
-        |SELECT doc_id, lang, source, n_chars FROM documents
+      (s"WITH RECURSIVE ${nearDupLoserCtesSql("documents")}\n" +
+        """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     // Gopher-style repetition signals; ratios are the tie-proof
     // floor(x*1e6+0.5)/1e6 micro-unit form (q52 precedent) — both
     // engines floor the identical IEEE double

@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequence with substring) re-walks the string per position — the
   * O(len²)-per-row trap the q49 kernel exists to avoid.
   *
-  * Semantics: <2-char input → empty array; output length is exactly
-  * len−1. Chars are UTF-16 units — identical to code points on BMP
-  * text (the DuckDB oracle slices code points, so parity holds for
-  * ASCII/BMP corpora, as with [[CharBigrams]]).
+  * Semantics: input with fewer than 2 CODE POINTS → empty array;
+  * output length is exactly codePointCount−1. Bigrams are CODE-POINT
+  * pairs (an astral character is one unit, never a split surrogate
+  * pair) — the same slicing as Spark's `substring` and the DuckDB
+  * oracle, so batch/stream/oracle agree on any unicode text, not just
+  * the BMP (the round-14 advice divergence). Identical to the old
+  * UTF-16 form on BMP text.
   *
   * Codegen emits a single static call to [[CharBigramStream.compute]]
   * so the surrounding stage stays in whole-stage codegen.
@@ -48,12 +51,19 @@ case class CharBigramStream(child: Expression) extends UnaryExpression {
 object CharBigramStream {
   def compute(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.length
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n - 1)
+    val nCp = str.codePointCount(0, str.length)
+    if (nCp < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nCp - 1)
+    // one UTF-16 walk, two cursors: `start` trails one code point
+    // behind `mid`; each bigram is the substring spanning two code
+    // points (2-4 UTF-16 units)
+    var start = 0
+    var mid = Character.charCount(str.codePointAt(0))
     var i = 0
-    while (i < n - 1) {
-      out(i) = UTF8String.fromString(str.substring(i, i + 2)); i += 1
+    while (i < nCp - 1) {
+      val end = mid + Character.charCount(str.codePointAt(mid))
+      out(i) = UTF8String.fromString(str.substring(start, end))
+      start = mid; mid = end; i += 1
     }
     new GenericArrayData(out)
   }

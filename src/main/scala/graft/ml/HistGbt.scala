@@ -410,6 +410,15 @@ object HistGbt {
     * stops once r consecutive rounds fail to improve the best
     * validation deviance, and the model is truncated to the best
     * round (LightGBM's `best_iteration` contract).
+    *
+    * EDGE CASE, by that same contract: if NO round ever improves on
+    * the priors-only validation deviance (e.g. pure-noise labels, or a
+    * learning rate that overshoots immediately), `bestIter` stays 0
+    * and the returned model is truncated to ZERO rounds — it predicts
+    * the class priors for every input. Callers expecting at least one
+    * boosting round must check `FitResult.bestIter == 0`, which is the
+    * explicit signal for this outcome (LightGBM surfaces the same
+    * state as `best_iteration == 0`).
     */
   def fitValidated(train: DataFrame, numClasses: Int,
       featuresCol: String = "pca", labelCol: String = "label_idx",

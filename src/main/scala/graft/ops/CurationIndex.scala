@@ -57,13 +57,22 @@ object CurationIndex {
     val bench = spark.read.parquet(s"$path/bench_grams")
       .as[Long].collect().sorted
     val big = spark.read.parquet(s"$path/lm_bigrams")
-      .select($"key", $"count").as[(Int, Long)].collect().sortBy(_._1)
+      .select($"key", $"count").as[(Long, Long)].collect().sortBy(_._1)
     val ctx = spark.read.parquet(s"$path/lm_meta_ctx")
       .select($"key", $"count").as[(Int, Long)].collect().sortBy(_._1)
-    val vocab = spark.read.parquet(s"$path/lm_meta")
-      .select($"vocab").as[Long].head()
+    // Descriptive guard instead of head()'s opaque NoSuchElementException
+    // on a truncated/foreign directory; the vocab>0 check backstops
+    // charLm's own write-time require for indexes written before it
+    // existed (vocab 0 would Infinity-score and silently reject every
+    // streamed document).
+    val metaRows = spark.read.parquet(s"$path/lm_meta")
+      .select($"vocab").as[Long].collect()
+    require(metaRows.length == 1 && metaRows.head > 0,
+      s"CurationIndex.load($path): lm_meta must hold exactly one positive " +
+        s"vocab row (got ${metaRows.mkString("[", ",", "]")}) — the index " +
+        "was written from an empty/all-short LM reference or is corrupt")
     Index(dup, bench,
       Quality.CharLm(big.map(_._1), big.map(_._2),
-        ctx.map(_._1), ctx.map(_._2), vocab))
+        ctx.map(_._1), ctx.map(_._2), metaRows.head))
   }
 }

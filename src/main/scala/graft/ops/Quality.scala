@@ -88,37 +88,52 @@ object Quality {
   /** [[lmScore]]'s model COLLECTED to a broadcast-friendly primitive
     * form — legitimate precisely because the model is ALPHABET-bounded
     * (|Σ|² bigram + |Σ| context entries + 1 scalar, independent of
-    * corpus size; the q108 "small summaries" discipline). BMP bigrams
-    * pack to a 32-bit key (a << 16 | b) over two sorted primitive
-    * arrays + binary search — the [[graft.ops.Streaming.curationStream]]
-    * sorted-array economics, no boxed maps in the broadcast.
-    * [[bits]] reproduces [[lmScore]]'s per-document score (same
-    * smoothing algebra, same lowercase normalization; parity asserted
-    * in QualitySpec/StreamingSpec at 1e-6).
+    * corpus size; the q108 "small summaries" discipline). COLLECT
+    * BUDGET, stated: even a 100 TB multilingual corpus observes at most
+    * a few tens of millions of distinct char bigrams (full CJK crossed
+    * with itself), i.e. ≤ a few hundred MB of (long, long) rows at the
+    * pathological extreme and ~100 KB for a single-script corpus —
+    * collectable and broadcastable by construction, unlike anything
+    * corpus-sized. Bigrams pack CODE-POINT pairs into a 64-bit key
+    * (a << 32 | b — astral characters are first-class, the round-14
+    * advice fix) over sorted primitive arrays + binary search — the
+    * [[graft.ops.Streaming.curationStream]] sorted-array economics, no
+    * boxed maps in the broadcast. [[bits]] reproduces [[lmScore]]'s
+    * per-document score on ANY unicode text (same code-point slicing
+    * as the batch kernel and the DuckDB oracle, same smoothing algebra,
+    * same lowercase normalization; parity asserted in QualitySpec /
+    * StreamingSpec at 1e-6, including an astral/CJK arm).
     */
-  final case class CharLm(bigramKeys: Array[Int], bigramCounts: Array[Long],
+  final case class CharLm(bigramKeys: Array[Long], bigramCounts: Array[Long],
       ctxKeys: Array[Int], ctxCounts: Array[Long], vocab: Long) {
 
-    private def lookup(keys: Array[Int], counts: Array[Long], k: Int): Long = {
+    private def lookup(keys: Array[Long], counts: Array[Long], k: Long): Long = {
       val i = java.util.Arrays.binarySearch(keys, k)
       if (i >= 0) counts(i) else 0L
     }
 
+    private def lookupCtx(k: Int): Long = {
+      val i = java.util.Arrays.binarySearch(ctxKeys, k)
+      if (i >= 0) ctxCounts(i) else 0L
+    }
+
     /** Mean negative log₂ transition probability of `text` under the
       * model — [[lmScore]]'s `bits_per_transition`, per row. Texts with
-      * no transition (< 2 chars) score 0 (they carry no evidence; the
-      * admission token floor gates them anyway).
+      * no transition (< 2 code points) score 0 (they carry no
+      * evidence; the admission token floor gates them anyway).
       */
     def bits(text: String): Double = {
       if (text == null || text.length < 2) return 0.0
       val t = CharLm.sparkLower(text)
-      var i = 0; var sum = 0.0; var n = 0
-      while (i < t.length - 1) {
-        val key = (t.charAt(i).toInt << 16) | t.charAt(i + 1).toInt
-        val c2 = lookup(bigramKeys, bigramCounts, key)
-        val c1 = lookup(ctxKeys, ctxCounts, t.charAt(i).toInt)
+      var sum = 0.0; var n = 0
+      var prev = t.codePointAt(0)
+      var idx = Character.charCount(prev)
+      while (idx < t.length) {
+        val cur = t.codePointAt(idx)
+        val c2 = lookup(bigramKeys, bigramCounts, (prev.toLong << 32) | cur)
+        val c1 = lookupCtx(prev)
         sum += math.log((c2 + 1.0) / (c1 + vocab))
-        n += 1; i += 1
+        n += 1; prev = cur; idx += Character.charCount(cur)
       }
       if (n == 0) 0.0 else -(sum / n) / math.log(2.0)
     }
@@ -169,11 +184,21 @@ object Quality {
       .select(explode(charBigramStream(lower($"text"))).as("bigram"))
       .groupBy($"bigram").agg(count(lit(1)).as("c"))
       .as[(String, Long)].collect()
-      .map { case (b, c) => ((b.charAt(0).toInt << 16) | b.charAt(1).toInt, c) }
+      .map { case (b, c) =>
+        val a = b.codePointAt(0)
+        ((a.toLong << 32) | b.codePointAt(Character.charCount(a)), c)
+      }
       .sortBy(_._1)
-    val ctx = big.groupBy(_._1 >>> 16).view
+    // Fail HERE, descriptively, not later with an Infinity-bits model
+    // that silently rejects every scored document (vocab 0 would make
+    // every transition 1/(0+0)) — the round-14 advice guard.
+    require(big.nonEmpty,
+      "charLm: reference corpus has no document with >= 2 characters — " +
+        "an empty bigram model cannot score (every probability would " +
+        "divide by a zero vocabulary)")
+    val ctx = big.groupBy(e => (e._1 >>> 32).toInt).view
       .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
-    val v = big.map(_._1 & 0xffff).distinct.length.toLong
+    val v = big.map(_._1 & 0xffffffffL).distinct.length.toLong
     CharLm(big.map(_._1), big.map(_._2), ctx.map(_._1), ctx.map(_._2), v)
   }
 
@@ -262,21 +287,76 @@ object Quality {
     val docs = Sources.documents(spark, dir)
     val bench = docs.filter($"doc_id" % 97 === 0)
     val cands = docs.filter($"doc_id" % 97 =!= 0)
+    assembleShippedCorpus(exactGated(cands), bench,
+      docs.filter($"doc_id" % 3 === 0))
+  }
+
+  /** ORACLED CAPSTONE (q117): [[q116ShippedCorpus]] with the NEAR-DUP
+    * gate folded in — the full RefinedWeb/FineWeb-style recipe (Penedo
+    * et al. 2023, public): after exact-dup survivorship, every non-
+    * min-id member of a MinHash/Jaccard similarity cluster (q55's
+    * survivor rule, [[Similarity.nearDupLosers]]) is dropped too, so
+    * the shipped corpus is exact-dup AND near-dup clean before the LM
+    * gate, benchmark excision, and packing run. The oracle stitches
+    * q55's recursive-CTE transitive closure (over the candidate split)
+    * into q116's own green CTEs — every admitted doc, token count, and
+    * example boundary hash-checked under the extra gate's perturbation
+    * (dropped near-dups shift every downstream packing boundary).
+    *
+    * STREAMING PARITY NOTE: the streaming twin of this gate is the
+    * SimHash band state [[Streaming.nearDupPairsStream]] already
+    * carries — first-arrival-wins over near-dup pairs is exactly the
+    * min-id survivor rule when ingest order follows doc_id, so
+    * [[Streaming.admissionStream]] composes with the near-dup stream
+    * the way the batch capstone composes with [[Similarity
+    * .nearDupLosers]]: a doc flagged as `doc_new` in any pair emitted
+    * within the horizon is a loser; the batch-vs-stream parity of the
+    * underlying pair detection is asserted in StreamingSpec's
+    * brute-force-oracle arms.
+    *
+    * 100 TB posture: q116's union of parts plus q55's — the pair
+    * generator is the df-capped inverted index (no all-pairs), the
+    * closure is the pointer-doubling CC loop, and the loser list joins
+    * in by id (AQE broadcasts it when small; see keepSurvivors' note
+    * on why it is not force-broadcast).
+    */
+  def q117ShippedCorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val gated = exactGated(cands)
+      .join(Similarity.nearDupLosers(cands), Seq("doc_id"), "left_anti")
+    assembleShippedCorpus(gated, bench, docs.filter($"doc_id" % 3 === 0))
+  }
+
+  /** Shared cheap-gate head of the corpus capstones: exact-dup
+    * survivorship + the token floor. Cheap gates FIRST — they drop
+    * rows before the LM's per-character bigram explode ever sees them;
+    * on a duplicate-heavy corpus scoring the duplicate copies would be
+    * pure discarded work (bits is a per-doc pure function, so the
+    * output is byte-identical either way; unlike q114, nothing here
+    * reports bits for dropped docs).
+    */
+  private def exactGated(cands: DataFrame): DataFrame = {
+    import cands.sparkSession.implicits._
     val surv = cands.groupBy(xxhash64($"text").as("th"))
       .agg(min($"doc_id").as("survivor_id"))
-    // cheap gates FIRST: survivorship + token floor drop rows before
-    // the LM's per-character bigram explode ever sees them — on a
-    // duplicate-heavy corpus scoring the duplicate copies would be
-    // pure discarded work (bits is a per-doc pure function, so the
-    // output is byte-identical either way; unlike q114, nothing here
-    // reports bits for dropped docs)
-    val gated = cands
+    cands
       .withColumn("th", xxhash64($"text"))
       .join(surv, Seq("th"))
       .filter($"doc_id" === $"survivor_id" &&
         size(split($"text", " ")) >= 5)
       .select($"doc_id", $"text")
-    val lm = lmScore(gated, docs.filter($"doc_id" % 3 === 0))
+  }
+
+  /** Shared tail of the corpus capstones (q116/q117): LM gate →
+    * surgical benchmark excision → 512-token sequence packing.
+    */
+  private def assembleShippedCorpus(gated: DataFrame, bench: DataFrame,
+      lmRef: DataFrame): DataFrame = {
+    import gated.sparkSession.implicits._
+    val lm = lmScore(gated, lmRef)
       .select($"doc_id", $"bits_per_transition")
     // kept feeds BOTH removal sides (gram stream + join-back) and
     // cleaned feeds the prefix sum's two passes — plain DataFrame

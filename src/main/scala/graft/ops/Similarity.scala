@@ -608,6 +608,20 @@ object Similarity {
     keepSurvivors(docs, connectedComponents(ngramJaccardPairs(docs, dfCap),
       "doc_a", "doc_b"), "doc_id")
 
+  /** The near-dup LOSER list on its own — every non-min-id member of a
+    * Jaccard-similarity cluster (the rows [[dedupCorpus]] drops),
+    * exposed so OTHER pipelines can fold near-dup survivorship in as
+    * one more admission gate (the q117 corpus-assembly capstone
+    * anti-joins this against its candidate set). Same pair generator,
+    * same components, same deterministic min-id survivor rule.
+    */
+  def nearDupLosers(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    connectedComponents(ngramJaccardPairs(docs, dfCap), "doc_a", "doc_b")
+      .filter($"doc_id" =!= $"cluster_id")
+      .select($"doc_id")
+  }
+
   /** Shared survivor tail for the dedup pipelines: anti-join every
     * non-min-id cluster member out of the corpus. No broadcast hint —
     * the loser list is usually small, but a high-duplication corpus

@@ -76,6 +76,30 @@ object SpanDedup {
         .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("h")),
       minDocs)
 
+  /** [[dupGramHashes]] folded into a Spark `BloomFilter` — the
+    * BOUNDED-MEMORY index state behind
+    * [[Streaming.admissionStreamBloom]]. Built DISTRIBUTEDLY via
+    * `DataFrame.stat.bloomFilter` (executor-side partial filters
+    * OR-merged on the driver), so unlike the exact sorted-array path
+    * the gram hashes never collect: the only driver-resident object is
+    * the fixed-size bit array, ~1.44·log₂(1/fpp) bits per expected
+    * gram regardless of how duplicated the corpus is. The dup frame is
+    * persisted across its two passes (count + filter build) and
+    * released before return.
+    */
+  def dupGramBloom(docs: DataFrame, gramLen: Int, fpp: Double = 0.01,
+      minDocs: Int = 2): org.apache.spark.util.sketch.BloomFilter = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val hashes = dupGramHashes(docs, gramLen, minDocs).persist()
+    try {
+      // max(count, 1): BloomFilter.create rejects 0 expected items; an
+      // empty dup set (fully clean corpus) yields an empty filter that
+      // correctly reports no hits
+      val n = math.max(hashes.count(), 1L)
+      hashes.stat.bloomFilter("h", n, fpp)
+    } finally hashes.unpersist(false)
+  }
+
   /** Shared tail of [[dupSpans]] and [[winnowedDupSpans]]: from a
     * (doc_id, pos, h) gram-hash stream, keep hashes seen in >= minDocs
     * distinct documents and merge the surviving positions into maximal

@@ -204,6 +204,88 @@ object Streaming {
         $"contaminated_chars", $"lm_bits", $"keep")
   }
 
+  /** [[admissionStream]] with a BOUNDED-MEMORY duplicate-gram gate —
+    * the 100 TB-safe streaming arm. The exact variant broadcasts the
+    * dup-gram set as a sorted long array, which is only "small" on
+    * already-clean corpora: a duplicate-heavy 100 TB crawl can push
+    * the dup set to billions of grams (8 B each — tens of GB, an
+    * unbroadcastable driver OOM exactly when dedup matters most).
+    * Here the dup set is a Spark `BloomFilter` whose size the CALLER
+    * FIXES AT CONSTRUCTION: ~1.44·log₂(1/fpp) bits per gram (≈1.2 B at
+    * 1% fpp, 6.7× smaller than exact; ≈0.9 B at 3%), and — the real
+    * bound — `expectedNumItems`·that is set up front, so the broadcast
+    * budget is a configuration constant, independent of how duplicated
+    * the corpus turns out to be. Build it DISTRIBUTEDLY with
+    * [[SpanDedup.dupGramBloom]]: the gram hashes never collect to the
+    * driver at all.
+    *
+    * Decision semantics vs the exact arm (no false negatives in the
+    * Bloom ⟹ Bloom coverage ≥ exact coverage, the island merge is
+    * monotone in the hit set):
+    *
+    *   - `dup_coverage` ≤ `maxCoverage`: the coverage gate's PASS is
+    *     EXACT — an upper bound under the cap puts the true coverage
+    *     under the cap, so `keep` is bit-identical to the exact arm's.
+    *   - `dup_coverage` > `maxCoverage` while every OTHER gate passes:
+    *     the true coverage may still be under the cap (false-positive
+    *     grams inflated it) — the row is emitted with `keep = false`
+    *     and `dup_recheck = true`, the SMALL (fpp-bounded + true-dup)
+    *     set to re-verify against the exact batch kernel
+    *     ([[SpanDedup.dupSpans]] / [[gramCoverage]]) before final
+    *     discard. Rows failing another gate are final regardless of
+    *     coverage precision (`dup_recheck = false`): they are dropped
+    *     either way.
+    *
+    * So stream decisions match batch decisions everywhere except the
+    * explicitly-flagged recheck rows, whose exact resolution restores
+    * full parity — asserted on an adversarially duplicated corpus in
+    * StreamingSpec. Bench/LM state remains exact (the benchmark gram
+    * set is broadcast-sized BY DEFINITION, the LM alphabet-bounded —
+    * neither needs the approximation).
+    */
+  def admissionStreamBloom(docs: DataFrame,
+      dupBloom: org.apache.spark.util.sketch.BloomFilter,
+      benchGrams: Array[Long], lm: Quality.CharLm, gramLen: Int = 24,
+      minTok: Int = 5, maxCoverage: Double = 0.5,
+      maxBits: Double = 6.0): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val sortedBench = benchGrams.clone(); java.util.Arrays.sort(sortedBench)
+    val bDup = sc.broadcast(dupBloom)
+    val bBench = sc.broadcast(sortedBench)
+    val bLm = sc.broadcast(lm)
+    val gates = udf { text: String =>
+      if (text == null) (0L, 0L, 0.0)
+      else {
+        val cov = gramCoverageProbes(text,
+          Array[GramProbe](new BloomProbe(bDup.value),
+            new SortedArrayProbe(bBench.value)), gramLen)
+        val bits = BigDecimal(bLm.value.bits(text))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (cov(0), cov(1), bits)
+      }
+    }
+    val toks = split($"text", " ")
+    docs
+      .withColumn("th", xxhash64($"text"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("th")
+      .withColumn("g", gates($"text"))
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("dup_coverage",
+        Quality.microRatio($"g._1", length($"text")))
+      .withColumn("contaminated_chars", $"g._2")
+      .withColumn("lm_bits", $"g._3")
+      .withColumn("others_pass",
+        $"n_tok" >= minTok && $"contaminated_chars" === 0L &&
+          $"lm_bits" <= maxBits)
+      .withColumn("keep", $"others_pass" && $"dup_coverage" <= maxCoverage)
+      .withColumn("dup_recheck",
+        $"others_pass" && $"dup_coverage" > maxCoverage)
+      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage",
+        $"contaminated_chars", $"lm_bits", $"keep", $"dup_recheck")
+  }
+
   /** Characters of `text` covered by length-`gramLen` grams whose
     * xxhash64 (seed 42 over UTF-8 bytes — bit-identical to Spark's
     * `xxhash64(substr(...))`, asserted in StreamingSpec) is in the
@@ -220,6 +302,35 @@ object Streaming {
       gramLen: Int): Long =
     gramCoverageMulti(text, Array(dupGrams), gramLen)(0)
 
+  /** Membership probe a gram hash is tested against — the small
+    * abstraction that lets one island-merge kernel serve both the
+    * EXACT sorted-array gate and the BOUNDED-MEMORY Bloom gate.
+    * Sealed with exactly two final implementations so the per-gram
+    * call site stays bimorphic (JIT-inlinable) on the streaming hot
+    * path.
+    */
+  private[graft] sealed trait GramProbe extends Serializable {
+    def contains(h: Long): Boolean
+  }
+
+  /** Exact membership: binary search over a sorted long array. */
+  private[graft] final class SortedArrayProbe(arr: Array[Long])
+      extends GramProbe {
+    def contains(h: Long): Boolean =
+      java.util.Arrays.binarySearch(arr, h) >= 0
+  }
+
+  /** Approximate membership with NO false negatives: a Spark
+    * `BloomFilter` (public sketch API). `contains` may return true for
+    * a gram not in the set (rate = the filter's configured fpp), never
+    * false for one that is — so a coverage computed through it is an
+    * UPPER BOUND on the exact coverage.
+    */
+  private[graft] final class BloomProbe(
+      bf: org.apache.spark.util.sketch.BloomFilter) extends GramProbe {
+    def contains(h: Long): Boolean = bf.mightContainLong(h)
+  }
+
   /** [[gramCoverage]] against SEVERAL hash sets in one pass: the text
     * is UTF-8-encoded once, the offset table built once, and each
     * gram hashed ONCE, with one binary-search probe and one island
@@ -228,6 +339,16 @@ object Streaming {
     * twice. Returns one covered-character count per set, in order.
     */
   private[graft] def gramCoverageMulti(text: String, sets: Array[Array[Long]],
+      gramLen: Int): Array[Long] =
+    gramCoverageProbes(text,
+      sets.map(new SortedArrayProbe(_): GramProbe), gramLen)
+
+  /** The kernel itself, over abstract [[GramProbe]]s — the island
+    * merge, offset table, and single-hash-per-gram mechanics of
+    * [[gramCoverageMulti]]'s scaladoc, shared by the exact and Bloom
+    * admission gates.
+    */
+  private[graft] def gramCoverageProbes(text: String, sets: Array[GramProbe],
       gramLen: Int): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val k = sets.length
@@ -263,7 +384,7 @@ object Streaming {
         byteOff(p + gramLen) - off, 42L)
       var si = 0
       while (si < k) {
-        if (java.util.Arrays.binarySearch(sets(si), h) >= 0) {
+        if (sets(si).contains(h)) {
           val en = p + gramLen - 1
           if (curStart(si) < 0) { curStart(si) = p; curEnd(si) = en }
           else if (p <= curEnd(si) + 1) {

@@ -152,12 +152,11 @@ object SuffixDedup {
     * entries from stopped sessions are replaced on a lock-free
     * freshness check, never served.
     *
-    * CONTRACT: `cacheKey` IS the identity assertion — the caller
-    * promises `docs` is exactly the dataset the key names (the
-    * ivfCache contract). A hit is served WITHOUT inspecting the frame,
-    * so passing a filtered/modified frame under an existing key
-    * silently returns the named dataset's classes, not the frame's.
-    * Derived frames must use a distinct key or no key at all. Size
+    * CONTRACT: `cacheKey` names the dataset, and the frame's
+    * canonicalized-plan hash is folded into the physical key — a
+    * filtered/derived frame passed under an existing name canonicalizes
+    * differently, misses, and builds its own classes rather than being
+    * served the named dataset's (the round-14 advice hole). Size
     * note: unlike the few-MB ANN indexes, a class table is one row per
     * corpus CHARACTER (~34 MB at sf0.1) — still one bounded entry per
     * named dataset, but budget for it when memoizing many datasets in
@@ -168,8 +167,16 @@ object SuffixDedup {
 
   def gramClassesCached(docs: DataFrame, cacheKey: String,
       gramLen: Int): DataFrame = {
-    val key =
-      s"${System.identityHashCode(docs.sparkSession)}#$cacheKey#$gramLen"
+    // The frame's canonicalized-plan hash is folded into the key as a
+    // cheap identity check: two constructions of the SAME dataset (the
+    // same parquet read) canonicalize identically and still share one
+    // entry, while a filtered/derived frame passed under an existing
+    // name can no longer be served that name's classes — it misses and
+    // builds its own. The named key still matters (it scopes the
+    // documented budget and lets distinct logical datasets with equal
+    // plans coexist conceptually); the hash closes the misuse hole.
+    val key = s"${System.identityHashCode(docs.sparkSession)}#$cacheKey#" +
+      s"$gramLen#${docs.queryExecution.analyzed.semanticHash()}"
     def fresh(e: DataFrame) =
       e != null && (e.sparkSession eq docs.sparkSession) &&
         !e.sparkSession.sparkContext.isStopped

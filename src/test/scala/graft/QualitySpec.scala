@@ -125,6 +125,68 @@ class QualitySpec extends SparkTestBase {
     assert(lm.bits("x") === 0.0)
   }
 
+  test("char bigrams + CharLm are code-point exact on astral/CJK text " +
+      "(batch kernel == stream kernel == code-point reference)") {
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
+    // 🦀 U+1F980 and 𝒜 U+1D49C are astral (surrogate pairs in UTF-16);
+    // the pre-fix UTF-16 kernel would split them into lone surrogates
+    val crab = "🦀"
+    val scriptA = "𝒜"
+    // the kernel emits CODE-POINT pairs — an astral char is one unit
+    val kernel = Seq((1L, s"a${crab}b"), (2L, s"$crab$crab"), (3L, crab),
+        (4L, "你好世界"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", charBigramStream($"text").as("b"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel(1L) === Seq(s"a$crab", s"${crab}b"))
+    assert(kernel(2L) === Seq(s"$crab$crab"))
+    assert(kernel(3L) === Seq.empty) // one code point -> no transition
+    assert(kernel(4L) === Seq("你好", "好世", "世界"))
+    val reference = Seq(
+      (100L, s"the $crab jumps 你好 over the lazy $scriptA dog"),
+      (101L, s"$crab$crab 你好世界 the quick $scriptA fox"))
+      .toDF("doc_id", "text")
+    val candidates = Seq(
+      (1L, s"the $crab runs 你好"),
+      (2L, s"$scriptA$crab$scriptA mixed with ASCII"),
+      (3L, "plain ascii only here"),
+      (4L, "你好世界你好"))
+      .toDF("doc_id", "text")
+    val batch = ops.Quality.lmScore(candidates, reference)
+      .select($"doc_id", $"bits_per_transition")
+      .as[(Long, Double)].collect().toMap
+    val lm = ops.Quality.charLm(reference)
+    // independent code-point reference model (the DuckDB oracle's
+    // slicing): add-one-smoothed bigram counts over lowercased
+    // code-point pairs — asserts BOTH kernels, not just their parity
+    val refCps = reference.as[(Long, String)].collect().map(_._2.toLowerCase)
+    def cps(s: String): Array[Int] = s.codePoints().toArray
+    val allBi = refCps.flatMap(t => cps(t).sliding(2).filter(_.length == 2)
+      .map(p => (p(0).toLong << 32) | p(1)).toSeq)
+    val c2 = allBi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = allBi.groupBy(p => (p >>> 32).toInt).view
+      .mapValues(_.length.toLong).toMap
+    val v = allBi.map(_ & 0xffffffffL).distinct.length.toLong
+    def refBits(text: String): Double = {
+      val t = cps(text.toLowerCase)
+      if (t.length < 2) return 0.0
+      val logs = t.sliding(2).filter(_.length == 2).map { p =>
+        val key = (p(0).toLong << 32) | p(1)
+        math.log((c2.getOrElse(key, 0L) + 1.0) /
+          (c1.getOrElse(p(0), 0L) + v))
+      }.toSeq
+      -(logs.sum / logs.size) / math.log(2.0)
+    }
+    candidates.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(math.abs(lm.bits(text) - batch(id)) < 1e-6,
+        s"doc $id: stream kernel ${lm.bits(text)} vs batch ${batch(id)}")
+      assert(math.abs(refBits(text) - batch(id)) < 1e-6,
+        s"doc $id: reference ${refBits(text)} vs batch ${batch(id)}")
+    }
+    // a lone astral char: 1 code point, 0 transitions, scores 0
+    assert(lm.bits(crab) === 0.0)
+  }
+
   test("shared shingles: fraction of a doc's distinct 3-grams seen in any other doc") {
     withTempDocs(Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"

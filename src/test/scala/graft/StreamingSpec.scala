@@ -763,6 +763,89 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("bloom admission: bounded-memory dup gate preserves batch decisions " +
+      "on an adversarially duplicated corpus") {
+    implicit val sql = spark.sqlContext
+    // adversarially duplicated reference: every doc repeats one of two
+    // long boilerplate runs -> the dup-gram set is a large fraction of
+    // the corpus' grams (the regime where the exact broadcast array
+    // stops being "small" at scale)
+    val runA = "the quick brown fox jumps over the lazy dog again and again"
+    val runB = "pack my box with five dozen liquor jugs every single time now"
+    val ref = (0L until 40L).map(i =>
+        (100L + i, s"mirror $i ${if (i % 2 == 0) runA else runB} mirror $i tail"))
+      .toDF("doc_id", "text")
+    val exactSet = ops.SpanDedup.dupGramHashes(ref, gramLen = 24)
+      .as[Long].collect()
+    assert(exactSet.length > 100, "fixture must produce a heavy dup set")
+    val bloom = ops.SpanDedup.dupGramBloom(ref, gramLen = 24, fpp = 0.05)
+    // no false negatives: every exact dup gram must probe positive
+    exactSet.foreach(h => assert(bloom.mightContainLong(h)))
+    val lmRef = Seq(
+      (300L, "plenty of plain reference words repeated over and over here"),
+      (301L, "more plain reference words with the usual letters in them"))
+      .toDF("doc_id", "text")
+    val lm = ops.Quality.charLm(lmRef)
+    val benchSet = ops.SpanDedup.benchGramHashes(
+      Seq((200L, "held out benchmark question about arithmetic sums"))
+        .toDF("doc_id", "text"), gramLen = 24).as[Long].collect()
+    val cands = Seq(
+      TDoc(1L, "totally novel content with plenty of fresh words in it",
+        Timestamp.valueOf("2024-01-01 10:00:00")),
+      TDoc(2L, s"x $runA y", Timestamp.valueOf("2024-01-01 10:01:00")),
+      TDoc(3L, s"half fresh words here half boilerplate follows $runB",
+        Timestamp.valueOf("2024-01-01 10:02:00")),
+      TDoc(4L, s"$runA $runB", Timestamp.valueOf("2024-01-01 10:03:00")),
+      TDoc(5L, "more novel writing with genuinely distinct content words",
+        Timestamp.valueOf("2024-01-01 10:04:00")))
+    def run(name: String, make: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[Long, Map[String, Any]] = {
+      val input = MemoryStream[TDoc]
+      val q = make(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      withQuery(q) {
+        input.addData(cands: _*)
+        q.processAllAvailable()
+        spark.table(name).collect().map { r =>
+          r.getAs[Long]("doc_id") -> r.schema.fieldNames
+            .map(f => f -> r.getAs[Any](f)).toMap
+        }.toMap
+      }
+    }
+    val exact = run("adm_exact",
+      df => ops.Streaming.admissionStream(df, exactSet, benchSet, lm))
+    val bl = run("adm_bloom",
+      df => ops.Streaming.admissionStreamBloom(df, bloom, benchSet, lm))
+    assert(exact.keySet === bl.keySet)
+    exact.keySet.foreach { id =>
+      // non-coverage signals are computed identically in both arms
+      assert(bl(id)("contaminated_chars") === exact(id)("contaminated_chars"), s"doc $id")
+      assert(bl(id)("lm_bits") === exact(id)("lm_bits"), s"doc $id")
+      // a bloom PASS is exact (upper bound under the cap)
+      if (bl(id)("keep") == true)
+        assert(exact(id)("keep") === true, s"doc $id: bloom admitted, exact dropped")
+      // any doc the bloom fails on coverage alone is flagged for recheck
+      if (exact(id)("keep") == true && bl(id)("keep") == false)
+        assert(bl(id)("dup_recheck") === true,
+          s"doc $id: silently lost to a bloom false positive")
+    }
+    // resolving the flagged rows with the exact kernel restores FULL parity
+    val textById = cands.map(d => d.doc_id -> d.text).toMap
+    val sortedExact = exactSet.sorted
+    val resolved = bl.map { case (id, row) =>
+      val keep =
+        if (row("dup_recheck") == true) {
+          val cov = ops.Streaming.gramCoverage(textById(id), sortedExact, 24)
+          val len = textById(id).codePointCount(0, textById(id).length)
+          math.floor(cov * 1e6 / len + 0.5) / 1e6 <= 0.5
+        } else row("keep") == true
+      id -> keep
+    }
+    resolved.foreach { case (id, keep) =>
+      assert(keep === (exact(id)("keep") == true), s"doc $id: resolved decision diverges")
+    }
+  }
+
   test("curation index round-trips: a loaded index yields identical admission state") {
     val ref = Seq(
       (100L, "ref one the quick brown fox jumps over the lazy dog tail"),
