@@ -135,6 +135,7 @@ object SparkEntry {
     "q115_remove_contaminated" -> (SpanDedup.q115RemoveContaminated _),
     "q116_shipped_corpus" -> (Quality.q116ShippedCorpus _),
     "q117_shipped_corpus_neardup" -> (Quality.q117ShippedCorpusNearDup _),
+    "q118_bpe_pack" -> (Bpe.q118BpePack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,6 +358,89 @@ object SparkEntry {
         |  SELECT node AS doc_id FROM reach GROUP BY node
         |  HAVING node <> min(peer))""".stripMargin
 
+  /** One BPE training round (q118), stage `s`: pair counts weighted by
+    * word frequency (overlapping occurrences all counted — Sennrich's
+    * get_stats), deterministic argmax (count desc, then pair
+    * ascending; a chr(1) sentinel with count −1 keeps the stage a
+    * no-op once the vocabulary runs out of pairs), then the
+    * LEFT-TO-RIGHT NON-OVERLAPPING rewrite: match flags per symbol
+    * position, consecutive-match runs resolved by gaps-and-islands
+    * alternation (only self-pairs can produce adjacent matches — for
+    * a≠b a match at i forces a mismatch at i+1), and consumed
+    * positions (those following a merge start) dropped in the rebuild.
+    * Every stage CTE is MATERIALIZED: each references the previous
+    * vocabulary ~3 times, and letting the optimizer inline the chain
+    * re-plans v0 exponentially (~3^stages) — measured as a >300 s hang
+    * vs 0.5 s materialized at sf0.01.
+    */
+  private def bpeStageCtesSql(s: Int): String =
+    s"""p$s AS MATERIALIZED (
+        |  SELECT syms[CAST(u.i AS INT)] AS a, syms[CAST(u.i AS INT) + 1] AS b,
+        |         SUM(freq) AS cnt
+        |  FROM v$s, unnest(generate_series(1, CAST(len(syms) AS BIGINT) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |b$s AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT a, b, cnt FROM p$s
+        |    UNION ALL SELECT chr(1), chr(1), -1)
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |x$s AS MATERIALIZED (
+        |  SELECT v.word, v.freq, CAST(u.i AS INT) AS i,
+        |         v.syms[CAST(u.i AS INT)] AS sym,
+        |         COALESCE(v.syms[CAST(u.i AS INT)] = m.a AND
+        |                  v.syms[CAST(u.i AS INT) + 1] = m.b, FALSE) AS mt
+        |  FROM v$s v CROSS JOIN b$s m,
+        |       unnest(generate_series(1, CAST(len(v.syms) AS BIGINT))) AS u(i)),
+        |y$s AS MATERIALIZED (
+        |  SELECT word, freq, i, sym, mt,
+        |    CASE WHEN mt THEN i - row_number() OVER (PARTITION BY word, mt ORDER BY i) END AS isl
+        |  FROM x$s),
+        |z$s AS MATERIALIZED (
+        |  SELECT word, freq, i, sym,
+        |    mt AND (row_number() OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1) AS strt
+        |  FROM y$s),
+        |w$s AS MATERIALIZED (
+        |  SELECT word, freq, i, sym, strt,
+        |    COALESCE(lag(strt) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+        |  FROM z$s),
+        |v${s + 1} AS MATERIALIZED (
+        |  SELECT w.word, w.freq,
+        |    list(CASE WHEN w.strt THEN m.a || m.b ELSE w.sym END ORDER BY w.i) AS syms
+        |  FROM w$s w CROSS JOIN b$s m
+        |  WHERE NOT w.consumed
+        |  GROUP BY w.word, w.freq)""".stripMargin
+
+  /** The full q118 oracle: word-frequency vocabulary with per-character
+    * initial symbols, `nMerges` generated training stages, then
+    * re-tokenize every document under the final vocabulary and pack
+    * with q92's prefix-sum tail.
+    */
+  private def bpeOracleSql(nMerges: Int): String =
+    """WITH v0 AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq,
+        |    list_transform(generate_series(1, length(word)), i -> word[i:i]) AS syms
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY word)""".stripMargin + ",\n" +
+      (0 until nMerges).map(bpeStageCtesSql).mkString(",\n") + ",\n" +
+      s"""tc AS (SELECT word, CAST(len(syms) AS BIGINT) AS nt FROM v$nMerges),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |t AS (
+        |  SELECT d.doc_id, CAST(SUM(tc.nt) AS BIGINT) AS n_tokens
+        |  FROM dw d JOIN tc ON d.word = tc.word
+        |  GROUP BY d.doc_id),
+        |cp AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS first_example,
+        |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((cum_before + n_tokens - 1) // 512
+        |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
+        |FROM cp ORDER BY doc_id""".stripMargin
+
   /** Admitted-set CTE of the corpus capstones (q116/q117): exact-dup
     * survivor + token floor + LM cap, with `extraGate` appended for
     * q117's near-dup condition.
@@ -502,6 +586,13 @@ object SparkEntry {
           "\n    AND d.doc_id NOT IN (SELECT doc_id FROM losers)") +
         s",\n${containmentHitCtesSql("kept")},\n" +
         s"$islandCtesSql,\n$shippedCorpusTailSql"),
+    // learned-BPE packing: the ENTIRE training loop re-derived
+    // relationally (10 generated stages — pair counts, deterministic
+    // argmax, left-to-right rewrite via islands alternation), then
+    // every document re-tokenized under the learned vocabulary and
+    // packed with q92's tail — every merge perturbs every downstream
+    // token count and boundary, all hash-checked
+    "q118_bpe_pack" -> bpeOracleSql(10),
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines
