@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_shipped_corpus" -> (Quality.q116ShippedCorpus _),
     "q117_shipped_corpus_neardup" -> (Quality.q117ShippedCorpusNearDup _),
     "q118_bpe_pack" -> (Bpe.q118BpePack _),
+    "q119_quality_gate" -> (Quality.q119QualityGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,6 +594,14 @@ object SparkEntry {
     // packed with q92's tail — every merge perturbs every downstream
     // token count and boundary, all hash-checked
     "q118_bpe_pack" -> bpeOracleSql(10),
+    // GPT-3-style quality-classifier gate on a planted corpus (the q96
+    // technique): the fit/score runs Spark-side (hash-derived data,
+    // seeded HistGbt); the oracle pins the holdout size and the
+    // accuracy/gate-behavior floor booleans
+    "q119_quality_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok,
+        |  TRUE AS gate_drops_garbled, TRUE AS gate_keeps_clean
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

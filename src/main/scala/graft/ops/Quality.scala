@@ -521,6 +521,132 @@ object Quality {
     out
   }
 
+  /** Hashed char-n-gram RELATIVE-FREQUENCY features of one text — the
+    * GPT-3-style quality-classifier featurization (Brown et al. 2020
+    * §A describe filtering crawl data with a classifier trained
+    * reference-vs-crawl; hashed n-gram counts are the standard
+    * fixed-width text featurization). Lowercased UTF-16 walk, each
+    * n-gram MurmurHash3'd into `dim` buckets, counts normalized by the
+    * gram total so document length cancels. Pure per-row kernel — at
+    * 100 TB featurization is a map stage.
+    */
+  private[graft] def hashedCharNgramFeatures(text: String, dim: Int,
+      n: Int): org.apache.spark.ml.linalg.Vector = {
+    val out = new Array[Double](dim)
+    if (text != null) {
+      val t = CharLm.sparkLower(text)
+      val total = t.length - n + 1
+      var i = 0
+      while (i < total) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(
+          t.substring(i, i + n), 42)
+        out(java.lang.Math.floorMod(h, dim)) += 1.0
+        i += 1
+      }
+      if (total > 0) {
+        var j = 0
+        while (j < dim) { out(j) /= total; j += 1 }
+      }
+    }
+    org.apache.spark.ml.linalg.Vectors.dense(out)
+  }
+
+  /** Fit the quality classifier: the engine's own HistGbt (binary) on
+    * hashed char-n-gram features, label 1 = `reference` (the curated
+    * corpus), 0 = `negatives` (crawl candidates) — the GPT-3 admission
+    * classifier shape. Feature prep is a map stage; the fit is the
+    * audited HistGbt distributed path (bounded bin sample, histogram
+    * shuffles of dim×bins cells).
+    */
+  def fitQualityClassifier(reference: DataFrame, negatives: DataFrame,
+      dim: Int = 128, n: Int = 3, maxIter: Int = 5): graft.ml.HistGbt.Model = {
+    import reference.sparkSession.implicits._
+    val feat = udf { text: String => hashedCharNgramFeatures(text, dim, n) }
+    val train = reference.select($"text").withColumn("quality", lit(1))
+      .unionAll(negatives.select($"text").withColumn("quality", lit(0)))
+      .withColumn("features", feat($"text"))
+    graft.ml.HistGbt.fit(train, numClasses = 2, featuresCol = "features",
+      labelCol = "quality", maxIter = maxIter, maxLeaves = 8, maxDepth = 3,
+      maxBins = 32, sampleTarget = 5000)
+  }
+
+  /** P(reference-quality | text) under a fitted classifier, as a
+    * Column — the per-doc score an admission pipeline gates on
+    * (typically `score >= 0.5`, or GPT-3's Pareto-resampling on the
+    * score). The model rides the UDF closure (trees + priors,
+    * kilobytes); scoring is a pure map stage at any corpus size.
+    */
+  def qualityScoreCol(model: graft.ml.HistGbt.Model, dim: Int = 128,
+      n: Int = 3): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf { text: String =>
+      val s = model.rawScores(hashedCharNgramFeatures(text, dim, n))
+      1.0 / (1.0 + math.exp(s(0) - s(1)))
+    }
+    (text: org.apache.spark.sql.Column) => f(text)
+  }
+
+  /** ORACLED accuracy floor (q119, the q96 planted-corpus technique):
+    * a deterministic quality split is planted from doc_id — even ids
+    * get natural word-soup from a 16-word vocabulary, odd ids get
+    * garbled consonant-soup — the classifier trains on the 80% split
+    * and the HOLDOUT accuracy and gate behavior are asserted as
+    * booleans with margin (the q97/q105/q111 boolean-oracle
+    * discipline; everything is hash-derived and seeded, so the
+    * booleans are stable across partitionings). `gate_drops_garbled` /
+    * `gate_keeps_clean` pin the WIRING contract: thresholding the
+    * score at 0.5 must reject ≥95% of garbled holdout docs and admit
+    * ≥95% of clean ones — the classifier as admission gate #5
+    * (composed with the q114 gates in QualitySpec).
+    */
+  def q119QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocabGood = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "with", "bright", "morning", "light", "under",
+      "stone", "bridge", "winter")
+    val vocabBad = Seq("zxq", "qjvv", "xkwz", "vqpx", "zzkj", "wxqv",
+      "kqzx", "jvwq", "xzzp", "qkvj", "zwxk", "vjqz", "pxzq", "kjwv",
+      "qzxv", "wvkq")
+    def gen(vocab: Seq[String]): org.apache.spark.sql.Column = {
+      val arr = array(vocab.map(lit): _*)
+      array_join(
+        transform(sequence(lit(0), lit(23)), i =>
+          element_at(arr,
+            (pmod(xxhash64($"doc_id", i), lit(vocab.size)) + 1).cast("int"))),
+        " ")
+    }
+    val corpus = Sources.documents(spark, dir).select($"doc_id")
+      .withColumn("quality_label",
+        when(pmod($"doc_id", lit(2)) === 0, 1).otherwise(0))
+      .withColumn("text",
+        when($"quality_label" === 1, gen(vocabGood)).otherwise(gen(vocabBad)))
+    val train = corpus.filter(pmod($"doc_id", lit(5)) =!= 0).cache()
+    val test = corpus.filter(pmod($"doc_id", lit(5)) === 0)
+    val model = fitQualityClassifier(
+      train.filter($"quality_label" === 1),
+      train.filter($"quality_label" === 0))
+    val scored = test
+      .withColumn("score", qualityScoreCol(model)($"text"))
+      .withColumn("admit", $"score" >= 0.5)
+    val out = scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(($"score" >= 0.5) === ($"quality_label" === 1), 1L)
+          .otherwise(0L)).as("n_correct"),
+        sum(when($"quality_label" === 0 && !$"admit", 1L).otherwise(0L))
+          .as("bad_dropped"),
+        sum(when($"quality_label" === 0, 1L).otherwise(0L)).as("bad_total"),
+        sum(when($"quality_label" === 1 && $"admit", 1L).otherwise(0L))
+          .as("good_kept"),
+        sum(when($"quality_label" === 1, 1L).otherwise(0L)).as("good_total"))
+      .select(
+        $"n_test",
+        ($"n_correct" >= $"n_test" * 0.95).as("acc_ok"),
+        ($"bad_dropped" >= $"bad_total" * 0.95).as("gate_drops_garbled"),
+        ($"good_kept" >= $"good_total" * 0.95).as("gate_keeps_clean"))
+      .localCheckpoint(true)
+    train.unpersist(false)
+    out
+  }
+
   /** L1 (order-insensitive exact dedup) — dedup on a bag-of-words key:
     * the sorted distinct token set. Catches duplicates that exact-hash
     * dedup (q21) misses because tokens were reordered or repeated —

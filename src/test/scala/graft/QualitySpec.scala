@@ -187,6 +187,39 @@ class QualitySpec extends SparkTestBase {
     assert(lm.bits(crab) === 0.0)
   }
 
+  test("quality classifier composes as admission gate #5 with the q114 gates") {
+    val rnd = new scala.util.Random(7)
+    val goodVocab = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "with", "morning", "light", "stone")
+    val badVocab = Seq("zxq", "qjvv", "xkwz", "vqpx", "zzkj", "wxqv",
+      "kqzx", "jvwq", "xzzp", "qkvj", "zwxk", "vjqz")
+    def soup(v: Seq[String]) =
+      (0 until 24).map(_ => v(rnd.nextInt(v.size))).mkString(" ")
+    val trainGood = (0 until 60).map(i => (1000L + i, soup(goodVocab)))
+    val trainBad = (0 until 60).map(i => (2000L + i, soup(badVocab)))
+    val model = ops.Quality.fitQualityClassifier(
+      trainGood.toDF("doc_id", "text"), trainBad.toDF("doc_id", "text"))
+    val goodText = soup(goodVocab)
+    val cands = Seq(
+      (1L, goodText),            // clean, survivor -> admitted
+      (2L, goodText),            // exact dup of 1 -> survivor gate drops
+      (3L, soup(badVocab)),      // garbled -> quality gate drops
+      (4L, "short text"))        // token floor drops
+      .toDF("doc_id", "text")
+    val surv = cands.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    val decisions = cands
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .withColumn("n_tok", size(split($"text", " ")))
+      .withColumn("q", ops.Quality.qualityScoreCol(model)($"text"))
+      .withColumn("keep",
+        $"doc_id" === $"survivor_id" && $"n_tok" >= 5 && $"q" >= 0.5)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(decisions === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false))
+  }
+
   test("shared shingles: fraction of a doc's distinct 3-grams seen in any other doc") {
     withTempDocs(Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"
