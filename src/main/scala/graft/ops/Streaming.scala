@@ -160,6 +160,15 @@ object Streaming {
     * bits cap. The stream's only state remains the dedup buffer; all
     * four signals are map-stage probes of broadcast state — decisions
     * emit immediately in append mode, the same economics at any rate.
+    *
+    * SIZE CAVEAT: the dup-gram array is only "small" on already-clean
+    * corpora — on a duplicate-heavy 100 TB crawl use
+    * [[admissionStreamBloom]], whose broadcast budget is fixed at
+    * construction regardless of corpus duplication. NEAR-DUP gate:
+    * compose with [[nearDupPairsStream]]/[[nearDupTextPairsStream]] —
+    * first-arrival-wins over its emitted pairs is the batch min-id
+    * survivor rule (the q117 capstone's gate) when ingest order
+    * follows doc_id.
     */
   def admissionStream(docs: DataFrame, dupGrams: Array[Long],
       benchGrams: Array[Long], lm: Quality.CharLm, gramLen: Int = 24,
