@@ -137,6 +137,8 @@ object SparkEntry {
     "q117_shipped_corpus_neardup" -> (Quality.q117ShippedCorpusNearDup _),
     "q118_bpe_pack" -> (Bpe.q118BpePack _),
     "q119_quality_gate" -> (Quality.q119QualityGate _),
+    "q120_ccnet_buckets" -> (Quality.q120CcnetBuckets _),
+    "q121_corpus_mixture" -> (graft.util.Sampling.q121CorpusMixture _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -602,6 +604,46 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_test, TRUE AS acc_ok,
         |  TRUE AS gate_drops_garbled, TRUE AS gate_keeps_clean
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // CCNet tercile bucketing: q113's LM CTEs -> micro-unit bits ->
+    // quantile_cont cutoffs (interpolation over INTEGERS at thirds
+    // never lands on a .5 boundary, so floor(x+0.5) is tie-proof on
+    // both engines) -> head/middle/tail assignment, all hash-checked
+    "q120_ccnet_buckets" ->
+      (s"WITH ${lmCtesSql("(SELECT * FROM documents WHERE doc_id % 3 <> 0)")},\n$lmAggCteSql,\n" +
+        """m AS (SELECT doc_id,
+        |         CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro
+        |       FROM lm),
+        |c AS (SELECT
+        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
+        |  FROM m)
+        |SELECT doc_id, bits_micro,
+        |  CASE WHEN bits_micro <= c1 THEN 'head'
+        |       WHEN bits_micro <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM m, c ORDER BY doc_id""".stripMargin),
+    // deterministic corpus mixture: DuckDB re-derives the parity
+    // weights, the integer quota math (W, T*, per-source n), and the
+    // md5 within-source ranks — every selected doc and rank
+    // hash-checked
+    "q121_corpus_mixture" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(substr(source, 4, 10) AS INT) % 2 = 0
+        |         THEN 3 ELSE 1 END AS wt,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(wt) AS W FROM w),
+        |tstar AS (SELECT min(cnt * W // wt) AS T FROM w, tot),
+        |quota AS (SELECT source, wt * T // W AS n_quota FROM w, tot, tstar),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS sel_rank
+        |FROM r JOIN quota USING (source)
+        |WHERE rk <= n_quota ORDER BY r.doc_id""".stripMargin,
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

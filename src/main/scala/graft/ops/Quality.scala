@@ -216,6 +216,55 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet's actual DEPLOYMENT of the perplexity signal (Wenzek et al.
+    * 2020 §4.3): bucket every candidate into head/middle/tail by
+    * perplexity TERCILE rather than gating on a fixed cap — the head
+    * bucket trains high-quality models, the tail gets dropped or
+    * down-weighted. Cutoffs come from ONE exact-percentile aggregate
+    * over the per-doc bits (micro-unit integers, so both engines
+    * interpolate the same integers and the floor(x+0.5) round is
+    * tie-proof: tercile interpolation lands on thirds, never on a .5
+    * boundary); assignment is then a pure MAP stage against the two
+    * broadcast cutoffs — no global-order window anywhere.
+    *
+    * 100 TB posture: scoring is q113's (broadcast model, one map +
+    * per-doc aggregate). The exact percentile aggregate buffers the
+    * per-doc bits column (one value per DOCUMENT, not per token — tens
+    * of GB at 100 TB corpus scale, still the one stage to swap out);
+    * the production path fits cutoffs on a sample or the GK sketch
+    * (q75's machinery, rank error ε) exactly as CCNet fits its cutoffs
+    * on a sample of Common Crawl — the assignment stage, which is the
+    * corpus-sized one, is already the scalable shape.
+    */
+  def ccnetBuckets(candidates: DataFrame, reference: DataFrame): DataFrame = {
+    import candidates.sparkSession.implicits._
+    val lm = lmScore(candidates, reference)
+      .select($"doc_id",
+        floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
+    val cuts = lm.agg(
+      floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
+      floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+    lm.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when($"bits_micro" <= $"c1", "head")
+          .when($"bits_micro" <= $"c2", "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"bits_micro", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** ORACLED exercise (q120): [[ccnetBuckets]] on q113's split — every
+    * doc's micro-unit bits AND its head/middle/tail assignment
+    * hash-checked (DuckDB re-derives the model, the scores, and the
+    * quantile_cont cutoffs).
+    */
+  def q120CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    ccnetBuckets(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0))
+  }
+
   /** ORACLED exercise (q114): the batch ADMISSION decision — the
     * gates [[graft.ops.Streaming.admissionStream]] applies per
     * incoming document, computed for the whole candidate corpus in

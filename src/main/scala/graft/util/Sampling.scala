@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -189,5 +189,76 @@ object Sampling {
     sampled.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** DETERMINISTIC CORPUS MIXTURE (the Pile/DoReMi-style data-mixing
+    * step a pretraining pipeline runs after admission): given an
+    * integer target WEIGHT per group (source), downsample every group
+    * so the shipped mixture hits the target PROPORTIONS exactly, at
+    * the largest corpus size the available data supports —
+    * T* = min_g⌊count_g·W/w_g⌋ (W = Σ distinct group weights), quota
+    * n_g = ⌊w_g·T* / W⌋, so the binding (scarcest-relative-to-weight)
+    * group is kept near-whole and every other group is cut to
+    * proportion. Selection WITHIN a group is the md5-rank idiom
+    * (q33/q83/q93): the n_g docs with smallest (md5(id), id) — a pure
+    * function of the id, stable under re-partitioning, and exactly
+    * reproducible in SQL. All quota arithmetic is integer-exact.
+    *
+    * `weightCol` must be functionally dependent on `groupCol` (one
+    * weight per group; asserted by the max==min check).
+    *
+    * 100 TB posture: ONE per-group count aggregate whose |groups|-row
+    * result is collected (the bounded-summary class — group = data
+    * source, dozens not millions), integer quota math driver-side,
+    * quotas re-broadcast as a literal join table, and ONE per-group
+    * rank window (keyed shuffle on the group). No second corpus pass.
+    */
+  def corpusMixture(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"),
+        max(weightCol).as("wt"), min(weightCol).as("wt_min"))
+      .select(col(groupCol).cast("string"), col("cnt"),
+        col("wt").cast("long"), col("wt_min").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    // weight must be constant within each group or quotas are
+    // ill-defined — fail loudly, not with a silently wrong mixture
+    sizes.foreach { case (g, _, wt, wtMin) =>
+      require(wt == wtMin,
+        s"corpusMixture: weightCol is not constant within group '$g'")
+      require(wt >= 1, s"corpusMixture: weight of group '$g' must be >= 1")
+    }
+    require(sizes.nonEmpty, "corpusMixture: empty input")
+    val bigW = sizes.map(_._3).sum
+    val tStar = sizes.map { case (_, cnt, wt, _) => cnt * bigW / wt }.min
+    val quota = sizes.map { case (g, _, wt, _) => (g, wt * tStar / bigW) }
+      .toSeq.toDF(groupCol, "n_quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq(groupCol))
+      .filter(col("sel_rank") <= col("n_quota"))
+      .select(col(idCol), col(groupCol), col("sel_rank"))
+  }
+
+  /** ORACLED exercise (q121): [[corpusMixture]] over `documents` with
+    * a deliberately NON-uniform weight derived from the source name
+    * (even-numbered sources weigh 3, odd 1), so the quota math cuts
+    * every group differently; every selected doc and its within-source
+    * rank hash-checked against DuckDB's re-derivation of the weights,
+    * quotas, and md5 ranks.
+    */
+  def q121CorpusMixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.ops.Sources.documents(spark, dir)
+    val wt = when(
+      expr("CAST(substr(source, 4, 10) AS INT)") % 2 === 0, lit(3L))
+      .otherwise(lit(1L))
+    corpusMixture(docs, "doc_id", "source", wt)
+      .orderBy(col("doc_id"))
   }
 }

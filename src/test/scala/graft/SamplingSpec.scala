@@ -173,6 +173,51 @@ class SamplingSpec extends SparkTestBase {
     assert(a.count(_ >= 100000L) === 50)
   }
 
+  test("corpus mixture hits target proportions exactly and is partition-invariant") {
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}")) // 100 per group
+    val df = rows.toDF("id", "grp")
+    val wt = when($"grp" === "g0", 6L).when($"grp" === "g1", 3L).otherwise(1L)
+    val out = util.Sampling.corpusMixture(df, "id", "grp", wt)
+      .as[(Long, String, Long)].collect()
+    // W = 10; T* = min(100*10/6, 100*10/3, 100*10/1) = 166;
+    // quotas: g0 = 6*166/10 = 99, g1 = 3*166/10 = 49, g2 = 166/10 = 16
+    val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup === Map("g0" -> 99, "g1" -> 49, "g2" -> 16))
+    // ranks are 1..n_quota within each group
+    out.groupBy(_._2).foreach { case (g, sel) =>
+      assert(sel.map(_._3).sorted.toSeq === (1L to sel.length).toSeq, g)
+    }
+    // selection is a pure function of the id — repartitioning changes nothing
+    val out2 = util.Sampling.corpusMixture(df.repartition(13), "id", "grp", wt)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+    // inconsistent weights within a group fail loudly
+    val bad = intercept[Exception] {
+      util.Sampling.corpusMixture(df, "id", "grp",
+        when($"id" % 2 === 0, 1L).otherwise(2L))
+    }
+    assert(bad.getMessage.contains("not constant"))
+  }
+
+  test("ccnet buckets: terciles partition the scored docs, cutoffs ordered") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ops.Quality.q120CcnetBuckets(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // every head bits <= every middle bits <= every tail bits
+    assert(byBucket("head") > 0 && byBucket("middle") > 0 && byBucket("tail") > 0)
+    val maxHead = out.filter(_._3 == "head").map(_._2).max
+    val minMid = out.filter(_._3 == "middle").map(_._2).min
+    val maxMid = out.filter(_._3 == "middle").map(_._2).max
+    val minTail = out.filter(_._3 == "tail").map(_._2).min
+    assert(maxHead <= minMid && maxMid <= minTail)
+    // tercile balance: each bucket within ±2 of n/3 (cutoff ties can shift)
+    val n = out.length
+    byBucket.values.foreach(c => assert(math.abs(c - n / 3) <= n / 3 / 2 + 2))
+  }
+
   test("85/15 split partitions the input without overlap") {
     val df = corpus(Map("a" -> 200))
     val (train, test) = util.Sampling.split8515(df, 42L)
