@@ -17,10 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[WinnowFingerprints]].
   *
   * Semantics match the HOF composition exactly (TextSpec asserts the
-  * edge lengths): <2-char input → empty array; duplicates keep first
-  * appearance. Chars are UTF-16 units — identical to code points on
-  * BMP text (the DuckDB oracle slices code points, so parity holds for
-  * ASCII/BMP corpora, as with [[WinnowFingerprints]]).
+  * edge lengths): input with <2 CODE POINTS → empty array; duplicates
+  * keep first appearance. Bigrams are CODE-POINT pairs (a `split("")`
+  * regex never splits a surrogate pair, so the HOF formulation was
+  * already code-point based; this kernel now matches it — and the
+  * DuckDB oracle's slicing — on astral text too, the round-15
+  * [[CharBigramStream]] fix applied to its sibling).
   *
   * Codegen emits a single static call to [[CharBigrams.compute]] so the
   * surrounding stage stays in whole-stage codegen.
@@ -50,11 +52,18 @@ case class CharBigrams(child: Expression) extends UnaryExpression {
 object CharBigrams {
   def compute(s: UTF8String): ArrayData = {
     val str = s.toString
-    val n = str.length
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (str.codePointCount(0, str.length) < 2)
+      return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i < n - 1) { seen.add(str.substring(i, i + 2)); i += 1 }
+    // two-cursor code-point walk (the CharBigramStream pattern): each
+    // bigram spans two code points, 2-4 UTF-16 units
+    var start = 0
+    var mid = Character.charCount(str.codePointAt(0))
+    while (mid < str.length) {
+      val end = mid + Character.charCount(str.codePointAt(mid))
+      seen.add(str.substring(start, end))
+      start = mid; mid = end
+    }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

@@ -121,6 +121,19 @@ class TextSpec extends SparkTestBase {
     assert(out.flatten.forall(_.length == 2))
   }
 
+  test("charBigrams: astral characters are single units (code-point pairs)") {
+    val crab = "🦀" // U+1F980, a surrogate pair in UTF-16
+    val out = Seq(s"a${crab}b", crab, s"$crab$crab$crab", "你好你好")
+      .toDF("s").select(ops.Text.charBigrams($"s").as("b"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq(s"a$crab", s"${crab}b"))
+    assert(out(1) === Seq.empty) // one code point, no pair
+    assert(out(2) === Seq(s"$crab$crab")) // deduplicated
+    assert(out(3) === Seq("你好", "好你")) // first-appearance order, deduped
+    // every bigram is exactly 2 CODE POINTS
+    assert(out.flatten.forall(b => b.codePointCount(0, b.length) == 2))
+  }
+
   test("language ID classifies a bigram-discriminable corpus correctly") {
     val train = Seq(
       ("en", "the quick brown fox jumps over the lazy dog then runs there"),
