@@ -139,6 +139,7 @@ object SparkEntry {
     "q119_quality_gate" -> (Quality.q119QualityGate _),
     "q120_ccnet_buckets" -> (Quality.q120CcnetBuckets _),
     "q121_corpus_mixture" -> (graft.util.Sampling.q121CorpusMixture _),
+    "q122_gopher_gate" -> (Quality.q122GopherGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -644,6 +645,71 @@ object SparkEntry {
         |SELECT r.doc_id, r.source, CAST(rk AS BIGINT) AS sel_rank
         |FROM r JOIN quota USING (source)
         |WHERE rk <= n_quota ORDER BY r.doc_id""".stripMargin,
+    // the FULL Gopher §A1.1 quality battery over the rule-breaching
+    // planted corpus — DuckDB re-derives the plant (same CASE order),
+    // the word/line stats, the micro-rounded fractions, every rule
+    // boolean, and the keep decision
+    "q122_gopher_gate" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN t2 || ' and of that' ELSE t2 END AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE
+        |        WHEN doc_id % 11 = 0 THEN array_to_string(
+        |          list_transform(string_split(text, ' ')[1:20], x -> '- ' || x), chr(10))
+        |        WHEN doc_id % 13 = 0 THEN text || chr(10) || 'they said...' ||
+        |          chr(10) || 'more soon...' || chr(10) || 'the end'
+        |        WHEN doc_id % 7 = 0 THEN text || ' # ## ... # ### #'
+        |        WHEN doc_id % 5 = 0 THEN array_to_string(string_split(text, ' ')[1:10], ' ')
+        |        WHEN doc_id % 3 = 0 THEN text || ' 42 7 99 100 3 8 12 55 61 70 88 91'
+        |        ELSE text END AS t2
+        |    FROM documents)),
+        |wx AS (
+        |  SELECT doc_id, u.w FROM planted,
+        |    unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(w)
+        |  WHERE u.w <> ''),
+        |wstat AS (
+        |  SELECT doc_id, count(*) AS n_words, sum(length(w)) AS wchars,
+        |    sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |    count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+        |      THEN w END) AS n_stop
+        |  FROM wx GROUP BY doc_id),
+        |lx AS (
+        |  SELECT doc_id, u.l FROM planted, unnest(string_split(text, chr(10))) AS u(l)),
+        |lstat AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN l LIKE '- %' OR l LIKE '* %' THEN 1 ELSE 0 END) AS n_bullet,
+        |    sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END) AS n_ell_line
+        |  FROM lx GROUP BY doc_id),
+        |sym AS (
+        |  SELECT doc_id,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+        |  FROM planted),
+        |m AS (
+        |  SELECT w.doc_id AS doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words, CAST(n_lines AS BIGINT) AS n_lines,
+        |    floor(CAST(wchars AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS mean_wlen,
+        |    floor(CAST(n_hash + n_ell AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS symbol_ratio,
+        |    floor(CAST(n_bullet AS DOUBLE) * 1e6 / n_lines + 0.5) / 1e6 AS bullet_frac,
+        |    floor(CAST(n_ell_line AS DOUBLE) * 1e6 / n_lines + 0.5) / 1e6 AS ellipsis_frac,
+        |    floor(CAST(n_alpha AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS alpha_frac,
+        |    CAST(n_stop AS BIGINT) AS n_stop
+        |  FROM wstat w JOIN lstat l USING (doc_id) JOIN sym s USING (doc_id))
+        |SELECT doc_id, n_words, n_lines, mean_wlen, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stop,
+        |  (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+        |  (mean_wlen BETWEEN 3.0 AND 10.0) AS r_meanlen,
+        |  (symbol_ratio <= 0.1) AS r_symbol,
+        |  (bullet_frac <= 0.9) AS r_bullet,
+        |  (ellipsis_frac <= 0.3) AS r_ellipsis,
+        |  (alpha_frac >= 0.8) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

@@ -718,4 +718,192 @@ object Quality {
         size(split($"bow_key", " ")).cast("int").as("n_uniq_tokens"))
       .orderBy($"doc_id")
   }
+
+  /** Gopher's stop-word presence list (Rae et al. 2021 §A1.1: "contains
+    * at least two of the following English words: the, be, to, of, and,
+    * that, have, with").
+    */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Deterministic rule-breaching corpus for [[q122GopherGate]] (the
+    * q96/q66 planting technique): the driver fixture is uniform
+    * single-line lowercase word soup, where most Gopher rules would be
+    * constant — so each rule's breach mode is planted expression-only
+    * from `doc_id` (first matching CASE arm wins, identically ordered
+    * in the oracle SQL): %11 → all-bullet lines, %13 → ellipsis-
+    * terminated lines, %7 → `#`/`...` symbol spam, %5 → 10-word
+    * truncation (word-count floor), %3 → numeric tokens (alphabetic-
+    * word fraction); an independent second stage appends three Gopher
+    * stop words to even docs so the ≥2-stop-words rule fires both ways
+    * (odd word-soup docs carry only "the").
+    */
+  private[ops] def gopherPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w0 = split($"text", " ")
+    val bulletized = array_join(
+      transform(slice(w0, 1, 20), w => concat(lit("- "), w)), "\n")
+    val t2 = when($"doc_id" % 11 === 0, bulletized)
+      .when($"doc_id" % 13 === 0,
+        concat($"text", lit("\nthey said...\nmore soon...\nthe end")))
+      .when($"doc_id" % 7 === 0, concat($"text", lit(" # ## ... # ### #")))
+      .when($"doc_id" % 5 === 0, array_join(slice(w0, 1, 10), " "))
+      .when($"doc_id" % 3 === 0,
+        concat($"text", lit(" 42 7 99 100 3 8 12 55 61 70 88 91")))
+      .otherwise($"text")
+    docs.select($"doc_id",
+      when($"doc_id" % 2 === 0, concat(t2, lit(" and of that")))
+        .otherwise(t2).as("text"))
+  }
+
+  /** L6 — the FULL Gopher quality-rule battery (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", §A1.1 — public): per document, every metric the
+    * paper's quality filter gates on, each rule's boolean, and the
+    * composite keep decision. Complements q56 (the §A1.1 REPETITION
+    * signals) — together they are the complete Gopher filter.
+    *
+    * Rules: word count ∈ [50, 100k]; mean word length ∈ [3, 10];
+    * symbol-to-word ratio (`#` + `...`) ≤ 0.1; ≤ 90% of lines bullet-
+    * initial; ≤ 30% of lines ellipsis-terminal; ≥ 80% of words contain
+    * an alphabetic character; ≥ 2 distinct [[gopherStopWords]].
+    *
+    * Parity: all counts are integers; every fraction ships in the
+    * tie-proof [[microRatio]] form; words/lines derive from plain
+    * single-char splits both engines implement identically; `...`
+    * counting uses non-overlapping left-to-right `replace` on both.
+    *
+    * 100 TB posture: pure per-row map work over HOF arrays (no explode
+    * survives the stage, no UDF, no shuffle at all before the caller's
+    * own aggregation) — the filter fuses into the scan, the ideal
+    * shape for a first-pass gate that every document must cross.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lines = split($"text", "\n")
+    val words = filter(split(translate($"text", "\n", " "), " "),
+      w => length(w) > 0)
+    val nHash = length($"text") - length(replace($"text", lit("#"), lit("")))
+    val nEll = ((length($"text") -
+      length(replace($"text", lit("..."), lit("")))) / lit(3)).cast("long")
+    docs
+      .withColumn("words", words)
+      .withColumn("lines", lines)
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_lines", size($"lines").cast("long"))
+      .withColumn("mean_wlen",
+        microRatio(aggregate($"words", lit(0L), (a, w) => a + length(w)),
+          $"n_words"))
+      .withColumn("symbol_ratio", microRatio(nHash + nEll, $"n_words"))
+      .withColumn("bullet_frac",
+        microRatio(size(filter($"lines",
+          l => l.startsWith("- ") || l.startsWith("* "))), $"n_lines"))
+      .withColumn("ellipsis_frac",
+        microRatio(size(filter($"lines", _.endsWith("..."))), $"n_lines"))
+      .withColumn("alpha_frac",
+        microRatio(size(filter($"words", _.rlike("[a-z]"))), $"n_words"))
+      .withColumn("n_stop",
+        gopherStopWords.map(w =>
+          when(array_contains($"words", w), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("r_wordcount", $"n_words".between(50L, 100000L))
+      .withColumn("r_meanlen", $"mean_wlen".between(3.0, 10.0))
+      .withColumn("r_symbol", $"symbol_ratio" <= 0.1)
+      .withColumn("r_bullet", $"bullet_frac" <= 0.9)
+      .withColumn("r_ellipsis", $"ellipsis_frac" <= 0.3)
+      .withColumn("r_alpha", $"alpha_frac" >= 0.8)
+      .withColumn("r_stop", $"n_stop" >= 2L)
+      .withColumn("keep",
+        $"r_wordcount" && $"r_meanlen" && $"r_symbol" && $"r_bullet" &&
+          $"r_ellipsis" && $"r_alpha" && $"r_stop")
+      .select($"doc_id", $"n_words", $"n_lines", $"mean_wlen",
+        $"symbol_ratio", $"bullet_frac", $"ellipsis_frac", $"alpha_frac",
+        $"n_stop", $"r_wordcount", $"r_meanlen", $"r_symbol", $"r_bullet",
+        $"r_ellipsis", $"r_alpha", $"r_stop", $"keep")
+  }
+
+  /** ORACLED exercise (q122): [[gopherRules]] over the
+    * [[gopherPlant]]ed corpus — every metric, micro-rounded fraction,
+    * rule boolean, and the keep decision hash-checked row-for-row
+    * (DuckDB re-derives the plant and the full battery).
+    */
+  def q122GopherGate(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(gopherPlant(Sources.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** L6 — DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): score every
+    * candidate document by its importance weight between a TARGET
+    * distribution (the high-quality corpus you want more of) and the
+    * RAW pool, both modeled as bags of HASHED word uni+bigrams:
+    * log w(doc) = Σ_grams [ln p̂(b(g)) − ln q̂(b(g))] with add-one
+    * smoothing over `buckets` hashed features, p̂ from the target, q̂
+    * from the raw pool itself — the paper's exact estimator (§3,
+    * hashed n-gram features). Documents with log w > 0 look more like
+    * the target than the pool and are what importance resampling
+    * upweights.
+    *
+    * Parity: buckets come from the q93 md5-conv idiom (bit-identical
+    * in DuckDB); the weight is a sum of ln-ratio terms rounded at 6
+    * decimals (the q113 precedent).
+    *
+    * 100 TB posture: both distributions are `buckets`-bounded
+    * aggregates (map-side combine, then ≤ `buckets` rows — broadcast
+    * by construction, the [[CharLm]] argument); scoring is one
+    * explode → per-(doc,bucket) combine → broadcast joins → per-doc
+    * aggregate. One keyed shuffle on (doc_id, bucket), nothing
+    * corpus-sized ever sits on the driver.
+    */
+  def dsirWeights(candidates: DataFrame, target: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    import candidates.sparkSession.implicits._
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val toks = split(lower($"text"), " ")
+      val grams = when(size(toks) >= 2, concat(toks, wordGrams(toks, 2)))
+        .otherwise(toks)
+      df.select($"doc_id", explode(grams).as("gram"))
+        .select($"doc_id",
+          (conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long")
+            % buckets).as("bucket"))
+    }
+    // target model: ≤ `buckets` rows; eager checkpoint freezes it so
+    // the two derived aggregates don't re-run the target scan
+    val tCnt = gramBuckets(target)
+      .groupBy($"bucket").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    val tTot = tCnt.agg(sum($"ct").as("nt"))
+    val cg = gramBuckets(candidates)
+    val rCnt = cg.groupBy($"bucket").agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true)
+    val rTot = rCnt.agg(sum($"cr").as("nr"))
+    cg.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("n"))
+      .join(broadcast(tCnt), Seq("bucket"), "left")
+      .join(broadcast(rCnt), Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("term",
+        $"n" * (log((coalesce($"ct", lit(0L)) + lit(1.0)) /
+            ($"nt" + lit(buckets))) -
+          log((coalesce($"cr", lit(0L)) + lit(1.0)) /
+            ($"nr" + lit(buckets)))))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_grams"),
+        round(sum($"term"), 6).as("log_weight"))
+      .withColumn("selected", $"log_weight" > 0.0)
+  }
+
+  /** ORACLED exercise (q123): [[dsirWeights]] with target = the
+    * src0/src1 documents, raw pool = the rest — every per-doc gram
+    * count, 6-decimal log weight, and selection boolean hash-checked
+    * (DuckDB re-derives the hashed features, both smoothed
+    * distributions, and the ln-ratio sum).
+    */
+  def q123DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    dsirWeights(
+      docs.filter(!$"source".isin("src0", "src1")),
+      docs.filter($"source".isin("src0", "src1")))
+      .orderBy($"doc_id")
+  }
 }

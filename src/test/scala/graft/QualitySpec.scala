@@ -368,4 +368,47 @@ class QualitySpec extends SparkTestBase {
     assert(rows.count(_.getBoolean(4)).toLong === distinctTexts)
     assert(rows.exists(_.getBoolean(6)), "expect kept docs")
   }
+
+  test("gopherRules: each §A1.1 rule fires on its hand-built breach doc") {
+    val clean = (("alpha beta gamma delta epsilon zeta " * 9) +
+      "the cat and that dog have fun with all of them be well").trim
+    val docs = Seq(
+      1L -> clean, // passes every rule
+      2L -> "the of short doc", // word-count floor
+      3L -> (clean + " ### ## # # ## ### # # ## # ##"), // symbol ratio
+      4L -> (1 to 60).map(i => s"- item$i the of").mkString("\n"), // bullets
+      5L -> (clean + "\n" + Seq.fill(30)("so they said...").mkString("\n")), // ellipses
+      6L -> (clean + " " + (1 to 60).map(_.toString).mkString(" ")), // alpha
+      7L -> clean.replaceAll("\\b(the|and|that|have|with|of|be)\\b", "xx"), // stops
+      8L -> ("a b c d e f g h i j " * 6 + "the of").trim // mean word length
+    ).toDF("doc_id", "text")
+    val out = ops.Quality.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(rule(1L, "keep"), "clean doc passes the whole battery")
+    assert(!rule(2L, "r_wordcount") && !rule(2L, "keep"))
+    assert(rule(1L, "r_symbol") && !rule(3L, "r_symbol"))
+    assert(rule(1L, "r_bullet") && !rule(4L, "r_bullet"))
+    assert(rule(1L, "r_ellipsis") && !rule(5L, "r_ellipsis"))
+    assert(rule(1L, "r_alpha") && !rule(6L, "r_alpha"))
+    assert(rule(1L, "r_stop") && !rule(7L, "r_stop"))
+    assert(rule(1L, "r_meanlen") && !rule(8L, "r_meanlen"))
+  }
+
+  test("q122 planted corpus exercises every rule in both directions") {
+    val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    val rules = Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stop", "keep")
+    val sums = out.agg(
+      sum(when(col(rules.head), 1L).otherwise(0L)).as(rules.head),
+      rules.tail.map(r => sum(when(col(r), 1L).otherwise(0L)).as(r)): _*
+    ).collect()(0)
+    rules.zipWithIndex.foreach { case (r, i) =>
+      val c = sums.getLong(i)
+      assert(c > 0 && (c < n || r == "keep"),
+        s"$r fires both ways (pass=$c of $n)")
+    }
+  }
 }
