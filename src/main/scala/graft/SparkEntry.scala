@@ -140,6 +140,8 @@ object SparkEntry {
     "q120_ccnet_buckets" -> (Quality.q120CcnetBuckets _),
     "q121_corpus_mixture" -> (graft.util.Sampling.q121CorpusMixture _),
     "q122_gopher_gate" -> (Quality.q122GopherGate _),
+    "q123_dsir_weights" -> (Quality.q123DsirWeights _),
+    "q124_sq_recall" -> (Similarity.q124SqRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -709,6 +711,72 @@ object SparkEntry {
         |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
         |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // int8 per-tensor symmetric quantization: DuckDB re-derives the
+    // scale, the codes, the INTEGER SDC ranking (exact arithmetic —
+    // no FP sum in the approximate path), the exact double-dot top-k
+    // (list_dot_product, the q22 parity precedent), and every probe's
+    // recall
+    "q124_sq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, v[s.d] AS x, CAST(s.d AS INT) AS d
+        |      FROM e, unnest(generate_series(1, len(v))) AS s(d)),
+        |sc AS (SELECT max(abs(x)) / 127 AS s FROM x),
+        |codes AS (SELECT vec_id, d, CAST(floor(x / s + 0.5) AS BIGINT) AS code FROM x, sc),
+        |pc AS (SELECT vec_id AS q_id, d, code AS qcode FROM codes WHERE vec_id % 50 = 0),
+        |sdc AS (SELECT q_id, c.vec_id, sum(qcode * code) AS score
+        |        FROM pc JOIN codes c USING (d) WHERE c.vec_id <> q_id
+        |        GROUP BY q_id, c.vec_id),
+        |ap AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rk
+        |         FROM sdc) WHERE rk <= 10),
+        |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |         SELECT q.q_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.q_id
+        |             ORDER BY list_dot_product(e.v, q.qv) DESC, e.vec_id) AS rk
+        |         FROM e, qv q WHERE e.vec_id <> q.q_id) WHERE rk <= 10),
+        |h AS (SELECT ap.q_id, count(*) AS hits FROM ap JOIN ex USING (q_id, vec_id)
+        |      GROUP BY ap.q_id)
+        |SELECT p.q_id, CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+        |  floor(CAST(COALESCE(hits, 0) AS DOUBLE) * 1e6 / 10 + 0.5) / 1e6 AS recall
+        |FROM (SELECT q_id FROM qv) p LEFT JOIN h USING (q_id) ORDER BY p.q_id""".stripMargin,
+    // DSIR importance weights: hashed word uni+bigram features (the
+    // q93 md5-conv idiom), add-one-smoothed target/raw distributions,
+    // per-doc ln-ratio sum rounded at 6 decimals (q113 precedent) —
+    // DuckDB re-derives features, both distributions, and the weights
+    "q123_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t, source FROM documents),
+        |tg AS (
+        |  SELECT CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 2
+        |      THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE t END) AS g
+        |    FROM d WHERE source IN ('src0', 'src1'))),
+        |tcnt AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
+        |ttot AS (SELECT sum(ct) AS nt FROM tcnt),
+        |cg AS (
+        |  SELECT doc_id, CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |      THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE t END) AS g
+        |    FROM d WHERE source NOT IN ('src0', 'src1'))),
+        |rcnt AS (SELECT bucket, count(*) AS cr FROM cg GROUP BY bucket),
+        |rtot AS (SELECT sum(cr) AS nr FROM rcnt),
+        |db AS (SELECT doc_id, bucket, count(*) AS n FROM cg GROUP BY doc_id, bucket),
+        |m AS (
+        |  SELECT doc_id, sum(n) AS n_grams,
+        |    round(sum(n * (ln((COALESCE(ct, 0) + 1.0) / (nt + 256))
+        |                 - ln((COALESCE(cr, 0) + 1.0) / (nr + 256)))), 6) AS log_weight
+        |  FROM db LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket), ttot, rtot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_weight,
+        |  (log_weight > 0.0) AS selected
         |FROM m ORDER BY doc_id""".stripMargin,
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB

@@ -777,8 +777,13 @@ object Quality {
     * survives the stage, no UDF, no shuffle at all before the caller's
     * own aggregation) — the filter fuses into the scan, the ideal
     * shape for a first-pass gate that every document must cross.
+    *
+    * `minWords`/`minStop` soften the two corpus-sensitive thresholds
+    * (Gopher's own 50/2 assume web-scale English prose; q125 runs the
+    * battery on the raw fixture at 30/1).
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+      minStop: Long = 2L): DataFrame = {
     import docs.sparkSession.implicits._
     val lines = split($"text", "\n")
     val words = filter(split(translate($"text", "\n", " "), " "),
@@ -806,13 +811,13 @@ object Quality {
         gopherStopWords.map(w =>
           when(array_contains($"words", w), 1L).otherwise(0L))
           .reduce(_ + _))
-      .withColumn("r_wordcount", $"n_words".between(50L, 100000L))
+      .withColumn("r_wordcount", $"n_words".between(minWords, 100000L))
       .withColumn("r_meanlen", $"mean_wlen".between(3.0, 10.0))
       .withColumn("r_symbol", $"symbol_ratio" <= 0.1)
       .withColumn("r_bullet", $"bullet_frac" <= 0.9)
       .withColumn("r_ellipsis", $"ellipsis_frac" <= 0.3)
       .withColumn("r_alpha", $"alpha_frac" >= 0.8)
-      .withColumn("r_stop", $"n_stop" >= 2L)
+      .withColumn("r_stop", $"n_stop" >= minStop)
       .withColumn("keep",
         $"r_wordcount" && $"r_meanlen" && $"r_symbol" && $"r_bullet" &&
           $"r_ellipsis" && $"r_alpha" && $"r_stop")

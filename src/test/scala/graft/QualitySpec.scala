@@ -396,6 +396,23 @@ class QualitySpec extends SparkTestBase {
     assert(rule(1L, "r_meanlen") && !rule(8L, "r_meanlen"))
   }
 
+  test("dsirWeights separates target-like from pool-like candidates") {
+    val target = (1L to 40L)
+      .map(i => i -> "alpha beta gamma delta epsilon zeta eta theta").toDF("doc_id", "text")
+    val cands = ((101L to 110L).map(i => i -> "alpha beta gamma delta epsilon zeta")
+      ++ (201L to 240L).map(i => i -> "omega psi chi phi upsilon tau sigma rho"))
+      .toDF("doc_id", "text")
+    val out = ops.Quality.dsirWeights(cands, target)
+    val w = out.collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("log_weight"))).toMap
+    assert((101L to 110L).forall(i => w(i) > 0), "target-vocab docs upweighted")
+    assert((201L to 240L).forall(i => w(i) < 0), "pool-vocab docs downweighted")
+    // weights are a pure function of the corpora — partition-invariant
+    val w2 = ops.Quality.dsirWeights(cands.repartition(7), target.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("log_weight"))).toMap
+    assert(w === w2)
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()

@@ -376,4 +376,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(withCap === noCap)
     assert(withCap.nonEmpty)
   }
+
+  test("sq int8: codes in [-127,127], reconstruction within s/2 per dim") {
+    val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val s = ops.Similarity.sqFit(emb)
+    assert(s > 0)
+    val rows = ops.Similarity.sqEncode(emb, s)
+      .select($"embedding", $"codes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = r.getSeq[Float](0)
+      val cs = r.getSeq[Long](1)
+      assert(xs.length === cs.length)
+      cs.foreach(c => assert(math.abs(c) <= 127, s"code $c out of range"))
+      xs.zip(cs).foreach { case (x, c) =>
+        // floor(x/s + 0.5) is the nearest integer: |x - c*s| <= s/2
+        assert(math.abs(x.toDouble - c * s) <= s / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("sq int8 recall: planted clusters stay pure under SDC ranking") {
+    // 4 well-separated direction clusters (the q98 technique). Within
+    // a cluster the candidates are near-ties at int8 resolution (2%
+    // jitter ≈ the quantization step), so exact top-k equality is not
+    // the contract — cluster purity plus high overlap is: quantization
+    // must never confuse clusters, and most of the exact set survives.
+    val dim = 16
+    val clustered = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id",
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (((pmod(hash(pmod($"vec_id", lit(4)), i), lit(2001)) - 1000) / 1000.0) +
+            ((pmod(hash($"vec_id", i, lit(17)), lit(2001)) - 1000) / 1000.0)
+              * 0.02).cast("float")).as("embedding"))
+    val s = ops.Similarity.sqFit(clustered)
+    val enc = ops.Similarity.sqEncode(clustered, s).select($"vec_id", $"codes")
+    val probe = enc.filter($"vec_id" === 0)
+      .select($"codes".as("qcodes")).crossJoin(enc).filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        aggregate(zip_with($"codes", $"qcodes", _ * _), lit(0L),
+          (a, y) => a + y).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val units = clustered.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("v"))
+    val exact = units.filter($"vec_id" === 0).select($"v".as("qv"))
+      .crossJoin(units).filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        aggregate(zip_with($"v", $"qv", _ * _), lit(0.0),
+          (a, y) => a + y).as("dot"))
+      .orderBy($"dot".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(probe.forall(_ % 4 === 0L), "every SDC hit is in the probe's cluster")
+    assert(exact.forall(_ % 4 === 0L), "sanity: exact set is cluster-pure too")
+    assert(probe.intersect(exact).size >= 7,
+      s"SDC overlap with exact top-10 is high (got ${probe.intersect(exact).size})")
+  }
 }
