@@ -142,6 +142,7 @@ object SparkEntry {
     "q122_gopher_gate" -> (Quality.q122GopherGate _),
     "q123_dsir_weights" -> (Quality.q123DsirWeights _),
     "q124_sq_recall" -> (Similarity.q124SqRecall _),
+    "q125_admission_v2" -> (Quality.q125AdmissionV2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -325,6 +326,94 @@ object SparkEntry {
   private val lmAggCteSql: String =
     """lm AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS lm_bits
         |       FROM j GROUP BY doc_id)""".stripMargin
+
+  /** Gopher §A1.1 battery CTEs over `srcRel` (needs doc_id, text) →
+    * `gob(doc_id, metrics…, r_* booleans, keep)`. Shared by q122
+    * (planted corpus at Gopher's own 50/2 thresholds) and q125 (raw
+    * candidates at the fixture's 30/1).
+    */
+  private def gopherCtesSql(srcRel: String, minWords: Int, minStop: Int): String =
+    s"""gpwx AS (
+        |  SELECT doc_id, u.w FROM $srcRel,
+        |    unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(w)
+        |  WHERE u.w <> ''),
+        |gpwstat AS (
+        |  SELECT doc_id, count(*) AS n_words, sum(length(w)) AS wchars,
+        |    sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
+        |    count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+        |      THEN w END) AS n_stop
+        |  FROM gpwx GROUP BY doc_id),
+        |gplx AS (
+        |  SELECT doc_id, u.l FROM $srcRel, unnest(string_split(text, chr(10))) AS u(l)),
+        |gplstat AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN l LIKE '- %' OR l LIKE '* %' THEN 1 ELSE 0 END) AS n_bullet,
+        |    sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END) AS n_ell_line
+        |  FROM gplx GROUP BY doc_id),
+        |gpsym AS (
+        |  SELECT doc_id,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+        |  FROM $srcRel),
+        |gpm AS (
+        |  SELECT w.doc_id AS doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words, CAST(n_lines AS BIGINT) AS n_lines,
+        |    floor(CAST(wchars AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS mean_wlen,
+        |    floor(CAST(n_hash + n_ell AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS symbol_ratio,
+        |    floor(CAST(n_bullet AS DOUBLE) * 1e6 / n_lines + 0.5) / 1e6 AS bullet_frac,
+        |    floor(CAST(n_ell_line AS DOUBLE) * 1e6 / n_lines + 0.5) / 1e6 AS ellipsis_frac,
+        |    floor(CAST(n_alpha AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS alpha_frac,
+        |    CAST(n_stop AS BIGINT) AS n_stop
+        |  FROM gpwstat w JOIN gplstat l USING (doc_id) JOIN gpsym s USING (doc_id)),
+        |gob AS (
+        |  SELECT *,
+        |    (n_words BETWEEN $minWords AND 100000) AS r_wordcount,
+        |    (mean_wlen BETWEEN 3.0 AND 10.0) AS r_meanlen,
+        |    (symbol_ratio <= 0.1) AS r_symbol,
+        |    (bullet_frac <= 0.9) AS r_bullet,
+        |    (ellipsis_frac <= 0.3) AS r_ellipsis,
+        |    (alpha_frac >= 0.8) AS r_alpha,
+        |    (n_stop >= $minStop) AS r_stop,
+        |    (n_words BETWEEN $minWords AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
+        |     AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |     AND alpha_frac >= 0.8 AND n_stop >= $minStop) AS keep
+        |  FROM gpm)""".stripMargin
+
+  /** DSIR CTEs (q123/q125): hashed word uni+bigram features of
+    * `candsRel` (doc_id, text) scored against `targetRel` (text) →
+    * `dsw(doc_id, n_grams, log_weight)` — Xie-et-al importance weights
+    * with add-one smoothing over 256 md5-conv buckets.
+    */
+  private def dsirCtesSql(candsRel: String, targetRel: String): String =
+    s"""dst AS (SELECT string_split(lower(text), ' ') AS t FROM $targetRel AS dst_src),
+        |dsc AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $candsRel AS dsc_src),
+        |dstg AS (
+        |  SELECT CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(t) >= 2
+        |      THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE t END) AS g
+        |    FROM dst)),
+        |dstcnt AS (SELECT bucket, count(*) AS ct FROM dstg GROUP BY bucket),
+        |dsttot AS (SELECT sum(ct) AS nt FROM dstcnt),
+        |dscg AS (
+        |  SELECT doc_id, CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+        |  FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |      THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1]))
+        |      ELSE t END) AS g
+        |    FROM dsc)),
+        |dsrcnt AS (SELECT bucket, count(*) AS cr FROM dscg GROUP BY bucket),
+        |dsrtot AS (SELECT sum(cr) AS nr FROM dsrcnt),
+        |dsdb AS (SELECT doc_id, bucket, count(*) AS n FROM dscg GROUP BY doc_id, bucket),
+        |dsw AS (
+        |  SELECT doc_id, sum(n) AS n_grams,
+        |    round(sum(n * (ln((COALESCE(ct, 0) + 1.0) / (nt + 256))
+        |                 - ln((COALESCE(cr, 0) + 1.0) / (nr + 256)))), 6) AS log_weight
+        |  FROM dsdb LEFT JOIN dstcnt USING (bucket) LEFT JOIN dsrcnt USING (bucket), dsttot, dsrtot
+        |  GROUP BY doc_id)""".stripMargin
 
   /** Near-dup LOSER CTEs (q55/q117): q43's transitive closure over
     * `srcRel`'s exact-Jaccard pairs -> losers(doc_id), every non-min-id
@@ -652,7 +741,7 @@ object SparkEntry {
     // the word/line stats, the micro-rounded fractions, every rule
     // boolean, and the keep decision
     "q122_gopher_gate" ->
-      """WITH planted AS (
+      ("""WITH planted AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN t2 || ' and of that' ELSE t2 END AS text
         |  FROM (
@@ -666,52 +755,12 @@ object SparkEntry {
         |        WHEN doc_id % 5 = 0 THEN array_to_string(string_split(text, ' ')[1:10], ' ')
         |        WHEN doc_id % 3 = 0 THEN text || ' 42 7 99 100 3 8 12 55 61 70 88 91'
         |        ELSE text END AS t2
-        |    FROM documents)),
-        |wx AS (
-        |  SELECT doc_id, u.w FROM planted,
-        |    unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(w)
-        |  WHERE u.w <> ''),
-        |wstat AS (
-        |  SELECT doc_id, count(*) AS n_words, sum(length(w)) AS wchars,
-        |    sum(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS n_alpha,
-        |    count(DISTINCT CASE WHEN w IN ('the','be','to','of','and','that','have','with')
-        |      THEN w END) AS n_stop
-        |  FROM wx GROUP BY doc_id),
-        |lx AS (
-        |  SELECT doc_id, u.l FROM planted, unnest(string_split(text, chr(10))) AS u(l)),
-        |lstat AS (
-        |  SELECT doc_id, count(*) AS n_lines,
-        |    sum(CASE WHEN l LIKE '- %' OR l LIKE '* %' THEN 1 ELSE 0 END) AS n_bullet,
-        |    sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END) AS n_ell_line
-        |  FROM lx GROUP BY doc_id),
-        |sym AS (
-        |  SELECT doc_id,
-        |    length(text) - length(replace(text, '#', '')) AS n_hash,
-        |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
-        |  FROM planted),
-        |m AS (
-        |  SELECT w.doc_id AS doc_id,
-        |    CAST(n_words AS BIGINT) AS n_words, CAST(n_lines AS BIGINT) AS n_lines,
-        |    floor(CAST(wchars AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS mean_wlen,
-        |    floor(CAST(n_hash + n_ell AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS symbol_ratio,
-        |    floor(CAST(n_bullet AS DOUBLE) * 1e6 / n_lines + 0.5) / 1e6 AS bullet_frac,
-        |    floor(CAST(n_ell_line AS DOUBLE) * 1e6 / n_lines + 0.5) / 1e6 AS ellipsis_frac,
-        |    floor(CAST(n_alpha AS DOUBLE) * 1e6 / n_words + 0.5) / 1e6 AS alpha_frac,
-        |    CAST(n_stop AS BIGINT) AS n_stop
-        |  FROM wstat w JOIN lstat l USING (doc_id) JOIN sym s USING (doc_id))
-        |SELECT doc_id, n_words, n_lines, mean_wlen, symbol_ratio, bullet_frac,
-        |  ellipsis_frac, alpha_frac, n_stop,
-        |  (n_words BETWEEN 50 AND 100000) AS r_wordcount,
-        |  (mean_wlen BETWEEN 3.0 AND 10.0) AS r_meanlen,
-        |  (symbol_ratio <= 0.1) AS r_symbol,
-        |  (bullet_frac <= 0.9) AS r_bullet,
-        |  (ellipsis_frac <= 0.3) AS r_ellipsis,
-        |  (alpha_frac >= 0.8) AS r_alpha,
-        |  (n_stop >= 2) AS r_stop,
-        |  (n_words BETWEEN 50 AND 100000 AND mean_wlen BETWEEN 3.0 AND 10.0
-        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-        |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |    FROM documents))""".stripMargin + ",\n" +
+        gopherCtesSql("planted", 50, 2) + "\n" +
+        """SELECT doc_id, n_words, n_lines, mean_wlen, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stop, r_wordcount, r_meanlen, r_symbol,
+        |  r_bullet, r_ellipsis, r_alpha, r_stop, keep
+        |FROM gob ORDER BY doc_id""".stripMargin),
     // int8 per-tensor symmetric quantization: DuckDB re-derives the
     // scale, the codes, the INTEGER SDC ranking (exact arithmetic —
     // no FP sum in the approximate path), the exact double-dot top-k
@@ -747,37 +796,46 @@ object SparkEntry {
     // per-doc ln-ratio sum rounded at 6 decimals (q113 precedent) —
     // DuckDB re-derives features, both distributions, and the weights
     "q123_dsir_weights" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t, source FROM documents),
-        |tg AS (
-        |  SELECT CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
-        |  FROM (
-        |    SELECT unnest(CASE WHEN len(t) >= 2
-        |      THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1]))
-        |      ELSE t END) AS g
-        |    FROM d WHERE source IN ('src0', 'src1'))),
-        |tcnt AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
-        |ttot AS (SELECT sum(ct) AS nt FROM tcnt),
-        |cg AS (
-        |  SELECT doc_id, CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
-        |  FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
-        |      THEN list_concat(t, list_transform(generate_series(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1]))
-        |      ELSE t END) AS g
-        |    FROM d WHERE source NOT IN ('src0', 'src1'))),
-        |rcnt AS (SELECT bucket, count(*) AS cr FROM cg GROUP BY bucket),
-        |rtot AS (SELECT sum(cr) AS nr FROM rcnt),
-        |db AS (SELECT doc_id, bucket, count(*) AS n FROM cg GROUP BY doc_id, bucket),
-        |m AS (
-        |  SELECT doc_id, sum(n) AS n_grams,
-        |    round(sum(n * (ln((COALESCE(ct, 0) + 1.0) / (nt + 256))
-        |                 - ln((COALESCE(cr, 0) + 1.0) / (nr + 256)))), 6) AS log_weight
-        |  FROM db LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket), ttot, rtot
-        |  GROUP BY doc_id)
-        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_weight,
+      ("WITH " + dsirCtesSql(
+        "(SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1'))",
+        "(SELECT text FROM documents WHERE source IN ('src0', 'src1'))") + "\n" +
+        """SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, log_weight,
         |  (log_weight > 0.0) AS selected
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM dsw ORDER BY doc_id""".stripMargin),
+    // ADMISSION v2 capstone: q114's composed gates + the Gopher battery
+    // (30/1 fixture thresholds) + the DSIR weight floor, all from the
+    // component queries' own shared CTE fragments
+    "q125_admission_v2" ->
+      (s"$trainBenchSplitSql,\n${containmentHitCtesSql("tr")},\n$islandCtesSql,\n" +
+        """cspans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
+        |           FROM grp GROUP BY doc_id, gid),
+        |contam AS (SELECT doc_id, sum(e2 - s + 1) AS contaminated_chars
+        |           FROM cspans GROUP BY doc_id)""".stripMargin +
+        s",\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
+        gopherCtesSql("tr", 30, 1) + ",\n" +
+        dsirCtesSql("tr",
+          "(SELECT text FROM documents WHERE source IN ('src0', 'src1'))") + ",\n" +
+        """surv AS (SELECT text, min(doc_id) AS survivor_id FROM tr GROUP BY text),
+        |stats AS (SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM tr)
+        |SELECT d.doc_id, d.n_tok,
+        |  CAST(COALESCE(c.contaminated_chars, 0) AS BIGINT) AS contaminated_chars,
+        |  COALESCE(l.lm_bits, 0.0) AS lm_bits,
+        |  gb.keep AS gopher_keep,
+        |  COALESCE(w.log_weight, 0.0) AS log_weight,
+        |  (COALESCE(w.log_weight, 0.0) >= -8.0) AS dsir_ok,
+        |  d.doc_id = sv.survivor_id AS is_survivor,
+        |  (d.doc_id = sv.survivor_id AND d.n_tok >= 5 AND
+        |   COALESCE(c.contaminated_chars, 0) = 0 AND
+        |   COALESCE(l.lm_bits, 0.0) <= 6.0 AND gb.keep AND
+        |   COALESCE(w.log_weight, 0.0) >= -8.0) AS keep
+        |FROM stats d
+        |JOIN surv sv ON d.text = sv.text
+        |LEFT JOIN contam c USING (doc_id)
+        |LEFT JOIN lm l USING (doc_id)
+        |JOIN gob gb USING (doc_id)
+        |LEFT JOIN dsw w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

@@ -911,4 +911,60 @@ object Quality {
       docs.filter($"source".isin("src0", "src1")))
       .orderBy($"doc_id")
   }
+
+  /** ORACLED capstone (q125): ADMISSION v2 — every per-document
+    * quality gate the engine owns, composed in ONE plan: q114's four
+    * gates (exact-dup survivorship, token floor, q112 benchmark
+    * contamination, q113 LM bits) PLUS the q122 Gopher structural
+    * battery (fixture thresholds 30 words / 1 stop word) and the q123
+    * DSIR importance weight as a floor gate (log w ≥ −8: drop only
+    * documents that look strongly unlike the target corpus). The
+    * oracle stitches the component queries' own green CTE fragments —
+    * every gate boolean, LM bits value, Gopher verdict, and DSIR
+    * weight hash-checked per document.
+    *
+    * 100 TB posture is the union of its parts, unchanged by the
+    * composition: the Gopher battery is a pure map stage fused into
+    * the candidate scan; DSIR adds one keyed (doc, bucket) combine
+    * against bucket-bounded broadcast distributions; everything else
+    * is q114's audited shape (broadcast-gated containment/LM probes,
+    * per-doc joins of small summaries only).
+    */
+  def q125AdmissionV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val target = docs.filter($"source".isin("src0", "src1"))
+    val contam = SpanDedup.decontaminate(cands, bench, gramLen = 24)
+    val lm = lmScore(cands, lmRef)
+    val gop = gopherRules(cands, minWords = 30L, minStop = 1L)
+      .select($"doc_id", $"keep".as("gopher_keep"))
+    val dsir = dsirWeights(cands, target).select($"doc_id", $"log_weight")
+    val surv = cands.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    cands
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .join(contam.select($"doc_id", $"contaminated_chars"),
+        Seq("doc_id"), "left")
+      .join(lm.select($"doc_id", $"bits_per_transition"),
+        Seq("doc_id"), "left")
+      .join(gop, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"), "left")
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("contaminated_chars",
+        coalesce($"contaminated_chars", lit(0L)))
+      .withColumn("lm_bits", coalesce($"bits_per_transition", lit(0.0)))
+      .withColumn("log_weight", coalesce($"log_weight", lit(0.0)))
+      .withColumn("is_survivor", $"doc_id" === $"survivor_id")
+      .withColumn("dsir_ok", $"log_weight" >= -8.0)
+      .withColumn("keep",
+        $"is_survivor" && $"n_tok" >= 5 && $"contaminated_chars" === 0L &&
+          $"lm_bits" <= 6.0 && $"gopher_keep" && $"dsir_ok")
+      .select($"doc_id", $"n_tok", $"contaminated_chars", $"lm_bits",
+        $"gopher_keep", $"log_weight", $"dsir_ok", $"is_survivor", $"keep")
+      .orderBy($"doc_id")
+  }
 }

@@ -413,6 +413,22 @@ class QualitySpec extends SparkTestBase {
     assert(w === w2)
   }
 
+  test("q125 admission v2: keep is exactly the conjunction of its gates") {
+    val rows = ops.Quality.q125AdmissionV2(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def b(n: String) = r.getBoolean(r.fieldIndex(n))
+      val nTok = r.getLong(r.fieldIndex("n_tok"))
+      val contam = r.getLong(r.fieldIndex("contaminated_chars"))
+      val bits = r.getDouble(r.fieldIndex("lm_bits"))
+      assert(b("keep") === (b("is_survivor") && nTok >= 5 && contam == 0L &&
+        bits <= 6.0 && b("gopher_keep") && b("dsir_ok")))
+    }
+    assert(rows.exists(_.getBoolean(rows.head.fieldIndex("keep"))), "kept docs exist")
+    assert(rows.exists(r => !r.getBoolean(r.fieldIndex("keep"))), "dropped docs exist")
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
