@@ -143,6 +143,8 @@ object SparkEntry {
     "q123_dsir_weights" -> (Quality.q123DsirWeights _),
     "q124_sq_recall" -> (Similarity.q124SqRecall _),
     "q125_admission_v2" -> (Quality.q125AdmissionV2 _),
+    "q126_hard_negatives" -> (Similarity.q126HardNegatives _),
+    "q127_hard_negative_recall" -> (Similarity.q127HardNegativeRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -836,6 +838,34 @@ object SparkEntry {
         |JOIN gob gb USING (doc_id)
         |LEFT JOIN dsw w USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    // hard-negative mining, exact arm: brute-force cosine of the
+    // 1-in-25 anchor batch against the corpus with the label-mismatch
+    // filter BEFORE the per-anchor top-5 window (the q22 cosine CTE
+    // shape; rank cast to INT to match Spark's row_number type)
+    "q126_hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS a_id, label AS a_label, vec AS a_vec
+        |  FROM emb WHERE vec_id % 25 = 0),
+        |scored AS (
+        |  SELECT a.a_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |    list_dot_product(a.a_vec, e.vec) /
+        |      (sqrt(list_dot_product(a.a_vec, a.a_vec)) * sqrt(list_dot_product(e.vec, e.vec))) AS cos
+        |  FROM emb e, anch a
+        |  WHERE e.vec_id <> a.a_id AND e.label <> a.a_label),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT a_id AS anchor_id, neighbor_id, neighbor_label,
+        |  round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+        |FROM rk WHERE rnk <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // IVF hard-negative recall bound (q88 contract shape): the miner is
+    // deterministic under its fixed seed, so recall@5 vs the exact arm
+    // is a fixed number per dataset; the query states >= 0.5, the
+    // oracle states true
+    "q127_hard_negative_recall" ->
+      "SELECT 'ivf_hard_negatives' AS method, true AS recall_ok",
     // CCNet-style LM scoring: add-one-smoothed char-bigram model from
     // every 3rd doc, bits-per-transition for the rest — DuckDB
     // re-derives counts, smoothing, and the per-doc mean; both engines

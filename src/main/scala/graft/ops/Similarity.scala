@@ -757,6 +757,29 @@ object Similarity {
     * escape the `vecs` persist scope must checkpoint (as [[knnJoinIvf]]
     * does).
     */
+  /** The row's `nProbe` closest IVF cells as an int array Column over
+    * `$"unit"` — ranked in a PURE MAP STAGE (centroids inline as a
+    * literal) by the ASSIGNMENT score u·c − ‖c‖²/2 (= argmin ‖u − c‖²,
+    * what KMeans.transform used on the index side). Ranking by cosine
+    * to the UNNORMALIZED centroids, whose norms vary, can place a
+    * probe's own assigned cell below nProbe and silently miss its
+    * tightest co-assigned neighbors (see ivfTopK's driver-side twin of
+    * this ranking). Shared by [[knnPairsQuantized]] and
+    * [[hardNegativesIvf]].
+    */
+  private def probeCellIds(model: org.apache.spark.ml.clustering.KMeansModel,
+      nProbe: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    val cLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val halfSqLit = typedlit(model.clusterCenters
+      .map(c => c.toArray.map(x => x * x).sum / 2.0).toSeq)
+    val cellRanks = transform(cLit, (c: Column, i: Column) => struct(
+      (dot(col("unit"), c) - get(halfSqLit, i)).as("score"),
+      i.cast("int").as("cell")))
+    transform(slice(reverse(array_sort(cellRanks)), 1, nProbe),
+      (s: Column) => s.getField("cell"))
+  }
+
   private def knnPairsQuantized(vecs: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel,
       k: Int, nProbe: Int): DataFrame = {
@@ -765,21 +788,8 @@ object Similarity {
     import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     val assigned = model.transform(vecs)
       .select($"vec_id".as("n_id"), $"unit".as("n_unit"), $"ivf_list".as("cell"))
-    val cLit = typedlit(model.clusterCenters.map(_.toArray.toSeq).toSeq)
-    val halfSqLit = typedlit(model.clusterCenters
-      .map(c => c.toArray.map(x => x * x).sum / 2.0).toSeq)
-    // probe cells by the ASSIGNMENT score u·c − ‖c‖²/2 (= argmin
-    // ‖u − c‖², what KMeans.transform used on the index side) — ranking
-    // by cosine to the UNNORMALIZED centroids, whose norms vary, can
-    // place a probe's own assigned cell below nProbe and silently miss
-    // its tightest co-assigned neighbors (see ivfTopK's driver-side
-    // twin of this ranking)
-    val cellRanks = transform(cLit, (c, i) => struct(
-      (dot($"unit", c) - get(halfSqLit, i)).as("score"),
-      i.cast("int").as("cell")))
     val probes = vecs.select($"vec_id", $"unit",
-        explode(slice(reverse(array_sort(cellRanks)), 1, nProbe)).as("pc"))
-      .select($"vec_id", $"unit", $"pc.cell".as("cell"))
+        explode(probeCellIds(model, nProbe)).as("cell"))
     probes.join(assigned, Seq("cell"))
       .filter($"vec_id" =!= $"n_id")
       .select($"vec_id", $"n_id",
@@ -1379,5 +1389,126 @@ object Similarity {
       .withColumn("recall",
         floor($"hits".cast("double") * 1e6 / k + 0.5) / 1e6)
       .orderBy($"q_id")
+  }
+
+  /** L3 (HARD-NEGATIVE MINING, corpus-wide) — for EVERY vector, its
+    * top-k most-cosine-similar neighbors with a DIFFERENT label: the
+    * contrastive-training mining op (DPR/ANCE-style) that turns an
+    * embedded corpus into (anchor, hard-negative) training pairs —
+    * "looks like the anchor, isn't the anchor's class".
+    *
+    * Same IVF-blocked shape as [[knnJoinIvf]] with ONE semantic
+    * difference that cannot be recovered by post-filtering: the
+    * label-mismatch predicate runs BEFORE the per-anchor top-k
+    * truncation. Filtering [[knnJoinIvf]]'s output instead loses
+    * negatives whenever an anchor's top-k is crowded by same-label
+    * (positive) neighbors — exactly the dense-cluster case hard-negative
+    * mining exists for.
+    *
+    * 100 TB posture inherits [[knnJoinIvf]]'s: no all-pairs join (probe
+    * fan-out to nProbe cells, cell-keyed equi-join, per-cell work
+    * bounded by the quantizer), label filter fused into the join stage
+    * (drops pairs before the cosine kernel and the rank shuffle),
+    * per-anchor k rows out. Approximate by design — recall vs the exact
+    * miner is bounds-checked by [[q127HardNegativeRecall]].
+    */
+  def hardNegativesIvf(emb: DataFrame, k: Int, nLists: Int = 16,
+      nProbe: Int = 4, cacheKey: Option[String] = None): DataFrame = {
+    require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
+      s"need k >= 1 and 1 <= nProbe <= nLists, got k=$k nLists=$nLists nProbe=$nProbe")
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val (vecs, model) = cacheKey match {
+      case Some(key) => unitQuantizedCached(emb, key, nLists)
+      case None      => unitQuantized(emb, nLists)
+    }
+    val assigned = model.transform(vecs)
+      .select($"vec_id".as("n_id"), $"label".as("n_label"),
+        $"unit".as("n_unit"), $"ivf_list".as("cell"))
+    val probes = vecs.select($"vec_id", $"label", $"unit",
+      explode(probeCellIds(model, nProbe)).as("cell"))
+    val out = probes.join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"n_id" && $"label" =!= $"n_label")
+      .select($"vec_id", $"n_id", $"n_label",
+        cosineSimilarity($"unit", $"n_unit").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rank" <= k)
+      .select($"vec_id".as("anchor_id"), $"n_id".as("neighbor_id"),
+        $"n_label".as("neighbor_label"), round($"cos", 6).as("cosine"),
+        $"rank")
+      .localCheckpoint(true)
+    if (cacheKey.isEmpty) vecs.unpersist(false)
+    out
+  }
+
+  /** EXACT hard negatives for a bounded anchor batch (`vec_id %
+    * anchorMod == 0`): brute-force cosine against the corpus with the
+    * label-mismatch filter before the top-k window. The anchor batch
+    * broadcasts (mining batches are mini-batch-sized by construction);
+    * the corpus is scanned once. This is the oracle-checkable twin of
+    * [[hardNegativesIvf]] — the verification arm, not the scale path.
+    */
+  private def exactHardNegatives(emb: DataFrame, anchorMod: Long,
+      k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val units = emb.select($"vec_id", $"label",
+      transform($"embedding", _.cast("double")).as("vec"))
+    val anchors = units.filter($"vec_id" % anchorMod === 0)
+      .select($"vec_id".as("a_id"), $"label".as("a_label"),
+        $"vec".as("a_vec"))
+    units.join(broadcast(anchors),
+        $"a_id" =!= $"vec_id" && $"a_label" =!= $"label")
+      .select($"a_id", $"vec_id".as("n_id"), $"label".as("n_label"),
+        cosineSimilarity($"a_vec", $"vec").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"a_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rank" <= k)
+  }
+
+  /** ORACLED exercise (q126): exact hard-negative mining for the 1-in-25
+    * anchor batch, top-5 per anchor — every (anchor, negative) pair,
+    * its label, cosine (6 dp), and rank hash-checked against DuckDB's
+    * brute-force. The IVF production path is [[hardNegativesIvf]];
+    * its recall vs this exact arm is oracled by q127.
+    */
+  def q126HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    exactHardNegatives(Sources.embeddings(spark, dir), 25L, 5)
+      .select($"a_id".as("anchor_id"), $"n_id".as("neighbor_id"),
+        $"n_label".as("neighbor_label"), round($"cos", 6).as("cosine"),
+        $"rank")
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  /** BOUNDS CHECK for the IVF hard-negative miner (ORACLED, q127) — the
+    * q88 contract shape: [[hardNegativesIvf]] is deterministic under
+    * its fixed seed, so its mean recall@5 against the EXACT miner on
+    * the 1-in-25 anchor batch is a fixed number per dataset; the output
+    * states `recall ≥ 0.5` and the oracle states `true`. Shares the
+    * process-lifetime IVF index with q45/q88 (same cacheKey/nLists).
+    */
+  def q127HardNegativeRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, dir)
+    val ann = hardNegativesIvf(emb, k = 5, nLists = 16, nProbe = 4,
+        cacheKey = Some(s"$dir/embeddings"))
+      .filter($"anchor_id" % 25 === 0)
+      .select($"anchor_id", $"neighbor_id")
+    val exact = exactHardNegatives(emb, 25L, 5)
+      .select($"a_id".as("anchor_id"), $"n_id".as("neighbor_id"))
+      .persist()
+    val hits = ann.join(exact, Seq("anchor_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    val out = hits.crossJoin(total)
+      .select(lit("ivf_hard_negatives").as("method"),
+        ($"hits" / $"total" >= 0.5).as("recall_ok"))
+      .localCheckpoint(true)
+    exact.unpersist(false)
+    out
   }
 }

@@ -433,4 +433,59 @@ class SimilaritySpec extends SparkTestBase {
     assert(probe.intersect(exact).size >= 7,
       s"SDC overlap with exact top-10 is high (got ${probe.intersect(exact).size})")
   }
+
+  test("hard negatives: output contract — no same-label pair, ≤ k per anchor, ranks contiguous") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(12)(rnd.nextGaussian()))
+    val rows = for (c <- 0 until 4; i <- 0 until 30) yield {
+      val v = centers(c).map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (c * 30L + i, c, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val mined = ops.Similarity.hardNegativesIvf(emb, k = 5, nLists = 4, nProbe = 4)
+    val withAnchor = mined.join(
+      emb.select($"vec_id".as("anchor_id"), $"label".as("anchor_label")),
+      Seq("anchor_id"))
+    assert(withAnchor.filter($"neighbor_label" === $"anchor_label").count() === 0L,
+      "a mined negative shares its anchor's label")
+    val perAnchor = mined.groupBy($"anchor_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("maxr"))
+      .collect()
+    perAnchor.foreach { r =>
+      assert(r.getLong(1) <= 5L)
+      assert(r.getInt(2).toLong === r.getLong(1), "ranks not contiguous from 1")
+    }
+    assert(perAnchor.length === 120, "every vector is an anchor")
+  }
+
+  test("hard negatives: label filter precedes truncation (crowded same-label cluster)") {
+    // Anchor 0 sits in a TIGHT 30-point cluster of its own label, with
+    // 10 far-away other-label points. knnJoinIvf's top-5 for it is all
+    // same-label, so post-filtering the plain kNN join yields ZERO
+    // negatives — the dense-cluster case the dedicated miner exists
+    // for. hardNegativesIvf applies the mismatch filter before the
+    // top-k window and must return the full 5. nProbe == nLists, so no
+    // recall confound.
+    val rnd = new scala.util.Random(23)
+    val u = Array.fill(12)(rnd.nextGaussian())
+    val v = Array.fill(12)(rnd.nextGaussian())
+    val rows =
+      (0 until 30).map { i =>
+        (i.toLong, "same", u.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+      } ++ (0 until 10).map { i =>
+        (100L + i, "other", v.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val postFiltered = ops.Similarity.knnJoinIvf(emb, k = 5, nLists = 2, nProbe = 2)
+      .filter($"vec_id" === 0L)
+      .join(emb.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        Seq("neighbor_id"))
+      .filter($"n_label" === "other")
+    assert(postFiltered.count() === 0L,
+      "fixture sanity: post-filtering the plain kNN join must lose every negative")
+    val mined = ops.Similarity.hardNegativesIvf(emb, k = 5, nLists = 2, nProbe = 2)
+      .filter($"anchor_id" === 0L).collect()
+    assert(mined.length === 5, s"expected 5 negatives, got ${mined.length}")
+    assert(mined.forall(_.getString(2) === "other"))
+  }
 }
