@@ -75,4 +75,33 @@ object CurationIndex {
       Quality.CharLm(big.map(_._1), big.map(_._2),
         ctx.map(_._1), ctx.map(_._2), metaRows.head))
   }
+
+  /** Persist a [[Quality.DsirModel]] (the admission-v2 stream's fifth
+    * gate state) as `path/dsir_ratios` (bucket, log_ratio) — `buckets`
+    * rows, the same bounded-by-construction argument as the LM tables.
+    */
+  def writeDsir(spark: SparkSession, path: String,
+      model: Quality.DsirModel): Unit = {
+    import spark.implicits._
+    model.logRatio.toSeq.zipWithIndex.map { case (r, b) => (b, r) }
+      .toDF("bucket", "log_ratio")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/dsir_ratios")
+  }
+
+  /** Load a model written by [[writeDsir]]; fails descriptively on a
+    * truncated table (every bucket 0..n-1 must be present exactly
+    * once — a gap would silently zero-score its grams).
+    */
+  def loadDsir(spark: SparkSession, path: String): Quality.DsirModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/dsir_ratios")
+      .select($"bucket", $"log_ratio").as[(Int, Double)].collect()
+      .sortBy(_._1)
+    require(rows.nonEmpty &&
+        rows.iterator.map(_._1).zipWithIndex.forall(p => p._1 == p._2),
+      s"CurationIndex.loadDsir($path): dsir_ratios must hold every " +
+        s"bucket 0..n-1 exactly once (got ${rows.length} rows) — " +
+        "the table is truncated or corrupt")
+    Quality.DsirModel(rows.map(_._2))
+  }
 }

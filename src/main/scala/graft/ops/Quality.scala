@@ -785,6 +785,22 @@ object Quality {
   def gopherRules(docs: DataFrame, minWords: Long = 50L,
       minStop: Long = 2L): DataFrame = {
     import docs.sparkSession.implicits._
+    withGopherBattery(docs, minWords, minStop)
+      .select($"doc_id", $"n_words", $"n_lines", $"mean_wlen",
+        $"symbol_ratio", $"bullet_frac", $"ellipsis_frac", $"alpha_frac",
+        $"n_stop", $"r_wordcount", $"r_meanlen", $"r_symbol", $"r_bullet",
+        $"r_ellipsis", $"r_alpha", $"r_stop", $"keep")
+  }
+
+  /** [[gopherRules]]'s column-appending form: adds every battery
+    * metric/rule column to `docs` WITHOUT projecting the input away.
+    * Expression-only (no shuffle, no UDF), so it applies unchanged to
+    * a STREAMING frame — [[Streaming.admissionStreamV2]] fuses it into
+    * the per-row gate stage.
+    */
+  private[graft] def withGopherBattery(docs: DataFrame, minWords: Long,
+      minStop: Long): DataFrame = {
+    import docs.sparkSession.implicits._
     val lines = split($"text", "\n")
     val words = filter(split(translate($"text", "\n", " "), " "),
       w => length(w) > 0)
@@ -821,10 +837,7 @@ object Quality {
       .withColumn("keep",
         $"r_wordcount" && $"r_meanlen" && $"r_symbol" && $"r_bullet" &&
           $"r_ellipsis" && $"r_alpha" && $"r_stop")
-      .select($"doc_id", $"n_words", $"n_lines", $"mean_wlen",
-        $"symbol_ratio", $"bullet_frac", $"ellipsis_frac", $"alpha_frac",
-        $"n_stop", $"r_wordcount", $"r_meanlen", $"r_symbol", $"r_bullet",
-        $"r_ellipsis", $"r_alpha", $"r_stop", $"keep")
+      .drop("words", "lines")
   }
 
   /** ORACLED exercise (q122): [[gopherRules]] over the
@@ -895,6 +908,83 @@ object Quality {
       .agg(sum($"n").as("n_grams"),
         round(sum($"term"), 6).as("log_weight"))
       .withColumn("selected", $"log_weight" > 0.0)
+  }
+
+  /** Broadcastable DSIR state for the STREAMING arm — the per-bucket
+    * smoothed log-ratio table ln p̂(b) − ln q̂(b), `buckets` doubles
+    * (2 KB at the default 256): the [[CharLm]] argument, bounded by
+    * construction at ANY corpus size. [[logWeight]] is the per-row
+    * kernel mirroring [[dsirWeights]]'s algebra exactly: same
+    * lowercase/space tokenization (trailing empties kept, as Spark's
+    * `split`), same uni+bigram features in the same order, same
+    * md5-first-8-hex bucket hash, same 6-decimal rounding — so a
+    * streamed document's weight equals the batch one (parity asserted
+    * at 1e-6; the only freedom is fp summation order, absorbed by the
+    * rounding).
+    */
+  final case class DsirModel(logRatio: Array[Double]) {
+    def buckets: Int = logRatio.length
+
+    private def bucketOf(gram: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (u % buckets).toInt
+    }
+
+    /** (n_grams, log_weight) of `text` under the model. */
+    def logWeight(text: String): (Long, Double) = {
+      if (text == null) return (0L, 0.0)
+      val toks = CharLm.sparkLower(text).split(" ", -1)
+      val counts = new Array[Long](buckets)
+      var n = 0L
+      var i = 0
+      while (i < toks.length) {
+        counts(bucketOf(toks(i))) += 1; n += 1
+        if (i + 1 < toks.length) {
+          counts(bucketOf(toks(i) + " " + toks(i + 1))) += 1; n += 1
+        }
+        i += 1
+      }
+      var sum = 0.0
+      var b = 0
+      while (b < buckets) {
+        if (counts(b) != 0L) sum += counts(b) * logRatio(b)
+        b += 1
+      }
+      (n, BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+  }
+
+  /** Fit the [[DsirModel]] from the same two corpora [[dsirWeights]]
+    * scores against — both distributions are `buckets`-bounded
+    * aggregates (map-side combine, ≤ `buckets` rows collected), the
+    * batch-fits / stream-scores split [[CurationIndex]] persists.
+    */
+  def dsirModel(candidates: DataFrame, target: DataFrame,
+      buckets: Int = 256): DsirModel = {
+    import candidates.sparkSession.implicits._
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def bucketCounts(df: DataFrame): (Array[Long], Long) = {
+      val toks = split(lower($"text"), " ")
+      val grams = when(size(toks) >= 2, concat(toks, wordGrams(toks, 2)))
+        .otherwise(toks)
+      val rows = df.select(explode(grams).as("gram"))
+        .select((conv(substring(md5($"gram"), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect()
+      val arr = new Array[Long](buckets)
+      rows.foreach { case (b, c) => arr(b.toInt) = c }
+      (arr, rows.map(_._2).sum)
+    }
+    val (tCnt, nt) = bucketCounts(target)
+    val (rCnt, nr) = bucketCounts(candidates)
+    DsirModel(Array.tabulate(buckets)(b =>
+      math.log((tCnt(b) + 1.0) / (nt + buckets.toDouble)) -
+        math.log((rCnt(b) + 1.0) / (nr + buckets.toDouble))))
   }
 
   /** ORACLED exercise (q123): [[dsirWeights]] with target = the

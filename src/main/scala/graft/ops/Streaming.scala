@@ -213,6 +213,80 @@ object Streaming {
         $"contaminated_chars", $"lm_bits", $"keep")
   }
 
+  /** STREAMING ADMISSION v2 — the streaming twin of the q125 batch
+    * capstone: [[admissionStream]]'s four gates PLUS the Gopher
+    * structural battery and the DSIR importance-weight floor, every
+    * new signal still a per-row probe of broadcast state:
+    *
+    *   - Gopher battery ([[Quality.withGopherBattery]]): expression-only
+    *     map work — it fuses into the streaming stage with NO state at
+    *     all, the same Columns the batch arm runs, so parity is by
+    *     construction;
+    *   - DSIR gate ([[Quality.DsirModel]]): the per-bucket log-ratio
+    *     table is `buckets` doubles (2 KB at 256) — broadcast-bounded
+    *     at any corpus size by the [[Quality.CharLm]] argument; the
+    *     kernel mirrors the batch algebra (parity at 1e-6, the
+    *     rounding-absorbed fp-order freedom).
+    *
+    * keep = token floor ∧ coverage cap ∧ zero contamination ∧ bits cap
+    * ∧ gopher_keep ∧ log_weight ≥ `minLogWeight` — the q125 conjunction
+    * with [[curationStream]]'s coverage cap retained (the stream's
+    * structural analog of q125's batch survivorship gate). The
+    * dup-gram SIZE CAVEAT and the Bloom escape hatch are
+    * [[admissionStream]]'s, unchanged.
+    */
+  def admissionStreamV2(docs: DataFrame, dupGrams: Array[Long],
+      benchGrams: Array[Long], lm: Quality.CharLm,
+      dsir: Quality.DsirModel, gramLen: Int = 24, minTok: Int = 5,
+      maxCoverage: Double = 0.5, maxBits: Double = 6.0,
+      minWords: Long = 30L, minStop: Long = 1L,
+      minLogWeight: Double = -8.0): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val sortedDup = dupGrams.clone(); java.util.Arrays.sort(sortedDup)
+    val sortedBench = benchGrams.clone(); java.util.Arrays.sort(sortedBench)
+    val bDup = sc.broadcast(sortedDup)
+    val bBench = sc.broadcast(sortedBench)
+    val bLm = sc.broadcast(lm)
+    val bDsir = sc.broadcast(dsir)
+    // ONE text pass per row for the stateful gates (the admissionStream
+    // economics); the DSIR walk rides the same UDF call
+    val gates = udf { text: String =>
+      if (text == null) (0L, 0L, 0.0, 0L, 0.0)
+      else {
+        val cov = gramCoverageMulti(text,
+          Array(bDup.value, bBench.value), gramLen)
+        val bits = BigDecimal(bLm.value.bits(text))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (nGrams, lw) = bDsir.value.logWeight(text)
+        (cov(0), cov(1), bits, nGrams, lw)
+      }
+    }
+    val toks = split($"text", " ")
+    Quality.withGopherBattery(
+        docs
+          .withColumn("th", xxhash64($"text"))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("th"),
+        minWords, minStop)
+      .withColumnRenamed("keep", "gopher_keep")
+      .withColumn("g", gates($"text"))
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("dup_coverage",
+        Quality.microRatio($"g._1", length($"text")))
+      .withColumn("contaminated_chars", $"g._2")
+      .withColumn("lm_bits", $"g._3")
+      .withColumn("log_weight", $"g._5")
+      .withColumn("dsir_ok", $"log_weight" >= minLogWeight)
+      .withColumn("keep",
+        $"n_tok" >= minTok && $"dup_coverage" <= maxCoverage &&
+          $"contaminated_chars" === 0L && $"lm_bits" <= maxBits &&
+          $"gopher_keep" && $"dsir_ok")
+      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage",
+        $"contaminated_chars", $"lm_bits", $"gopher_keep",
+        $"log_weight", $"dsir_ok", $"keep")
+  }
+
   /** [[admissionStream]] with a BOUNDED-MEMORY duplicate-gram gate —
     * the 100 TB-safe streaming arm. The exact variant broadcasts the
     * dup-gram set as a sorted long array, which is only "small" on

@@ -871,6 +871,81 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("admission v2 stream matches the q125 batch gates per document (real fixture)") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val target = docs.filter($"source".isin("src0", "src1"))
+    val benchSet = ops.SpanDedup.benchGramHashes(bench, 24).as[Long].collect()
+    val lm = ops.Quality.charLm(lmRef)
+    val dsir = ops.Quality.dsirModel(cands, target)
+    // the q125 component batch arms, per doc
+    val gop = ops.Quality.gopherRules(cands, 30L, 1L)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val dsw = ops.Quality.dsirWeights(cands, target)
+      .select($"doc_id", $"log_weight").as[(Long, Double)].collect().toMap
+    val lmB = ops.Quality.lmScore(cands, lmRef)
+      .select($"doc_id", $"bits_per_transition")
+      .as[(Long, Double)].collect().toMap
+    val contamB = ops.SpanDedup.decontaminate(cands, bench, 24)
+      .select($"doc_id", $"contaminated_chars")
+      .as[(Long, Long)].collect().toMap
+    val rows = cands.select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.admissionStreamV2(input.toDF(),
+        Array.empty[Long], benchSet, lm, dsir)
+      .writeStream.format("memory").queryName("admission_v2")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(rows.toIndexedSeq.map { case (id, t) =>
+        TDoc(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("admission_v2").collect()
+      assert(out.length > 100, "stream must emit the candidate corpus")
+      out.foreach { r =>
+        val id = r.getLong(r.fieldIndex("doc_id"))
+        assert(r.getBoolean(r.fieldIndex("gopher_keep")) === gop(id),
+          s"gopher doc $id")
+        assert(math.abs(r.getDouble(r.fieldIndex("log_weight")) -
+          dsw.getOrElse(id, 0.0)) <= 1e-6, s"dsir weight doc $id")
+        assert(r.getBoolean(r.fieldIndex("dsir_ok")) ===
+          (dsw.getOrElse(id, 0.0) >= -8.0), s"dsir_ok doc $id")
+        assert(math.abs(r.getDouble(r.fieldIndex("lm_bits")) -
+          lmB.getOrElse(id, 0.0)) <= 1e-6, s"lm doc $id")
+        assert(r.getLong(r.fieldIndex("contaminated_chars")) ===
+          contamB.getOrElse(id, 0L), s"contam doc $id")
+        val expect = r.getLong(r.fieldIndex("n_tok")) >= 5L &&
+          r.getDouble(r.fieldIndex("dup_coverage")) <= 0.5 &&
+          r.getLong(r.fieldIndex("contaminated_chars")) == 0L &&
+          r.getDouble(r.fieldIndex("lm_bits")) <= 6.0 &&
+          r.getBoolean(r.fieldIndex("gopher_keep")) &&
+          r.getBoolean(r.fieldIndex("dsir_ok"))
+        assert(r.getBoolean(r.fieldIndex("keep")) === expect, s"keep doc $id")
+      }
+      assert(out.exists(_.getBoolean(out.head.fieldIndex("keep"))),
+        "kept docs exist")
+      assert(out.exists(r => !r.getBoolean(r.fieldIndex("keep"))),
+        "dropped docs exist")
+    }
+  }
+
+  test("dsir model persists and loads bit-identically") {
+    val cands = Seq((1L, "aa bb cc"), (2L, "dd ee"))
+      .toDF("doc_id", "text")
+    val target = Seq((3L, "aa bb"), (4L, "ff gg hh"))
+      .toDF("doc_id", "text")
+    val m = ops.Quality.dsirModel(cands, target)
+    val base = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    ops.CurationIndex.writeDsir(spark, base, m)
+    val l = ops.CurationIndex.loadDsir(spark, base)
+    assert(l.logRatio.toSeq === m.logRatio.toSeq)
+    Seq("aa bb cc dd", "zz qq", "aa").foreach { t =>
+      assert(l.logWeight(t) === m.logWeight(t), t)
+    }
+  }
+
   test("streaming curation: first arrival wins, coverage gates the keep") {
     implicit val sql = spark.sqlContext
     val shared = "the quick brown fox jumps over the lazy dog again and again"
