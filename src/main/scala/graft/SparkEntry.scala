@@ -145,6 +145,7 @@ object SparkEntry {
     "q125_admission_v2" -> (Quality.q125AdmissionV2 _),
     "q126_hard_negatives" -> (Similarity.q126HardNegatives _),
     "q127_hard_negative_recall" -> (Similarity.q127HardNegativeRecall _),
+    "q128_bpe_fertility" -> (Bpe.q128BpeFertility _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -512,7 +513,11 @@ object SparkEntry {
     * re-tokenize every document under the final vocabulary and pack
     * with q92's prefix-sum tail.
     */
-  private def bpeOracleSql(nMerges: Int): String =
+  /** Shared head of the learned-BPE oracles (q118/q128): the word
+    * vocabulary, `nMerges` generated training stages, and the per-doc
+    * token counts `t(doc_id, n_tokens)` under the final vocabulary.
+    */
+  private def bpeTokenCountCtesSql(nMerges: Int): String =
     """WITH v0 AS MATERIALIZED (
         |  SELECT word, count(*) AS freq,
         |    list_transform(generate_series(1, length(word)), i -> word[i:i]) AS syms
@@ -525,8 +530,11 @@ object SparkEntry {
         |t AS (
         |  SELECT d.doc_id, CAST(SUM(tc.nt) AS BIGINT) AS n_tokens
         |  FROM dw d JOIN tc ON d.word = tc.word
-        |  GROUP BY d.doc_id),
-        |cp AS (
+        |  GROUP BY d.doc_id)""".stripMargin
+
+  private def bpeOracleSql(nMerges: Int): String =
+    bpeTokenCountCtesSql(nMerges) + ",\n" +
+      """cp AS (
         |  SELECT doc_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
@@ -690,6 +698,15 @@ object SparkEntry {
     // packed with q92's tail — every merge perturbs every downstream
     // token count and boundary, all hash-checked
     "q118_bpe_pack" -> bpeOracleSql(10),
+    // tokenizer fertility: q118's learned-merge stages verbatim, tail =
+    // per-doc chars/token (micro-rounded) + the 1.5 gate
+    "q128_bpe_fertility" -> (bpeTokenCountCtesSql(10) + ",\n" +
+      """dl AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+        |SELECT t.doc_id, t.n_tokens, dl.n_chars,
+        |  floor(CAST(dl.n_chars AS DOUBLE) * 1e6 / t.n_tokens + 0.5) / 1e6 AS chars_per_token,
+        |  (floor(CAST(dl.n_chars AS DOUBLE) * 1e6 / t.n_tokens + 0.5) / 1e6 >= 1.5) AS fertile
+        |FROM t JOIN dl USING (doc_id)
+        |WHERE t.n_tokens > 0 ORDER BY t.doc_id""".stripMargin),
     // GPT-3-style quality-classifier gate on a planted corpus (the q96
     // technique): the fit/score runs Spark-side (hash-derived data,
     // seeded HistGbt); the oracle pins the holdout size and the

@@ -191,6 +191,34 @@ object Bpe {
         $"n_examples")
       .orderBy($"doc_id")
   }
+
+  /** ORACLED exercise (q128): TOKENIZER-FERTILITY quality signal —
+    * characters per learned-BPE token, per document. A corpus-fit
+    * tokenizer compresses in-distribution text well (high chars/token)
+    * and gibberish or out-of-alphabet text poorly (every char its own
+    * token, ratio → 1) — the compression-ratio gate production
+    * curation stacks run next to the LM gate. Uses the SAME 10-merge
+    * table as q118, so the oracle reuses q118's generated training
+    * stages verbatim and only the tail differs: per-doc token count
+    * joined to the doc's length, micro-rounded ratio, and the gate
+    * boolean at 1.5 chars/token.
+    *
+    * 100 TB posture = [[bpeCount]]'s: the only corpus-sized work is
+    * the word-count fit; scoring is a pure map stage (merge table in
+    * the closure), the ratio and gate fuse into the same stage.
+    */
+  def q128BpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val merges = fit(docs, numMerges = 10)
+    docs
+      .select($"doc_id", bpeCount(merges)($"text").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .filter($"n_tokens" > 0L)
+      .withColumn("chars_per_token", Quality.microRatio($"n_chars", $"n_tokens"))
+      .withColumn("fertile", $"chars_per_token" >= 1.5)
+      .orderBy($"doc_id")
+  }
 }
 
 /** Executor-side word→count memo, keyed by merge-table identity so

@@ -95,4 +95,23 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.applyMerge(Array("a", "b", "a", "b"), "a", "b").toSeq ===
       Seq("ab", "ab"))
   }
+
+  test("fertility discriminates: in-distribution text compresses better than gibberish") {
+    // corpus dominated by a few repeated words -> merges learn their
+    // bigrams -> those words tokenize short (high chars/token); a
+    // gibberish doc over characters the merges never cover stays
+    // 1 token per char (ratio -> 1, modulo its repeated-word prefix)
+    val indist = "hello world hello world hello world hello world"
+    val docs = ((1L to 8L).map(i => (i, indist)) :+
+      (9L, "hello xq zv kj wp yf xq zv kj wp yf")).toDF("doc_id", "text")
+    val m = Bpe.fit(docs, numMerges = 8)
+    val out = docs
+      .select($"doc_id", Bpe.bpeCount(m)($"text").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .withColumn("cpt", $"n_chars".cast("double") / $"n_tokens")
+      .select($"doc_id", $"cpt").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(9L),
+      s"in-distribution ${out(1L)} must compress better than gibberish ${out(9L)}")
+    assert(out(1L) > 2.0, s"learned merges must compress the dominant words: ${out(1L)}")
+  }
 }
