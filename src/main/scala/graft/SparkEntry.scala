@@ -146,6 +146,7 @@ object SparkEntry {
     "q126_hard_negatives" -> (Similarity.q126HardNegatives _),
     "q127_hard_negative_recall" -> (Similarity.q127HardNegativeRecall _),
     "q128_bpe_fertility" -> (Bpe.q128BpeFertility _),
+    "q129_shipped_corpus_full" -> (Quality.q129ShippedCorpusFull _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -689,6 +690,20 @@ object SparkEntry {
         s"${nearDupLoserCtesSql("tr")},\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
         shippedKeptCteSql(
           "\n    AND d.doc_id NOT IN (SELECT doc_id FROM losers)") +
+        s",\n${containmentHitCtesSql("kept")},\n" +
+        s"$islandCtesSql,\n$shippedCorpusTailSql"),
+    // shipped corpus under the FULL battery: q117's oracle with the
+    // Gopher and DSIR gate CTEs added to the kept condition
+    "q129_shipped_corpus_full" ->
+      (s"WITH RECURSIVE $trainBenchSplitBodySql,\n" +
+        s"${nearDupLoserCtesSql("tr")},\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
+        gopherCtesSql("tr", 30, 1) + ",\n" +
+        dsirCtesSql("tr",
+          "(SELECT text FROM documents WHERE source IN ('src0', 'src1'))") + ",\n" +
+        shippedKeptCteSql(
+          "\n    AND d.doc_id NOT IN (SELECT doc_id FROM losers)" +
+          "\n    AND d.doc_id IN (SELECT doc_id FROM gob WHERE keep)" +
+          "\n    AND COALESCE((SELECT log_weight FROM dsw WHERE dsw.doc_id = d.doc_id), 0.0) >= -8.0") +
         s",\n${containmentHitCtesSql("kept")},\n" +
         s"$islandCtesSql,\n$shippedCorpusTailSql"),
     // learned-BPE packing: the ENTIRE training loop re-derived

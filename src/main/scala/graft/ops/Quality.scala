@@ -1002,6 +1002,42 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** ORACLED capstone (q129): the SHIPPED CORPUS under the FULL gate
+    * battery — q117's recipe (exact-dup survivor + token floor +
+    * near-dup losers anti-joined + LM cap + benchmark excision +
+    * 512-token packing) with the q125 additions folded in: the Gopher
+    * structural battery (30/1) and the DSIR importance floor (−8).
+    * Every gate the engine owns now feeds ONE packed corpus, and the
+    * oracle stitches every component's CTE fragments — each gate
+    * perturbs the admitted set, each excision shifts every downstream
+    * packing boundary, and all of it is hash-checked.
+    *
+    * Gate order = cost order (the q114 economics): structural
+    * survivor/floor and the id-keyed anti/semi joins drop rows BEFORE
+    * the per-char LM explode inside [[assembleShippedCorpus]] runs.
+    * 100 TB posture is the union of its parts' (q117 + q125), nothing
+    * new: the Gopher battery fuses into the candidate scan, DSIR adds
+    * one (doc, bucket) combine against broadcast distributions, the
+    * near-dup arm is q55's blocked machinery.
+    */
+  def q129ShippedCorpusFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val target = docs.filter($"source".isin("src0", "src1"))
+    val gopherKeep = gopherRules(cands, minWords = 30L, minStop = 1L)
+      .filter($"keep").select($"doc_id")
+    val gated = exactGated(cands)
+      .join(Similarity.nearDupLosers(cands), Seq("doc_id"), "left_anti")
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(dsirWeights(cands, target).select($"doc_id", $"log_weight"),
+        Seq("doc_id"), "left")
+      .filter(coalesce($"log_weight", lit(0.0)) >= -8.0)
+      .select($"doc_id", $"text")
+    assembleShippedCorpus(gated, bench, docs.filter($"doc_id" % 3 === 0))
+  }
+
   /** ORACLED capstone (q125): ADMISSION v2 — every per-document
     * quality gate the engine owns, composed in ONE plan: q114's four
     * gates (exact-dup survivorship, token floor, q112 benchmark

@@ -429,6 +429,23 @@ class QualitySpec extends SparkTestBase {
     assert(rows.exists(r => !r.getBoolean(r.fieldIndex("keep"))), "dropped docs exist")
   }
 
+  test("q129 ships exactly the q125-admitted, non-near-dup documents (excision replaces the contamination drop)") {
+    val dir = "/root/testdata/sf0.001"
+    val shipped = ops.Quality.q129ShippedCorpusFull(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    // q125's gates minus the contamination gate (q129 EXCISES the
+    // contaminated text instead of dropping the document)
+    val admitted = ops.Quality.q125AdmissionV2(spark, dir)
+      .filter($"is_survivor" && $"n_tok" >= 5 && $"lm_bits" <= 6.0 &&
+        $"gopher_keep" && $"dsir_ok")
+      .select($"doc_id").as[Long].collect().toSet
+    val docs = ops.Sources.documents(spark, dir)
+    val losers = ops.Similarity.nearDupLosers(docs.filter($"doc_id" % 97 =!= 0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(shipped === (admitted -- losers))
+    assert(shipped.nonEmpty && (admitted -- losers).size < 500)
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
