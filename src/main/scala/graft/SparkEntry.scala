@@ -147,6 +147,8 @@ object SparkEntry {
     "q127_hard_negative_recall" -> (Similarity.q127HardNegativeRecall _),
     "q128_bpe_fertility" -> (Bpe.q128BpeFertility _),
     "q129_shipped_corpus_full" -> (Quality.q129ShippedCorpusFull _),
+    "q130_semantic_decontam" -> (Similarity.q130SemanticDecontam _),
+    "q131_temperature_mixture" -> (graft.util.Sampling.q131TemperatureMixture _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2116,5 +2118,53 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // semantic decontamination: full rescoring of every candidate
+    // (naturals + the planted ×2 copies, exact in float AND double)
+    // against every benchmark vector — cosine rounded at 6 BEFORE the
+    // per-candidate argmax (q22's known-parity formula + ordering), so
+    // the (cos DESC, bench_id ASC) winner matches the engine's
+    // array_max(struct(cos, -bid)) tie-break bit-for-bit
+    "q130_semantic_decontam" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |bench AS (SELECT vec_id AS bench_id, vec FROM emb WHERE vec_id % 29 = 0),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(vec, x -> x * 2) AS vec
+        |  FROM emb WHERE vec_id % 58 = 0),
+        |cand AS (
+        |  SELECT vec_id, vec FROM emb WHERE vec_id % 29 <> 0
+        |  UNION ALL SELECT vec_id, vec FROM planted),
+        |scored AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    round(list_dot_product(c.vec, b.vec) /
+        |      (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+        |  FROM cand c, bench b),
+        |best AS (
+        |  SELECT vec_id, bench_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+        |  FROM scored)
+        |SELECT vec_id, bench_id, cos AS cosine FROM best
+        |WHERE rn = 1 AND cos >= 0.999 ORDER BY vec_id""".stripMargin,
+    // temperature mixture at the sqrt point: micro-unit masses
+    // round(1e6*sqrt(cnt)) are bit-identical cross-engine (sqrt is
+    // correctly rounded IEEE-754 in both); everything downstream is
+    // integer arithmetic + the q121 md5-rank selection
+    "q131_temperature_mixture" ->
+      """WITH sizes AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(cnt) * 3 // 5 AS t FROM sizes),
+        |mass AS (SELECT lang, cnt,
+        |  CAST(round(1000000 * sqrt(cnt)) AS BIGINT) AS rw FROM sizes),
+        |quota AS (
+        |  SELECT lang,
+        |    least(cnt, (SELECT t FROM tot) * rw // (SELECT sum(rw) FROM mass)) AS n_quota
+        |  FROM mass),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sel_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.sel_rank
+        |FROM ranked r JOIN quota USING (lang)
+        |WHERE sel_rank <= n_quota ORDER BY doc_id""".stripMargin,
   )
 }

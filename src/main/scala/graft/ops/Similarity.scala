@@ -1511,4 +1511,76 @@ object Similarity {
     exact.unpersist(false)
     out
   }
+
+  /** L8 at the REPRESENTATION level (semantic decontamination): flag
+    * every candidate vector whose max cosine against ANY benchmark
+    * vector reaches `minCos` — the embedding-space twin of
+    * [[SpanDedup.decontaminate]]'s n-gram gate. N-gram overlap misses
+    * paraphrased or translated eval leakage (the contamination
+    * analyses in Brown et al. 2020 §4 and Chowdhery et al. 2022 App. C
+    * flag only lexical overlap); a cosine gate over embeddings catches
+    * reworded benchmark items the way SemDeDup (Abbas et al. 2023)
+    * catches reworded duplicates.
+    *
+    * 100 TB posture: the benchmark side is broadcast-sized BY
+    * DEFINITION (an eval suite — thousands of items, not a crawl). It
+    * is aggregated to ONE row of (id, vec) structs and scalar-attached
+    * via a 1-row broadcast crossJoin, so scoring is a PURE MAP stage
+    * fused into the candidate scan: no shuffle, no per-pair row
+    * explosion. Each candidate row computes |bench| fused single-pass
+    * cosines — the codegen'd [[graft.expressions.CosineSimilarity]]
+    * INSIDE the transform lambda — and keeps only the best
+    * (max cosine, smallest bench id) struct. Linear in candidates at
+    * any corpus size; an empty benchmark flags nothing.
+    *
+    * Returns flagged rows only: (candIdCol, bench_id, cosine), cosine
+    * rounded to 6 decimals BEFORE the argmax so the tie-break is
+    * stable cross-engine.
+    */
+  def semanticDecontaminate(cand: DataFrame, candId: String, candVec: String,
+      bench: DataFrame, benchId: String, benchVec: String,
+      minCos: Double): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns
+    val benches = bench.agg(collect_list(struct(
+      col(benchId).cast("long").as("bid"),
+      transform(col(benchVec), _.cast("double")).as("bvec"))).as("benches"))
+    cand
+      .select(col(candId),
+        transform(col(candVec), _.cast("double")).as("cvec"))
+      .crossJoin(broadcast(benches))
+      .withColumn("best", array_max(transform(col("benches"), b => struct(
+        round(GraftColumns.cosineSimilarity(col("cvec"),
+          b.getField("bvec")), 6).as("cos"),
+        (-b.getField("bid")).as("negid")))))
+      .filter(col("best.cos") >= minCos)
+      .select(col(candId), (-col("best.negid")).as("bench_id"),
+        col("best.cos").as("cosine"))
+  }
+
+  /** ORACLED exercise (q130): [[semanticDecontaminate]] with a
+    * deterministic benchmark split (vec_id % 29 == 0) and PLANTED
+    * leaked candidates — exact scalar copies (×2, exact in both float
+    * and double arithmetic) of every other benchmark vector under
+    * shifted ids, cosine exactly 1 — over natural candidates whose
+    * measured max benchmark cosine is ≤ 0.51 at both test SFs, so the
+    * 0.999 gate separates with a wide margin. Every flagged id, its
+    * argmax benchmark id, and the rounded cosine are hash-checked
+    * against DuckDB's full rescoring.
+    */
+  def q130SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, dir)
+    val bench = emb.filter($"vec_id" % 29 === 0)
+      .select($"vec_id".as("bench_id"), $"embedding")
+    val planted = emb.filter($"vec_id" % 58 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", x => (x * lit(2.0f)).cast("float"))
+          .as("embedding"))
+    val cand = emb.filter($"vec_id" % 29 =!= 0)
+      .select($"vec_id", $"embedding")
+      .unionByName(planted)
+    semanticDecontaminate(cand, "vec_id", "embedding",
+        bench, "bench_id", "embedding", minCos = 0.999)
+      .orderBy($"vec_id")
+  }
 }

@@ -261,4 +261,79 @@ object Sampling {
     corpusMixture(docs, "doc_id", "source", wt)
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-scaled corpus mixture (XLM-R / mT5-style α-sampling,
+    * Conneau et al. 2020 §3.1): per-group sampling mass ∝ count^α with
+    * α < 1 UP-weighting rare groups relative to their natural share.
+    * Deterministic, integer-exact selection:
+    *
+    *  - per-group mass in MICRO-UNITS: r_g = round(1e6 · count_g^α),
+    *    a fixed integer per (group, α) — for α = 0.5 the power is
+    *    `sqrt`, correctly rounded IEEE-754 in both the JVM and DuckDB,
+    *    so an oracle can re-derive r_g bit-exactly (other α go through
+    *    `math.pow`, deterministic for the ENGINE but not contractually
+    *    identical across libms — oracle at α = 0.5);
+    *  - T = total·targetNum/targetDen (integer floor), the output size
+    *    target;
+    *  - quota_g = min(count_g, ⌊T·r_g / Σr⌋) — BigInt on the driver, so
+    *    the product cannot overflow even at 1e12-row groups (where
+    *    T·r_g ≈ 1e24 exceeds Long); real α-sampling resolves
+    *    quota > count by repeating rare docs across epochs, this
+    *    single-epoch selection caps instead (documented, not hidden);
+    *  - selection per group = smallest (md5(id), id) ranks up to the
+    *    quota — partition-invariant, no RNG.
+    *
+    * Cost shape is [[corpusMixture]]'s: one bounded count aggregate
+    * (#groups rows collected), quotas broadcast, ONE per-group rank
+    * window. Nothing else shuffles.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, targetNum: Long, targetDen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(targetNum >= 1 && targetDen >= 1 && targetNum <= targetDen,
+      s"need 1 <= targetNum <= targetDen, got $targetNum/$targetDen")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(groupCol).cast("string"), col("cnt"))
+      .as[(String, Long)].collect()
+    require(sizes.nonEmpty, "temperatureMixture: empty input")
+    val micro = sizes.map { case (g, c) =>
+      val mass = if (alpha == 0.5) math.sqrt(c.toDouble)
+                 else math.pow(c.toDouble, alpha)
+      (g, c, BigInt(math.rint(1e6 * mass).toLong))
+    }
+    val rSum = micro.map(_._3).sum
+    val t = BigInt(sizes.map(_._2).sum) * targetNum / targetDen
+    val quota = micro.map { case (g, c, r) =>
+      (g, (t * r / rSum).min(BigInt(c)).toLong)
+    }.toSeq.toDF(groupCol, "n_quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq(groupCol))
+      .filter(col("sel_rank") <= col("n_quota"))
+      .select(col(idCol), col(groupCol), col("sel_rank"))
+  }
+
+  /** ORACLED exercise (q131): [[temperatureMixture]] over `documents`
+    * grouped by LANGUAGE — the canonical multilingual α-sampling
+    * setting, and `lang` is naturally skewed (en ≈ 3× each other
+    * language at every test SF, so α = 0.5 visibly up-weights the
+    * rare languages vs their natural share). α = 0.5 is the sqrt
+    * point — micro-unit masses re-derivable bit-exactly in SQL;
+    * target 3/5 of the corpus. Every selected doc, its language, and
+    * its within-language md5 rank hash-checked against DuckDB's
+    * independent re-derivation of masses, quotas, and ranks.
+    */
+  def q131TemperatureMixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.ops.Sources.documents(spark, dir)
+    temperatureMixture(docs, "doc_id", "lang",
+        alpha = 0.5, targetNum = 3, targetDen = 5)
+      .orderBy(col("doc_id"))
+  }
 }

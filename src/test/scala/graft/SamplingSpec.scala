@@ -199,6 +199,38 @@ class SamplingSpec extends SparkTestBase {
     assert(bad.getMessage.contains("not constant"))
   }
 
+  test("temperature mixture: sqrt up-weights rare groups, caps, partition-invariant") {
+    // 400 / 100 / 25 rows — natural shares 76%/19%/5%; sqrt masses
+    // 20/10/5 => shares 57%/29%/14%: the rare groups gain share.
+    val rows = (0L until 400L).map(i => (i, "big")) ++
+      (0L until 100L).map(i => (1000L + i, "mid")) ++
+      (0L until 25L).map(i => (2000L + i, "rare"))
+    val df = rows.toDF("id", "grp")
+    val out = util.Sampling.temperatureMixture(df, "id", "grp",
+      alpha = 0.5, targetNum = 1, targetDen = 2)
+      .as[(Long, String, Long)].collect()
+    // T = 525/2 = 262; masses r = 1e6*(20, 10, 5), R = 35e6;
+    // quotas: big 262*20/35 = 149, mid 262*10/35 = 74, rare min(25, 37) = 25
+    val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup === Map("big" -> 149, "mid" -> 74, "rare" -> 25))
+    // rare group share rose from 5% natural to 10% of the mixture (capped),
+    // big fell from 76% to 60%
+    // ranks are 1..quota within each group
+    out.groupBy(_._2).foreach { case (g, sel) =>
+      assert(sel.map(_._3).sorted.toSeq === (1L to sel.length).toSeq, g)
+    }
+    val out2 = util.Sampling.temperatureMixture(df.repartition(13), "id", "grp",
+      alpha = 0.5, targetNum = 1, targetDen = 2)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+    // alpha = 1 degenerates to proportional-to-count quotas
+    val prop = util.Sampling.temperatureMixture(df, "id", "grp",
+      alpha = 1.0, targetNum = 1, targetDen = 2)
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    assert(prop === Map("big" -> 199, "mid" -> 49, "rare" -> 12))
+  }
+
   test("ccnet buckets: terciles partition the scored docs, cutoffs ordered") {
     val dir = "/root/testdata/sf0.001"
     val out = ops.Quality.q120CcnetBuckets(spark, dir)

@@ -488,4 +488,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(mined.length === 5, s"expected 5 negatives, got ${mined.length}")
     assert(mined.forall(_.getString(2) === "other"))
   }
+
+  test("semantic decontamination: flags copies, argmax tie-break, empty bench") {
+    import org.apache.spark.sql.functions.{col => c}
+    val bench = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f, 0.0f))).toDF("bench_id", "vec")
+    val cand = Seq(
+      (1L, Seq(2.0f, 0.0f, 0.0f)),   // scaled copy of bench 10 -> cos 1
+      (2L, Seq(0.0f, 0.0f, 5.0f)),   // orthogonal to both -> clean
+      (3L, Seq(1.0f, 1.0f, 0.0f))    // cos .707107 to BOTH benches
+    ).toDF("cand_id", "vec")
+    val flagged = ops.Similarity.semanticDecontaminate(
+        cand, "cand_id", "vec", bench, "bench_id", "vec", minCos = 0.999)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(flagged.toSeq === Seq((1L, 10L, 1.0)),
+      "only the planted copy is flagged, against its source benchmark")
+    // lower the gate: the equidistant candidate resolves its tie to the
+    // SMALLEST benchmark id
+    val tied = ops.Similarity.semanticDecontaminate(
+        cand, "cand_id", "vec", bench, "bench_id", "vec", minCos = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(tied.map(r => (r._1, r._2)).toSeq === Seq((1L, 10L), (3L, 10L)))
+    assert(tied(1)._3 === 0.707107)
+    // empty benchmark flags nothing (and does not error)
+    val none = ops.Similarity.semanticDecontaminate(
+      cand, "cand_id", "vec", bench.filter(c("bench_id") < 0L),
+      "bench_id", "vec", minCos = 0.0)
+    assert(none.count() === 0L)
+  }
 }
