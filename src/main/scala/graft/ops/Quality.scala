@@ -891,11 +891,16 @@ object Quality {
       .groupBy($"bucket").agg(count(lit(1)).as("ct"))
       .localCheckpoint(true)
     val tTot = tCnt.agg(sum($"ct").as("nt"))
-    val cg = gramBuckets(candidates)
-    val rCnt = cg.groupBy($"bucket").agg(count(lit(1)).as("cr"))
+    // ONE candidate explode+hash pass: the raw-pool distribution is
+    // derived by RE-aggregating the frozen per-doc counts (integral
+    // sums — bit-identical to counting the gram stream directly),
+    // instead of scanning/exploding/hashing the candidates twice
+    val perDoc = gramBuckets(candidates)
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
+    val rCnt = perDoc.groupBy($"bucket").agg(sum($"n").as("cr"))
     val rTot = rCnt.agg(sum($"cr").as("nr"))
-    cg.groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("n"))
+    perDoc
       .join(broadcast(tCnt), Seq("bucket"), "left")
       .join(broadcast(rCnt), Seq("bucket"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
