@@ -517,4 +517,25 @@ class SimilaritySpec extends SparkTestBase {
       "bench_id", "vec", minCos = 0.0)
     assert(none.count() === 0L)
   }
+
+  test("semantic decontamination plan: scoring is a map stage — the only " +
+      "shuffle is the caller's own sort") {
+    val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.filter($"vec_id" % 29 === 0)
+      .select($"vec_id".as("bench_id"), $"embedding")
+    val cand = emb.filter($"vec_id" % 29 =!= 0)
+    // un-sorted: exactly as a 100 TB gate would run (flags feed a join,
+    // not a display sort)
+    val gate = ops.Similarity.semanticDecontaminate(
+      cand, "vec_id", "embedding", bench, "bench_id", "embedding", 0.999)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench must scalar-attach via a broadcast join:\n$plan")
+    // allowed exchanges: BroadcastExchange (the 1-row attach) and the
+    // bench agg's own "Exchange SinglePartition" (bench-sized, tiny).
+    // A candidate-side shuffle would print as hash/range partitioning.
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"candidate scoring must not shuffle:\n$plan")
+  }
 }

@@ -931,6 +931,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("semantic decontamination gate applies UNCHANGED to a streaming frame") {
+    // semanticDecontaminate is stateless expressions over a 1-row
+    // stream-static broadcast attach, so the BATCH FUNCTION is the
+    // streaming twin — no kernel duplication to keep in parity.
+    implicit val sql = spark.sqlContext
+    val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val bench = emb.filter($"vec_id" % 29 === 0)
+      .select($"vec_id".as("bench_id"), $"embedding")
+    val cand = emb.filter($"vec_id" % 29 =!= 0)
+      .unionByName(emb.filter($"vec_id" % 58 === 0)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"), $"label"))
+    val batch = ops.Similarity.semanticDecontaminate(
+        cand, "vec_id", "embedding", bench, "bench_id", "embedding", 0.999)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "fixture sanity: planted copies must flag")
+    val rows = cand.select($"vec_id", transform($"embedding", _.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[EDoc]
+    val q = ops.Similarity.semanticDecontaminate(
+        input.toDF().withColumnRenamed("doc_id", "vec_id"),
+        "vec_id", "embedding", bench, "bench_id", "embedding", 0.999)
+      .writeStream.format("memory").queryName("sem_decontam")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(rows.toIndexedSeq.map { case (id, v) =>
+        EDoc(id, v, new Timestamp(1700000000000L + id)) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sem_decontam")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        "streamed flags must equal the batch gate's")
+    }
+  }
+
   test("dsir model persists and loads bit-identically") {
     val cands = Seq((1L, "aa bb cc"), (2L, "dd ee"))
       .toDF("doc_id", "text")
