@@ -149,6 +149,8 @@ object SparkEntry {
     "q129_shipped_corpus_full" -> (Quality.q129ShippedCorpusFull _),
     "q130_semantic_decontam" -> (Similarity.q130SemanticDecontam _),
     "q131_temperature_mixture" -> (graft.util.Sampling.q131TemperatureMixture _),
+    "q132_tfidf_decontam" -> (Similarity.q132TfidfDecontam _),
+    "q133_shard_manifest" -> (Packing.q133ShardManifest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2166,5 +2168,75 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, r.sel_rank
         |FROM ranked r JOIN quota USING (lang)
         |WHERE sel_rank <= n_quota ORDER BY doc_id""".stripMargin,
+    // TF-IDF semantic decontamination: DuckDB re-derives the hashed
+    // buckets (the established md5-UBIGINT idiom), candidate-corpus
+    // idf, both weight tables (bench buckets unseen in candidates keep
+    // the no-df idf ln(N+1) — LEFT JOIN + coalesce, mirroring the
+    // engine), norms, sparse dots, and the rounded-then-argmax winner
+    "q132_tfidf_decontam" ->
+      """WITH cand0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 83 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 166 = 0),
+        |bench0 AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 83 = 0),
+        |ctf AS (
+        |  SELECT doc_id, b, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      CAST(CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
+        |    FROM cand0, unnest(string_split(lower(text), ' ')) AS u(tok))
+        |  GROUP BY doc_id, b),
+        |n AS (SELECT count(*) AS nd FROM cand0),
+        |idf AS (
+        |  SELECT b, ln(((SELECT nd FROM n) + 1.0) / (dfb + 1.0)) AS idf
+        |  FROM (SELECT b, count(*) AS dfb FROM ctf GROUP BY b)),
+        |cw AS (SELECT doc_id, t.b, tf * idf.idf AS w FROM ctf t JOIN idf USING (b)),
+        |cn AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM cw GROUP BY doc_id),
+        |btf AS (
+        |  SELECT bench_id, b, count(*) AS tf FROM (
+        |    SELECT bench_id,
+        |      CAST(CAST(concat('0x', substr(md5(u.tok), 1, 8)) AS UBIGINT) % 1024 AS BIGINT) AS b
+        |    FROM bench0, unnest(string_split(lower(text), ' ')) AS u(tok))
+        |  GROUP BY bench_id, b),
+        |bw AS (
+        |  SELECT bench_id, t.b,
+        |    tf * coalesce(idf.idf, ln(((SELECT nd FROM n) + 1.0))) AS w
+        |  FROM btf t LEFT JOIN idf USING (b)),
+        |bn AS (SELECT bench_id, sqrt(sum(w * w)) AS nrm FROM bw GROUP BY bench_id),
+        |dots AS (
+        |  SELECT c.doc_id, b.bench_id, sum(c.w * b.w) AS dot
+        |  FROM cw c JOIN bw b USING (b) GROUP BY c.doc_id, b.bench_id),
+        |coss AS (
+        |  SELECT d.doc_id, d.bench_id,
+        |    round(d.dot / (cn.nrm * bn.nrm), 6) AS cos,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY round(d.dot / (cn.nrm * bn.nrm), 6) DESC, d.bench_id) AS rn
+        |  FROM dots d JOIN cn USING (doc_id) JOIN bn USING (bench_id)
+        |  WHERE cn.nrm > 0 AND bn.nrm > 0)
+        |SELECT doc_id, bench_id, cos AS cosine FROM coss
+        |WHERE rn = 1 AND cos >= 0.999 ORDER BY doc_id""".stripMargin,
+    // shard manifest: q92's green cumulative-sum packing CTE + a
+    // generate_series explode of each doc's example span + the same
+    // mod-8 round-robin — every shard row fully re-derived
+    "q133_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0),
+        |ex AS (
+        |  SELECT doc_id, u.e AS example_id,
+        |    u.e % 8 AS shard_id
+        |  FROM c, unnest(generate_series(CAST(cum_before // 512 AS BIGINT),
+        |    CAST((cum_before + n_tokens - 1) // 512 AS BIGINT))) AS u(e))
+        |SELECT shard_id,
+        |  CAST(count(DISTINCT example_id) AS BIGINT) AS n_examples,
+        |  count(*) AS n_doc_slices,
+        |  min(example_id) AS first_example,
+        |  max(example_id) AS last_example
+        |FROM ex GROUP BY shard_id ORDER BY shard_id""".stripMargin,
   )
 }

@@ -145,6 +145,51 @@ object Packing {
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }
 
+  /** Balanced shard manifest over a packed corpus ([[sequencePack]]'s
+    * output): round-robin the EXAMPLES (the fixed-size training bins)
+    * across `nShards` output shards — shard = example mod nShards, so
+    * shard sizes are balanced within ±1 example BY CONSTRUCTION and,
+    * since every example is exactly `ctxTokens` tokens (bar the global
+    * last), token-balanced too. The writer-facing tail of the packing
+    * pipeline: which (doc, example) slices land in which output file.
+    *
+    * Deterministic and partition-invariant (a pure function of the
+    * example id — no RNG, no first-come-first-served state). Shape:
+    * one bounded explode (Σ n_examples ≈ corpus_tokens/ctx + #docs
+    * rows — already linear-sublinear in corpus bytes) and one
+    * `nShards`-key aggregate with map-side combine; the distinct
+    * example count per shard two-phase-aggregates the same stream.
+    * Nothing else shuffles at any corpus size.
+    */
+  def shardManifest(packed: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    packed
+      .select(col("doc_id"),
+        explode(sequence(col("first_example"), col("last_example")))
+          .as("example_id"))
+      .withColumn("shard_id", pmod(col("example_id"), lit(nShards.toLong)))
+      .groupBy(col("shard_id"))
+      .agg(count_distinct(col("example_id")).as("n_examples"),
+        count(lit(1)).as("n_doc_slices"),
+        min(col("example_id")).as("first_example"),
+        max(col("example_id")).as("last_example"))
+  }
+
+  /** ORACLED (q133) — [[shardManifest]] over q92's 512-token packing
+    * of `documents`, 8 shards: every shard's example count, doc-slice
+    * count, and example-id range hash-checked against DuckDB's
+    * re-derivation (q92's green cumulative-sum CTE + generate_series
+    * explode + the same mod-8 assignment).
+    */
+  def q133ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shardManifest(
+        sequencePack(Sources.documents(spark, dir), "doc_id",
+          bpeishCount($"text"), 512L),
+        nShards = 8)
+      .orderBy($"shard_id")
+  }
+
   /** ORACLED (q92) — sequence packing over `documents` at a 512-token
     * context: per-doc example span, checked against DuckDB's global
     * window cumulative sum (the single-node formulation of the same

@@ -1557,6 +1557,109 @@ object Similarity {
         col("best.cos").as("cosine"))
   }
 
+  /** L20 for PLAIN-TEXT corpora (TF-IDF semantic decontamination):
+    * [[semanticDecontaminate]] needs an embedding column; this variant
+    * needs only text. Documents are embedded ENGINE-SIDE as
+    * hashed-TF-IDF sparse vectors (Salton's vector-space model over
+    * md5-hashed token buckets — the hashing trick, Weinberger et al.
+    * 2009) and candidates are flagged when their max cosine against
+    * any benchmark document reaches `minCos`. Catches reworded
+    * benchmark leakage that exact n-gram containment (the q112 gate)
+    * misses — word-order changes leave the TF-IDF vector nearly
+    * intact while destroying every 24-char gram.
+    *
+    * All weights derive from the CANDIDATE corpus statistics
+    * (idf = ln((N+1)/(df_b+1)) over `buckets` hashed buckets), applied
+    * to both sides — the standard fit-on-train/apply-to-query posture,
+    * and it keeps the whole model re-derivable by an oracle.
+    *
+    * 100 TB posture (the sparse-similarity shape, q39's posting-list
+    * precedent):
+    *  - candidate side: ONE explode+hash pass frozen as per-doc bucket
+    *    counts; df/idf re-aggregated from it (≤ `buckets` rows —
+    *    broadcast at any corpus size); norms one doc-keyed aggregate;
+    *  - benchmark side: bounded BY DEFINITION (an eval suite), its
+    *    weight table broadcasts;
+    *  - the dot product is a broadcast join on bucket + one
+    *    (doc, bench) combine with map-side partial aggregation —
+    *    no all-pairs row explosion, linear in candidate tokens;
+    *  - argmax per doc tie-breaks to the smallest bench id (the q130
+    *    rule), cosine rounded at 6 BEFORE the argmax.
+    */
+  def tfidfDecontaminate(cand: DataFrame, bench: DataFrame,
+      minCos: Double, buckets: Int = 1024): DataFrame = {
+    import cand.sparkSession.implicits._
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def bucketed(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+          explode(split(lower($"text"), " ")).as("tok"))
+        .select(col(idCol),
+          (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long")
+            % buckets).as("b"))
+        .groupBy(col(idCol), $"b").agg(count(lit(1)).as("tf"))
+    // ONE candidate explode+hash pass (the dsirWeights discipline):
+    // df/idf and norms re-aggregate the frozen per-doc counts
+    val ctf = bucketed(cand, "doc_id").localCheckpoint(true)
+    val nd = cand.agg(count(lit(1)).as("nd"))
+    val idf = ctf.groupBy($"b").agg(count(lit(1)).as("dfb"))
+      .crossJoin(broadcast(nd))
+      .select($"b", log(($"nd" + 1.0) / ($"dfb" + 1.0)).as("idf"))
+      .localCheckpoint(true)
+    val cw = ctf.join(broadcast(idf), Seq("b"))
+      .select($"doc_id", $"b", ($"tf" * $"idf").as("w"))
+    val cn = cw.groupBy($"doc_id").agg(sqrt(sum($"w" * $"w")).as("cnrm"))
+    // an unseen bucket keeps idf = ln(N+1) — the smoothing's no-df point
+    val bw = bucketed(bench, "bench_id")
+      .join(broadcast(idf), Seq("b"), "left")
+      .crossJoin(broadcast(nd))
+      .select($"bench_id", $"b",
+        ($"tf" * coalesce($"idf", log($"nd" + 1.0))).as("w"))
+      .localCheckpoint(true)
+    val bn = bw.groupBy($"bench_id").agg(sqrt(sum($"w" * $"w")).as("bnrm"))
+    val out = cw.join(broadcast(bw.withColumnRenamed("w", "bwt")), Seq("b"))
+      .groupBy($"doc_id", $"bench_id").agg(sum($"w" * $"bwt").as("dot"))
+      .join(cn, Seq("doc_id"))
+      .join(broadcast(bn), Seq("bench_id"))
+      .filter($"cnrm" > 0.0 && $"bnrm" > 0.0)
+      .select($"doc_id", $"bench_id",
+        round($"dot" / ($"cnrm" * $"bnrm"), 6).as("cos"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"cos", (-$"bench_id").as("negid"))).as("best"))
+      .filter($"best.cos" >= minCos)
+      .select($"doc_id", (-$"best.negid").as("bench_id"),
+        $"best.cos".as("cosine"))
+      .localCheckpoint(true)
+    ctf.unpersist(false)
+    idf.unpersist(false)
+    bw.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q132): [[tfidfDecontaminate]] with a
+    * deterministic benchmark split (doc_id % 83 == 0) and PLANTED
+    * leaked candidates — verbatim copies of every other benchmark
+    * document under shifted ids (identical token multiset ⇒ identical
+    * TF-IDF vector ⇒ cosine 1) — against a measured natural ceiling
+    * of ≤ 0.89 at the test SFs, so the 0.999 gate separates cleanly
+    * (a NATURAL exact-dup straddling the split would flag identically
+    * in both engines — legitimate contamination, not a parity risk).
+    * Every flagged id, argmax benchmark id, and 6-decimal cosine
+    * hash-checked against DuckDB's full re-derivation of buckets,
+    * idf, norms, and dot products.
+    */
+  def q132TfidfDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 83 === 0)
+      .select($"doc_id".as("bench_id"), $"text")
+    val cand = docs.filter($"doc_id" % 83 =!= 0)
+      .select($"doc_id", $"text")
+      .unionByName(docs.filter($"doc_id" % 166 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    tfidfDecontaminate(cand, bench, minCos = 0.999)
+      .orderBy($"doc_id")
+  }
+
   /** ORACLED exercise (q130): [[semanticDecontaminate]] with a
     * deterministic benchmark split (vec_id % 29 == 0) and PLANTED
     * leaked candidates — exact scalar copies (×2, exact in both float

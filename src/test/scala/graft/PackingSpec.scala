@@ -122,6 +122,30 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("shard manifest: examples balanced within one, covers every example, " +
+      "partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, "tok " * (i % 37 + 1).toInt))
+      .toDF("doc_id", "text")
+    val packed = ops.Packing.sequencePack(docs, "doc_id",
+      size(split($"text", " ")).cast("long"), 64L)
+    val man = ops.Packing.shardManifest(packed, 5)
+      .orderBy($"shard_id").collect()
+    assert(man.length === 5)
+    val counts = man.map(_.getLong(1))
+    assert(counts.max - counts.min <= 1L,
+      s"round-robin must balance within one example: ${counts.toSeq}")
+    // every example id 0..max appears in exactly one shard
+    val maxEx = packed.agg(max($"last_example")).as[Long].head()
+    assert(counts.sum === maxEx + 1L)
+    // pure function of the example id — repartitioning changes nothing
+    val man2 = ops.Packing.shardManifest(
+      ops.Packing.sequencePack(docs.repartition(13), "doc_id",
+        size(split($"text", " ")).cast("long"), 64L), 5)
+      .orderBy($"shard_id").collect()
+    assert(man.toSeq === man2.toSeq)
+  }
+
   test("q92/q93/q94 run green on the sf0.001 fixture") {
     val dir = "/root/testdata/sf0.001"
     val pack = graft.SparkEntry.queries("q92_sequence_pack")(spark, dir)

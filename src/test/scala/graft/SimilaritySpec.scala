@@ -518,6 +518,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(none.count() === 0L)
   }
 
+  test("tfidf decontamination: catches the word-order paraphrase the " +
+      "n-gram containment gate provably misses") {
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val scrambled = "today bridge stone old the near dog lazy the over jumps fox brown quick the"
+    val bench = Seq((100L, base)).toDF("bench_id", "text")
+    val cand = Seq(
+      (1L, scrambled),                          // same multiset, new order
+      (2L, "completely unrelated text about spark partitions and shuffles here now"),
+      (3L, base)                                // verbatim copy
+    ).toDF("doc_id", "text")
+    // the 24-char-gram containment gate sees NOTHING in the scramble
+    val gramHits = ops.SpanDedup.decontaminate(
+      cand.filter($"doc_id" === 1L), bench.select($"bench_id".as("doc_id"), $"text"),
+      gramLen = 24)
+    assert(gramHits.filter($"contaminated_chars" > 0L).count() === 0L,
+      "fixture sanity: word-order scramble must evade the n-gram gate")
+    val flagged = ops.Similarity.tfidfDecontaminate(cand, bench, minCos = 0.999)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(flagged.map(_._1).toSeq === Seq(1L, 3L),
+      s"verbatim AND scrambled copies must flag, clean must not: ${flagged.toSeq}")
+    assert(flagged.forall(_._2 === 100L))
+    assert(flagged.forall(_._3 === 1.0),
+      "identical token multisets give identical TF-IDF vectors -> cos 1")
+    // empty benchmark flags nothing
+    assert(ops.Similarity.tfidfDecontaminate(
+      cand, bench.filter($"bench_id" < 0L), 0.0).count() === 0L)
+  }
+
   test("semantic decontamination plan: scoring is a map stage — the only " +
       "shuffle is the caller's own sort") {
     val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
