@@ -151,6 +151,7 @@ object SparkEntry {
     "q131_temperature_mixture" -> (graft.util.Sampling.q131TemperatureMixture _),
     "q132_tfidf_decontam" -> (Similarity.q132TfidfDecontam _),
     "q133_shard_manifest" -> (Packing.q133ShardManifest _),
+    "q134_temperature_epochs" -> (graft.util.Sampling.q134TemperatureEpochs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2238,5 +2239,31 @@ object SparkEntry {
         |  min(example_id) AS first_example,
         |  max(example_id) AS last_example
         |FROM ex GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    // epoched temperature mixture: q131's mass/quota math WITHOUT the
+    // cap — T_g split div/mod into full passes + a ranked partial
+    // epoch, exploded via generate_series; every (doc, epoch) row
+    // integer-exact cross-engine
+    "q134_temperature_epochs" ->
+      """WITH sizes AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(cnt) * 2 // 1 AS t FROM sizes),
+        |mass AS (SELECT lang, cnt,
+        |  CAST(round(1000000 * sqrt(cnt)) AS BIGINT) AS rw FROM sizes),
+        |quota AS (
+        |  SELECT lang,
+        |    ((SELECT t FROM tot) * rw // (SELECT sum(rw) FROM mass)) // cnt AS n_full,
+        |    ((SELECT t FROM tot) * rw // (SELECT sum(rw) FROM mass)) % cnt AS n_extra
+        |  FROM mass),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sel_rank
+        |  FROM documents),
+        |sel AS (
+        |  SELECT r.doc_id, r.lang, r.sel_rank,
+        |    CAST(n_full + CASE WHEN sel_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+        |  FROM ranked r JOIN quota USING (lang))
+        |SELECT doc_id, lang, sel_rank, u.e AS epoch
+        |FROM sel, unnest(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS u(e)
+        |WHERE n_epochs > 0 ORDER BY doc_id, epoch""".stripMargin,
   )
 }

@@ -319,6 +319,81 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("sel_rank"))
   }
 
+  /** Multi-EPOCH temperature mixture — [[temperatureMixture]] without
+    * the single-epoch cap: when α-sampling up-weights a rare group past
+    * its size (quota > count), real pipelines REPEAT its documents
+    * across epochs (Conneau et al. 2020 §3.1 trains on α-scaled
+    * multinomials for many steps; the repetition IS the up-weighting).
+    * This emits each selected (doc, epoch) pair deterministically:
+    *
+    *  - T_g = ⌊T·r_g/Σr⌋ exactly as the capped variant (BigInt-safe);
+    *  - every doc of group g appears in epochs 0..(T_g div c_g)−1
+    *    (the full passes), and the docs with the smallest (md5(id), id)
+    *    ranks up to T_g mod c_g appear in one further epoch —
+    *    so exactly T_g rows per group, every row a pure function of
+    *    the id (partition-invariant, no RNG);
+    *  - `targetNum/targetDen` may exceed 1 (e.g. 2/1 = a two-epoch
+    *    token budget): that is the whole point of the variant.
+    *
+    * Shape: one bounded count aggregate, quotas broadcast, ONE
+    * per-group rank window, one bounded explode (output rows = T by
+    * construction). Nothing else shuffles.
+    */
+  def temperatureMixtureEpochs(df: DataFrame, idCol: String,
+      groupCol: String, alpha: Double, targetNum: Long,
+      targetDen: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(targetNum >= 1 && targetDen >= 1,
+      s"need positive target ratio, got $targetNum/$targetDen")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(groupCol).cast("string"), col("cnt"))
+      .as[(String, Long)].collect()
+    require(sizes.nonEmpty, "temperatureMixtureEpochs: empty input")
+    val micro = sizes.map { case (g, c) =>
+      val mass = if (alpha == 0.5) math.sqrt(c.toDouble)
+                 else math.pow(c.toDouble, alpha)
+      (g, c, BigInt(math.rint(1e6 * mass).toLong))
+    }
+    val rSum = micro.map(_._3).sum
+    val t = BigInt(sizes.map(_._2).sum) * targetNum / targetDen
+    val quota = micro.map { case (g, c, r) =>
+      val tg = (t * r / rSum).toLong
+      (g, tg / c, tg % c)
+    }.toSeq.toDF(groupCol, "n_full", "n_extra")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq(groupCol))
+      .withColumn("n_epochs",
+        col("n_full") + when(col("sel_rank") <= col("n_extra"), 1L)
+          .otherwise(0L))
+      .filter(col("n_epochs") > 0L)
+      .select(col(idCol), col(groupCol), col("sel_rank"),
+        explode(sequence(lit(0L), col("n_epochs") - 1L)).as("epoch"))
+  }
+
+  /** ORACLED exercise (q134): [[temperatureMixtureEpochs]] over
+    * `documents` by language at α = 0.5 with a TWO-EPOCH token budget
+    * (target 2/1) — on the naturally skewed lang column the rare
+    * languages earn 2 full passes plus a partial while `en` gets 1
+    * full pass plus a partial: the α-repetition visibly differs per
+    * group. Every (doc, epoch) row and within-language rank
+    * hash-checked against DuckDB's re-derivation (masses, unfloored
+    * quotas, div/mod epoch split, generate_series explode).
+    */
+  def q134TemperatureEpochs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.ops.Sources.documents(spark, dir)
+    temperatureMixtureEpochs(docs, "doc_id", "lang",
+        alpha = 0.5, targetNum = 2, targetDen = 1)
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** ORACLED exercise (q131): [[temperatureMixture]] over `documents`
     * grouped by LANGUAGE — the canonical multilingual α-sampling
     * setting, and `lang` is naturally skewed (en ≈ 3× each other

@@ -231,6 +231,37 @@ class SamplingSpec extends SparkTestBase {
     assert(prop === Map("big" -> 199, "mid" -> 49, "rare" -> 12))
   }
 
+  test("epoched temperature mixture: exact T_g rows per group, div/mod " +
+      "epoch structure, partition-invariant") {
+    // 400 / 25: masses 1e6*(20, 5), R = 25e6; T = 425*2 = 850;
+    // T_big = 850*20/25 = 680 -> 1 full pass + 280 extra;
+    // T_rare = 850*5/25 = 170 -> 6 full passes + 20 extra
+    val rows = (0L until 400L).map(i => (i, "big")) ++
+      (0L until 25L).map(i => (2000L + i, "rare"))
+    val df = rows.toDF("id", "grp")
+    val out = util.Sampling.temperatureMixtureEpochs(df, "id", "grp",
+      alpha = 0.5, targetNum = 2, targetDen = 1)
+      .as[(Long, String, Long, Long)].collect()
+    val byGroup = out.groupBy(_._2)
+    assert(byGroup("big").length === 680)
+    assert(byGroup("rare").length === 170)
+    // every rare doc appears in epochs 0..5; ranks <= 20 in epoch 6 too
+    val rareEpochs = byGroup("rare").groupBy(_._1).view
+      .mapValues(_.map(_._4).sorted.toSeq).toMap
+    assert(rareEpochs.values.forall(e =>
+      e == (0L to 5L) || e == (0L to 6L)))
+    assert(rareEpochs.values.count(_ == (0L to 6L)) === 20)
+    // the extra-epoch docs are exactly the smallest md5 ranks
+    val rareRanks = byGroup("rare").map(r => (r._1, r._3)).toMap
+    assert(rareEpochs.filter(_._2 == (0L to 6L)).keySet ===
+      rareRanks.filter(_._2 <= 20L).keySet)
+    val out2 = util.Sampling.temperatureMixtureEpochs(df.repartition(13),
+      "id", "grp", alpha = 0.5, targetNum = 2, targetDen = 1)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq ===
+      out2.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("ccnet buckets: terciles partition the scored docs, cutoffs ordered") {
     val dir = "/root/testdata/sf0.001"
     val out = ops.Quality.q120CcnetBuckets(spark, dir)
