@@ -152,6 +152,7 @@ object SparkEntry {
     "q132_tfidf_decontam" -> (Similarity.q132TfidfDecontam _),
     "q133_shard_manifest" -> (Packing.q133ShardManifest _),
     "q134_temperature_epochs" -> (graft.util.Sampling.q134TemperatureEpochs _),
+    "q135_leakage_report" -> (SpanDedup.q135LeakageReport _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2265,5 +2266,31 @@ object SparkEntry {
         |SELECT doc_id, lang, sel_rank, u.e AS epoch
         |FROM sel, unnest(generate_series(0, CAST(n_epochs - 1 AS BIGINT))) AS u(e)
         |WHERE n_epochs > 0 ORDER BY doc_id, epoch""".stripMargin,
+    // leakage report by benchmark item: literal-gram attribution
+    // (min bench doc per gram), training-stream inner join, per-bench
+    // rollup including the zero-leakage rows
+    "q135_leakage_report" ->
+      """WITH bg AS (
+        |  SELECT gram, min(doc_id) AS bench_id FROM (
+        |    SELECT doc_id, substr(text, CAST(u.i AS INT), 24) AS gram
+        |    FROM documents,
+        |         unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)
+        |    WHERE doc_id % 97 = 0)
+        |  GROUP BY gram),
+        |tg AS (
+        |  SELECT doc_id, substr(text, CAST(u.i AS INT), 24) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23)) AS u(i)
+        |  WHERE doc_id % 97 <> 0),
+        |rep AS (
+        |  SELECT b.bench_id,
+        |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+        |    count(*) AS n_hits
+        |  FROM tg t JOIN bg b USING (gram) GROUP BY b.bench_id)
+        |SELECT b0.bench_id,
+        |  coalesce(rep.n_train_docs, 0) AS n_train_docs,
+        |  coalesce(rep.n_hits, 0) AS n_hits
+        |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0) b0
+        |LEFT JOIN rep USING (bench_id) ORDER BY bench_id""".stripMargin,
   )
 }

@@ -319,6 +319,63 @@ object SpanDedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_len")).as("contaminated_chars"))
 
+  /** Leakage REPORT by benchmark item — the inverse pivot of
+    * [[decontaminate]]: instead of "which training docs are
+    * contaminated", answer "which BENCHMARK items leak, and how
+    * badly" — the table an eval owner reads before trusting a score
+    * (the per-task contamination studies in Brown et al. 2020 §4 /
+    * Chowdhery et al. 2022 App. C report exactly this rollup). Each
+    * shared gram is attributed to ONE benchmark doc — the smallest
+    * bench id containing it — so hit masses add up deterministically
+    * when benchmark items overlap each other.
+    *
+    * Output: one row per benchmark doc (zero-leakage items included,
+    * n_train_docs = n_hits = 0): bench_id, n_train_docs (distinct
+    * training docs sharing ≥1 attributed gram), n_hits (attributed
+    * gram occurrences in the training stream).
+    *
+    * Shape: the attribution table is the bench gram set + a min —
+    * bench-bounded, BROADCAST (the [[contaminationSpans]] argument,
+    * explicit hint for the same planner-estimate reason); the
+    * training gram stream inner-joins it map-side and feeds ONE
+    * aggregate keyed by bench_id (bounded keys, map-side combine,
+    * the distinct-doc count two-phase over contamination-bounded
+    * pairs). Linear in training tokens at any corpus size; 8-byte
+    * xxhash64 gram keys (q21/q39's collision trade).
+    */
+  def leakageReport(train: DataFrame, bench: DataFrame,
+      gramLen: Int): DataFrame = {
+    val attribution = broadcast(
+      grams(bench, gramLen)
+        .select(xxhash64(col("gram")).as("h"), col("doc_id"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("bench_id")))
+    val rep = grams(train, gramLen)
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .join(attribution, Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("doc_id")).as("n_train_docs"),
+        count(lit(1)).as("n_hits"))
+    bench.select(col("doc_id").as("bench_id")).distinct()
+      .join(rep, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** ORACLED exercise (q135): [[leakageReport]] at the q112 split
+    * (every 97th doc the benchmark, the rest training, 24-char
+    * grams) — every benchmark item's distinct-training-doc count and
+    * attributed hit mass hash-checked against DuckDB's literal-gram
+    * re-derivation (including the zero rows).
+    */
+  def q135LeakageReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    leakageReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), gramLen = 24)
+      .orderBy(col("bench_id"))
+  }
+
   /** ORACLED exercise (q112): [[decontaminate]] with a deterministic
     * split of the documents table — every 97th doc_id plays the
     * benchmark set, the rest the training corpus (the fixture's

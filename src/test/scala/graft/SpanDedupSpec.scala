@@ -247,6 +247,35 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got === Set((1L, 1L, 31L)))
   }
 
+  test("leakage report: per-bench attribution to the smallest id, zero rows kept") {
+    val shared = "the quick brown fox jumps over the lazy dog" // 43 chars
+    val train = Seq(
+      (1L, s"A $shared tail."),
+      (2L, s"B $shared other."),
+      (3L, "totally unrelated content, nothing shared anywhere at all."))
+      .toDF("doc_id", "text")
+    // both leaked bench items cover the run INCLUDING the trailing
+    // space (the char after "dog " differs everywhere: m/t/o/a), so
+    // every train-shared gram exists in both and attributes to 100
+    val bench = Seq(
+      (100L, s"q1: $shared more?"),
+      (101L, s"q2: $shared again"),
+      (102L, "a clean benchmark question nobody has quoted anywhere yet"))
+      .toDF("doc_id", "text")
+    val got = ops.SpanDedup.leakageReport(train, bench, gramLen = 24)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(100L, 101L, 102L),
+      "every benchmark item reports, leaked or not")
+    val byId = got.map(r => r._1 -> (r._2, r._3)).toMap
+    // grams shared between bench 100 and 101 attribute to min id 100,
+    // so 101 keeps only hits on grams UNIQUE to it (none in train)
+    assert(byId(100L)._1 === 2L, "both train docs leak bench 100")
+    assert(byId(100L)._2 > 0L)
+    assert(byId(101L) === ((0L, 0L)),
+      "shared grams attributed to the smaller bench id")
+    assert(byId(102L) === ((0L, 0L)), "clean item reports zero")
+  }
+
   test("decontaminate matches a brute-force oracle on a random small corpus") {
     // same adversarial 3-letter alphabet as the dupSpans property test:
     // heavy gram collisions exercise the containment gate, islands
