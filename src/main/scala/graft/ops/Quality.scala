@@ -900,7 +900,12 @@ object Quality {
       .localCheckpoint(true)
     val rCnt = perDoc.groupBy($"bucket").agg(sum($"n").as("cr"))
     val rTot = rCnt.agg(sum($"cr").as("nr"))
-    perDoc
+    // materialize the (per-doc, small) result eagerly so the
+    // corpus-scale (doc, bucket) checkpoint can be RELEASED before
+    // return — otherwise every dsirWeights call pins docs×buckets
+    // rows for the process lifetime (the tfidfDecontaminate
+    // discipline)
+    val out = perDoc
       .join(broadcast(tCnt), Seq("bucket"), "left")
       .join(broadcast(rCnt), Seq("bucket"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
@@ -913,6 +918,10 @@ object Quality {
       .agg(sum($"n").as("n_grams"),
         round(sum($"term"), 6).as("log_weight"))
       .withColumn("selected", $"log_weight" > 0.0)
+      .localCheckpoint(true)
+    perDoc.unpersist(false)
+    tCnt.unpersist(false)
+    out
   }
 
   /** Broadcastable DSIR state for the STREAMING arm — the per-bucket

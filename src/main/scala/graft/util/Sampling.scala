@@ -291,33 +291,57 @@ object Sampling {
       alpha: Double, targetNum: Long, targetDen: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
     require(targetNum >= 1 && targetDen >= 1 && targetNum <= targetDen,
       s"need 1 <= targetNum <= targetDen, got $targetNum/$targetDen")
-    val sizes = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col(groupCol).cast("string"), col("cnt"))
-      .as[(String, Long)].collect()
-    require(sizes.nonEmpty, "temperatureMixture: empty input")
-    val micro = sizes.map { case (g, c) =>
-      val mass = if (alpha == 0.5) math.sqrt(c.toDouble)
-                 else math.pow(c.toDouble, alpha)
-      (g, c, BigInt(math.rint(1e6 * mass).toLong))
-    }
+    val micro = alphaMasses(df, groupCol, alpha)
     val rSum = micro.map(_._3).sum
-    val t = BigInt(sizes.map(_._2).sum) * targetNum / targetDen
+    val t = BigInt(micro.map(_._2).sum) * targetNum / targetDen
     val quota = micro.map { case (g, c, r) =>
+      // cap at the group count makes .toLong safe here: quota <= count
       (g, (t * r / rSum).min(BigInt(c)).toLong)
     }.toSeq.toDF(groupCol, "n_quota")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val w = md5RankWindow(idCol, groupCol)
     df.select(col(idCol), col(groupCol))
       .withColumn("sel_rank", row_number().over(w).cast("long"))
       .join(broadcast(quota), Seq(groupCol))
       .filter(col("sel_rank") <= col("n_quota"))
       .select(col(idCol), col(groupCol), col("sel_rank"))
   }
+
+  /** Shared α-mass fit for the temperature-mixture family: per-group
+    * (group, count, micro-mass) with mass r_g = round(1e6·count^α) in
+    * HALF-UP rounding — the repo's rounding convention AND DuckDB's
+    * `round()`, so the oracled α = 0.5 point stays bit-identical on
+    * exact .5 micro-ties (math.rint's half-to-even would diverge
+    * there). One bounded count aggregate, #groups rows collected.
+    */
+  private def alphaMasses(df: DataFrame, groupCol: String,
+      alpha: Double): Array[(String, Long, BigInt)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(groupCol).cast("string"), col("cnt"))
+      .as[(String, Long)].collect()
+    require(sizes.nonEmpty, "temperature mixture: empty input")
+    sizes.map { case (g, c) =>
+      val mass = if (alpha == 0.5) math.sqrt(c.toDouble)
+                 else math.pow(c.toDouble, alpha)
+      (g, c, BigInt(
+        BigDecimal(1e6 * mass).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong))
+    }
+  }
+
+  /** The mixture family's deterministic selection order: smallest
+    * (md5(id), id) first within each group — partition-invariant,
+    * no RNG.
+    */
+  private def md5RankWindow(idCol: String, groupCol: String) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
 
   /** Multi-EPOCH temperature mixture — [[temperatureMixture]] without
     * the single-epoch cap: when α-sampling up-weights a rare group past
@@ -344,28 +368,22 @@ object Sampling {
       targetDen: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
     require(targetNum >= 1 && targetDen >= 1,
       s"need positive target ratio, got $targetNum/$targetDen")
-    val sizes = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col(groupCol).cast("string"), col("cnt"))
-      .as[(String, Long)].collect()
-    require(sizes.nonEmpty, "temperatureMixtureEpochs: empty input")
-    val micro = sizes.map { case (g, c) =>
-      val mass = if (alpha == 0.5) math.sqrt(c.toDouble)
-                 else math.pow(c.toDouble, alpha)
-      (g, c, BigInt(math.rint(1e6 * mass).toLong))
-    }
+    val micro = alphaMasses(df, groupCol, alpha)
     val rSum = micro.map(_._3).sum
-    val t = BigInt(sizes.map(_._2).sum) * targetNum / targetDen
+    val t = BigInt(micro.map(_._2).sum) * targetNum / targetDen
     val quota = micro.map { case (g, c, r) =>
-      val tg = (t * r / rSum).toLong
-      (g, tg / c, tg % c)
+      val tg = t * r / rSum
+      // this variant has no quota cap and targetNum is unbounded, so
+      // an absurd target CAN push a group's row count past Long — fail
+      // loudly instead of wrapping negative and emitting nothing
+      require(tg.isValidLong,
+        s"temperatureMixtureEpochs: group '$g' quota $tg exceeds Long " +
+          s"range — lower targetNum/targetDen")
+      (g, tg.toLong / c, tg.toLong % c)
     }.toSeq.toDF(groupCol, "n_full", "n_extra")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val w = md5RankWindow(idCol, groupCol)
     df.select(col(idCol), col(groupCol))
       .withColumn("sel_rank", row_number().over(w).cast("long"))
       .join(broadcast(quota), Seq(groupCol))
