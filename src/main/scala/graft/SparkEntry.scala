@@ -153,6 +153,7 @@ object SparkEntry {
     "q133_shard_manifest" -> (Packing.q133ShardManifest _),
     "q134_temperature_epochs" -> (graft.util.Sampling.q134TemperatureEpochs _),
     "q135_leakage_report" -> (SpanDedup.q135LeakageReport _),
+    "q136_stupid_backoff" -> (Quality.q136StupidBackoff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2292,5 +2293,49 @@ object SparkEntry {
         |  coalesce(rep.n_hits, 0) AS n_hits
         |FROM (SELECT doc_id AS bench_id FROM documents WHERE doc_id % 97 = 0) b0
         |LEFT JOIN rep USING (bench_id) ORDER BY bench_id""".stripMargin,
+    // Stupid Backoff token LM (Brants et al.): tagged (n, gram) counts
+    // from one reference pass, five left joins on literal gram keys,
+    // the lambda-nested backoff chain association-matched to the
+    // engine's expression, bits at 6 decimals (q113 precedent)
+    "q136_stupid_backoff" ->
+      """WITH ref AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents WHERE doc_id % 3 = 0),
+        |cnt AS (
+        |  SELECT n, g, count(*) AS c FROM (
+        |    SELECT 1 AS n, unnest(t) AS g FROM ref
+        |    UNION ALL
+        |    SELECT 2 AS n, t[i] || ' ' || t[i+1] AS g
+        |    FROM ref, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |    UNION ALL
+        |    SELECT 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |    FROM ref, unnest(generate_series(1, len(t) - 2)) AS u(i))
+        |  GROUP BY n, g),
+        |scal AS (SELECT sum(c) + count(*) AS nv FROM cnt WHERE n = 1),
+        |cand AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |         FROM documents WHERE doc_id % 3 <> 0),
+        |tri AS (
+        |  SELECT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+        |    t[i] || ' ' || t[i+1] AS ctx2,
+        |    t[i+1] || ' ' || t[i+2] AS bo2,
+        |    t[i+1] AS w2, t[i+2] AS w3
+        |  FROM cand, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coalesce(c3.c, 0) > 0 THEN c3.c / c22.c
+        |         ELSE 0.4 * (CASE WHEN coalesce(c2b.c, 0) > 0 THEN c2b.c / c1w2.c
+        |                          ELSE 0.4 * ((coalesce(c1w3.c, 0) + 1.0) /
+        |                            (SELECT CAST(nv AS DOUBLE) FROM scal)) END)
+        |    END AS sc
+        |  FROM tri
+        |  LEFT JOIN cnt c3 ON c3.n = 3 AND c3.g = tri.g3
+        |  LEFT JOIN cnt c22 ON c22.n = 2 AND c22.g = tri.ctx2
+        |  LEFT JOIN cnt c2b ON c2b.n = 2 AND c2b.g = tri.bo2
+        |  LEFT JOIN cnt c1w2 ON c1w2.n = 1 AND c1w2.g = tri.w2
+        |  LEFT JOIN cnt c1w3 ON c1w3.n = 1 AND c1w3.g = tri.w3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(-avg(ln(sc)) / ln(2), 6) AS bits_per_transition
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

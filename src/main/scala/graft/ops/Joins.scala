@@ -441,9 +441,9 @@ object Joins {
           col(leftCol).substr(p + 1, sLen).as("seg"),
           tLen.as("target_len")))
     }
-    val lk = left.select(left.columns.map(col) :+
+    val lk = left.select(left.columns.toIndexedSeq.map(col) :+
       explode(array_distinct(array_compact(array(probeKeys: _*)))).as("__blk"): _*)
-    val rk = right.select(right.columns.map(col) :+
+    val rk = right.select(right.columns.toIndexedSeq.map(col) :+
       explode(array_distinct(array(rightKeys: _*))).as("__blk"): _*)
     lk.join(rk, Seq("__blk")).drop("__blk")
   }

@@ -924,6 +924,114 @@ object Quality {
     out
   }
 
+  /** TOKEN-level language-model gate via STUPID BACKOFF (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" —
+    * the scoring scheme DESIGNED for distributed trillion-token
+    * models: no discounting to normalize, just count ratios with a
+    * fixed backoff penalty λ = 0.4):
+    *
+    *   S(w₃|w₁w₂) = c₃/c₂(w₁w₂)            if the trigram was seen
+    *              = λ·c₂(w₂w₃)/c₁(w₂)      else if the bigram was
+    *              = λ²·(c₁(w₃)+1)/(N+V)    else (add-one unigram
+    *                floor — pure Stupid Backoff leaves unseen
+    *                unigrams at 0, which a log cannot take)
+    *
+    * Output per candidate doc (≥ 3 tokens): n_transitions (trigram
+    * positions) and bits_per_transition = −avg log₂ S, rounded at 6
+    * (the q113 precedent — fp summation noise is orders below the
+    * rounding).
+    *
+    * 100 TB posture — and the honest CONTRAST with [[lmScore]]: the
+    * char-bigram model is alphabet-bounded and broadcasts; a token
+    * n-gram model is CORPUS-scale, so here the count table shards by
+    * gram and every probe is a KEYED SHUFFLE JOIN of the candidate
+    * gram stream — exactly how Brants et al. serve their model
+    * (grams sharded by hash, clients batch lookups). One reference
+    * explode emits all three gram orders tagged (n, gram) → ONE
+    * count shuffle; scoring is five left joins on (n, gram) keys.
+    * The count table materializes once and is RELEASED before
+    * return (the dsirWeights discipline); the two model scalars
+    * (N, V) collect from a 1-row aggregate. Literal-string gram
+    * keys, zero hash collisions — parity with the oracle is exact.
+    */
+  def stupidBackoffScore(candidates: DataFrame, reference: DataFrame,
+      lambda: Double = 0.4): DataFrame = {
+    import candidates.sparkSession.implicits._
+    require(lambda > 0 && lambda <= 1, s"need 0 < lambda <= 1: $lambda")
+    val toks = split(lower($"text"), " ")
+    // size guards: Spark's sequence(0, size-n) DESCENDS when size < n
+    // (the dsirWeights when-guard lesson) — an unguarded wordGrams on
+    // a too-short doc would emit garbage indices, not an empty array
+    val empty = array().cast("array<string>")
+    val cnt = reference
+      .select(explode(concat(
+        wordGrams(toks, 1),
+        when(size(toks) >= 2, wordGrams(toks, 2)).otherwise(empty),
+        when(size(toks) >= 3, wordGrams(toks, 3)).otherwise(empty)))
+        .as("g"))
+      .withColumn("n", size(split($"g", " ")))
+      .groupBy($"n", $"g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val (nTot, vocab) = cnt.filter($"n" === 1)
+      .agg(coalesce(sum($"c"), lit(0L)), count(lit(1)))
+      .as[(Long, Long)].head()
+    require(nTot > 0,
+      "stupidBackoffScore: empty reference — the unigram floor would " +
+        "divide by zero and every candidate would score Infinity bits")
+    def keyed(nn: Int, key: String, cName: String) =
+      cnt.filter($"n" === nn).select($"g".as(key), $"c".as(cName))
+    val tris = candidates.filter(size(toks) >= 3)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 2),
+        i => struct(
+          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
+            element_at($"t", i + 2)).as("tri"),
+          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))
+            .as("ctx2"),
+          concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))
+            .as("bo2"),
+          element_at($"t", i + 1).as("w2"),
+          element_at($"t", i + 2).as("w3")))).as("s"))
+      .select($"doc_id", $"s.tri", $"s.ctx2", $"s.bo2", $"s.w2", $"s.w3")
+    val scored = tris
+      .join(keyed(3, "tri", "c3"), Seq("tri"), "left")
+      .join(keyed(2, "ctx2", "c22"), Seq("ctx2"), "left")
+      .join(keyed(2, "bo2", "c2b"), Seq("bo2"), "left")
+      .join(keyed(1, "w2", "c1w2"), Seq("w2"), "left")
+      .join(keyed(1, "w3", "c1w3"), Seq("w3"), "left")
+      .withColumn("s",
+        // association mirrors the oracle EXACTLY (λ·(…) nesting, the
+        // unigram floor divided before its λ) so the doubles match
+        // bit-for-bit, not just to rounding
+        when(coalesce($"c3", lit(0L)) > 0, $"c3" / $"c22")
+          .otherwise(lit(lambda) *
+            when(coalesce($"c2b", lit(0L)) > 0, $"c2b" / $"c1w2")
+              .otherwise(lit(lambda) *
+                ((coalesce($"c1w3", lit(0L)) + 1.0) /
+                  lit(nTot + vocab).cast("double")))))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(-avg(log($"s")) / log(lit(2.0)), 6).as("bits_per_transition"))
+      .localCheckpoint(true)
+    cnt.unpersist(false)
+    scored
+  }
+
+  /** ORACLED exercise (q136): [[stupidBackoffScore]] at the q113
+    * split (every 3rd doc the reference, the rest candidates) —
+    * DuckDB re-derives the tagged gram counts, both backoff chains,
+    * the add-one floor, and the per-doc mean; bits hash-checked at
+    * 6 decimals.
+    */
+  def q136StupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    stupidBackoffScore(
+        docs.filter($"doc_id" % 3 =!= 0),
+        docs.filter($"doc_id" % 3 === 0))
+      .orderBy($"doc_id")
+  }
+
   /** Broadcastable DSIR state for the STREAMING arm — the per-bucket
     * smoothed log-ratio table ln p̂(b) − ln q̂(b), `buckets` doubles
     * (2 KB at the default 256): the [[CharLm]] argument, bounded by

@@ -217,7 +217,7 @@ object Similarity {
     // the query vector is already on the driver — inline it as a
     // literal instead of joining a second scan of the input
     val out = assigned
-      .filter($"ivf_list".isin(probed: _*) && $"vec_id" =!= queryVecId)
+      .filter($"ivf_list".isin(probed.toIndexedSeq: _*) && $"vec_id" =!= queryVecId)
       .select($"vec_id", $"label", $"ivf_list",
         cosineSimilarity($"vec", typedlit(qv)).as("cos"))
       .orderBy($"cos".desc, $"vec_id")

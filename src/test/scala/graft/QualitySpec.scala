@@ -446,6 +446,38 @@ class QualitySpec extends SparkTestBase {
     assert(shipped.nonEmpty && (admitted -- losers).size < 500)
   }
 
+  test("stupid backoff: every chain level hand-checked; in-distribution " +
+      "beats gibberish; short docs excluded; empty reference fails loudly") {
+    val ref = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b d e"))
+      .toDF("doc_id", "text")
+    // counts: uni a:2 b:3 c:2 d:1 e:1 (N=9, V=5);
+    // bi "a b":2 "b c":2 "b d":1 "d e":1; tri "a b c":2 "b d e":1
+    val cand = Seq(
+      (10L, "a b c"),   // trigram hit: S = c3/c2("a b") = 2/2 = 1
+      (11L, "x b c"),   // tri miss, bigram "b c" hit: 0.4*(2/3)
+      (12L, "x y c"),   // both miss: 0.4*(0.4*((2+1)/(9+5)))
+      (13L, "x y z"),   // unseen unigram floor: 0.4*(0.4*(1/14))
+      (14L, "a b")      // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = ops.Quality.stupidBackoffScore(cand, ref)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(14L), "short docs have no trigram positions")
+    def bits(s: Double): Double =
+      BigDecimal(-math.log(s) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) === ((1L, bits(1.0))))
+    assert(got(11L) === ((1L, bits(0.4 * (2.0 / 3.0)))))
+    assert(got(12L) === ((1L, bits(0.4 * (0.4 * ((2.0 + 1.0) / 14.0))))))
+    assert(got(13L) === ((1L, bits(0.4 * (0.4 * ((0.0 + 1.0) / 14.0))))))
+    // ordering: deeper chain level = more bits
+    assert(got(10L)._2 < got(11L)._2 && got(11L)._2 < got(12L)._2 &&
+      got(12L)._2 < got(13L)._2)
+    val err = intercept[IllegalArgumentException] {
+      ops.Quality.stupidBackoffScore(cand, ref.filter($"doc_id" < 0L))
+    }
+    assert(err.getMessage.contains("empty reference"))
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
