@@ -154,6 +154,7 @@ object SparkEntry {
     "q134_temperature_epochs" -> (graft.util.Sampling.q134TemperatureEpochs _),
     "q135_leakage_report" -> (SpanDedup.q135LeakageReport _),
     "q136_stupid_backoff" -> (Quality.q136StupidBackoff _),
+    "q137_doremi_mixture" -> (Quality.q137DoremiMixture _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2337,5 +2338,56 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
         |  round(-avg(ln(sc)) / ln(2), 6) AS bits_per_transition
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DoReMi domain reweighting: per-doc bits via q113's green LM CTEs,
+    // DECIMAL-exact domain excess losses, then the EG recurrence as an
+    // unrolled MATERIALIZED chain — micro-masses integer-exact, every
+    // multiplicative step floor(·+0.5) of an identical IEEE double
+    "q137_doremi_mixture" -> doremiOracleSql(8),
   )
+
+  /** Unrolled EG iteration chain for q137 (T iterations at η=1,
+    * smoothing mass 1000 micro / uniform floor 1000//k): p_t holds the
+    * pre-normalization masses α·exp(λ) on the micro grid, i_t the
+    * smoothed renormalization; Z is an exact BIGINT sum so no step is
+    * aggregation-order sensitive. MATERIALIZED per the q118 lesson
+    * (each stage is referenced twice — once per mass row, once inside
+    * the Z subquery).
+    */
+  private def doremiOracleSql(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      s"""pm$i AS MATERIALIZED (
+         |  SELECT source, CAST(floor(m * exp(1.0 * lam) + 0.5) AS BIGINT) AS mp
+         |  FROM $prev JOIN lamt USING (source)),
+         |it$i AS MATERIALIZED (
+         |  SELECT source,
+         |    CAST(floor(999000.0 * mp / (SELECT sum(mp) FROM pm$i) + 0.5) AS BIGINT)
+         |      + (SELECT 1000 // count(*) FROM lamt) AS m
+         |  FROM pm$i)""".stripMargin
+    }.mkString(",\n")
+    s"WITH ${lmCtesSql("(SELECT * FROM documents WHERE doc_id % 3 <> 0)")},\n" +
+      lmAggCteSql + ",\n" +
+      """sc AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    lm.lm_bits AS bits
+        |  FROM documents d JOIN lm USING (doc_id)),
+        |rf AS (SELECT round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
+        |         / count(*), 6) AS ref_bits FROM sc),
+        |dom AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(CAST(greatest(bits - (SELECT ref_bits FROM rf), 0.0)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS lam
+        |  FROM sc GROUP BY source),
+        |lamt AS (SELECT source, lam FROM dom),
+        |it0 AS (SELECT source, (SELECT 1000000 // count(*) FROM lamt) AS m
+        |        FROM lamt)""".stripMargin + ",\n" + iters + "\n" +
+      s"""SELECT d.source, d.n_docs, d.n_tokens, d.lam AS lambda_excess,
+         |  m / 1000000.0 AS alpha,
+         |  CAST((SELECT sum(n_tokens) FROM dom) * m // 1000000 AS BIGINT)
+         |    AS token_quota
+         |FROM it$iterations JOIN dom d USING (source)
+         |ORDER BY d.source""".stripMargin
+  }
 }

@@ -1215,4 +1215,109 @@ object Quality {
         $"gopher_keep", $"log_weight", $"dsir_ok", $"is_survivor", $"keep")
       .orderBy($"doc_id")
   }
+
+  /** L6 — DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * public): Group-DRO exponentiated-gradient iterations over each
+    * domain's EXCESS LOSS yield the mixture weights α that up-weight
+    * the domains the reference model finds hardest. This is the
+    * loss-driven complement to the count-driven temperature mixtures
+    * (q131/q134) and the per-document DSIR gate (q123): DSIR selects
+    * documents, DoReMi apportions the DOMAIN budget.
+    *
+    * Static-loss instantiation, exactly (departures from the paper's
+    * online proxy-model loop are deliberate and documented): the
+    * per-example loss is the engine's own char-bigram LM bits
+    * ([[lmScore]], reference = every 3rd doc — the q113 split); the
+    * reference-loss level is the corpus-wide mean bits; per-document
+    * excess = max(0, bits − ref) (the paper's clipped excess), and
+    * λ_g = the domain mean of that. The EG recurrence then runs T
+    * fixed iterations of Algorithm 1's mixture update with step η and
+    * uniform smoothing c: α′ ∝ α·exp(η·λ_g), α ← (1−c)·α′/Z + c/k.
+    * With static losses this converges toward the hardest domain while
+    * the smoothing floor keeps every domain sampled — the paper's
+    * behavior when the proxy loop is frozen.
+    *
+    * ORACLE PARITY discipline (the q131 micro-mass technique, extended
+    * to a recurrence): λ inputs are pinned at 6 decimals via
+    * DECIMAL-exact, order-free domain sums; α lives on the integer
+    * micro-grid (1e-6), every update step is floor(·+0.5) of an
+    * IDENTICAL IEEE double in both engines, and the normalizer Z is an
+    * exact integer sum — so T chained iterations accumulate ZERO
+    * cross-engine drift and the DuckDB oracle (an unrolled CTE chain)
+    * hash-matches every weight bit-for-bit.
+    *
+    * 100 TB posture: one LM scoring pass (broadcast alphabet-bounded
+    * model, one per-doc aggregate), one doc-keyed join to attach
+    * domain+token counts, ONE bounded aggregate by domain. The EG
+    * loop itself runs on k collected rows — k = |domains|, a quantity
+    * that is tens-to-hundreds at any corpus size (the bounded-collect
+    * economics of q121/q131; DoReMi's own α state is domain-sized on
+    * the trainer). Token quotas use BigInt driver-side so a 1e14-token
+    * corpus times the 1e6 micro-grid cannot overflow (the q134 guard).
+    */
+  def doremiMixture(docs: DataFrame, iterations: Int = 8,
+      eta: Double = 1.0, smoothMicro: Long = 1000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(iterations >= 1 && smoothMicro >= 0 && smoothMicro < 1000000L,
+      s"doremiMixture: need iterations >= 1 (got $iterations) and " +
+        s"0 <= smoothMicro < 1e6 (got $smoothMicro)")
+    val cands = docs.filter($"doc_id" % 3 =!= 0)
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val scored = cands
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .join(lmScore(cands, lmRef)
+        .select($"doc_id", $"bits_per_transition".as("bits")), Seq("doc_id"))
+    // Corpus-wide reference loss (1 row, broadcast): DECIMAL-exact sum
+    // of the already-6-decimal bits, so the mean is aggregation-order
+    // free and identical cross-engine.
+    val refRow = scored
+      .agg(sum($"bits".cast("decimal(18,6)")).as("sb"), count(lit(1)).as("n"))
+      .select(round($"sb".cast("double") / $"n", 6).as("ref_bits"))
+    val dom = scored.crossJoin(broadcast(refRow))
+      .withColumn("excess",
+        greatest($"bits" - $"ref_bits", lit(0.0)).cast("decimal(18,6)"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        sum($"excess").as("se"))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"se".cast("double") / $"n_docs", 6).as("lambda_excess"))
+    // Bounded collect: k = |domains| rows, sorted for determinism.
+    val rows = dom.as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    require(rows.nonEmpty, "doremiMixture: no scorable candidate documents")
+    val k = rows.length
+    val Scale = 1000000L
+    val lam = rows.map(_._4)
+    var m = Array.fill(k)(Scale / k)
+    var t = 0
+    while (t < iterations) {
+      // α′ ∝ α·exp(η·λ): micro-mass times an identical IEEE factor,
+      // HALF_UP to the grid; Z is an exact integer sum (order-free).
+      val mp = Array.tabulate(k)(g =>
+        math.floor(m(g).toDouble * math.exp(eta * lam(g)) + 0.5).toLong)
+      val z = mp.sum
+      m = Array.tabulate(k)(g =>
+        math.floor((Scale - smoothMicro).toDouble * mp(g) / z + 0.5).toLong +
+          smoothMicro / k)
+      t += 1
+    }
+    val totTokens = rows.map(r => BigInt(r._3)).sum
+    val out = rows.zipWithIndex.map { case ((src, nd, ntok, l), g) =>
+      (src, nd, ntok, l, m(g) / 1000000.0,
+        (totTokens * m(g) / Scale).toLong)
+    }
+    docs.sparkSession.createDataFrame(out.toIndexedSeq)
+      .toDF("source", "n_docs", "n_tokens", "lambda_excess", "alpha",
+        "token_quota")
+      .orderBy($"source")
+  }
+
+  /** ORACLED exercise (q137): [[doremiMixture]] at its defaults (T=8,
+    * η=1, c=0.001) — DuckDB re-derives the per-doc bits (q113's green
+    * CTEs), the DECIMAL-exact domain excess losses, and the full EG
+    * recurrence as an unrolled materialized CTE chain; every domain's
+    * α micro-mass and token quota is hash-checked bit-for-bit.
+    */
+  def q137DoremiMixture(spark: SparkSession, dir: String): DataFrame =
+    doremiMixture(Sources.documents(spark, dir))
 }

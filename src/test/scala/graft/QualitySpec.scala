@@ -493,4 +493,39 @@ class QualitySpec extends SparkTestBase {
         s"$r fires both ways (pass=$c of $n)")
     }
   }
+
+  test("doremiMixture: EG up-weights the high-excess-loss domain, keeps the " +
+    "smoothing floor, and conserves the micro-mass budget") {
+    val clean = "the quick brown fox jumps over the lazy dog near the river bank"
+    val noise = "zq xv qj wk vz kx jq zx qv wq zk xj vw kq jz xq"
+    // ids ≡ 0 (mod 3) are the LM reference split (clean text); the
+    // candidates split into a reference-like domain and a garbled one.
+    val docs = (Seq(3L, 6L, 9L, 12L).map(i => (i, clean + " again", "ref")) ++
+      Seq(1L, 4L, 7L, 10L).map(i => (i, clean, "clean")) ++
+      Seq(2L, 5L, 8L, 11L).map(i => (i, noise, "noise")))
+      .toDF("doc_id", "text", "source")
+    val out = ops.Quality.doremiMixture(docs)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, lamClean, aClean, qClean) = out("clean")
+    val (_, _, _, lamNoise, aNoise, qNoise) = out("noise")
+    // the garbled domain has strictly higher excess bits -> higher α
+    assert(lamNoise > lamClean && aNoise > aClean && qNoise > qClean)
+    // below-average domain's excess is clipped at 0 (DoReMi's max(0,·))
+    assert(lamClean === 0.0)
+    // smoothing floor: every α ≥ c/k (integer-floored uniform mass)
+    val k = out.size
+    assert(out.values.forall(_._5 >= (1000L / k) / 1e6))
+    // micro-mass conservation: Σα = 1 within k micro-units of dust
+    val sumAlpha = out.values.map(_._5).sum
+    assert(math.abs(sumAlpha - 1.0) <= k * 1e-6 + 1e-12)
+    // quotas never exceed the corpus token budget
+    val totTok = out.values.map(_._3).sum
+    assert(out.values.map(_._6).sum <= totTok)
+    // static-loss EG concentrates with more iterations
+    val early = ops.Quality.doremiMixture(docs, iterations = 1)
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(aNoise > early("noise"))
+  }
 }
