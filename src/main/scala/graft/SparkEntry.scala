@@ -155,6 +155,7 @@ object SparkEntry {
     "q135_leakage_report" -> (SpanDedup.q135LeakageReport _),
     "q136_stupid_backoff" -> (Quality.q136StupidBackoff _),
     "q137_doremi_mixture" -> (Quality.q137DoremiMixture _),
+    "q138_corpus_datasheet" -> (Quality.q138CorpusDatasheet _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2343,6 +2344,53 @@ object SparkEntry {
     // unrolled MATERIALIZED chain — micro-masses integer-exact, every
     // multiplicative step floor(·+0.5) of an identical IEEE double
     "q137_doremi_mixture" -> doremiOracleSql(8),
+    // corpus datasheet: q21 survivorship + q112 containment + q113 LM
+    // bits aggregated per (lang, source), then ROLLUP over the BOUNDED
+    // group table (subtotals = sums of sums; DECIMAL bits re-aggregate
+    // exactly); micro-ratio floors and grouping flags per q4/q52
+    "q138_corpus_datasheet" ->
+      (s"$trainBenchSplitSql,\n${containmentHitCtesSql("tr")},\n" +
+        lmCtesSql("documents") + ",\n" + lmAggCteSql + ",\n" +
+        """surv AS (SELECT text, min(doc_id) AS survivor_id
+        |          FROM documents GROUP BY text),
+        |cd AS (SELECT DISTINCT doc_id FROM hits),
+        |pd AS (
+        |  SELECT d.lang, d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    d.n_chars,
+        |    CASE WHEN d.doc_id <> s.survivor_id THEN 1 ELSE 0 END AS is_dup,
+        |    CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam,
+        |    lm.lm_bits
+        |  FROM documents d
+        |  JOIN surv s ON d.text = s.text
+        |  LEFT JOIN cd ON cd.doc_id = d.doc_id
+        |  LEFT JOIN lm ON lm.doc_id = d.doc_id),
+        |b AS (
+        |  SELECT lang, source, count(*) AS nd,
+        |    CAST(sum(n_tok) AS BIGINT) AS nt,
+        |    CAST(sum(n_chars) AS BIGINT) AS nc,
+        |    CAST(sum(is_dup) AS BIGINT) AS dup,
+        |    CAST(sum(is_contam) AS BIGINT) AS cont,
+        |    count(lm_bits) AS scored,
+        |    sum(CAST(lm_bits AS DECIMAL(18,6))) AS sb
+        |  FROM pd GROUP BY lang, source)
+        |SELECT lang, source,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(dup) AS BIGINT) AS dup_docs,
+        |  CAST(sum(cont) AS BIGINT) AS contaminated_docs,
+        |  CAST(sum(scored) AS BIGINT) AS scored_docs,
+        |  CASE WHEN sum(scored) > 0 THEN
+        |    round(CAST(sum(sb) AS DOUBLE) / sum(scored), 6) END AS mean_bits,
+        |  floor(CAST(sum(dup) AS DOUBLE) * 1e6 / sum(nd) + 0.5) / 1e6
+        |    AS dup_frac,
+        |  floor(CAST(sum(cont) AS DOUBLE) * 1e6 / sum(nd) + 0.5) / 1e6
+        |    AS contam_frac,
+        |  CAST(grouping(lang) AS INT) AS g_lang,
+        |  CAST(grouping(source) AS INT) AS g_source
+        |FROM b GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin),
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

@@ -1320,4 +1320,78 @@ object Quality {
     */
   def q137DoremiMixture(spark: SparkSession, dir: String): DataFrame =
     doremiMixture(Sources.documents(spark, dir))
+
+  /** L10 — CORPUS DATASHEET: the per-(lang, source) data card a corpus
+    * release ships with (Gebru et al. 2018, "Datasheets for Datasets";
+    * Bender & Friedman 2018, "Data Statements for NLP" — public), with
+    * per-language subtotals and a grand total via ROLLUP. Every cell is
+    * one of the engine's own green signals aggregated: document/token/
+    * char counts, exact-duplicate share (q21's survivorship), benchmark
+    * 24-gram contamination share (q112's gate), and mean char-LM bits
+    * (q113's model) — so the datasheet is hash-checkable end to end,
+    * not a best-effort report.
+    *
+    * 100 TB posture: the per-document signal frame is the audited q114
+    * shape (broadcast-gated LM + containment probes, doc-keyed joins of
+    * small summaries), aggregated ONCE per (lang, source) — DECIMAL
+    * sums so every subtotal re-derives exactly from partials — and the
+    * ROLLUP's Expand runs over the BOUNDED group table (≤ |langs|·
+    * |sources| rows), never over the document stream: subtotals are
+    * sums of sums. A naive `docs.rollup(...)` would triple the corpus
+    * through Expand before the shuffle; this shape shuffles it once.
+    */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val bits = lmScore(docs, lmRef)
+      .select($"doc_id", $"bits_per_transition".as("bits"))
+    val contam = SpanDedup.decontaminate(cands, bench, gramLen = 24)
+      .select($"doc_id").distinct().withColumn("is_contam", lit(true))
+    val surv = docs.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    val perDoc = docs
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .join(bits, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"),
+        $"n_chars",
+        ($"doc_id" =!= $"survivor_id").cast("long").as("is_dup"),
+        coalesce($"is_contam", lit(false)).cast("long").as("is_contam"),
+        $"bits")
+    // ONE corpus-wide aggregate to the bounded (lang, source) table;
+    // the rollup's Expand then triples ≤ k rows, not the corpus.
+    val base = perDoc.groupBy($"lang", $"source").agg(
+      count(lit(1)).as("nd"), sum($"n_tok").as("nt"), sum($"n_chars").as("nc"),
+      sum($"is_dup").as("dup"), sum($"is_contam").as("cont"),
+      count($"bits").as("scored"),
+      sum($"bits".cast("decimal(18,6)")).as("sb"))
+    base.rollup($"lang", $"source").agg(
+        sum($"nd").as("n_docs"), sum($"nt").as("n_tokens"),
+        sum($"nc").as("n_chars"), sum($"dup").as("dup_docs"),
+        sum($"cont").as("contaminated_docs"), sum($"scored").as("scored_docs"),
+        sum($"sb").as("sbits"),
+        grouping($"lang").cast("int").as("g_lang"),
+        grouping($"source").cast("int").as("g_source"))
+      .select($"lang", $"source", $"n_docs", $"n_tokens", $"n_chars",
+        $"dup_docs", $"contaminated_docs", $"scored_docs",
+        when($"scored_docs" > 0,
+          round($"sbits".cast("double") / $"scored_docs", 6)).as("mean_bits"),
+        microRatio($"dup_docs", $"n_docs").as("dup_frac"),
+        microRatio($"contaminated_docs", $"n_docs").as("contam_frac"),
+        $"g_lang", $"g_source")
+      .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  /** ORACLED exercise (q138): [[corpusDatasheet]] over the documents
+    * table — DuckDB re-derives every per-doc signal from the component
+    * queries' green CTE fragments and the same bounded-table ROLLUP;
+    * every count, micro-ratio, and 6-decimal mean hash-checked at all
+    * three grouping levels.
+    */
+  def q138CorpusDatasheet(spark: SparkSession, dir: String): DataFrame =
+    corpusDatasheet(Sources.documents(spark, dir))
 }

@@ -528,4 +528,37 @@ class QualitySpec extends SparkTestBase {
       .map(r => r._1 -> r._5).toMap
     assert(aNoise > early("noise"))
   }
+
+  test("corpusDatasheet: rollup levels reconcile and the Expand runs over " +
+    "the bounded group table, not the corpus") {
+    val out = ops.Quality.q138CorpusDatasheet(spark, "/root/testdata/sf0.001")
+    // the ROLLUP's Expand must sit ABOVE the per-(lang, source)
+    // aggregate — a corpus-side Expand would triple the scan at 100 TB
+    val expands = out.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.size === 1)
+    assert(expands.head.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "Expand must consume the pre-aggregated group table")
+    val rows = out.select($"lang", $"source", $"n_docs", $"dup_docs",
+        $"scored_docs", $"g_lang", $"g_source")
+      .as[(Option[String], Option[String], Long, Long, Long, Int, Int)]
+      .collect()
+    val detail = rows.filter(r => r._6 == 0 && r._7 == 0)
+    val byLang = rows.filter(r => r._6 == 0 && r._7 == 1)
+    val grand = rows.filter(r => r._6 == 1 && r._7 == 1)
+    assert(grand.length === 1)
+    // grand total == table cardinality; dup count == n - distinct texts
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    assert(grand.head._3 === docs.count())
+    assert(grand.head._4 ===
+      docs.count() - docs.select($"text").distinct().count())
+    // every per-lang subtotal is the sum of its detail rows
+    byLang.foreach { l =>
+      val det = detail.filter(_._1 == l._1)
+      assert(det.map(_._3).sum === l._3 && det.map(_._4).sum === l._4 &&
+        det.map(_._5).sum === l._5, s"subtotal mismatch for lang ${l._1}")
+    }
+  }
 }
