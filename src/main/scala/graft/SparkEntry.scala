@@ -156,6 +156,7 @@ object SparkEntry {
     "q136_stupid_backoff" -> (Quality.q136StupidBackoff _),
     "q137_doremi_mixture" -> (Quality.q137DoremiMixture _),
     "q138_corpus_datasheet" -> (Quality.q138CorpusDatasheet _),
+    "q139_lsh_plan" -> (Similarity.q139LshPlan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2391,6 +2392,34 @@ object SparkEntry {
         |  CAST(grouping(source) AS INT) AS g_source
         |FROM b GROUP BY ROLLUP(lang, source)
         |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin),
+    // LSH S-curve planner: the banding collision curve on a 100-point
+    // midpoint grid, probabilities pinned at 9 decimals and summed as
+    // DECIMAL (order-free), argmin tie-broken (cost, b, r)
+    "q139_lsh_plan" ->
+      """WITH cand AS (
+        |  SELECT CAST(u.r AS BIGINT) AS r, CAST(128 // u.r AS BIGINT) AS b
+        |  FROM unnest(generate_series(1, 128)) AS u(r)),
+        |g AS (SELECT (CAST(u.i AS DOUBLE) + 0.5) / 100 AS s
+        |      FROM unnest(generate_series(0, 99)) AS u(i)),
+        |p AS (SELECT b, r, s,
+        |        CAST(round(1 - pow(1 - pow(s, r), b), 9) AS DECIMAL(12,9)) AS pc
+        |      FROM cand, g),
+        |ar AS (SELECT b, r,
+        |    sum(CASE WHEN s < 0.5 THEN pc
+        |             ELSE CAST(0 AS DECIMAL(12,9)) END) AS sfp,
+        |    sum(CASE WHEN s >= 0.5 THEN 1 - pc
+        |             ELSE CAST(0 AS DECIMAL(12,9)) END) AS sfn
+        |  FROM p GROUP BY b, r),
+        |c AS (SELECT b, r, b * r AS n_used,
+        |    floor(CAST(sfp AS DOUBLE) * 1e6 / 100 + 0.5) / 1e6 AS fp_area,
+        |    floor(CAST(sfn AS DOUBLE) * 1e6 / 100 + 0.5) / 1e6 AS fn_area
+        |  FROM ar),
+        |k AS (SELECT *,
+        |    floor((0.5 * fp_area + 0.5 * fn_area) * 1e6 + 0.5) / 1e6 AS cost
+        |  FROM c)
+        |SELECT b, r, n_used, fp_area, fn_area, cost,
+        |  row_number() OVER (ORDER BY cost, b, r) = 1 AS is_opt
+        |FROM k ORDER BY r""".stripMargin,
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

@@ -1670,6 +1670,73 @@ object Similarity {
     * argmax benchmark id, and the rounded cosine are hash-checked
     * against DuckDB's full rescoring.
     */
+  /** L2 — MinHash-LSH PARAMETER PLANNER: pick the (bands b, rows r)
+    * split of an n-hash signature that best approximates a target
+    * Jaccard threshold t. The banding collision curve is
+    * P(s) = 1 − (1 − sʳ)ᵇ (Leskovec/Rajaraman/Ullman, "Mining of
+    * Massive Datasets" ch. 3 — public; the optimizer mirrors the
+    * datasketch library's `_optimal_param`): for every r ∈ [1, n] with
+    * b = ⌊n/r⌋, integrate the false-positive area ∫₀ᵗ P(s) ds and the
+    * false-negative area ∫ₜ¹ (1 − P(s)) ds by a G-point midpoint
+    * Riemann sum and minimize fpW·FP + fnW·FN. This is the planner
+    * that justifies q25/q55's banding choices instead of hand-picking
+    * them.
+    *
+    * ORACLE PARITY: each grid probability is rounded at 9 decimals and
+    * summed as DECIMAL, so the areas are aggregation-order free and the
+    * argmin (tie-broken by (cost, b, r)) is deterministic cross-engine
+    * — pow() ulp skew is absorbed by the 9-decimal pin (q131
+    * micro-mass discipline, probability-grid edition).
+    *
+    * 100 TB posture: a pure planner — |candidates|·G generated rows
+    * (≈13k at the defaults), constant in corpus size; expressed
+    * relationally so it runs inside the engine and its output feeds
+    * MinHashLSH configuration directly.
+    */
+  def lshPlan(spark: SparkSession, nHashes: Int = 128, threshold: Double = 0.5,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5,
+      grid: Int = 100): DataFrame = {
+    import spark.implicits._
+    require(nHashes >= 1 && grid >= 1 && threshold > 0 && threshold < 1,
+      s"lshPlan: bad parameters (n=$nHashes, grid=$grid, t=$threshold)")
+    val cand = spark.range(1, nHashes + 1L).select($"id".as("r"))
+      .withColumn("b", floor(lit(nHashes) / $"r").cast("long"))
+    val probs = spark.range(0, grid.toLong)
+      .select((($"id".cast("double") + 0.5) / grid).as("s"))
+      .crossJoin(cand)
+      .withColumn("pc",
+        round(lit(1.0) - pow(lit(1.0) - pow($"s", $"r"), $"b"), 9)
+          .cast("decimal(12,9)"))
+    val zero = lit(0).cast("decimal(12,9)")
+    val areas = probs.groupBy($"b", $"r").agg(
+        sum(when($"s" < threshold, $"pc").otherwise(zero)).as("sfp"),
+        sum(when($"s" >= threshold, lit(1).cast("decimal(12,9)") - $"pc")
+          .otherwise(zero)).as("sfn"))
+      .select($"b", $"r", ($"b" * $"r").as("n_used"),
+        // areas and cost are half-exposed at the 6th decimal (sums of
+        // 9-decimal terms × 0.5 weights), so use the tie-proof
+        // floor(x·micro + 0.5) form, never round(): both engines floor
+        // the IDENTICAL IEEE double
+        (floor($"sfp".cast("double") * 1e6 / grid + 0.5) / 1e6).as("fp_area"),
+        (floor($"sfn".cast("double") * 1e6 / grid + 0.5) / 1e6).as("fn_area"))
+      .withColumn("cost",
+        floor((lit(fpWeight) * $"fp_area" + lit(fnWeight) * $"fn_area") * 1e6
+          + 0.5) / 1e6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cost", $"b", $"r")
+    areas
+      .withColumn("is_opt", row_number().over(w) === 1)
+      .orderBy($"r")
+  }
+
+  /** ORACLED exercise (q139): [[lshPlan]] at the q25-shaped defaults
+    * (128 hashes, t=0.5, balanced weights) — DuckDB re-derives the
+    * S-curve grid, the DECIMAL-pinned areas, and the argmin; every
+    * candidate row and the optimal flag hash-checked.
+    */
+  def q139LshPlan(spark: SparkSession, dir: String): DataFrame =
+    lshPlan(spark)
+
   def q130SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Sources.embeddings(spark, dir)

@@ -566,4 +566,22 @@ class SimilaritySpec extends SparkTestBase {
       !plan.contains("Exchange rangepartitioning"),
       s"candidate scoring must not shuffle:\n$plan")
   }
+
+  test("lshPlan: recovers datasketch's optimum for 128 perms at t=0.5 and " +
+    "responds to threshold/weight steering") {
+    val plan = ops.Similarity.lshPlan(spark)
+      .select($"b", $"r", $"is_opt").as[(Long, Long, Boolean)].collect()
+    assert(plan.length === 128)
+    val (ob, or_, _) = plan.filter(_._3) match { case Array(one) => one }
+    // the public datasketch optimum for (128 hashes, t=0.5, 0.5/0.5)
+    assert((ob, or_) === ((25L, 5L)))
+    // a higher threshold needs a steeper curve -> more rows per band
+    val hi = ops.Similarity.lshPlan(spark, threshold = 0.8)
+      .filter($"is_opt").select($"r").as[Long].head()
+    assert(hi > or_)
+    // punishing false positives hard also pushes r up (fewer FP bands)
+    val fpAverse = ops.Similarity.lshPlan(spark, fpWeight = 0.95,
+      fnWeight = 0.05).filter($"is_opt").select($"r").as[Long].head()
+    assert(fpAverse > or_)
+  }
 }
