@@ -157,6 +157,7 @@ object SparkEntry {
     "q137_doremi_mixture" -> (Quality.q137DoremiMixture _),
     "q138_corpus_datasheet" -> (Quality.q138CorpusDatasheet _),
     "q139_lsh_plan" -> (Similarity.q139LshPlan _),
+    "q140_leakage_split" -> (Packing.q140LeakageFreeSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -295,6 +296,44 @@ object SparkEntry {
         |be AS (SELECT * FROM documents WHERE doc_id % 97 = 0)""".stripMargin
 
   private val trainBenchSplitSql: String = "WITH " + trainBenchSplitBodySql
+
+  /** Exact-Jaccard near-dup clustering CTEs (q43's green oracle body,
+    * shared with q140): 3-shingle inverted index (df-capped), pairwise
+    * Jaccard ≥ 0.1, undirected edges, recursive reachability →
+    * cl(doc_id, cluster_id = min reachable id). Callers must open the
+    * chain with `WITH RECURSIVE`.
+    */
+  private def jaccardClusterBodySql: String =
+    """tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(node, peer) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+        |cl AS (SELECT node AS doc_id, min(peer) AS cluster_id
+        |       FROM reach GROUP BY node)""".stripMargin
 
   /** Containment hit head: the benchmark gram set gating `srcRel`'s
     * gram stream -> hits(doc_id, pos, e). The q112 gate, shared by
@@ -1279,36 +1318,8 @@ object SparkEntry {
     // transitive closure (recursive CTE) -> min reachable id per node
     // = cluster survivor.
     "q43_dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |   unnest(list_transform(generate_series(1, len(t) - 2),
-        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tok),
-        |ok AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
-        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN ok USING (s)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM shared
-        |  JOIN sizes na ON doc_a = na.doc_id
-        |  JOIN sizes nb ON doc_b = nb.doc_id
-        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
-        |reach(node, peer) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer)
-        |SELECT node AS doc_id, min(peer) AS cluster_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+      ("WITH RECURSIVE " + jaccardClusterBodySql + "\n" +
+        """SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin),
     "q44_interval_join" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -2420,6 +2431,23 @@ object SparkEntry {
         |SELECT b, r, n_used, fp_area, fn_area, cost,
         |  row_number() OVER (ORDER BY cost, b, r) = 1 AS is_opt
         |FROM k ORDER BY r""".stripMargin,
+    // leakage-free split: q43's green cluster components + q93's green
+    // md5 buckets, keyed by cluster id — one split per duplicate family
+    "q140_leakage_split" ->
+      ("WITH RECURSIVE " + jaccardClusterBodySql + ",\n" +
+        """full0 AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |b AS (
+        |  SELECT doc_id, cluster_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+        |         AS UBIGINT) % 1000 AS BIGINT) AS bucket
+        |  FROM full0)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

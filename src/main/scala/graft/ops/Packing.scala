@@ -221,4 +221,47 @@ object Packing {
     chunkDocs(Sources.documents(spark, dir), "doc_id", "text", 128, 96)
       .orderBy($"doc_id", $"chunk_id")
   }
+
+  /** LEAKAGE-FREE train/val/test split: [[hashSplit]]'s deterministic
+    * md5 assignment keyed by the document's NEAR-DUP CLUSTER id instead
+    * of its own id, so every member of a duplicate family lands in the
+    * same split. Splitting per-document leaks near-copies of training
+    * rows into the test set — the evaluation-inflating failure mode
+    * benchmark-decontamination work calls train-test contamination
+    * (e.g. Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" §5, measures exactly this). Clusters come
+    * from the engine's own exact-Jaccard components
+    * ([[Similarity.connectedComponents]], the q43 machinery);
+    * singletons (no near-dup) fall back to their own id, reproducing
+    * [[hashSplit]] for clean documents.
+    *
+    * 100 TB posture: the clustering arm is q43's audited shape
+    * (df-capped inverted index, keyed shuffles, iterated small joins);
+    * the split itself is a pure map stage over (doc, cluster) — one
+    * broadcast-free left join against the cluster table (near-dup
+    * members only, ≪ corpus) and an md5 per row.
+    */
+  def leakageFreeSplit(docs: DataFrame, idCol: String = "doc_id",
+      dfCap: Int = 100, trainPermille: Int = 800,
+      valPermille: Int = 100): DataFrame = {
+    val cc = Similarity.connectedComponents(
+      Similarity.ngramJaccardPairs(docs, dfCap), "doc_a", "doc_b")
+    val clustered = docs
+      .join(cc.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    hashSplit(clustered, "cluster_id", trainPermille, valPermille)
+  }
+
+  /** ORACLED (q140): [[leakageFreeSplit]] over `documents` — DuckDB
+    * re-derives the q43 cluster components (recursive reachability)
+    * and the q93 md5 buckets keyed by cluster id; every assignment is
+    * hash-checked, and the defining invariant (one split per cluster)
+    * is therefore oracle-enforced, not just spec-asserted.
+    */
+  def q140LeakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    leakageFreeSplit(Sources.documents(spark, dir))
+      .select($"doc_id", $"cluster_id", $"bucket", $"split")
+      .orderBy($"doc_id")
+  }
 }

@@ -156,4 +156,30 @@ class PackingSpec extends SparkTestBase {
     val chunk = graft.SparkEntry.queries("q94_chunk_docs")(spark, dir)
     assert(chunk.count() > 0)
   }
+
+  test("leakageFreeSplit: duplicate families never straddle splits, and " +
+    "the cluster keying is load-bearing vs per-doc hashSplit") {
+    val out = ops.Packing.leakageFreeSplit(
+        ops.Sources.documents(spark, "/root/testdata/sf0.001"))
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    // defining invariant: one split per near-dup cluster
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // singletons (cluster_id == own id) reproduce plain hashSplit
+    val plain = ops.Packing.q93HashSplit(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    out.filter(r => r._1 == r._2).foreach { r =>
+      assert(plain(r._1) === r._3)
+    }
+    // the operator must be doing real work on this fixture: at least
+    // one multi-member family exists whose members' PER-DOC hash
+    // splits disagree (i.e. hashSplit alone would leak it)
+    val leaky = out.groupBy(_._2).values.exists(m =>
+      m.length > 1 && m.map(r => plain(r._1)).distinct.length > 1)
+    assert(leaky, "fixture has no family that plain hashSplit would split" +
+      " — the test proves nothing; grow the fixture")
+  }
 }
