@@ -158,6 +158,7 @@ object SparkEntry {
     "q138_corpus_datasheet" -> (Quality.q138CorpusDatasheet _),
     "q139_lsh_plan" -> (Similarity.q139LshPlan _),
     "q140_leakage_split" -> (Packing.q140LeakageFreeSplit _),
+    "q141_length_batches" -> (Packing.q141LengthBatches _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2448,6 +2449,33 @@ object SparkEntry {
         |       WHEN bucket < 900 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
+    // length-bucketed batching: bucket = n_tokens // 32, in-bucket rank
+    // by (len DESC, id), batches of 8, padding stats + micro waste
+    "q141_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 32 AS bucket
+        |  FROM t WHERE n_tokens > 0),
+        |rk AS (
+        |  SELECT bucket, n_tokens,
+        |    (row_number() OVER (PARTITION BY bucket
+        |       ORDER BY n_tokens DESC, doc_id) - 1) // 8 AS batch_in_bucket
+        |  FROM base),
+        |m AS (
+        |  SELECT bucket, batch_in_bucket, count(*) AS n_examples,
+        |    max(n_tokens) AS max_len,
+        |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM rk GROUP BY bucket, batch_in_bucket)
+        |SELECT bucket, batch_in_bucket, n_examples, max_len, sum_tokens,
+        |  n_examples * max_len AS padded_tokens,
+        |  n_examples * max_len - sum_tokens AS waste_tokens,
+        |  floor(CAST(n_examples * max_len - sum_tokens AS DOUBLE) * 1e6
+        |    / (n_examples * max_len) + 0.5) / 1e6 AS waste_frac
+        |FROM m ORDER BY bucket, batch_in_bucket""".stripMargin,
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

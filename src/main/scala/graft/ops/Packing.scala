@@ -30,7 +30,7 @@ object Packing {
     */
   private val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
-  private[ops] def bpeishCount(text: Column): Column =
+  private[graft] def bpeishCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
 
   /** Deterministic train/val/test assignment: bucket = the first 8 md5
@@ -250,6 +250,61 @@ object Packing {
       .join(cc.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     hashSplit(clustered, "cluster_id", trainPermille, valPermille)
+  }
+
+  /** LENGTH-BUCKETED BATCH MANIFEST: group examples into fixed-size
+    * batches of near-equal sequence length so per-batch padding
+    * (batchSize·max_len − Σ len) stays small — the token-bucketing
+    * batcher every padded fine-tuning pipeline uses (public precedent:
+    * fairseq/HF `group_by_length`; sequence PACKING (q92) is the
+    * pretraining alternative, this is the padded-batch one). Documents
+    * land in a length bucket (`n_tokens // bucketWidth`), are ranked
+    * inside it by (n_tokens DESC, id), and cut into batches of
+    * `batchSize`; the manifest reports each batch's padding waste on
+    * the tie-proof micro grid.
+    *
+    * 100 TB posture: NO global sort — the only window partitions by
+    * length bucket (bounded spread inside each), so ranking
+    * parallelizes across buckets; everything after is one bounded
+    * (bucket, batch) aggregate. Deterministic: batch composition is a
+    * pure function of (n_tokens, id). If one bucket dominates (near-
+    * uniform lengths), subdivide deterministically by id-hash salt
+    * before ranking — same stats, more parallelism — at the cost of a
+    * different (still deterministic) batch composition.
+    */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, tokens: Column,
+      batchSize: Int = 8, bucketWidth: Int = 32): DataFrame = {
+    require(batchSize >= 1 && bucketWidth >= 1,
+      s"lengthBucketedBatches: batchSize=$batchSize bucketWidth=$bucketWidth")
+    val base = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", floor(col("n_tokens") / bucketWidth).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    base
+      .withColumn("batch_in_bucket",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_in_bucket"))
+      .agg(count(lit(1)).as("n_examples"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_examples") * col("max_len"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+      .withColumn("waste_frac",
+        floor(col("waste_tokens").cast("double") * 1e6 / col("padded_tokens")
+          + 0.5) / 1e6)
+      .orderBy(col("bucket"), col("batch_in_bucket"))
+  }
+
+  /** ORACLED (q141): [[lengthBucketedBatches]] over `documents` at
+    * (batchSize 8, bucketWidth 32) with the bpe-ish token count —
+    * DuckDB re-derives buckets, in-bucket ranks, batch cuts, and every
+    * padding stat; the waste fraction uses the tie-proof micro floor.
+    */
+  def q141LengthBatches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lengthBucketedBatches(Sources.documents(spark, dir), "doc_id",
+      bpeishCount($"text"))
   }
 
   /** ORACLED (q140): [[leakageFreeSplit]] over `documents` — DuckDB

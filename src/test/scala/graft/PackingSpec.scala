@@ -182,4 +182,28 @@ class PackingSpec extends SparkTestBase {
     assert(leaky, "fixture has no family that plain hashSplit would split" +
       " — the test proves nothing; grow the fixture")
   }
+
+  test("lengthBucketedBatches: full coverage, bounded batches, bounded " +
+    "in-batch spread, and less padding waste than id-order batching") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val counted = docs.select($"doc_id",
+        ops.Packing.bpeishCount($"text").as("n"))
+      .filter($"n" > 0).as[(Long, Long)].collect()
+    val out = ops.Packing.lengthBucketedBatches(docs, "doc_id",
+        ops.Packing.bpeishCount($"text"))
+      .select($"bucket", $"batch_in_bucket", $"n_examples", $"max_len",
+        $"sum_tokens", $"waste_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // coverage and batch-size cap
+    assert(out.map(_._3).sum === counted.length)
+    assert(out.forall(_._3 <= 8))
+    // every batch's max_len lives in its bucket's length band
+    assert(out.forall(b => b._4 / 32 === b._1))
+    // the point of the operator: less padding than naive id-order
+    // batching of the same examples
+    val naive = counted.sortBy(_._1).grouped(8)
+      .map(g => g.map(_._2).max * g.length - g.map(_._2).sum).sum
+    assert(out.map(_._6).sum <= naive,
+      s"bucketed waste ${out.map(_._6).sum} > id-order waste $naive")
+  }
 }
