@@ -159,6 +159,7 @@ object SparkEntry {
     "q139_lsh_plan" -> (Similarity.q139LshPlan _),
     "q140_leakage_split" -> (Packing.q140LeakageFreeSplit _),
     "q141_length_batches" -> (Packing.q141LengthBatches _),
+    "q142_split_leakage" -> (Packing.q142SplitLeakage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2476,6 +2477,55 @@ object SparkEntry {
         |  floor(CAST(n_examples * max_len - sum_tokens AS DOUBLE) * 1e6
         |    / (n_examples * max_len) + 0.5) / 1e6 AS waste_frac
         |FROM m ORDER BY bucket, batch_in_bucket""".stripMargin,
+    // split-leakage audit: both split schemes (q93 doc-hash, q140
+    // cluster-hash) over one shared 24-gram stream; cross-boundary
+    // distinct grams and leaked test docs counted per scheme
+    "q142_split_leakage" ->
+      ("WITH RECURSIVE " + jaccardClusterBodySql + ",\n" +
+        """full0 AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |asg AS (
+        |  SELECT 'doc_hash' AS scheme, doc_id,
+        |    CASE WHEN bkt < 800 THEN 'train'
+        |         WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+        |            1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bkt
+        |        FROM documents)
+        |  UNION ALL
+        |  SELECT 'cluster_hash' AS scheme, doc_id,
+        |    CASE WHEN bkt < 800 THEN 'train'
+        |         WHEN bkt < 900 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          CAST(CAST(concat('0x',
+        |            substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+        |            AS UBIGINT) % 1000 AS BIGINT) AS bkt
+        |        FROM full0)),
+        |gr AS (
+        |  SELECT doc_id, substr(text, CAST(u.i AS INT), 24) AS gram
+        |  FROM documents,
+        |       unnest(generate_series(1, CAST(length(text) AS BIGINT) - 23))
+        |         AS u(i)),
+        |ag AS (SELECT a.scheme, a.split, g.doc_id, g.gram
+        |       FROM gr g JOIN asg a USING (doc_id)),
+        |tg AS (SELECT DISTINCT scheme, gram FROM ag WHERE split = 'train'),
+        |lk AS (SELECT ag.scheme, ag.doc_id, ag.gram
+        |       FROM ag JOIN tg ON tg.scheme = ag.scheme AND tg.gram = ag.gram
+        |       WHERE ag.split = 'test'),
+        |sz AS (SELECT scheme,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test
+        |  FROM asg GROUP BY scheme),
+        |st AS (SELECT scheme, count(DISTINCT gram) AS shared_grams,
+        |         count(DISTINCT doc_id) AS leaked_test_docs
+        |       FROM lk GROUP BY scheme)
+        |SELECT s.scheme, s.n_train, s.n_test,
+        |  COALESCE(shared_grams, 0) AS shared_grams,
+        |  COALESCE(leaked_test_docs, 0) AS leaked_test_docs
+        |FROM sz s LEFT JOIN st USING (scheme) ORDER BY s.scheme""".stripMargin),
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

@@ -307,6 +307,54 @@ object Packing {
       bpeishCount($"text"))
   }
 
+  /** SPLIT-LEAKAGE AUDIT: measure, for a split scheme, how much
+    * verbatim text the test split shares with the train split — the
+    * quantity [[leakageFreeSplit]] exists to reduce. For each scheme
+    * (per-document md5 vs cluster-keyed md5), counts the distinct
+    * `gramLen`-char grams present on BOTH sides of the train/test
+    * boundary and the test documents carrying at least one such gram
+    * (Lee et al. 2022 §5's train-test overlap measurement, expressed
+    * as a split audit). Ships as a 2-row report so a pipeline can
+    * assert its split hygiene before training, not after.
+    *
+    * 100 TB posture: the gram stream is the q100/q112 Lee-et-al shape
+    * — one explode, keyed shuffles on the gram, distinct-key joins; at
+    * production scale the join key becomes xxhash64(gram) to thin the
+    * shuffle (the q136 trade — literal strings here keep the oracle
+    * exact). The audit runs both schemes off ONE shared gram stream.
+    */
+  def splitLeakageAudit(docs: DataFrame, gramLen: Int = 24): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = SpanDedup.grams(docs, gramLen).select($"doc_id", $"gram")
+    def one(assign: DataFrame, scheme: String): DataFrame = {
+      val sizes = assign.agg(
+        sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"))
+      val ag = g.join(assign, Seq("doc_id"))
+      val trainG = ag.filter($"split" === "train").select($"gram").distinct()
+      val leaked = ag.filter($"split" === "test").select($"doc_id", $"gram")
+        .join(trainG, Seq("gram"), "left_semi")
+      val stats = leaked.agg(
+        countDistinct($"gram").as("shared_grams"),
+        countDistinct($"doc_id").as("leaked_test_docs"))
+      sizes.crossJoin(stats).select(lit(scheme).as("scheme"), $"n_train",
+        $"n_test", $"shared_grams", $"leaked_test_docs")
+    }
+    val naive = hashSplit(docs, "doc_id").select($"doc_id", $"split")
+    val clustered = leakageFreeSplit(docs).select($"doc_id", $"split")
+    one(naive, "doc_hash")
+      .unionByName(one(clustered, "cluster_hash"))
+      .orderBy($"scheme")
+  }
+
+  /** ORACLED (q142): [[splitLeakageAudit]] over `documents` at 24-char
+    * grams — DuckDB re-derives both split schemes (q93/q140's green
+    * fragments), the shared gram stream, and all four counts per
+    * scheme.
+    */
+  def q142SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageAudit(Sources.documents(spark, dir))
+
   /** ORACLED (q140): [[leakageFreeSplit]] over `documents` — DuckDB
     * re-derives the q43 cluster components (recursive reachability)
     * and the q93 md5 buckets keyed by cluster id; every assignment is

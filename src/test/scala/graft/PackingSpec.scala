@@ -206,4 +206,18 @@ class PackingSpec extends SparkTestBase {
     assert(out.map(_._6).sum <= naive,
       s"bucketed waste ${out.map(_._6).sum} > id-order waste $naive")
   }
+
+  test("splitLeakageAudit: cluster-keyed splitting strictly reduces " +
+    "cross-split gram sharing on a corpus with duplicate families") {
+    val rows = ops.Packing.splitLeakageAudit(
+        ops.Sources.documents(spark, "/root/testdata/sf0.001"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val doc = rows("doc_hash"); val clus = rows("cluster_hash")
+    // same corpus both schemes; singleton docs keep their assignment
+    assert(doc._2 + doc._3 > 0 && clus._2 + clus._3 > 0)
+    assert(clus._4 < doc._4,
+      s"cluster split should share fewer grams: ${clus._4} vs ${doc._4}")
+    assert(clus._5 <= doc._5)
+  }
 }
