@@ -160,6 +160,7 @@ object SparkEntry {
     "q140_leakage_split" -> (Packing.q140LeakageFreeSplit _),
     "q141_length_batches" -> (Packing.q141LengthBatches _),
     "q142_split_leakage" -> (Packing.q142SplitLeakage _),
+    "q143_kneser_ney" -> (Quality.q143KneserNey _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2526,6 +2527,47 @@ object SparkEntry {
         |  COALESCE(shared_grams, 0) AS shared_grams,
         |  COALESCE(leaked_test_docs, 0) AS leaked_test_docs
         |FROM sz s LEFT JOIN st USING (scheme) ORDER BY s.scheme""".stripMargin),
+    // interpolated Kneser–Ney bigram LM (q136's split): discounted
+    // bigram mass + continuation-type interpolation, the +1/(B+V)
+    // unseen-word floor; association mirrors kneserNeyScore exactly
+    "q143_kneser_ney" ->
+      """WITH ref AS (
+        |  SELECT string_split(lower(text), ' ') AS t FROM documents WHERE doc_id % 3 = 0),
+        |uni AS (
+        |  SELECT g, count(*) AS c FROM (SELECT unnest(t) AS g FROM ref)
+        |  GROUP BY g),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c FROM (
+        |    SELECT t[i] AS w1, t[i+1] AS w2
+        |    FROM ref, unnest(generate_series(1, len(t) - 1)) AS u(i))
+        |  GROUP BY w1, w2),
+        |fwd AS (SELECT w1, count(*) AS n1f FROM big GROUP BY w1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+        |scal AS (SELECT CAST((SELECT count(*) FROM big) +
+        |                     (SELECT count(*) FROM uni) AS DOUBLE) AS bv),
+        |cand AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |         FROM documents WHERE doc_id % 3 <> 0),
+        |pairs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM cand, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coalesce(c1.c, 0) > 0 AND coalesce(fwd.n1f, 0) > 0
+        |      THEN greatest(coalesce(b.c, 0) - CAST(0.75 AS DOUBLE), 0.0)
+        |             / c1.c
+        |           + (CAST(0.75 AS DOUBLE) * fwd.n1f / c1.c) *
+        |             ((coalesce(bwd.n1b, 0) + 1.0) / (SELECT bv FROM scal))
+        |      ELSE (coalesce(bwd.n1b, 0) + 1.0) / (SELECT bv FROM scal)
+        |    END AS p
+        |  FROM pairs
+        |  LEFT JOIN big b ON b.w1 = pairs.w1 AND b.w2 = pairs.w2
+        |  LEFT JOIN uni c1 ON c1.g = pairs.w1
+        |  LEFT JOIN fwd ON fwd.w1 = pairs.w1
+        |  LEFT JOIN bwd ON bwd.w2 = pairs.w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(-avg(ln(p)) / ln(2), 6) AS bits_per_transition
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

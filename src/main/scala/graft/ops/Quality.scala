@@ -1032,6 +1032,118 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** TOKEN-level bigram LM under INTERPOLATED KNESER–NEY smoothing
+    * (Kneser & Ney 1995; the interpolated form of Chen & Goodman 1998
+    * §2.7 — the scheme KenLM defaults to, i.e. what CCNet's quality
+    * LM actually runs). The honest contrast with [[stupidBackoffScore]]:
+    * Stupid Backoff trades normalization away for distributed cheapness;
+    * KN keeps a proper probability by discounting every seen bigram a
+    * fixed D and recycling the freed mass into the CONTINUATION
+    * distribution (how many distinct contexts a word follows, not how
+    * often it occurs — "San Francisco" gives "francisco" a high unigram
+    * count but only one continuation context):
+    *
+    *   P(w₂|w₁) = max(c₂(w₁w₂) − D, 0)/c₁(w₁)
+    *            + (D·N₁₊(w₁ •)/c₁(w₁)) · P_cont(w₂)
+    *   P_cont(w₂) = (N₁₊(• w₂) + 1) / (B + V)
+    *
+    * with D fixed at 0.75 (Chen & Goodman's rule-of-thumb), N₁₊(w₁ •)
+    * = distinct continuations of w₁, N₁₊(• w₂) = distinct contexts
+    * preceding w₂, B = distinct bigram types, V = vocabulary. The +1/+V
+    * add-one on the continuation distribution is this engine's unseen-
+    * word floor (pure KN leaves unseen w₂ at 0, which a log cannot
+    * take — the [[stupidBackoffScore]] precedent, documented deviation).
+    * A w₁ that is unseen OR never starts a bigram (doc-final-only)
+    * contributes no discount mass; those positions score P_cont(w₂)
+    * directly.
+    *
+    * Output per candidate doc (≥ 2 tokens): n_transitions (bigram
+    * positions) and bits_per_transition = −avg log₂ P, rounded at 6.
+    *
+    * 100 TB posture — identical to [[stupidBackoffScore]]: the count
+    * table is CORPUS-scale so it shards by gram; both continuation
+    * tables derive from the bigram TYPE table (already aggregated —
+    * no second corpus pass); scoring is four keyed shuffle joins of
+    * the candidate bigram stream. Count tables materialize once and
+    * are RELEASED before return; the two model scalars collect from a
+    * 1-row aggregate.
+    */
+  def kneserNeyScore(candidates: DataFrame, reference: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    import candidates.sparkSession.implicits._
+    require(discount > 0 && discount < 1, s"need 0 < D < 1: $discount")
+    val toks = split(lower($"text"), " ")
+    val empty = array().cast("array<string>")
+    // one reference explode, both gram orders tagged → ONE count shuffle
+    val cnt = reference
+      .select(explode(concat(
+        wordGrams(toks, 1),
+        when(size(toks) >= 2, wordGrams(toks, 2)).otherwise(empty)))
+        .as("g"))
+      .withColumn("n", size(split($"g", " ")))
+      .groupBy($"n", $"g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // bigram TYPE table: continuation counts are over types, so they
+    // derive from the grouped table — no second pass over the corpus
+    val big = cnt.filter($"n" === 2)
+      .select(split($"g", " ").as("w"), $"c")
+      .select(element_at($"w", 1).as("w1"), element_at($"w", 2).as("w2"),
+        $"c".as("c2"))
+    val fwd = big.groupBy($"w1").agg(count(lit(1)).as("n1f"))
+    val bwd = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val (bTypes, vocab) = cnt
+      .agg(coalesce(sum(when($"n" === 2, 1L)), lit(0L)),
+        coalesce(sum(when($"n" === 1, 1L)), lit(0L)))
+      .as[(Long, Long)].head()
+    require(vocab > 0,
+      "kneserNeyScore: empty reference — the continuation floor would " +
+        "divide by zero and every candidate would score Infinity bits")
+    val uni = cnt.filter($"n" === 1).select($"g".as("w1"), $"c".as("c1"))
+    val pairs = candidates.filter(size(toks) >= 2)
+      .select($"doc_id", toks.as("t"))
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 1),
+        i => struct(element_at($"t", i).as("w1"),
+          element_at($"t", i + 1).as("w2")))).as("s"))
+      .select($"doc_id", $"s.w1", $"s.w2")
+    // association mirrors the oracle EXACTLY (discounted-mass term +
+    // interpolation term, the continuation floor divided by the same
+    // double literal) so the doubles match bit-for-bit, not just to
+    // rounding
+    val pcont = (coalesce($"n1b", lit(0L)) + lit(1.0)) /
+      lit((bTypes + vocab).toDouble)
+    val scored = pairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .join(fwd, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .withColumn("p",
+        when(coalesce($"c1", lit(0L)) > 0 && coalesce($"n1f", lit(0L)) > 0,
+          greatest(coalesce($"c2", lit(0L)) - lit(discount), lit(0.0)) /
+            $"c1" + (lit(discount) * $"n1f" / $"c1") * pcont)
+          .otherwise(pcont))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(-avg(log($"p")) / log(lit(2.0)), 6).as("bits_per_transition"))
+      .localCheckpoint(true)
+    cnt.unpersist(false)
+    scored
+  }
+
+  /** ORACLED exercise (q143): [[kneserNeyScore]] at the q113/q136
+    * split (every 3rd doc the reference, the rest candidates) — DuckDB
+    * re-derives the gram counts, both continuation-type tables, the
+    * discount/interpolation algebra, and the per-doc mean; bits
+    * hash-checked at 6 decimals.
+    */
+  def q143KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    kneserNeyScore(
+        docs.filter($"doc_id" % 3 =!= 0),
+        docs.filter($"doc_id" % 3 === 0))
+      .orderBy($"doc_id")
+  }
+
   /** Broadcastable DSIR state for the STREAMING arm — the per-bucket
     * smoothed log-ratio table ln p̂(b) − ln q̂(b), `buckets` doubles
     * (2 KB at the default 256): the [[CharLm]] argument, bounded by

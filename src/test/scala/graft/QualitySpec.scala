@@ -478,6 +478,44 @@ class QualitySpec extends SparkTestBase {
     assert(err.getMessage.contains("empty reference"))
   }
 
+  test("kneser-ney: every branch hand-checked; continuation beats raw " +
+      "frequency on the francisco effect; empty reference fails loudly") {
+    // counts: uni a:2 b:3 c:2 d:1 e:1 (V=5);
+    // bigram types: "a b" c=2, "b c" c=2, "b d" c=1, "d e" c=1 (B=4)
+    // fwd: a→1, b→2, d→1; bwd: b→1, c→1, d→1, e→1; B+V = 9
+    val ref = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b d e"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b"),  // seen bigram: (2-.75)/2 + (.75*1/2)*((1+1)/9)
+      (11L, "b e"),  // unseen bigram, seen ctx b: 0 + (.75*2/3)*((1+1)/9)
+      (12L, "x e"),  // unseen ctx: pcont(e) = (1+1)/9
+      (13L, "x z"),  // unseen ctx AND word: pcont(z) = (0+1)/9
+      (14L, "c a"),  // c seen (c1=2) but never starts a bigram (n1f=0):
+                     // falls to pcont(a) = (0+1)/9 (a never ends one)
+      (15L, "a")     // < 2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = ops.Quality.kneserNeyScore(cand, ref)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(15L), "single-token docs have no transitions")
+    def bits(p: Double): Double =
+      BigDecimal(-math.log(p) / math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) === ((1L, bits((2.0 - 0.75) / 2.0 +
+      (0.75 * 1.0 / 2.0) * (2.0 / 9.0)))))
+    assert(got(11L) === ((1L, bits((0.75 * 2.0 / 3.0) * (2.0 / 9.0)))))
+    assert(got(12L) === ((1L, bits(2.0 / 9.0))))
+    assert(got(13L) === ((1L, bits(1.0 / 9.0))))
+    assert(got(14L) === ((1L, bits(1.0 / 9.0))))
+    // the KN property: the seen bigram scores best of all, and the
+    // never-seen word (13) worse than the seen-in-context word (12)
+    assert(Seq(11L, 12L, 13L, 14L).forall(d => got(10L)._2 < got(d)._2))
+    assert(got(12L)._2 < got(13L)._2)
+    val err = intercept[IllegalArgumentException] {
+      ops.Quality.kneserNeyScore(cand, ref.filter($"doc_id" < 0L))
+    }
+    assert(err.getMessage.contains("empty reference"))
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
