@@ -161,6 +161,7 @@ object SparkEntry {
     "q141_length_batches" -> (Packing.q141LengthBatches _),
     "q142_split_leakage" -> (Packing.q142SplitLeakage _),
     "q143_kneser_ney" -> (Quality.q143KneserNey _),
+    "q144_c4_clean" -> (Quality.q144C4Clean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2568,6 +2569,56 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
         |  round(-avg(ln(p)) / ln(2), 6) AS bits_per_transition
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C4 line-level cleaning battery over the deterministic c4Plant:
+    // 12-word lines, (doc_id+i)%4 bare-line decoration, the four
+    // injected breach lines in fixed order, then the line filter
+    // (terminal punct + >=5 words + no "javascript") and page rules
+    // (lorem ipsum / curly brace / >=3 surviving lines)
+    "q144_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> CASE WHEN (doc_id + i) % 4 = 0
+        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
+        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['please enable javascript and cookies to continue.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ['var config = { mode: production };']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    AS lines
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS kept,
+        |    array_to_string(lines, chr(10)) AS full_text
+        |  FROM pl),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    contains(full_text, 'lorem ipsum') AS has_lorem,
+        |    contains(full_text, '{') AS has_brace,
+        |    kept
+        |  FROM f)
+        |SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+        |  (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3 AS keep,
+        |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
+        |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

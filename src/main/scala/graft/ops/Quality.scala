@@ -849,6 +849,96 @@ object Quality {
     gopherRules(gopherPlant(Sources.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** Deterministic multi-line corpus for [[q144C4Clean]] (the
+    * [[gopherPlant]] technique): the fixture is single-line word soup,
+    * so the plant rebuilds each doc as 12-word lines (first 48 words)
+    * and makes every C4 rule fire both ways, expression-only from
+    * `doc_id` so DuckDB re-derives it bit-identically. Line i is left
+    * WITHOUT terminal punctuation when (doc_id + i) % 4 == 0 (the
+    * terminal-punctuation rule's breach mode — Raffel et al. keep only
+    * lines ending in . ! ? "), else gets a trailing period. Then, in
+    * fixed order: %5 docs gain a line containing "javascript" (line-
+    * level bad-word drop), %7 docs a 2-word "read more." line (the
+    * ≥ 5-words-per-line floor), %11 docs a "lorem ipsum" line (page-
+    * level drop), %13 docs a curly-brace code line (page-level drop).
+    */
+  private[ops] def c4Plant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = split($"text", " ")
+    val nl = ceil(least(size(w), lit(48)).cast("double") / 12).cast("int")
+    val deco = transform(sequence(lit(0), nl - 1), i => {
+      val line = array_join(slice(w, i * lit(12) + 1, lit(12)), " ")
+      when((($"doc_id" + i) % 4) === 0, line)
+        .otherwise(concat(line, lit(".")))
+    })
+    val emptyArr = array().cast("array<string>")
+    def inj(m: Int, line: String) =
+      when($"doc_id" % m === 0, array(lit(line))).otherwise(emptyArr)
+    docs.select($"doc_id",
+      concat(deco,
+        inj(5, "please enable javascript and cookies to continue."),
+        inj(7, "read more."),
+        inj(11, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        inj(13, "var config = { mode: production };"))
+        .as("lines"))
+  }
+
+  /** L5/L6 — the C4 LINE-LEVEL cleaning battery (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer", §2.2 — public): the famous heuristics
+    * that built C4 from Common Crawl, the LINE-granular complement of
+    * the doc-level [[gopherRules]]. Per line of each document, keep
+    * the line iff it (a) ends in terminal punctuation (. ! ? "),
+    * (b) has ≥ `minLineWords` words, (c) contains no `banned` term
+    * (the paper drops lines with "javascript"; its full policy list is
+    * a broadcastable parameter here). Per document: drop the page
+    * outright if it contains "lorem ipsum" or a curly brace `{` (the
+    * paper's placeholder/code heuristics), or fewer than `minLines`
+    * lines survive (the paper's ≥-3-sentence floor, with our
+    * one-sentence-per-line plant making lines = sentences).
+    *
+    * Output per doc: line counts, both page-level booleans, the keep
+    * decision, and the cleaned text (kept lines rejoined) for kept
+    * docs — every byte hash-checked against the oracle.
+    *
+    * 100 TB posture: pure per-row HOF map work (split → filter →
+    * array_join — no explode survives the stage, no UDF, no shuffle at
+    * all), so the filter fuses into the parquet scan exactly like
+    * [[withGopherBattery]]; the banned list is bounded (a policy file)
+    * and compiles into the predicate.
+    */
+  def c4LineFilter(lines: DataFrame, minLineWords: Int = 5,
+      minLines: Int = 3, banned: Seq[String] = Seq("javascript"))
+      : DataFrame = {
+    import lines.sparkSession.implicits._
+    val keepLine = (l: org.apache.spark.sql.Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, " ")) >= minLineWords &&
+        banned.map(b => !l.contains(b)).reduce(_ && _)
+    val full = array_join($"lines", "\n")
+    lines
+      .withColumn("kept", filter($"lines", keepLine))
+      .withColumn("n_lines", size($"lines").cast("long"))
+      .withColumn("n_kept", size($"kept").cast("long"))
+      .withColumn("has_lorem", full.contains("lorem ipsum"))
+      .withColumn("has_brace", full.contains("{"))
+      .withColumn("keep",
+        !$"has_lorem" && !$"has_brace" && $"n_kept" >= minLines)
+      .withColumn("cleaned_text",
+        when($"keep", array_join($"kept", "\n")))
+      .drop("lines", "kept")
+  }
+
+  /** ORACLED exercise (q144): [[c4LineFilter]] over the [[c4Plant]]ed
+    * corpus — every line count, page-level boolean, keep decision, and
+    * cleaned byte hash-checked row-for-row (DuckDB re-derives the
+    * plant and the full battery).
+    */
+  def q144C4Clean(spark: SparkSession, dir: String): DataFrame =
+    c4LineFilter(c4Plant(Sources.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
   /** L6 — DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public): score every
     * candidate document by its importance weight between a TARGET

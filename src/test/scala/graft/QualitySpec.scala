@@ -516,6 +516,46 @@ class QualitySpec extends SparkTestBase {
     assert(err.getMessage.contains("empty reference"))
   }
 
+  test("c4 line filter: every line rule and page rule hand-checked in " +
+      "both directions") {
+    val rows = Seq(
+      (1L, Seq("one two three four five.", "six seven eight nine ten!",
+        "does it end in question mark?")),          // 3 kept -> keep
+      (2L, Seq("one two three four five", "six seven eight nine ten.",
+        "third line of five words.")),              // bare line -> 2 kept
+      (3L, Seq("enable javascript now please thanks.",
+        "one two three four five.", "third line of five words.",
+        "fourth line has five words.")),            // js line cut, 3 kept
+      (4L, Seq("short line.", "one two three four five.",
+        "third line of five words.", "fourth line has five words.")),
+      (5L, Seq("lorem ipsum padding to five words.",
+        "one two three four five.", "third line of five words.")),
+      (6L, Seq("code { brace } five words.", "one two three four five.",
+        "third line of five words.")),
+      (7L, Seq("he said it ends quoted\"", "one two three four five.",
+        "third line of five words."))               // quote terminal -> keep
+    ).toDF("doc_id", "lines")
+    val got = ops.Quality.c4LineFilter(rows)
+      .select($"doc_id", $"n_kept", $"has_lorem", $"has_brace", $"keep",
+        $"cleaned_text")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(got.filter(_._2._5).keySet === Set(1L, 3L, 4L, 7L))
+    assert(got(2L)._2 === 2L, "unpunctuated line dropped")
+    assert(got(3L)._2 === 3L &&
+      !got(3L)._6.get.contains("javascript"), "banned line excised")
+    assert(got(4L)._2 === 3L, "sub-5-word line dropped")
+    assert(got(5L)._3 && !got(5L)._5, "lorem ipsum drops the page")
+    assert(got(6L)._4 && !got(6L)._5, "curly brace drops the page")
+    assert(got(7L)._2 === 3L, "closing quote counts as terminal")
+    assert(got(5L)._6.isEmpty && got(6L)._6.isEmpty,
+      "dropped pages ship no cleaned text")
+    assert(got(1L)._6.get ===
+      "one two three four five.\nsix seven eight nine ten!\n" +
+        "does it end in question mark?")
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
