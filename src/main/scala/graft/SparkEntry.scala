@@ -162,6 +162,7 @@ object SparkEntry {
     "q142_split_leakage" -> (Packing.q142SplitLeakage _),
     "q143_kneser_ney" -> (Quality.q143KneserNey _),
     "q144_c4_clean" -> (Quality.q144C4Clean _),
+    "q145_clip_gate" -> (Multimodal.q145ClipGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2619,6 +2620,32 @@ object SparkEntry {
         |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
         |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
         |FROM g ORDER BY doc_id""".stripMargin,
+    // CLIP-score alignment gate (LAION 0.28 cut) over the planted pair
+    // table: even/odd vec_ids pair up, even pair_ids mix the image
+    // vector into the text side (0.8/0.2) as the aligned mode
+    "q145_clip_gate" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |img AS (SELECT vec_id // 2 AS pair_id, label AS img_label, v AS iv
+        |        FROM e WHERE vec_id % 2 = 0),
+        |txt AS (SELECT (vec_id - 1) // 2 AS pair_id, label AS txt_label, v AS tv
+        |        FROM e WHERE vec_id % 2 = 1),
+        |p AS (
+        |  SELECT pair_id, img_label, txt_label, iv,
+        |    CASE WHEN pair_id % 2 = 0
+        |      THEN list_transform(generate_series(1, len(iv)),
+        |             i -> iv[i] * 0.8 + tv[i] * 0.2)
+        |      ELSE tv END AS tv2
+        |  FROM img JOIN txt USING (pair_id)),
+        |c AS (
+        |  SELECT pair_id, img_label, txt_label,
+        |    round(list_dot_product(iv, tv2) /
+        |      (sqrt(list_dot_product(iv, iv)) *
+        |       sqrt(list_dot_product(tv2, tv2))), 6) AS clip_cos
+        |  FROM p)
+        |SELECT pair_id, img_label, txt_label, clip_cos,
+        |  clip_cos >= 0.28 AS keep
+        |FROM c ORDER BY pair_id""".stripMargin,
   )
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,

@@ -152,4 +152,70 @@ object Multimodal {
           .as("avg_l2_norm"))
       .orderBy($"lang", $"label")
   }
+
+  // ------------------------------------------------- image–text alignment
+
+  /** L4 — CLIP-score ALIGNMENT GATE (Schuhmann et al. 2021/2022,
+    * LAION-400M/5B — public): the filter that built the LAION datasets
+    * from CommonCrawl image–text pairs — keep a pair iff the cosine
+    * between its image embedding and its text embedding clears a
+    * threshold (LAION's published cut: 0.28 for English CLIP B/32).
+    * Input is the real-world shape: ONE ROW PER PAIR with both
+    * embedding columns already attached (the upstream encoders are the
+    * stubbed media step, per the object scaladoc); this gate is the
+    * Spark-side decision plumbing.
+    *
+    * `keep` compares the 6-decimal-ROUNDED cosine against the
+    * threshold so the boundary decision is tie-proof across engines
+    * (both compare the identical rounded double; the codegen'd
+    * [[org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity]]
+    * already matches DuckDB's double algebra bit-for-bit — the q22
+    * precedent).
+    *
+    * 100 TB posture: a PURE MAP stage — no join, no shuffle, no UDF;
+    * the gate fuses into the pair-table scan (WholeStageCodegen), the
+    * ideal shape for a filter every candidate pair must cross. At
+    * LAION scale (5.8 B pairs) this is exactly how the filter runs:
+    * embarrassingly parallel over the pair shards.
+    */
+  def clipGate(pairs: DataFrame, imgCol: String, txtCol: String,
+      minCos: Double = 0.28): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    pairs
+      .withColumn("clip_cos", round(cosineSimilarity(col(imgCol), col(txtCol)), 6))
+      .withColumn("keep", col("clip_cos") >= minCos)
+  }
+
+  /** ORACLED exercise (q145): [[clipGate]] over a deterministic
+    * planted pair table — the fixture's embeddings are isotropic (no
+    * pair structure), so even/odd vec_id rows form (image, text)
+    * candidate pairs and even pair_ids are PLANTED ALIGNED by mixing
+    * the image vector into the text side (t' = 0.8·i + 0.2·t, cos
+    * ≈ 0.97 — the aligned mode a real CLIP encoder produces), while
+    * odd pairs stay raw (cos ≈ 0, the mismatched-caption mode). The
+    * LAION 0.28 cut then splits the bimodal distribution; every
+    * cosine and keep decision hash-checked (a handful of raw pairs
+    * land near the cut, so the gate is doing real work, not reading
+    * the plant flag).
+    */
+  def q145ClipGate(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Sources.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", _.cast("double")).as("v"))
+    val img = e.filter($"vec_id" % 2 === 0)
+      .select(($"vec_id" / 2).cast("long").as("pair_id"),
+        $"label".as("img_label"), $"v".as("img_vec"))
+    val txt = e.filter($"vec_id" % 2 === 1)
+      .select((($"vec_id" - 1) / 2).cast("long").as("pair_id"),
+        $"label".as("txt_label"), $"v".as("txt_raw"))
+    val planted = img.join(txt, Seq("pair_id"))
+      .withColumn("txt_vec",
+        when($"pair_id" % 2 === 0,
+          zip_with($"img_vec", $"txt_raw", (a, b) => a * 0.8 + b * 0.2))
+          .otherwise($"txt_raw"))
+    clipGate(planted, "img_vec", "txt_vec")
+      .select($"pair_id", $"img_label", $"txt_label", $"clip_cos", $"keep")
+      .orderBy($"pair_id")
+  }
 }

@@ -69,4 +69,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(ops.Multimodal.sampleFrames(a, 4, 1).select($"asset_id")
       .distinct().as[Long].collect() === Array(2L))
   }
+
+  test("clip gate: hand cosines, tie-proof rounded threshold, and a " +
+      "shuffle-free map-only plan") {
+    val pairs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)),   // identical: cos 1
+      (2L, Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),   // orthogonal: cos 0
+      (3L, Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0)),  // opposite: cos -1
+      (4L, Seq(1.0, 0.0, 0.0), Seq(0.28, 0.96, 0.0)), // exactly at the cut
+      (5L, Seq(1.0, 0.0, 0.0), Seq(0.2799994, 0.96, 0.0)) // rounds below
+    ).toDF("pair_id", "img_vec", "txt_vec")
+    val got = ops.Multimodal.clipGate(pairs, "img_vec", "txt_vec")
+      .select($"pair_id", $"clip_cos", $"keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 1.0 && got(1L)._3)
+    assert(got(2L)._2 === 0.0 && !got(2L)._3)
+    assert(got(3L)._2 === -1.0 && !got(3L)._3)
+    // |(0.28, 0.96)| = 1 exactly, so cos = 0.28 and the >= keeps it
+    assert(got(4L)._2 === 0.28 && got(4L)._3)
+    assert(!got(5L)._3, "keep compares the ROUNDED cosine")
+    // pure map: the gate itself introduces no Exchange
+    val plan = ops.Multimodal.clipGate(pairs, "img_vec", "txt_vec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"clip gate must not shuffle:\n$plan")
+  }
 }
