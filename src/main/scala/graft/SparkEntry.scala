@@ -163,6 +163,7 @@ object SparkEntry {
     "q143_kneser_ney" -> (Quality.q143KneserNey _),
     "q144_c4_clean" -> (Quality.q144C4Clean _),
     "q145_clip_gate" -> (Multimodal.q145ClipGate _),
+    "q146_epoch_shuffle" -> (Packing.q146EpochShuffle _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2646,7 +2647,38 @@ object SparkEntry {
         |SELECT pair_id, img_label, txt_label, clip_cos,
         |  clip_cos >= 0.28 AS keep
         |FROM c ORDER BY pair_id""".stripMargin,
+    // Feistel PRP epoch-shuffle keys: 4 unrolled rounds of the md5-conv
+    // round function over 20-bit halves, xor() integer-exact; every
+    // table reference qualified (lateral-alias shadowing gotcha)
+    "q146_epoch_shuffle" -> feistelOracleSql(rounds = 4, halfBits = 20),
   )
+
+  /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing
+    * .epochShuffleKey]]'s oracle): round i maps (l, r) → (r, l ⊕
+    * F(r, i, epoch)) with F = the q93 md5-conv idiom mod 2^halfBits.
+    * Every reference is table-qualified — a bare `xor(l, …)` after
+    * `t.r AS l` would bind DuckDB's LATERAL alias (the new l = r), not
+    * the previous round's column.
+    */
+  private def feistelOracleSql(rounds: Int, halfBits: Int): String = {
+    val m = 1L << halfBits
+    val chain = (1 to rounds).map { i =>
+      s"""r$i AS (
+         |  SELECT t.doc_id, t.epoch, t.r AS l,
+         |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
+         |      CAST(t.r AS VARCHAR) || ':$i:' || CAST(t.epoch AS VARCHAR)),
+         |      1, 8)) AS UBIGINT) % $m AS BIGINT)) AS r
+         |  FROM r${i - 1} t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ep AS (
+       |  SELECT doc_id, CAST(e.epoch AS BIGINT) AS epoch
+       |  FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
+       |r0 AS (
+       |  SELECT doc_id, epoch, (doc_id // $m) % $m AS l, doc_id % $m AS r
+       |  FROM ep),""".stripMargin + "\n" + chain + "\n" +
+      s"""SELECT epoch, doc_id, t.l * $m + t.r AS order_key
+         |FROM r$rounds t ORDER BY epoch, doc_id""".stripMargin
+  }
 
   /** Unrolled EG iteration chain for q137 (T iterations at η=1,
     * smoothing mass 1000 micro / uniform floor 1000//k): p_t holds the

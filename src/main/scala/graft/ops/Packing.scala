@@ -367,4 +367,67 @@ object Packing {
       .select($"doc_id", $"cluster_id", $"bucket", $"split")
       .orderBy($"doc_id")
   }
+
+  /** ZERO-SHUFFLE per-epoch training-order key: a Feistel-network
+    * pseudo-random permutation of the id domain, keyed by the epoch —
+    * the at-scale alternative to `ORDER BY rand()` (a full corpus
+    * sort PER EPOCH). Luby & Rackoff 1988 prove ≥3 Feistel rounds of a
+    * keyed round function give a pseudo-random permutation; streaming-
+    * dataset loaders (e.g. MosaicML's StreamingDataset design) exploit
+    * exactly this "position is a pure function of (id, epoch)" property
+    * for deterministic, resumable shuffles. Training order for epoch e
+    * = ascending [[epochShuffleKey]]; because the map is a BIJECTION of
+    * [0, 2^(2·halfBits)), distinct ids always get distinct keys — no
+    * collision handling, no sort to build the manifest, resume = "skip
+    * keys below the checkpoint".
+    *
+    * Mechanics: id splits into halfBits-bit halves (L, R); `rounds`
+    * Feistel rounds of (L, R) → (R, L ⊕ F(R, round, epoch)) with the
+    * round function F = the q93 md5-conv idiom (first 8 md5 hex chars
+    * of "R:round:epoch" mod 2^halfBits — bit-identical in DuckDB);
+    * key = L·2^halfBits + R. All integer-exact; key < 2^(2·halfBits)
+    * so the default 20/20 split stays far from BIGINT overflow while
+    * covering ~1.1e12 ids (raise halfBits to 31 for 4.6e18).
+    *
+    * Requires 0 ≤ id < 2^(2·halfBits) for the bijection argument (ids
+    * above the domain alias back into it via the initial mod).
+    *
+    * 100 TB posture: a PURE MAP column — no shuffle, no window, no
+    * state; the epoch fan-out is a bounded in-row explode. The corpus
+    * is never re-ordered at rest; consumers range-scan the manifest by
+    * key.
+    */
+  def epochShuffleKey(id: Column, epoch: Column, halfBits: Int = 20,
+      rounds: Int = 4): Column = {
+    require(halfBits >= 2 && halfBits <= 31, s"halfBits out of range: $halfBits")
+    require(rounds >= 3, s"Luby-Rackoff needs >= 3 rounds: $rounds")
+    val m = 1L << halfBits
+    var l = shiftright(id, halfBits) % m
+    var r = id % m
+    for (rd <- 1 to rounds) {
+      val f = conv(substring(md5(concat_ws(":",
+        r.cast("string"), lit(rd).cast("string"), epoch.cast("string"))),
+        1, 8), 16, 10).cast("long") % m
+      val nl = r
+      val nr = l.bitwiseXOR(f)
+      l = nl
+      r = nr
+    }
+    l * m + r
+  }
+
+  /** ORACLED exercise (q146): [[epochShuffleKey]] for two epochs over
+    * `documents` — DuckDB re-derives the unrolled Feistel rounds
+    * (md5-conv round function, xor(), the final recomposition), every
+    * key hash-checked. The q141/q133 manifest tail consumes the key in
+    * place of a rand() sort.
+    */
+  def q146EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Sources.documents(spark, dir)
+      .select($"doc_id", explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("order_key", epochShuffleKey($"doc_id", $"epoch"))
+      .select($"epoch", $"doc_id", $"order_key")
+      .orderBy($"epoch", $"doc_id")
+  }
 }

@@ -220,4 +220,38 @@ class PackingSpec extends SparkTestBase {
       s"cluster split should share fewer grams: ${clus._4} vs ${doc._4}")
     assert(clus._5 <= doc._5)
   }
+
+  test("epochShuffleKey: exact bijection of the dense domain, distinct " +
+      "orders across epochs, deterministic, and shuffle-free") {
+    // halfBits = 5 -> domain [0, 1024); a dense id range must map onto
+    // EXACTLY the whole domain (Feistel is a permutation, not a hash)
+    val ids = spark.range(1024).toDF("id")
+    def keys(epoch: Int): Array[Long] = ids
+      .select(ops.Packing.epochShuffleKey($"id", lit(epoch.toLong),
+        halfBits = 5).as("k"))
+      .as[Long].collect()
+    val e0 = keys(0)
+    assert(e0.sorted === (0L until 1024L).toArray,
+      "epoch-0 keys must be a permutation of [0, 1024)")
+    assert(keys(0) === e0, "pure function: same epoch, same keys")
+    val e1 = keys(1)
+    assert(e1.sorted === (0L until 1024L).toArray)
+    assert(!(e0 === e1), "different epoch, different permutation")
+    // the order must actually scramble: a long prefix of id order should
+    // not survive in key order
+    val orderE0 = e0.zipWithIndex.sortBy(_._1).map(_._2.toLong)
+    assert(orderE0.take(20).toSeq !== (0L until 20L).toSeq)
+    // pure map: no Exchange anywhere in the plan
+    val plan = ids
+      .withColumn("k", ops.Packing.epochShuffleKey($"id", lit(0L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle-free manifest:\n$plan")
+    // guard rails
+    intercept[IllegalArgumentException] {
+      ops.Packing.epochShuffleKey($"id", lit(0L), halfBits = 40)
+    }
+    intercept[IllegalArgumentException] {
+      ops.Packing.epochShuffleKey($"id", lit(0L), rounds = 2)
+    }
+  }
 }
