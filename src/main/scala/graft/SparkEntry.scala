@@ -164,6 +164,7 @@ object SparkEntry {
     "q144_c4_clean" -> (Quality.q144C4Clean _),
     "q145_clip_gate" -> (Multimodal.q145ClipGate _),
     "q146_epoch_shuffle" -> (Packing.q146EpochShuffle _),
+    "q147_paragraph_dedup" -> (Quality.q147ParagraphDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2651,6 +2652,46 @@ object SparkEntry {
     // round function over 20-bit halves, xor() integer-exact; every
     // table reference qualified (lateral-alias shadowing gotcha)
     "q146_epoch_shuffle" -> feistelOracleSql(rounds = 4, halfBits = 20),
+    // CCNet cross-document paragraph dedup over the c4Plant corpus:
+    // min-(doc_id, idx) survivor per exact line via one window, docs
+    // reassembled in original line order
+    "q147_paragraph_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> CASE WHEN (doc_id + i) % 4 = 0
+        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
+        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['please enable javascript and cookies to continue.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ['var config = { mode: production };']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    AS lines
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
+        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
+        |k AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |  FROM ex),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS cleaned_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept, ka.cleaned_text
+        |FROM pl p LEFT JOIN ka USING (doc_id) ORDER BY p.doc_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

@@ -939,6 +939,61 @@ object Quality {
     c4LineFilter(c4Plant(Sources.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** L2 at PARAGRAPH granularity — CCNet's cross-document paragraph
+    * deduplication (Wenzek et al. 2020 §3.1: hash every paragraph,
+    * drop repeats across the whole snapshot — the step that strips
+    * boilerplate headers/footers/cookie banners BEFORE any doc-level
+    * signal is computed). The granularity gap this fills: q21 dedups
+    * whole documents, q100–q110 dedup spans WITHIN a document; this
+    * dedups lines ACROSS documents. Survivor rule: an occurrence
+    * survives iff its (doc_id, line_idx) is the global minimum for
+    * that exact line text (the repo-wide min-id convention, extended
+    * lexicographically to the position within the doc so within-doc
+    * repeats drop too).
+    *
+    * Input: (doc_id, lines array<string>). Output per doc: original
+    * line count, surviving count, and the cleaned text (survivors
+    * rejoined in original order; NULL when nothing survives) — every
+    * byte hash-checked.
+    *
+    * 100 TB posture: ONE corpus-wide shuffle keyed by the line (the
+    * window's partition key — at production scale key by
+    * xxhash64(line) and carry the text only inside the group, the q21
+    * posture), then one shuffle back on doc_id to reassemble; both are
+    * the inherent cost of cross-doc dedup and exactly how CCNet shards
+    * it. No driver-side state, no broadcast of anything corpus-sized.
+    */
+  def dedupParagraphs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs
+      .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
+    val kept = ex
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"line").orderBy($"doc_id", $"idx")))
+      .filter($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+            collect_list(struct($"idx", $"line"))), s => s("line")), "\n")
+          .as("cleaned_text"))
+    docs.select($"doc_id", size($"lines").cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce($"n_kept", lit(0L)))
+  }
+
+  /** ORACLED exercise (q147): [[dedupParagraphs]] over the
+    * [[c4Plant]]ed corpus — the plant's four injected lines are
+    * literal boilerplate (the same javascript/read-more/lorem/config
+    * line recurs across every %5/%7/%11/%13 doc), so the dedup strips
+    * each family down to its min-(doc, idx) occurrence while the
+    * unique word-soup lines all survive; DuckDB re-derives the plant,
+    * the window, and the reassembly byte-for-byte.
+    */
+  def q147ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphs(c4Plant(Sources.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
   /** L6 — DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public): score every
     * candidate document by its importance weight between a TARGET

@@ -556,6 +556,28 @@ class QualitySpec extends SparkTestBase {
         "does it end in question mark?")
   }
 
+  test("paragraph dedup: min-(doc,idx) survivor across docs, within-doc " +
+      "repeats drop, all-dup docs ship NULL, order preserved") {
+    val rows = Seq(
+      (1L, Seq("unique one", "cookie banner", "unique two")),
+      (2L, Seq("cookie banner", "unique three", "cookie banner")),
+      (3L, Seq("cookie banner")),                 // everything duplicated
+      (4L, Seq("repeat me", "repeat me"))         // within-doc repeat
+    ).toDF("doc_id", "lines")
+    val got = ops.Quality.dedupParagraphs(rows)
+      .select($"doc_id", $"n_lines", $"n_kept", $"cleaned_text")
+      .as[(Long, Long, Long, Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L,
+      Some("unique one\ncookie banner\nunique two"))))
+    assert(got(2L) === ((2L, 3L, 1L, Some("unique three"))),
+      "doc 1 owns the banner's min occurrence")
+    assert(got(3L) === ((3L, 1L, 0L, None)),
+      "a doc that is pure boilerplate ships nothing")
+    assert(got(4L) === ((4L, 2L, 1L, Some("repeat me"))),
+      "within-doc repeats keep only the first position")
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
