@@ -165,6 +165,7 @@ object SparkEntry {
     "q145_clip_gate" -> (Multimodal.q145ClipGate _),
     "q146_epoch_shuffle" -> (Packing.q146EpochShuffle _),
     "q147_paragraph_dedup" -> (Quality.q147ParagraphDedup _),
+    "q148_luhn_audit" -> (Text.q148LuhnAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2692,6 +2693,41 @@ object SparkEntry {
         |SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_lines,
         |  coalesce(ka.n_kept, 0) AS n_kept, ka.cleaned_text
         |FROM pl p LEFT JOIN ka USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    // Luhn-validated PAN audit over the planted corpus: 13-19 digit
+    // candidates, per-candidate checksum via the identical CASE
+    // algebra, masks keep only the last 4
+    "q148_luhn_audit" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' card 4532015112830366' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 3 THEN ' card 4532015112830367' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 7 THEN ' amex 371449635398431' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 4 THEN ' num 123456789012' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[0-9]{13,19}') AS cands
+        |  FROM aug),
+        |v AS (
+        |  SELECT doc_id, cands,
+        |    list_filter(cands, p ->
+        |      list_sum(list_transform(generate_series(1, len(reverse(p))),
+        |        i -> CASE WHEN i % 2 = 0
+        |          THEN CASE WHEN CAST(substr(reverse(p), i, 1) AS INT) * 2 > 9
+        |            THEN CAST(substr(reverse(p), i, 1) AS INT) * 2 - 9
+        |            ELSE CAST(substr(reverse(p), i, 1) AS INT) * 2 END
+        |          ELSE CAST(substr(reverse(p), i, 1) AS INT) END))
+        |      % 10 = 0) AS valid
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_valid,
+        |  len(valid) > 0 AS has_valid_pan,
+        |  coalesce(array_to_string(list_transform(valid, p ->
+        |    substr('*******************', 1, len(p) - 4)
+        |      || substr(p, len(p) - 3, 4)), ','), '') AS masked_pans
+        |FROM v ORDER BY doc_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

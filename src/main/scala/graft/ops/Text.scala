@@ -479,4 +479,79 @@ object Text {
         md5(redactPii($"aug")).as("redacted_md5"))
       .orderBy($"doc_id")
   }
+
+  /** Candidate primary-account-number pattern for [[luhnAudit]]:
+    * contiguous 13–19 digit runs (ISO/IEC 7812 PAN lengths). Character
+    * class + bounded quantifier only — byte-identical in Java regex
+    * and RE2.
+    */
+  val panPattern: String = "[0-9]{13,19}"
+
+  /** Per-candidate Luhn checksum (ISO/IEC 7812-1): from the rightmost
+    * digit, double every second digit, subtract 9 when the double
+    * exceeds 9, and require the sum ≡ 0 (mod 10). Pure integer HOF
+    * arithmetic over the reversed digit string — no UDF, and the
+    * identical CASE algebra runs in the oracle.
+    */
+  def luhnValid(pan: Column): Column = {
+    val rev = reverse(pan)
+    val total = aggregate(sequence(lit(1), length(rev)), lit(0),
+      (acc, i) => {
+        val d = rev.substr(i, lit(1)).cast("int")
+        acc + when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
+  /** L5/L6 (PII, CHECKSUM-VALIDATED) — credit-card-number audit with
+    * Luhn validation, the step that separates a real PII pipeline
+    * (Presidio-style validated recognizers; the StarCoder/BigCode PII
+    * pass) from bare regex: a 16-digit run is only a card number if
+    * its Luhn checksum holds, which kills the order-of-magnitude
+    * false-positive rate of [[panPattern]] alone on ids/timestamps.
+    * Per doc: candidate digit-runs found, how many validate, the
+    * has-PII boolean, and the validated PANs masked to last-4 (the
+    * auditable artifact — never the raw number).
+    *
+    * 100 TB posture: pure map-stage scalar expressions (regex extract
+    * + integer HOF per candidate, bounded at 19 digits) — fuses into
+    * the scan with zero shuffle, the [[redactPii]] shape.
+    */
+  def luhnAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cands = regexp_extract_all(col(textCol), lit(panPattern), lit(0))
+    docs
+      .withColumn("valid_pans", filter(cands, luhnValid(_)))
+      .withColumn("n_candidates", size(cands).cast("long"))
+      .withColumn("n_valid", size($"valid_pans").cast("long"))
+      .withColumn("has_valid_pan", $"n_valid" > 0)
+      .withColumn("masked_pans",
+        array_join(transform($"valid_pans", p => concat(
+          lit("*" * 19).substr(lit(1), length(p) - 4),
+          p.substr(length(p) - 3, lit(4)))), ","))
+      .drop("valid_pans")
+  }
+
+  /** ORACLED exercise (q148): [[luhnAudit]] over a deterministic
+    * plant (the q66 technique) — %6==0 docs carry a Luhn-VALID 16-digit
+    * test PAN, %6==3 the same PAN with a flipped check digit (the
+    * regex finds it, the checksum rejects it), %10==7 a valid 15-digit
+    * PAN, %9==4 a 12-digit run below the PAN floor (never a
+    * candidate); docs hit multiple arms, so candidate and valid counts
+    * diverge in both directions and every mask is hash-checked.
+    */
+  def q148LuhnAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val id = $"doc_id"
+    val aug = concat($"text",
+      when(id % 6 === 0, lit(" card 4532015112830366")).otherwise(""),
+      when(id % 6 === 3, lit(" card 4532015112830367")).otherwise(""),
+      when(id % 10 === 7, lit(" amex 371449635398431")).otherwise(""),
+      when(id % 9 === 4, lit(" num 123456789012")).otherwise(""))
+    luhnAudit(Sources.documents(spark, dir).select($"doc_id", aug.as("text")))
+      .select($"doc_id", $"n_candidates", $"n_valid", $"has_valid_pan",
+        $"masked_pans")
+      .orderBy($"doc_id")
+  }
 }

@@ -258,4 +258,30 @@ class TextSpec extends SparkTestBase {
       .select(sum($"n_emails") + sum($"n_phones")).head().getLong(0)
     assert(planted > 0) // the planted PII was really there pre-scrub
   }
+
+  test("luhn audit: checksum separates valid PANs from regex hits, " +
+      "sub-floor runs never become candidates, masks keep last-4 only") {
+    val rows = Seq(
+      (1L, "pay with 4532015112830366 today"),        // valid 16
+      (2L, "pay with 4532015112830367 today"),        // check digit flipped
+      (3L, "amex 371449635398431 and visa 4532015112830366"), // two valid
+      (4L, "order 123456789012 is 12 digits"),        // below the floor
+      (5L, "diners 30569309025904 works"),            // valid 14
+      (6L, "no numbers at all")
+    ).toDF("doc_id", "text")
+    val got = ops.Text.luhnAudit(rows)
+      .select($"doc_id", $"n_candidates", $"n_valid", $"has_valid_pan",
+        $"masked_pans")
+      .as[(Long, Long, Long, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, 1L, true, "************0366")))
+    assert(got(2L) === ((2L, 1L, 0L, false, "")),
+      "regex finds it, the checksum rejects it")
+    assert(got(3L) === ((3L, 2L, 2L, true, "***********8431,************0366")))
+    assert(got(4L) === ((4L, 0L, 0L, false, "")))
+    assert(got(5L) === ((5L, 1L, 1L, true, "**********5904")))
+    assert(got(6L) === ((6L, 0L, 0L, false, "")))
+    // no raw PAN ever ships
+    assert(!got.values.exists(_._5.contains("4532015112830366")))
+  }
 }
