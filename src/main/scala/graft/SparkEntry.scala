@@ -166,6 +166,7 @@ object SparkEntry {
     "q146_epoch_shuffle" -> (Packing.q146EpochShuffle _),
     "q147_paragraph_dedup" -> (Quality.q147ParagraphDedup _),
     "q148_luhn_audit" -> (Text.q148LuhnAudit _),
+    "q149_bitext_mine" -> (Similarity.q149BitextMine _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2728,6 +2729,52 @@ object SparkEntry {
         |    substr('*******************', 1, len(p) - 4)
         |      || substr(p, len(p) - 3, 4)), ','), '') AS masked_pans
         |FROM v ORDER BY doc_id""".stripMargin,
+    // margin-based bitext mining over the q145 planted pairs: 6-decimal
+    // cosines, DECIMAL-exact kNN density sums, ratio margin as the
+    // identical IEEE division, argmax + 1.06 acceptance tie-broken on id
+    "q149_bitext_mine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |src AS (SELECT vec_id // 2 AS sid, v AS sv FROM e WHERE vec_id % 2 = 0),
+        |tg0 AS (SELECT (vec_id - 1) // 2 AS tid, v AS tv0
+        |        FROM e WHERE vec_id % 2 = 1),
+        |tgt AS (
+        |  SELECT t.tid,
+        |    CASE WHEN t.tid % 2 = 0
+        |      THEN list_transform(generate_series(1, len(s.sv)),
+        |             i -> s.sv[i] * 0.8 + t.tv0[i] * 0.2)
+        |      ELSE t.tv0 END AS tv
+        |  FROM tg0 t JOIN src s ON s.sid = t.tid),
+        |al AS (
+        |  SELECT s.sid, t.tid,
+        |    round(list_dot_product(s.sv, t.tv) /
+        |      (sqrt(list_dot_product(s.sv, s.sv)) *
+        |       sqrt(list_dot_product(t.tv, t.tv))), 6) AS cos6
+        |  FROM src s, tgt t),
+        |ka AS (
+        |  SELECT sid, sum(CAST(cos6 AS DECIMAL(10,6))) AS s_sum FROM (
+        |    SELECT sid, cos6,
+        |      row_number() OVER (PARTITION BY sid ORDER BY cos6 DESC, tid) AS rn
+        |    FROM al)
+        |  WHERE rn <= 4 GROUP BY sid),
+        |kb AS (
+        |  SELECT tid, sum(CAST(cos6 AS DECIMAL(10,6))) AS t_sum FROM (
+        |    SELECT tid, cos6,
+        |      row_number() OVER (PARTITION BY tid ORDER BY cos6 DESC, sid) AS rn
+        |    FROM al)
+        |  WHERE rn <= 4 GROUP BY tid),
+        |m AS (
+        |  SELECT al.sid, al.tid, al.cos6,
+        |    al.cos6 / (CAST(ka.s_sum + kb.t_sum AS DOUBLE) / 8.0) AS margin
+        |  FROM al JOIN ka USING (sid) JOIN kb USING (tid)),
+        |mm AS (
+        |  SELECT sid, tid, cos6, round(margin, 6) AS margin6,
+        |    row_number() OVER (PARTITION BY sid ORDER BY margin DESC, tid) AS rm
+        |  FROM m)
+        |SELECT sid AS pair_id, tid AS mined_tid, cos6 AS cosine,
+        |  margin6 AS margin, margin6 >= 1.06 AS accepted,
+        |  (margin6 >= 1.06 AND tid = sid AND sid % 2 = 0) AS recovered
+        |FROM mm WHERE rm = 1 ORDER BY pair_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

@@ -1753,4 +1753,95 @@ object Similarity {
         bench, "bench_id", "embedding", minCos = 0.999)
       .orderBy($"vec_id")
   }
+
+  /** L3 — MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"; the method behind CCMatrix/WikiMatrix — public): for
+    * every source-side embedding, pick the target candidate maximizing
+    * the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖNN(x) + avgₖNN(y)) / 2)
+    *
+    * — raw cosine normalized by both sides' k-NN neighborhood density,
+    * which kills the "hub" false positives absolute-cosine mining
+    * drowns in — and accept the pair iff margin ≥ `threshold`
+    * (CCMatrix ships 1.06).
+    *
+    * Parity discipline: cosines round to 6 decimals first; each side's
+    * k-NN density sums those values as DECIMAL(10,6) (order-free,
+    * exact), so every margin is the SAME IEEE division in both
+    * engines; top-k and argmax windows tie-break on the candidate id.
+    *
+    * This is the EXACT arm (all-pairs — the oracle shape, the q126
+    * precedent): at mining scale the pair stream comes from the
+    * IVF-blocked candidate generator ([[knnJoinIvf]] / the q127
+    * pattern) and the margin algebra below is unchanged; the two
+    * density tables stay |src|/|tgt|-bounded either way (broadcast
+    * joins here).
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      threshold: Double = 1.06): DataFrame = {
+    import src.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    require(k >= 1, s"need k >= 1: $k")
+    val all = src.crossJoin(tgt)
+      .select($"sid", $"tid",
+        round(cosineSimilarity($"sv", $"tv"), 6).as("cos6"))
+      .localCheckpoint(true)
+    val dec = $"cos6".cast("decimal(10,6)")
+    val aS = all
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"sid").orderBy($"cos6".desc, $"tid")))
+      .filter($"rn" <= k).groupBy($"sid").agg(sum(dec).as("s_sum"))
+    val aT = all
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tid").orderBy($"cos6".desc, $"sid")))
+      .filter($"rn" <= k).groupBy($"tid").agg(sum(dec).as("t_sum"))
+    val out = all
+      .join(broadcast(aS), Seq("sid"))
+      .join(broadcast(aT), Seq("tid"))
+      .withColumn("margin",
+        $"cos6" / (($"s_sum" + $"t_sum").cast("double") / lit(2.0 * k)))
+      .withColumn("rm", row_number().over(
+        Window.partitionBy($"sid").orderBy($"margin".desc, $"tid")))
+      .filter($"rm" === 1)
+      .select($"sid", $"tid".as("mined_tid"), $"cos6".as("cosine"),
+        round($"margin", 6).as("margin"))
+      .withColumn("accepted", $"margin" >= threshold)
+      .localCheckpoint(true)
+    all.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q149): [[marginMine]] over the q145 planted
+    * pair table (even/odd vec_ids as the two "languages", even
+    * pair_ids aligned by the 0.8/0.2 mix) — the miner must RECOVER
+    * exactly the planted pairs: recovered = accepted ∧ mined partner
+    * is the planted one. Unaligned sources mine their accidental best
+    * neighbor and mostly fall under the 1.06 margin (the hub-noise
+    * band the ratio margin exists to reject) — both decision branches
+    * carry signal, and DuckDB re-derives the full 1M-pair margin
+    * algebra, every row hash-checked.
+    */
+  def q149BitextMine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Sources.embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val src = e.filter($"vec_id" % 2 === 0)
+      .select(($"vec_id" / 2).cast("long").as("sid"), $"v".as("sv"))
+    val tgt = e.filter($"vec_id" % 2 === 1)
+      .select((($"vec_id" - 1) / 2).cast("long").as("tid"), $"v".as("tv0"))
+      .join(src.select($"sid".as("tid"), $"sv".as("pv")), Seq("tid"))
+      .select($"tid",
+        when($"tid" % 2 === 0,
+          zip_with($"pv", $"tv0", (a, b) => a * 0.8 + b * 0.2))
+          .otherwise($"tv0").as("tv"))
+    marginMine(src, tgt)
+      .withColumn("recovered",
+        $"accepted" && $"mined_tid" === $"sid" && $"sid" % 2 === 0)
+      .select($"sid".as("pair_id"), $"mined_tid", $"cosine", $"margin",
+        $"accepted", $"recovered")
+      .orderBy($"pair_id")
+  }
 }

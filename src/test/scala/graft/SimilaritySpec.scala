@@ -584,4 +584,23 @@ class SimilaritySpec extends SparkTestBase {
       fnWeight = 0.05).filter($"is_opt").select($"r").as[Long].head()
     assert(fpAverse > or_)
   }
+
+  test("bitext mining: every planted pair recovered, no unaligned source " +
+      "ever counts as recovered, hub noise stays under the margin") {
+    val out = ops.Similarity.q149BitextMine(spark, "/root/testdata/sf0.001")
+      .select($"pair_id", $"mined_tid", $"margin", $"accepted", $"recovered")
+      .as[(Long, Long, Double, Boolean, Boolean)].collect()
+    val (aligned, unaligned) = out.partition(_._1 % 2 == 0)
+    assert(aligned.nonEmpty && unaligned.nonEmpty)
+    // the ratio margin recovers EVERY planted pair: argmax lands on the
+    // partner and the margin clears 1.06 with room
+    assert(aligned.forall(r => r._2 == r._1 && r._4 && r._5),
+      s"unrecovered aligned pairs: ${aligned.filterNot(_._5).take(3).toSeq}")
+    assert(aligned.forall(_._3 > 1.5), "planted margins should be decisive")
+    // an unaligned source has no true partner: whatever it mines, it can
+    // never be 'recovered'; most fall under the acceptance threshold
+    assert(unaligned.forall(!_._5))
+    assert(unaligned.count(_._4) < unaligned.length / 2,
+      "hub noise should mostly sit below the 1.06 margin")
+  }
 }
