@@ -167,6 +167,7 @@ object SparkEntry {
     "q147_paragraph_dedup" -> (Quality.q147ParagraphDedup _),
     "q148_luhn_audit" -> (Text.q148LuhnAudit _),
     "q149_bitext_mine" -> (Similarity.q149BitextMine _),
+    "q150_ccnet_c4_clean" -> (Quality.q150CcnetC4Clean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2775,6 +2776,68 @@ object SparkEntry {
         |  margin6 AS margin, margin6 >= 1.06 AS accepted,
         |  (margin6 >= 1.06 AND tid = sid AND sid % 2 = 0) AS recovered
         |FROM mm WHERE rm = 1 ORDER BY pair_id""".stripMargin,
+    // composed CCNet->C4 cleaning: q147's paragraph-dedup CTEs feed
+    // q144's line/page battery; empty-survivor docs coalesce to ''
+    // before contains() (array_to_string([]) is NULL in DuckDB)
+    "q150_ccnet_c4_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> CASE WHEN (doc_id + i) % 4 = 0
+        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
+        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['please enable javascript and cookies to continue.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ['var config = { mode: production };']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    AS lines
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
+        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
+        |k AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |  FROM ex),
+        |ka AS (
+        |  SELECT doc_id, list(line ORDER BY idx) AS lk
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |dd AS (
+        |  SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_raw,
+        |    coalesce(ka.lk, CAST([] AS VARCHAR[])) AS lines
+        |  FROM pl p LEFT JOIN ka USING (doc_id)),
+        |f AS (
+        |  SELECT doc_id, n_raw, lines,
+        |    list_filter(lines, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(l, 'javascript')) AS kept,
+        |    coalesce(array_to_string(lines, chr(10)), '') AS full_text
+        |  FROM dd),
+        |g AS (
+        |  SELECT doc_id, n_raw,
+        |    CAST(len(lines) AS BIGINT) AS n_dedup,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    contains(full_text, 'lorem ipsum') AS has_lorem,
+        |    contains(full_text, '{') AS has_brace,
+        |    kept
+        |  FROM f)
+        |SELECT doc_id, n_raw, n_dedup, n_kept, has_lorem, has_brace,
+        |  (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3 AS keep,
+        |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
+        |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

@@ -965,21 +965,31 @@ object Quality {
     */
   def dedupParagraphs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    docs.select($"doc_id", size($"lines").cast("long").as("n_lines"))
+      .join(dedupedParagraphLines(docs), Seq("doc_id"), "left")
+      .withColumn("n_kept",
+        coalesce(size($"lines_kept").cast("long"), lit(0L)))
+      .withColumn("cleaned_text",
+        when($"lines_kept".isNotNull, array_join($"lines_kept", "\n")))
+      .drop("lines_kept")
+  }
+
+  /** [[dedupParagraphs]]'s array-preserving core: per doc, the
+    * surviving lines in original order (docs whose every line lost
+    * the survivor race are ABSENT — callers left-join). Split out so
+    * downstream stages ([[q150CcnetC4Clean]]) can keep filtering at
+    * line granularity without a re-split round-trip.
+    */
+  private[ops] def dedupedParagraphLines(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ex = docs
-      .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
-    val kept = ex
+    docs.select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"line").orderBy($"doc_id", $"idx")))
       .filter($"rn" === 1)
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(
-            collect_list(struct($"idx", $"line"))), s => s("line")), "\n")
-          .as("cleaned_text"))
-    docs.select($"doc_id", size($"lines").cast("long").as("n_lines"))
-      .join(kept, Seq("doc_id"), "left")
-      .withColumn("n_kept", coalesce($"n_kept", lit(0L)))
+      .agg(transform(array_sort(collect_list(struct($"idx", $"line"))),
+        s => s("line")).as("lines_kept"))
   }
 
   /** ORACLED exercise (q147): [[dedupParagraphs]] over the
@@ -993,6 +1003,33 @@ object Quality {
   def q147ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphs(c4Plant(Sources.documents(spark, dir)))
       .orderBy(col("doc_id"))
+
+  /** ORACLED capstone (q150): the CCNet→C4 COMPOSED cleaning pass in
+    * production order — cross-document paragraph dedup FIRST (so
+    * boilerplate can't distort the line rules), then the C4 line/page
+    * battery over the surviving lines. Per doc: the raw line count,
+    * the post-dedup count, the post-filter count, both page booleans,
+    * the keep decision, and the final cleaned bytes — all hash-checked
+    * against DuckDB running the two green bodies stitched end-to-end.
+    * Plan shape: q147's one line-keyed shuffle + reassembly, then
+    * q144's pure-map battery fused on top — composition adds ZERO new
+    * shuffles.
+    */
+  def q150CcnetC4Clean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = c4Plant(Sources.documents(spark, dir))
+    val emptyArr = array().cast("array<string>")
+    val deduped = planted
+      .select($"doc_id", size($"lines").cast("long").as("n_raw"))
+      .join(dedupedParagraphLines(planted), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_raw",
+        coalesce($"lines_kept", emptyArr).as("lines"))
+    c4LineFilter(deduped)
+      .withColumnRenamed("n_lines", "n_dedup")
+      .select($"doc_id", $"n_raw", $"n_dedup", $"n_kept",
+        $"has_lorem", $"has_brace", $"keep", $"cleaned_text")
+      .orderBy($"doc_id")
+  }
 
   /** L6 — DSIR data selection (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling" — public): score every

@@ -578,6 +578,28 @@ class QualitySpec extends SparkTestBase {
       "within-doc repeats keep only the first position")
   }
 
+  test("q150 composition: dedup-then-filter flips decisions in BOTH " +
+      "directions vs filter-alone — the order is load-bearing") {
+    val dir = "/root/testdata/sf0.001"
+    val composed = ops.Quality.q150CcnetC4Clean(spark, dir)
+      .select($"doc_id", $"n_raw", $"n_dedup", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val alone = ops.Quality.q144C4Clean(spark, dir)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(composed.values.forall(r => r._3 <= r._2),
+      "dedup never adds lines")
+    assert(composed.values.exists(r => r._3 < r._2),
+      "boilerplate families really deduped")
+    // a non-min %11 doc loses its lorem line to dedup -> page no longer
+    // dropped; a doc relying on boilerplate lines can fall under the
+    // 3-line floor -> dropped only in the composed pass
+    val rescued = composed.values.filter(r => r._4 && !alone(r._1))
+    assert(rescued.nonEmpty, "dedup should rescue later lorem docs")
+    assert(composed.values.count(_._4) > 0)
+    // every doc accounted for in both passes
+    assert(composed.size === alone.size)
+  }
+
   test("q122 planted corpus exercises every rule in both directions") {
     val out = ops.Quality.q122GopherGate(spark, "/root/testdata/sf0.001")
     val n = out.count()
