@@ -168,6 +168,7 @@ object SparkEntry {
     "q148_luhn_audit" -> (Text.q148LuhnAudit _),
     "q149_bitext_mine" -> (Similarity.q149BitextMine _),
     "q150_ccnet_c4_clean" -> (Quality.q150CcnetC4Clean _),
+    "q151_deletion_blast" -> (Packing.q151DeletionBlast _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2838,6 +2839,41 @@ object SparkEntry {
         |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
         |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
         |FROM g ORDER BY doc_id""".stripMargin,
+    // deletion blast radius over the q92 packing: per tainted example,
+    // deleted/surviving token masses from pure interval algebra on the
+    // global tape (prefix sums re-derived, %37==5 delete list)
+    "q151_deletion_blast" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM t WHERE n_tokens > 0),
+        |p AS (
+        |  SELECT doc_id, n_tokens, tok_start,
+        |    CAST(tok_start // 512 AS BIGINT) AS fe,
+        |    CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS le,
+        |    doc_id % 37 = 5 AS is_deleted
+        |  FROM c),
+        |s AS (
+        |  SELECT is_deleted, CAST(u.e AS BIGINT) AS example_id,
+        |    least(tok_start + n_tokens - 1, (u.e + 1) * 512 - 1)
+        |      - greatest(tok_start, u.e * 512) + 1 AS tok_in_ex
+        |  FROM p, unnest(generate_series(fe, le)) AS u(e)),
+        |tn AS (SELECT DISTINCT example_id FROM s WHERE is_deleted)
+        |SELECT s.example_id,
+        |  CAST(sum(CASE WHEN is_deleted THEN tok_in_ex ELSE 0 END) AS BIGINT)
+        |    AS deleted_tokens,
+        |  CAST(sum(CASE WHEN NOT is_deleted THEN tok_in_ex ELSE 0 END) AS BIGINT)
+        |    AS surviving_tokens,
+        |  count(*) AS n_docs_touched,
+        |  CAST(sum(CASE WHEN NOT is_deleted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_surviving_docs
+        |FROM s JOIN tn USING (example_id)
+        |GROUP BY s.example_id ORDER BY s.example_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

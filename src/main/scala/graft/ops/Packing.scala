@@ -79,7 +79,17 @@ object Packing {
     * PackingSpec).
     */
   def sequencePack(df: DataFrame, idCol: String, tokensCol: Column,
-      ctxTokens: Long): DataFrame = {
+      ctxTokens: Long): DataFrame =
+    sequencePackWithOffsets(df, idCol, tokensCol, ctxTokens)
+      .drop("tok_start")
+
+  /** [[sequencePack]] keeping each document's absolute token offset
+    * (`tok_start` = the global tape position of its first token) —
+    * the handle downstream surgery needs ([[deletionBlastRadius]]
+    * intersects doc token intervals with example boundaries).
+    */
+  def sequencePackWithOffsets(df: DataFrame, idCol: String,
+      tokensCol: Column, ctxTokens: Long): DataFrame = {
     require(ctxTokens >= 1, s"ctxTokens must be >= 1, got $ctxTokens")
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
@@ -114,6 +124,7 @@ object Packing {
         expr(s"(cum_before + n_tokens - 1) div $ctxTokens"))
       .withColumn("n_examples",
         col("last_example") - col("first_example") + lit(1L))
+      .withColumn("tok_start", col("cum_before"))
       .drop("__pid", "cum_before")
   }
 
@@ -429,5 +440,64 @@ object Packing {
       .withColumn("order_key", epochShuffleKey($"doc_id", $"epoch"))
       .select($"epoch", $"doc_id", $"order_key")
       .orderBy($"epoch", $"doc_id")
+  }
+
+  /** GDPR / machine-unlearning BLAST-RADIUS audit over a PACKED corpus:
+    * given a delete-list, which fixed-size training examples are
+    * TAINTED (contain ≥1 token of a deleted document), how many tokens
+    * inside each must be erased, and how many surviving tokens the
+    * repack must re-home. Concat-and-chunk packing smears documents
+    * across example boundaries, so deleting a document invalidates
+    * every example its token interval touches — the data-engineering
+    * half of "right to be forgotten" for a trained-corpus manifest
+    * (the packing analogue of q115's surgical excision).
+    *
+    * Input: [[sequencePackWithOffsets]] output plus an `is_deleted`
+    * boolean. Per-doc-per-example token mass is pure interval algebra
+    * on the global tape: min(doc_end, ex_end) − max(doc_start,
+    * ex_start) + 1 — integer-exact.
+    *
+    * 100 TB posture: one bounded explode (a doc only touches
+    * ⌈n/ctx⌉+1 examples), a LEFT SEMI join against the distinct
+    * tainted-example set (delete lists are ≪ corpus, so the set is
+    * small — AQE broadcasts it), one aggregate per tainted example.
+    * Nothing corpus-sized collects or re-sorts.
+    */
+  def deletionBlastRadius(packed: DataFrame, isDeleted: Column,
+      ctxTokens: Long): DataFrame = {
+    import packed.sparkSession.implicits._
+    require(ctxTokens >= 1, s"ctxTokens must be >= 1, got $ctxTokens")
+    val spans = packed.withColumn("is_deleted", isDeleted)
+      .select($"is_deleted", $"n_tokens", $"tok_start",
+        explode(sequence($"first_example", $"last_example"))
+          .as("example_id"))
+      .withColumn("tok_in_ex",
+        least($"tok_start" + $"n_tokens" - 1,
+            ($"example_id" + 1) * lit(ctxTokens) - 1)
+          - greatest($"tok_start", $"example_id" * lit(ctxTokens)) + 1)
+    val tainted = spans.filter($"is_deleted")
+      .select($"example_id").distinct()
+    spans.join(tainted, Seq("example_id"), "left_semi")
+      .groupBy($"example_id")
+      .agg(
+        sum(when($"is_deleted", $"tok_in_ex").otherwise(0L))
+          .as("deleted_tokens"),
+        sum(when(!$"is_deleted", $"tok_in_ex").otherwise(0L))
+          .as("surviving_tokens"),
+        count(lit(1)).as("n_docs_touched"),
+        sum(when(!$"is_deleted", 1L).otherwise(0L)).as("n_surviving_docs"))
+  }
+
+  /** ORACLED exercise (q151): [[deletionBlastRadius]] over the q92
+    * packing (512-token examples, bpe-ish counts) with every
+    * doc_id % 37 == 5 document deleted — DuckDB re-derives the prefix
+    * sums, the interval algebra, and every per-example token mass.
+    */
+  def q151DeletionBlast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = sequencePackWithOffsets(Sources.documents(spark, dir),
+      "doc_id", bpeishCount($"text"), 512L)
+    deletionBlastRadius(packed, $"doc_id" % 37 === 5, 512L)
+      .orderBy($"example_id")
   }
 }

@@ -221,6 +221,30 @@ class PackingSpec extends SparkTestBase {
     assert(clus._5 <= doc._5)
   }
 
+  test("deletionBlastRadius: interval algebra hand-checked, clean " +
+      "examples never appear, boundary-straddling docs split exactly") {
+    // tape (ctx=10): doc1 tokens [0,7], doc2 [8,14], doc3 [15,24],
+    // doc4 [25,29] -> examples: e0=[0,9], e1=[10,19], e2=[20,29]
+    val docs = Seq(
+      (1L, 8L), (2L, 7L), (3L, 10L), (4L, 5L)
+    ).toDF("doc_id", "n_tokens")
+    val packed = ops.Packing.sequencePackWithOffsets(
+      docs, "doc_id", $"n_tokens", 10L)
+    // delete doc2 (straddles e0/e1): tainted = {e0, e1}; e2 untouched
+    val got = ops.Packing.deletionBlastRadius(packed, $"doc_id" === 2L, 10L)
+      .orderBy($"example_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 2, "e2 has no deleted tokens and must not appear")
+    // e0: doc1 8 surviving + doc2 2 deleted; e1: doc2 5 deleted +
+    // doc3 5 surviving
+    assert(got(0) === ((0L, 2L, 8L, 2L, 1L)))
+    assert(got(1) === ((1L, 5L, 5L, 2L, 1L)))
+    // deleting a doc wholly inside one example taints exactly that one
+    val got3 = ops.Packing.deletionBlastRadius(packed, $"doc_id" === 4L, 10L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got3 === Array((2L, 5L, 5L, 2L, 1L)))
+  }
+
   test("epochShuffleKey: exact bijection of the dense domain, distinct " +
       "orders across epochs, deterministic, and shuffle-free") {
     // halfBits = 5 -> domain [0, 1024); a dense id range must map onto
