@@ -92,6 +92,45 @@ object Streaming {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim(key), "inner")
 
+  /** STREAMING twin of [[Quality.dedupParagraphs]] — cross-batch
+    * paragraph dedup for an incoming `(doc_id, lines)` document
+    * stream: state is one marker per distinct line; the FIRST
+    * occurrence (min (doc_id, idx) within a batch; arrival order
+    * across batches) survives, every later one drops. Emits the
+    * surviving line occurrences; per-doc reassembly is the caller's
+    * aggregation (the batch arm's exact shape). Matches the batch
+    * min-(doc_id, idx) survivor rule whenever ingest order follows
+    * doc_id — the [[Quality.q117ShippedCorpusNearDup]] convention;
+    * parity asserted in StreamingSpec.
+    *
+    * State posture: one entry per distinct line, UNBOUNDED over an
+    * infinite stream — production bounds it with an event-time timeout
+    * horizon (the [[nearDupPairsStream]] pattern) or trades exactness
+    * for a Bloom front like [[admissionStreamBloom]]; for bounded
+    * backfills (replaying a snapshot through the streaming path) the
+    * exact form here is the right tool.
+    */
+  def paragraphDedupStream(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("docId"),
+        posexplode(col("lines")).as(Seq("idx", "line")))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, (Long, Int, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          if (state.getOption.getOrElse(false)) Iterator.empty
+          else {
+            val first = rows.minBy(r => (r._1, r._2))
+            state.update(true)
+            Iterator.single(first)
+          }
+      }.toDF("doc_id", "idx", "line")
+  }
+
   /** STREAMING CURATION — the q108 decision shape over an incoming
     * `(ts, doc_id, text)` document stream, against STATIC reference
     * state: the duplicated-gram hash set a prior batch q100 pass

@@ -1019,4 +1019,41 @@ class StreamingSpec extends SparkTestBase {
       assert(rows(3L)._2 === false, "token floor must gate the keep")
     }
   }
+
+  test("streaming paragraph dedup: cross-batch state drops repeats, " +
+      "stream equals batch when ingest follows doc order") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[String])]
+    val q = ops.Streaming.paragraphDedupStream(
+        input.toDF().toDF("doc_id", "lines"))
+      .writeStream.format("memory").queryName("para_dedup")
+      .outputMode("append").start()
+    val b1 = Seq(
+      1L -> Seq("unique one", "cookie banner", "unique two"),
+      2L -> Seq("cookie banner", "unique three", "cookie banner"))
+    val b2 = Seq(
+      3L -> Seq("cookie banner"),                  // dup from batch 1
+      4L -> Seq("repeat me", "repeat me", "fresh line"))
+    withQuery(q) {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val stream = spark.table("para_dedup")
+        .as[(Long, Int, String)].collect().toSet
+      // batch arm over the union, same survivor rule
+      val batch = ops.Quality.dedupParagraphs(
+          (b1 ++ b2).toDF("doc_id", "lines"))
+        .select($"doc_id", $"cleaned_text")
+        .as[(Long, Option[String])].collect().toMap
+      val streamByDoc = stream.groupBy(_._1).map { case (d, occ) =>
+        d -> occ.toSeq.sortBy(_._2).map(_._3).mkString("\n")
+      }
+      (1L to 4L).foreach { d =>
+        assert(batch(d) === streamByDoc.get(d),
+          s"doc $d: stream ${streamByDoc.get(d)} vs batch ${batch(d)}")
+      }
+      assert(!streamByDoc.contains(3L), "pure-boilerplate doc emits nothing")
+    }
+  }
 }
