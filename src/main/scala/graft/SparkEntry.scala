@@ -169,6 +169,8 @@ object SparkEntry {
     "q149_bitext_mine" -> (Similarity.q149BitextMine _),
     "q150_ccnet_c4_clean" -> (Quality.q150CcnetC4Clean _),
     "q151_deletion_blast" -> (Packing.q151DeletionBlast _),
+    "q152_source_minhash" -> (Similarity.q152SourceMinhash _),
+    "q153_repack_deleted" -> (Packing.q153RepackDeleted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2874,6 +2876,79 @@ object SparkEntry {
         |    AS n_surviving_docs
         |FROM s JOIN tn USING (example_id)
         |GROUP BY s.example_id ORDER BY s.example_id""".stripMargin,
+    // cross-source vocabulary Jaccard via deterministic 128-perm
+    // MinHash signatures: md5-conv permutation hashes, per-slot mins,
+    // agreement counts, AND the exact set Jaccard — estimate and truth
+    // both hash-checked (micro-unit ratios)
+    "q152_source_minhash" ->
+      """WITH words AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |sigs AS (
+        |  SELECT source, i,
+        |    min(CAST(CAST(concat('0x',
+        |      substr(md5(w || ':' || CAST(i AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) AS BIGINT)) AS mh
+        |  FROM words, unnest(generate_series(1, 128)) AS u(i)
+        |  GROUP BY source, i),
+        |est AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matches
+        |  FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |sz AS (SELECT source, count(*) AS n FROM words GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_inter
+        |  FROM words a JOIN words b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT e.source_a, e.source_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_inter, 0) AS n_inter, e.matches,
+        |  floor(CAST(e.matches AS DOUBLE) * 1e6 / 128 + 0.5) / 1e6
+        |    AS est_jaccard,
+        |  floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 1e6
+        |    / (sa.n + sb.n - coalesce(i.n_inter, 0)) + 0.5) / 1e6
+        |    AS exact_jaccard
+        |FROM est e
+        |LEFT JOIN inter i USING (source_a, source_b)
+        |JOIN sz sa ON sa.source = e.source_a
+        |JOIN sz sb ON sb.source = e.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    // post-deletion repack: both packing prefix sums re-derived (all
+    // docs vs survivors), every old/new coordinate and the moved flag
+    // hash-checked
+    "q153_repack_deleted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+        |  FROM t WHERE n_tokens > 0),
+        |old AS (
+        |  SELECT doc_id, n_tokens, tok_start,
+        |    CAST(tok_start // 512 AS BIGINT) AS old_first,
+        |    CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS old_last
+        |  FROM c),
+        |c2 AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ts2
+        |  FROM t WHERE n_tokens > 0 AND doc_id % 37 <> 5),
+        |fresh AS (
+        |  SELECT doc_id,
+        |    CAST(ts2 // 512 AS BIGINT) AS new_first,
+        |    CAST((ts2 + n_tokens - 1) // 512 AS BIGINT) AS new_last
+        |  FROM c2)
+        |SELECT o.doc_id, o.n_tokens, o.tok_start,
+        |  o.old_first, o.old_last, f.new_first, f.new_last,
+        |  (o.old_first <> f.new_first OR o.old_last <> f.new_last) AS moved
+        |FROM old o JOIN fresh f USING (doc_id)
+        |ORDER BY o.doc_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

@@ -500,4 +500,52 @@ object Packing {
     deletionBlastRadius(packed, $"doc_id" % 37 === 5, 512L)
       .orderBy($"example_id")
   }
+
+  /** The REPACK that [[deletionBlastRadius]] sizes: re-run the packing
+    * prefix sum over the SURVIVORS and report, per surviving doc, its
+    * old vs new example coordinates and whether it moved. The
+    * concat-and-chunk stability property falls out of the prefix sum:
+    * every document whose tape offset precedes the FIRST deleted token
+    * keeps identical coordinates (its prefix is untouched), so an
+    * incremental repacker only rewrites the tape suffix — the number
+    * this query puts a boolean on per doc (spec-asserted; the oracle
+    * hash-checks every coordinate pair).
+    *
+    * 100 TB posture: two [[sequencePack]] passes (each two thin scans
+    * + an O(#partitions) collect) and one id-keyed join — no new
+    * shuffle class; the delete predicate prunes at the scan.
+    */
+  def repackAfterDeletion(docs: DataFrame, idCol: String,
+      tokensCol: Column, isDeleted: Column, ctxTokens: Long): DataFrame = {
+    val old = sequencePackWithOffsets(docs, idCol, tokensCol, ctxTokens)
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        col("first_example").as("old_first"),
+        col("last_example").as("old_last"))
+    val fresh = sequencePack(docs.filter(!isDeleted), idCol, tokensCol,
+        ctxTokens)
+      .select(col(idCol),
+        col("first_example").as("new_first"),
+        col("last_example").as("new_last"))
+    old.join(fresh, Seq(idCol))
+      .withColumn("moved",
+        col("old_first") =!= col("new_first") ||
+          col("old_last") =!= col("new_last"))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        col("old_first"), col("old_last"), col("new_first"),
+        col("new_last"), col("moved"))
+  }
+
+  /** ORACLED exercise (q153): [[repackAfterDeletion]] under the q151
+    * delete list (%37==5) at the q92 packing — DuckDB re-derives BOTH
+    * prefix sums; every surviving doc's old and new coordinates and
+    * the moved flag are hash-checked. Together with q151 this is the
+    * full unlearning loop: size the blast radius, then repack and
+    * prove how little moved.
+    */
+  def q153RepackDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repackAfterDeletion(Sources.documents(spark, dir), "doc_id",
+        bpeishCount($"text"), $"doc_id" % 37 === 5, 512L)
+      .orderBy($"doc_id")
+  }
 }

@@ -1824,6 +1824,84 @@ object Similarity {
     * carry signal, and DuckDB re-derives the full 1M-pair margin
     * algebra, every row hash-checked.
     */
+  /** L2/L5 — CROSS-SOURCE VOCABULARY JACCARD via deterministic MinHash
+    * SIGNATURES (Broder 1997), the MERGEABLE-SKETCH form of q64's
+    * exact source overlap: each source compresses its (unbounded)
+    * vocabulary into an `nPerms`-slot signature — min over the
+    * md5-conv hash of each word per permutation — and any two
+    * signatures estimate Jaccard as the fraction of agreeing slots.
+    * The sketch property that matters at fleet scale: signatures are
+    * associative-mergeable state (min is a semigroup), so per-shard
+    * signatures combine without revisiting text, and comparing two
+    * corpora costs O(nPerms), not O(vocab).
+    *
+    * Both the ESTIMATE and the EXACT Jaccard ship per source pair —
+    * the estimator is deterministic (md5-derived permutations), so the
+    * oracle hash-checks the estimate itself, not just a tolerance; the
+    * spec additionally pins |est − exact| under the 128-perm standard
+    * error bound.
+    *
+    * 100 TB posture: one distinct over (source, word) — the inherent
+    * vocab shuffle, map-side combined — then a bounded 128-way in-row
+    * explode into a (source, perm) min-aggregate: |sources|·nPerms
+    * output rows, broadcast-sized by construction; pair scoring joins
+    * signatures only. Ratios ship in the tie-proof micro-unit form.
+    */
+  def sourceMinhashJaccard(docs: DataFrame, nPerms: Int = 128): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(nPerms >= 1 && nPerms <= 1024, s"nPerms out of range: $nPerms")
+    val words = docs
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .distinct()
+      .localCheckpoint(true)
+    val sigs = words
+      .select($"source", explode(transform(
+        sequence(lit(1), lit(nPerms)),
+        i => struct(i.as("i"),
+          conv(substring(md5(concat_ws(":", $"w", i.cast("string"))),
+            1, 8), 16, 10).cast("long").as("h")))).as("s"))
+      .select($"source", $"s.i", $"s.h")
+      .groupBy($"source", $"i").agg(min($"h").as("mh"))
+    val est = sigs.select($"source".as("source_a"), $"i", $"mh".as("ha"))
+      .join(sigs.select($"source".as("source_b"), $"i", $"mh".as("hb")),
+        Seq("i"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(sum(when($"ha" === $"hb", 1L).otherwise(0L)).as("matches"))
+    val sizes = words.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = words.select($"source".as("source_a"), $"w")
+      .join(words.select($"source".as("source_b"), $"w"), Seq("w"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val out = est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.select($"source".as("source_a"), $"n".as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select($"source".as("source_b"), $"n".as("n_b")),
+        Seq("source_b"))
+      .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+      .withColumn("est_jaccard",
+        graft.ops.Quality.microRatio($"matches", lit(nPerms.toLong)))
+      .withColumn("exact_jaccard",
+        graft.ops.Quality.microRatio($"n_inter", $"n_a" + $"n_b" - $"n_inter"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"n_inter",
+        $"matches", $"est_jaccard", $"exact_jaccard")
+      .localCheckpoint(true)
+    words.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q152): [[sourceMinhashJaccard]] over
+    * `documents.source` — DuckDB re-derives the md5-conv permutation
+    * hashes, every signature slot's min, the agreement counts, AND the
+    * exact set Jaccard; estimate and truth are both hash-checked.
+    */
+  def q152SourceMinhash(spark: SparkSession, dir: String): DataFrame =
+    sourceMinhashJaccard(Sources.documents(spark, dir))
+      .orderBy(col("source_a"), col("source_b"))
+
   def q149BitextMine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Sources.embeddings(spark, dir)

@@ -245,6 +245,29 @@ class PackingSpec extends SparkTestBase {
     assert(got3 === Array((2L, 5L, 5L, 2L, 1L)))
   }
 
+  test("repackAfterDeletion: every doc before the first deleted token " +
+      "keeps its coordinates; the tape only shifts left after it") {
+    val out = ops.Packing.q153RepackDeleted(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"tok_start", $"old_first", $"old_last",
+        $"new_first", $"new_last", $"moved")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(_._1 % 37 != 5),
+      "deleted docs never appear in the repack")
+    // first deleted doc's tape offset bounds the stable prefix
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val firstDeletedStart = ops.Packing.sequencePackWithOffsets(
+        docs, "doc_id", ops.Packing.bpeishCount($"text"), 512L)
+      .filter($"doc_id" % 37 === 5)
+      .agg(min($"tok_start")).as[Long].head()
+    out.foreach { r =>
+      if (r._2 < firstDeletedStart)
+        assert(!r._7, s"doc ${r._1} precedes the first deletion but moved")
+    }
+    assert(out.exists(_._7), "docs after a deletion must shift")
+    // examples only ever shift LEFT (tokens were removed)
+    assert(out.forall(r => r._5 <= r._3 && r._6 <= r._4))
+  }
+
   test("epochShuffleKey: exact bijection of the dense domain, distinct " +
       "orders across epochs, deterministic, and shuffle-free") {
     // halfBits = 5 -> domain [0, 1024); a dense id range must map onto

@@ -585,6 +585,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(fpAverse > or_)
   }
 
+  test("source minhash jaccard: identical sources estimate 1, disjoint " +
+      "estimate 0, and the 128-perm estimate tracks the exact value") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma delta", "s2"),      // identical vocab to s1
+      (3L, "epsilon zeta eta theta", "s3"),      // disjoint from s1/s2
+      (4L, "alpha beta epsilon zeta", "s4")      // half-overlaps everyone
+    ).toDF("doc_id", "text", "source")
+    val got = ops.Similarity.sourceMinhashJaccard(docs)
+      .select($"source_a", $"source_b", $"est_jaccard", $"exact_jaccard")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("s1", "s2")) === ((1.0, 1.0)),
+      "identical vocabularies agree on every slot")
+    assert(got(("s1", "s3"))._1 === 0.0 && got(("s1", "s3"))._2 === 0.0)
+    assert(got(("s1", "s4"))._2 === BigDecimal(2.0 / 6.0 * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6)
+    // 128 perms: standard error sqrt(J(1-J)/128) <= 0.045; allow 4 sigma
+    got.values.foreach { case (est, exact) =>
+      assert(math.abs(est - exact) <= 0.18, s"est $est vs exact $exact")
+    }
+    // pairs are canonical (a < b) and complete: C(4,2) = 6
+    assert(got.size === 6)
+  }
+
   test("bitext mining: every planted pair recovered, no unaligned source " +
       "ever counts as recovered, hub noise stays under the margin") {
     val out = ops.Similarity.q149BitextMine(spark, "/root/testdata/sf0.001")
