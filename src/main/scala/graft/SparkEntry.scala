@@ -171,6 +171,7 @@ object SparkEntry {
     "q151_deletion_blast" -> (Packing.q151DeletionBlast _),
     "q152_source_minhash" -> (Similarity.q152SourceMinhash _),
     "q153_repack_deleted" -> (Packing.q153RepackDeleted _),
+    "q154_chunk_neighbors" -> (Similarity.q154ChunkNeighbors _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2949,6 +2950,63 @@ object SparkEntry {
         |  (o.old_first <> f.new_first OR o.old_last <> f.new_last) AS moved
         |FROM old o JOIN fresh f USING (doc_id)
         |ORDER BY o.doc_id""".stripMargin,
+    // RETRO chunk-neighbor manifest: 96/96 chunking, hashed TF-IDF
+    // over word-TRIGRAM shingles (65536 buckets, df-capped at 100),
+    // posting-list dots, top-2 neighbors from OTHER docs ranked by
+    // rounded cosine with id tie-breaks
+    "q154_chunk_neighbors" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+        |    substr(text, CAST(u.i * 96 + 1 AS INT), 96) AS chunk_text
+        |  FROM documents, unnest(generate_series(0,
+        |    CAST(CASE WHEN len(text) <= 96 THEN 0
+        |      ELSE (len(text) - 96 + 95) // 96 END AS BIGINT))) AS u(i)
+        |  WHERE len(text) > 0),
+        |ct AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_filter(string_split(lower(chunk_text), ' '),
+        |      x -> len(x) > 0) AS t
+        |  FROM ch),
+        |tf AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT)
+        |      % 65536 AS BIGINT) AS b,
+        |    count(*) AS tf
+        |  FROM (SELECT doc_id, chunk_id,
+        |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |        FROM ct, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |        WHERE len(t) >= 3)
+        |  GROUP BY 1, 2, 3),
+        |nc AS (SELECT count(*) AS n FROM ch),
+        |idf AS (
+        |  SELECT b, ln(((SELECT n FROM nc) + 1.0) / (count(*) + 1.0)) AS idf
+        |  FROM tf GROUP BY b HAVING count(*) <= 100),
+        |w AS (
+        |  SELECT doc_id, chunk_id, tf.b, tf.tf * idf.idf AS w
+        |  FROM tf JOIN idf USING (b)),
+        |nrm AS (
+        |  SELECT doc_id, chunk_id, sqrt(sum(w * w)) AS nrm
+        |  FROM w GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.doc_id, a.chunk_id,
+        |    b.doc_id AS nb_doc, b.chunk_id AS nb_chunk, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.b = b.b AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |cosd AS (
+        |  SELECT d.doc_id, d.chunk_id, d.nb_doc, d.nb_chunk,
+        |    round(d.dot / (na.nrm * nb.nrm), 6) AS cos
+        |  FROM dots d
+        |  JOIN nrm na ON na.doc_id = d.doc_id AND na.chunk_id = d.chunk_id
+        |  JOIN nrm nb ON nb.doc_id = d.nb_doc AND nb.chunk_id = d.nb_chunk),
+        |rk AS (
+        |  SELECT doc_id, chunk_id, nb_doc, nb_chunk, cos,
+        |    row_number() OVER (PARTITION BY doc_id, chunk_id
+        |      ORDER BY cos DESC, nb_doc, nb_chunk) AS rank
+        |  FROM cosd)
+        |SELECT doc_id, chunk_id, CAST(rank AS BIGINT) AS rank,
+        |  nb_doc, nb_chunk, cos
+        |FROM rk WHERE rank <= 2
+        |ORDER BY doc_id, chunk_id, rank""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

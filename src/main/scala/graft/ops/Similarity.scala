@@ -1814,6 +1814,100 @@ object Similarity {
     out
   }
 
+  /** L3/L7 — RETRO-style CHUNK-NEIGHBOR retrieval manifest (Borgeaud
+    * et al. 2022, "Improving Language Models by Retrieving from
+    * Trillions of Tokens" — public): chunk the corpus, and for every
+    * chunk find its top-k nearest neighbor chunks FROM OTHER DOCUMENTS
+    * — the training-data layout retrieval-augmented pretraining
+    * consumes (RETRO trains on [chunk ‖ retrieved neighbors]; the
+    * same-document exclusion is the paper's leakage rule §2.3).
+    * Chunk vectors here are the engine's hashed-TF-IDF embedding
+    * ([[tfidfDecontaminate]]'s model, fit on the chunk corpus), so the
+    * whole manifest is oracle-re-derivable; swap in neural embeddings
+    * and ONLY the vector stage changes.
+    *
+    * Input: [[graft.ops.Packing.chunkDocs]] output. Output: per chunk,
+    * its `k` neighbors with 6-decimal cosines, ranked (rounded-cosine
+    * order, id tie-break — partition-invariant).
+    *
+    * 100 TB posture: the dot is the q39/q132 posting-list shape — one
+    * bucket-keyed self-join whose cost is Σ_b df_b². Features are
+    * word TRIGRAM shingles (the q39 choice — unigram lists are
+    * corpus-dense and quadratic; trigram df is sparse), and lists
+    * longer than `dfCap` are DROPPED outright (boilerplate shingles —
+    * the q39 cap), so the join is bounded by #kept_buckets · dfCap².
+    * Cosines live in the capped feature space by definition. Norms
+    * and idf are bounded aggregates; the top-k window partitions by
+    * chunk. For corpora where even capped lists explode, route
+    * candidates through the q127 IVF-blocked generator — the cosine
+    * algebra is unchanged.
+    */
+  def chunkNeighbors(chunks: DataFrame, k: Int = 2, buckets: Int = 65536,
+      dfCap: Int = 100): DataFrame = {
+    import chunks.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && buckets > 0 && dfCap >= 1,
+      s"bad params: k=$k buckets=$buckets dfCap=$dfCap")
+    val toks = filter(split(lower($"chunk_text"), " "),
+      t => length(t) > 0)
+    val grams = when(size(toks) >= 3, Quality.wordGrams(toks, 3))
+      .otherwise(array().cast("array<string>"))
+    val tf = chunks
+      .select($"doc_id", $"chunk_id", explode(grams).as("g"))
+      .select($"doc_id", $"chunk_id",
+        (conv(substring(md5($"g"), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+      .groupBy($"doc_id", $"chunk_id", $"b").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val nc = chunks.agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy($"b").agg(count(lit(1)).as("dfb"))
+      .filter($"dfb" <= dfCap)
+      .crossJoin(broadcast(nc))
+      .select($"b", log(($"n" + 1.0) / ($"dfb" + 1.0)).as("idf"))
+    val w = tf.join(broadcast(idf), Seq("b"))
+      .select($"doc_id", $"chunk_id", $"b", ($"tf" * $"idf").as("w"))
+      .localCheckpoint(true)
+    val nrm = w.groupBy($"doc_id", $"chunk_id")
+      .agg(sqrt(sum($"w" * $"w")).as("nrm"))
+    val dots = w
+      .join(w.select($"doc_id".as("nb_doc"), $"chunk_id".as("nb_chunk"),
+          $"b", $"w".as("nw")),
+        Seq("b"))
+      .filter($"doc_id" =!= $"nb_doc")
+      .groupBy($"doc_id", $"chunk_id", $"nb_doc", $"nb_chunk")
+      .agg(sum($"w" * $"nw").as("dot"))
+    val out = dots
+      .join(nrm, Seq("doc_id", "chunk_id"))
+      .join(nrm.select($"doc_id".as("nb_doc"), $"chunk_id".as("nb_chunk"),
+        $"nrm".as("nb_nrm")), Seq("nb_doc", "nb_chunk"))
+      .select($"doc_id", $"chunk_id", $"nb_doc", $"nb_chunk",
+        round($"dot" / ($"nrm" * $"nb_nrm"), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id", $"chunk_id")
+          .orderBy($"cos".desc, $"nb_doc", $"nb_chunk")))
+      .filter($"rank" <= k)
+      .select($"doc_id", $"chunk_id", $"rank".cast("long").as("rank"),
+        $"nb_doc", $"nb_chunk", $"cos")
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    w.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q154): [[chunkNeighbors]] at k=2 over the q94
+    * chunking restriped to non-overlapping 96-char chunks — DuckDB
+    * re-derives the chunk substrings, hashed TF-IDF model, posting-
+    * list dots, and the ranked neighbor lists; every neighbor id and
+    * cosine hash-checked.
+    */
+  def q154ChunkNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = graft.ops.Packing.chunkDocs(
+      Sources.documents(spark, dir), "doc_id", "text", 96, 96)
+    chunkNeighbors(chunks)
+      .orderBy($"doc_id", $"chunk_id", $"rank")
+  }
+
   /** ORACLED exercise (q149): [[marginMine]] over the q145 planted
     * pair table (even/odd vec_ids as the two "languages", even
     * pair_ids aligned by the 0.8/0.2 mix) — the miner must RECOVER

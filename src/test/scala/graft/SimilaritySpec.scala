@@ -585,6 +585,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(fpAverse > or_)
   }
 
+  test("chunk neighbors: twin chunks are mutual rank-1 at cos 1, " +
+      "same-document neighbors never appear") {
+    val chunks = Seq(
+      (1L, 0L, "alpha beta gamma delta"),
+      (1L, 1L, "alpha beta gamma delta"),   // same-doc twin: must be excluded
+      (2L, 0L, "alpha beta gamma delta"),   // cross-doc twin of (1,0)
+      (3L, 0L, "iota kappa lambda mu")
+    ).toDF("doc_id", "chunk_id", "chunk_text")
+    val got = ops.Similarity.chunkNeighbors(chunks, k = 2)
+      .select($"doc_id", $"chunk_id", $"rank", $"nb_doc", $"nb_chunk", $"cos")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.forall(r => r._1 != r._4), "same-doc neighbors excluded")
+    val r1 = got.filter(r => r._3 == 1L)
+      .map(r => (r._1, r._2) -> (r._4, r._5, r._6)).toMap
+    assert(r1((1L, 0L)) === ((2L, 0L, 1.0)))
+    assert(r1((1L, 1L)) === ((2L, 0L, 1.0)))
+    assert(r1((2L, 0L))._3 === 1.0)
+    assert(r1((2L, 0L))._1 === 1L, "twin doc wins by id tie-break")
+  }
+
   test("source minhash jaccard: identical sources estimate 1, disjoint " +
       "estimate 0, and the 128-perm estimate tracks the exact value") {
     val docs = Seq(
