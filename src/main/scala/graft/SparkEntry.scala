@@ -172,6 +172,7 @@ object SparkEntry {
     "q152_source_minhash" -> (Similarity.q152SourceMinhash _),
     "q153_repack_deleted" -> (Packing.q153RepackDeleted _),
     "q154_chunk_neighbors" -> (Similarity.q154ChunkNeighbors _),
+    "q155_contrastive_pairs" -> (Similarity.q155ContrastivePairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3007,6 +3008,41 @@ object SparkEntry {
         |  nb_doc, nb_chunk, cos
         |FROM rk WHERE rank <= 2
         |ORDER BY doc_id, chunk_id, rank""".stripMargin,
+    // contrastive (anchor, positive, hard-negative) triples: q43's
+    // recursive cluster body + the sub-threshold [0.02, 0.1) pair band
+    // off the SAME shared/sizes CTEs; positives = min-id other member,
+    // negatives = cross-cluster argmax jaccard (rounded, id tie-break)
+    "q155_contrastive_pairs" ->
+      ("WITH RECURSIVE " + jaccardClusterBodySql + ",\n" +
+        """pn AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS j
+        |  FROM shared
+        |  JOIN sizes na ON doc_a = na.doc_id
+        |  JOIN sizes nb ON doc_b = nb.doc_id
+        |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.02),
+        |dp AS (SELECT doc_a AS doc_id, doc_b AS cand, j FROM pn
+        |       UNION ALL SELECT doc_b AS doc_id, doc_a AS cand, j FROM pn),
+        |ft AS (SELECT cluster_id, min(doc_id) AS m1 FROM cl GROUP BY cluster_id),
+        |ft2 AS (SELECT c2.cluster_id, min(c2.doc_id) AS m2
+        |        FROM cl c2 JOIN ft USING (cluster_id)
+        |        WHERE c2.doc_id > ft.m1 GROUP BY c2.cluster_id),
+        |pos AS (
+        |  SELECT m.doc_id, m.cluster_id,
+        |    CASE WHEN m.doc_id = ft.m1 THEN ft2.m2 ELSE ft.m1 END AS positive_id
+        |  FROM cl m JOIN ft USING (cluster_id) JOIN ft2 USING (cluster_id)),
+        |nb2 AS (
+        |  SELECT d.doc_id, d.cand, d.j,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY d.j DESC, d.cand) AS rn
+        |  FROM dp d
+        |  JOIN cl ma ON ma.doc_id = d.doc_id
+        |  LEFT JOIN cl mb ON mb.doc_id = d.cand
+        |  WHERE mb.doc_id IS NULL OR mb.cluster_id <> ma.cluster_id)
+        |SELECT p.doc_id AS anchor_id, p.cluster_id, p.positive_id,
+        |  n.cand AS negative_id, n.j AS neg_jaccard
+        |FROM pos p LEFT JOIN (SELECT * FROM nb2 WHERE rn = 1) n USING (doc_id)
+        |ORDER BY anchor_id""".stripMargin),
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

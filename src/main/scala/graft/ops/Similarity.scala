@@ -1894,6 +1894,80 @@ object Similarity {
     out
   }
 
+  /** L2/L3 — CONTRASTIVE TRAINING-PAIR manifest: (anchor, positive,
+    * hard negative) triples, the data shape dense-retriever/embedding
+    * training consumes (SimCSE/E5/DPR-style: positives must be true
+    * paraphrases, negatives must be LEXICALLY CLOSE non-paraphrases —
+    * random negatives teach nothing, Karpukhin et al. 2020 §3.2).
+    * This engine's instantiation is fully self-referential and
+    * oracle-re-derivable:
+    *  - anchors = every member of a near-dup cluster (the q43
+    *    components over ≥ 0.1 trigram-Jaccard edges);
+    *  - positive = the cluster's min-id OTHER member (deterministic,
+    *    always exists — clusters have ≥ 2 members);
+    *  - hard negative = the highest-Jaccard candidate from a DIFFERENT
+    *    cluster (or a singleton) in the sub-threshold band
+    *    [`minNegJaccard`, cluster threshold) — lexically close enough
+    *    to be hard, provably not a duplicate; NULL when the band is
+    *    empty for that anchor.
+    *
+    * 100 TB posture: ONE posting-list pass ([[ngramJaccardPairs]] at
+    * the lower threshold) feeds both the cluster edges (filter ≥ 0.1)
+    * and the negative band; components are the q43 iterated small
+    * joins; everything after is per-cluster/per-anchor argmax over
+    * already-thin pair lists.
+    */
+  def contrastivePairs(docs: DataFrame, minNegJaccard: Double = 0.02)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(minNegJaccard > 0 && minNegJaccard < 0.1,
+      s"negative band must sit below the 0.1 cluster threshold: $minNegJaccard")
+    val allPairs = ngramJaccardPairs(docs, minJaccard = minNegJaccard)
+      .localCheckpoint(true)
+    val cl = connectedComponents(allPairs.filter($"jaccard" >= 0.1),
+      "doc_a", "doc_b").localCheckpoint(true)
+    val firstTwo = cl.groupBy($"cluster_id")
+      .agg(slice(array_sort(collect_list($"doc_id")), 1, 2).as("lo"))
+      .select($"cluster_id", element_at($"lo", 1).as("m1"),
+        element_at($"lo", 2).as("m2"))
+    val pos = cl.join(firstTwo, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id",
+        when($"doc_id" === $"m1", $"m2").otherwise($"m1").as("positive_id"))
+    val directed = allPairs.select($"doc_a".as("doc_id"), $"doc_b".as("cand"),
+        $"jaccard")
+      .unionByName(allPairs.select($"doc_b".as("doc_id"),
+        $"doc_a".as("cand"), $"jaccard"))
+    val negCand = directed
+      .join(cl.select($"doc_id", $"cluster_id".as("a_cl")), Seq("doc_id"))
+      .join(cl.select($"doc_id".as("cand"), $"cluster_id".as("c_cl")),
+        Seq("cand"), "left")
+      .filter($"c_cl".isNull || $"c_cl" =!= $"a_cl")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"jaccard".desc, $"cand")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand".as("negative_id"),
+        $"jaccard".as("neg_jaccard"))
+    val out = pos.join(negCand, Seq("doc_id"), "left")
+      .select($"doc_id".as("anchor_id"), $"cluster_id", $"positive_id",
+        $"negative_id", $"neg_jaccard")
+      .localCheckpoint(true)
+    allPairs.unpersist(false)
+    cl.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q155): [[contrastivePairs]] over `documents` —
+    * DuckDB stitches the q43 recursive-cluster body with the
+    * sub-threshold pair band; every anchor's cluster, positive, and
+    * argmax hard negative (or its absence) hash-checked.
+    */
+  def q155ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contrastivePairs(Sources.documents(spark, dir))
+      .orderBy($"anchor_id")
+  }
+
   /** ORACLED exercise (q154): [[chunkNeighbors]] at k=2 over the q94
     * chunking restriped to non-overlapping 96-char chunks — DuckDB
     * re-derives the chunk substrings, hashed TF-IDF model, posting-

@@ -585,6 +585,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(fpAverse > or_)
   }
 
+  test("contrastive pairs: positives are cluster-mates, negatives come " +
+      "from a different cluster in the sub-threshold band, NULL when " +
+      "nothing lexically close exists") {
+    // docs 1/2: near-identical (same trigram set -> one cluster);
+    // docs 3/4: another near-dup family sharing SOME trigrams with 1/2
+    // (the hard-negative band); doc 5: unrelated singleton
+    // families share exactly ONE trigram ("the lazy dog"): J = 1/15 ≈
+    // 0.067 — inside [0.02, 0.1), so they are hard negatives for each
+    // other, provably not cluster-mates
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "felix saw the lazy dog relaxing beside warm stones quietly"),
+      (4L, "felix saw the lazy dog relaxing beside warm stones calmly"),
+      (5L, "completely unrelated words about spark query engines here")
+    ).toDF("doc_id", "text")
+    val got = ops.Similarity.contrastivePairs(docs)
+      .select($"anchor_id", $"cluster_id", $"positive_id", $"negative_id")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L), "singletons are not anchors")
+    assert(got(1L)._3 === 2L && got(2L)._3 === 1L)
+    assert(got(3L)._3 === 4L && got(4L)._3 === 3L)
+    // negatives cross the cluster boundary
+    assert(got(1L)._4.exists(n => n == 3L || n == 4L))
+    assert(got(3L)._4.exists(n => n == 1L || n == 2L))
+    // a corpus where the other family is lexically DISJOINT yields no
+    // negative (band empty) but the anchor still ships
+    val far = docs.withColumn("text",
+      when($"doc_id" >= 3L && $"doc_id" <= 4L,
+        concat(lit("zzz yyy xxx www vvv uuu ttt sss rrr "),
+          $"doc_id".cast("string"))).otherwise($"text"))
+    val got2 = ops.Similarity.contrastivePairs(far)
+      .select($"anchor_id", $"negative_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got2(1L).isEmpty && got2(2L).isEmpty,
+      "no lexically-close non-duplicate -> NULL negative")
+  }
+
   test("chunk neighbors: twin chunks are mutual rank-1 at cos 1, " +
       "same-document neighbors never appear") {
     val chunks = Seq(
