@@ -173,6 +173,7 @@ object SparkEntry {
     "q153_repack_deleted" -> (Packing.q153RepackDeleted _),
     "q154_chunk_neighbors" -> (Similarity.q154ChunkNeighbors _),
     "q155_contrastive_pairs" -> (Similarity.q155ContrastivePairs _),
+    "q156_quality_survivors" -> (Similarity.q156QualitySurvivors _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3043,6 +3044,19 @@ object SparkEntry {
         |  n.cand AS negative_id, n.j AS neg_jaccard
         |FROM pos p LEFT JOIN (SELECT * FROM nb2 WHERE rn = 1) n USING (doc_id)
         |ORDER BY anchor_id""".stripMargin),
+    // quality-aware dedup survivor: q43's cluster body + q113's LM
+    // CTEs; per cluster the lowest-bits member survives (NULLS LAST,
+    // id tie-break)
+    "q156_quality_survivors" ->
+      ("WITH RECURSIVE " + jaccardClusterBodySql + ",\n" +
+        lmCtesSql("documents") + ",\n" + lmAggCteSql + ",\n" +
+        """mm AS (
+        |  SELECT c.doc_id, c.cluster_id, lm.lm_bits,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY lm.lm_bits ASC NULLS LAST, c.doc_id) AS rn
+        |  FROM cl c LEFT JOIN lm USING (doc_id))
+        |SELECT doc_id, cluster_id, lm_bits, rn = 1 AS is_survivor
+        |FROM mm ORDER BY doc_id""".stripMargin),
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

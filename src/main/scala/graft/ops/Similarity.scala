@@ -1957,6 +1957,53 @@ object Similarity {
     out
   }
 
+  /** L2/L6 — QUALITY-AWARE dedup survivor selection: within each
+    * near-dup cluster keep the member the quality model likes BEST
+    * (lowest CCNet LM bits — [[Quality.lmScore]]), not the arbitrary
+    * min-id. This is how production recipes actually pick (FineWeb /
+    * RefinedWeb keep the best-scoring near-dup variant — boilerplate-
+    * stripped copies beat raw ones); min-id is only correct when
+    * members are byte-identical. Tie-break: bits ties (and unscored
+    * members, NULLS LAST) fall back to min id, so the choice stays
+    * deterministic and partition-invariant.
+    *
+    * Output: every CLUSTER MEMBER with its cluster, LM bits, and the
+    * is_survivor flag (singletons survive trivially and are omitted,
+    * the q43 members-only convention).
+    *
+    * 100 TB posture: the q43 clustering arm + the broadcast-model LM
+    * scoring arm, then ONE per-cluster rank window over the (members
+    * only, ≪ corpus) cluster table — nothing new shuffles at corpus
+    * scale.
+    */
+  def qualityAwareSurvivors(docs: DataFrame, reference: DataFrame)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cl = connectedComponents(ngramJaccardPairs(docs), "doc_a", "doc_b")
+    val bits = Quality.lmScore(docs, reference)
+      .select($"doc_id", $"bits_per_transition".as("lm_bits"))
+    cl.join(bits, Seq("doc_id"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cluster_id")
+          .orderBy($"lm_bits".asc_nulls_last, $"doc_id")))
+      .select($"doc_id", $"cluster_id", $"lm_bits",
+        ($"rn" === 1).as("is_survivor"))
+  }
+
+  /** ORACLED exercise (q156): [[qualityAwareSurvivors]] over
+    * `documents` with the q113 reference split (every 3rd doc trains
+    * the char LM) — DuckDB stitches the q43 recursive-cluster body
+    * with the q113 LM CTEs; every member's bits and the per-cluster
+    * survivor choice hash-checked.
+    */
+  def q156QualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    qualityAwareSurvivors(docs, docs.filter($"doc_id" % 3 === 0))
+      .orderBy($"doc_id")
+  }
+
   /** ORACLED exercise (q155): [[contrastivePairs]] over `documents` —
     * DuckDB stitches the q43 recursive-cluster body with the
     * sub-threshold pair band; every anchor's cluster, positive, and

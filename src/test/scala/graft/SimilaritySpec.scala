@@ -585,6 +585,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(fpAverse > or_)
   }
 
+  test("quality-aware survivors: exactly one survivor per cluster, and " +
+      "it is the lowest-bits member, not the min id") {
+    val out = ops.Similarity.q156QualitySurvivors(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"cluster_id", $"lm_bits", $"is_survivor")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._4) === 1, s"cluster $c needs ONE survivor")
+      val surv = members.find(_._4).get
+      val best = members.filter(_._3.isDefined).map(_._3.get).min
+      assert(surv._3.contains(best) || members.forall(_._3.isEmpty),
+        s"cluster $c survivor must carry the lowest bits")
+    }
+    // the rule must actually differ from min-id somewhere on this corpus
+    // (otherwise the test is vacuous)
+    assert(byCluster.exists { case (_, ms) =>
+      ms.find(_._4).get._1 != ms.map(_._1).min
+    }, "fixture should contain a cluster where quality beats min-id")
+  }
+
   test("contrastive pairs: positives are cluster-mates, negatives come " +
       "from a different cluster in the sub-threshold band, NULL when " +
       "nothing lexically close exists") {
