@@ -261,6 +261,52 @@ object Similarity {
     vecs.unpersist(false)
   }
 
+  /** INCREMENTAL index maintenance: append new vectors to a written
+    * IVF index WITHOUT refitting — assign each to its best existing
+    * cell (the same argmax u·c − ‖c‖²/2 rule queries use, so appended
+    * vectors are probed exactly where searches look for them) and
+    * append into the cell-partitioned layout. This is how production
+    * IVF serves a growing corpus (FAISS `add` after `train`): the
+    * coarse quantizer is frozen; only periodic refits rebalance.
+    * Recall for appended vectors equals insert-time assignment
+    * consistency, which this shares with [[ivfIndexTopK]] by
+    * construction (spec-asserted, including partition-pruning
+    * preservation).
+    *
+    * 100 TB posture: ONE map stage over the new batch (centroids are
+    * a broadcast-sized table by construction) + a partitioned append —
+    * no shuffle of existing data, no index rebuild; cell files grow
+    * monotonically until a refit compacts.
+    */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      emb: DataFrame): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect()
+    require(centroids.nonEmpty, s"no centroids at $path — write the index first")
+    // centroid table as a literal array of (vec, half-norm, cell) —
+    // assignment is the q130 codegen'd argmax shape, no UDF
+    val cents = typedlit(centroids.toSeq.map { case (i, c) =>
+      (c, c.map(x => x * x).sum / 2.0, i)
+    })
+    val dot = (u: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(u, c, _ * _), lit(0.0), (a, x) => a + x)
+    val best = array_max(transform(cents, ct => struct(
+      (dot($"unit", ct.getField("_1")) - ct.getField("_2")).as("score"),
+      (-ct.getField("_3")).as("negcell"))))
+    emb
+      .select($"vec_id", $"label",
+        transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x),
+        lit(0.0), (a, x) => a + x)))
+      .withColumn("unit",
+        when($"nrm" > 0.0, transform($"v", _ / $"nrm")).otherwise($"v"))
+      .select($"vec_id", $"label", $"unit",
+        (-best.getField("negcell")).cast("int").as("ivf_list"))
+      .repartition(col("ivf_list"))
+      .write.partitionBy("ivf_list").mode("append").parquet(s"$path/cells")
+  }
+
   /** Rank a written index's cells for `queryVec` and return the
     * `nProbe` best — the same assignment-score ranking as [[ivfTopK]]
     * (argmax u·c − ‖c‖²/2 over the UNIT query), driver-side over the

@@ -75,4 +75,36 @@ class IvfLayoutSpec extends SparkTestBase {
       .sortBy(_._1).toSeq
     assert(got === brute)
   }
+
+  test("incremental append: new vectors land in the cell queries probe, " +
+      "become findable without refit, and pruning is preserved") {
+    val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val base = Files.createTempDirectory("graft-ivf-app").toString
+    ops.Similarity.writeIvfIndex(emb.filter($"vec_id" =!= 7L), base, 8)
+    val qv = emb.filter($"vec_id" === 7L)
+      .select(transform($"embedding", _.cast("double")))
+      .head().getSeq[Double](0)
+    // before the append, the held-out twin cannot be found
+    val before = ops.Similarity.ivfIndexTopK(spark, base, qv, 5, nProbe = 2)
+      .select($"vec_id").as[Long].collect()
+    assert(!before.contains(999999L))
+    // append the twin (vec 7's embedding under a fresh id)
+    ops.Similarity.appendToIvfIndex(spark, base,
+      emb.filter($"vec_id" === 7L).select(lit(999999L).as("vec_id"),
+        lit(42).as("label"), $"embedding"))
+    val after = ops.Similarity.ivfIndexTopK(spark, base, qv, 5, nProbe = 2)
+      .select($"vec_id", $"cosine", $"ivf_list")
+      .as[(Long, Double, Int)].collect()
+    val hit = after.find(_._1 == 999999L)
+    assert(hit.isDefined, s"appended twin must be probed and found: ${after.toSeq}")
+    assert(hit.get._2 === 1.0, "identical vector scores cosine 1")
+    // insert/query consistency: the twin sits in the query's TOP cell
+    assert(hit.get._3 === ops.Similarity.probedCells(spark, base, qv, 1).head)
+    // pruning preserved after the append
+    val probed = ops.Similarity.probedCells(spark, base, qv, 2)
+    val plan = spark.read.parquet(s"$base/cells")
+      .filter($"ivf_list".isin(probed: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"))
+  }
 }
