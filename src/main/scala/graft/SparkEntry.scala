@@ -174,6 +174,7 @@ object SparkEntry {
     "q154_chunk_neighbors" -> (Similarity.q154ChunkNeighbors _),
     "q155_contrastive_pairs" -> (Similarity.q155ContrastivePairs _),
     "q156_quality_survivors" -> (Similarity.q156QualitySurvivors _),
+    "q157_delta_dedup" -> (Similarity.q157DeltaDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3057,6 +3058,71 @@ object SparkEntry {
         |  FROM cl c LEFT JOIN lm USING (doc_id))
         |SELECT doc_id, cluster_id, lm_bits, rn = 1 AS is_survivor
         |FROM mm ORDER BY doc_id""".stripMargin),
+    // delta dedup: new batch (incl. planted byte-copies %7 and
+    // first-word-mutated copies %11) against the %5<>0 corpus; exact
+    // via text equality (min corpus id), near via cross-side trigram
+    // Jaccard over union-df-capped posting lists (argmax, id tie-break)
+    "q157_delta_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |fresh AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    'mutated' || substr(text, instr(text, ' '), 1000000) AS text
+        |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 5 <> 0),
+        |ex AS (
+        |  SELECT f.doc_id, min(c.doc_id) AS exact_id
+        |  FROM fresh f LEFT JOIN corpus c ON c.text = f.text
+        |  GROUP BY f.doc_id),
+        |nf AS (
+        |  SELECT f.doc_id, f.text FROM fresh f
+        |  JOIN ex ON ex.doc_id = f.doc_id WHERE ex.exact_id IS NULL),
+        |tn AS (SELECT doc_id, string_split(text, ' ') AS t FROM nf
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |shn AS (SELECT DISTINCT doc_id,
+        |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |        FROM tn, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |shc AS (SELECT DISTINCT doc_id,
+        |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |        FROM tc, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |sha AS (SELECT doc_id, 'n' AS side, s FROM shn
+        |        UNION ALL SELECT doc_id, 'c' AS side, s FROM shc),
+        |hot AS (SELECT s FROM sha GROUP BY s HAVING count(*) > 100),
+        |shf AS (SELECT * FROM sha WHERE s NOT IN (SELECT s FROM hot)),
+        |sizes AS (SELECT side, doc_id, count(*) AS n FROM shf
+        |          GROUP BY side, doc_id),
+        |shared AS (
+        |  SELECT a.doc_id, b.doc_id AS c_id, count(*) AS c
+        |  FROM shf a JOIN shf b ON a.s = b.s
+        |  WHERE a.side = 'n' AND b.side = 'c'
+        |  GROUP BY a.doc_id, b.doc_id),
+        |near0 AS (
+        |  SELECT sh2.doc_id, sh2.c_id,
+        |    CAST(sh2.c AS DOUBLE) / (na.n + nb.n - sh2.c) AS jacc
+        |  FROM shared sh2
+        |  JOIN sizes na ON na.side = 'n' AND na.doc_id = sh2.doc_id
+        |  JOIN sizes nb ON nb.side = 'c' AND nb.doc_id = sh2.c_id),
+        |near AS (
+        |  SELECT doc_id, c_id AS near_id, round(jacc, 6) AS near_jaccard,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(jacc, 6) DESC, c_id) AS rn
+        |  FROM near0 WHERE jacc >= 0.1)
+        |SELECT f.doc_id,
+        |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'fresh' END AS verdict,
+        |  coalesce(ex.exact_id, nr.near_id) AS match_id,
+        |  CASE WHEN ex.exact_id IS NULL THEN nr.near_jaccard END AS near_jaccard
+        |FROM fresh f
+        |JOIN ex USING (doc_id)
+        |LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

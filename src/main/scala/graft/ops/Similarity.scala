@@ -2003,6 +2003,106 @@ object Similarity {
     out
   }
 
+  /** L1/L2 — DELTA DEDUP (incremental corpus refresh): gate a NEW
+    * ingest batch against the EXISTING corpus without re-deduping the
+    * corpus itself — the shape every recurring-crawl pipeline runs
+    * (CommonCrawl snapshot N+1 against the retained snapshots). Per
+    * new document, a verdict:
+    *  - `exact_dup`  — byte-identical text exists in the corpus
+    *    (match = min corpus id);
+    *  - `near_dup`   — trigram-shingle Jaccard ≥ `minJaccard` against
+    *    some corpus doc (match = argmax Jaccard, id tie-break);
+    *  - `fresh`      — admitted.
+    * Exact wins over near (a byte-copy also scores Jaccard 1).
+    *
+    * 100 TB posture: the exact arm joins on xxhash64(text) with the
+    * text re-checked inside the match (the q21 hash-the-body rule —
+    * the shuffle carries 8-byte keys; equality confirms). The near arm
+    * is the q39 posting-list shape with the df computed over BOTH
+    * sides' shingles (hot boilerplate drops once, symmetrically) and
+    * PAIRS FORMED ACROSS SIDES ONLY — cost is Σ_b df_new·df_old, never
+    * corpus×corpus. Only exact-fresh docs reach the near arm.
+    */
+  def deltaDedup(newDocs: DataFrame, corpus: DataFrame,
+      minJaccard: Double = 0.1, dfCap: Int = 100): DataFrame = {
+    import newDocs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val exactMatch = newDocs.select($"doc_id", $"text",
+        xxhash64($"text").as("h"))
+      .join(corpus.select($"doc_id".as("c_id"), $"text".as("c_text"),
+        xxhash64($"text").as("h")), Seq("h"), "left")
+      .filter($"c_text".isNull || $"c_text" === $"text")
+      .groupBy($"doc_id").agg(min($"c_id").as("exact_id"))
+      .localCheckpoint(true)
+    def shingled(df: DataFrame, side: String) = df
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", lit(side).as("side"),
+        explode(array_distinct(transform(Quality.wordGrams($"t", 3),
+          s => xxhash64(s)))).as("s"))
+    // exact dups never reach the shingle arm — their verdict is settled
+    val exactFresh = newDocs.join(
+      exactMatch.filter($"exact_id".isNotNull).select($"doc_id"),
+      Seq("doc_id"), "left_anti")
+    val allSh = shingled(exactFresh, "n").unionByName(shingled(corpus, "c"))
+      .localCheckpoint(true)
+    val hot = allSh.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > dfCap).select($"s")
+    val sh = allSh.join(broadcast(hot), Seq("s"), "left_anti")
+      .localCheckpoint(true)
+    val sizes = sh.groupBy($"side", $"doc_id").agg(count(lit(1)).as("n"))
+    val near = sh.filter($"side" === "n").select($"doc_id", $"s")
+      .join(sh.filter($"side" === "c")
+        .select($"doc_id".as("c_id"), $"s"), Seq("s"))
+      .groupBy($"doc_id", $"c_id").agg(count(lit(1)).as("c"))
+      .join(sizes.filter($"side" === "n").select($"doc_id", $"n".as("na")),
+        Seq("doc_id"))
+      .join(sizes.filter($"side" === "c")
+        .select($"doc_id".as("c_id"), $"n".as("nb")), Seq("c_id"))
+      .withColumn("jacc", $"c".cast("double") / ($"na" + $"nb" - $"c"))
+      .filter($"jacc" >= minJaccard)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy(round($"jacc", 6).desc, $"c_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"c_id".as("near_id"),
+        round($"jacc", 6).as("near_jaccard"))
+    val out = newDocs.select($"doc_id")
+      .join(exactMatch, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"exact_id".isNotNull, "exact_dup")
+          .when($"near_id".isNotNull, "near_dup")
+          .otherwise("fresh").as("verdict"),
+        coalesce($"exact_id", $"near_id").as("match_id"),
+        when($"exact_id".isNull, $"near_jaccard").as("near_jaccard"))
+      .localCheckpoint(true)
+    allSh.unpersist(false)
+    sh.unpersist(false)
+    exactMatch.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q157): [[deltaDedup]] with corpus = doc_id % 5
+    * ≠ 0 and the new batch = the %5 == 0 docs PLUS planted arrivals —
+    * a byte-copy of every %7 == 0 corpus doc (exact_dup) and a
+    * first-word-mutated copy of every %11 == 0 corpus doc (near_dup,
+    * Jaccard just under 1) — under shifted ids; every verdict, match
+    * id, and Jaccard hash-checked.
+    */
+  def q157DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val mutated = concat(lit("mutated"),
+      $"text".substr(instr($"text", " "), lit(1000000)))
+    val fresh = docs.filter($"doc_id" % 5 === 0).select($"doc_id", $"text")
+      .unionByName(docs.filter($"doc_id" % 7 === 0 && $"doc_id" % 5 =!= 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0 && $"doc_id" % 5 =!= 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), mutated.as("text")))
+    deltaDedup(fresh, corpus).orderBy($"doc_id")
+  }
+
   /** L2/L6 — QUALITY-AWARE dedup survivor selection: within each
     * near-dup cluster keep the member the quality model likes BEST
     * (lowest CCNet LM bits — [[Quality.lmScore]]), not the arbitrary

@@ -585,6 +585,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(fpAverse > or_)
   }
 
+  test("delta dedup: byte-copies flag exact, mutated copies flag near " +
+      "with the right match, genuinely new docs admit as fresh") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta")  // corpus dup
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // byte copy
+      (101L, "one two three four five six seven nine"),        // 1 word off
+      (102L, "totally different words about nothing at all here now")
+    ).toDF("doc_id", "text")
+    val got = ops.Similarity.deltaDedup(fresh, corpus)
+      .select($"doc_id", $"verdict", $"match_id", $"near_jaccard")
+      .as[(Long, String, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(100L)._2 === "exact_dup" && got(100L)._3.contains(10L),
+      "byte copy matches the MIN corpus id of the dup family")
+    assert(got(100L)._4.isEmpty, "exact verdicts ship no jaccard")
+    assert(got(101L)._2 === "near_dup" && got(101L)._3.contains(11L))
+    assert(got(101L)._4.exists(j => j > 0.5 && j < 1.0))
+    assert(got(102L) === ((102L, "fresh", None, None)))
+  }
+
   test("quality-aware survivors: exactly one survivor per cluster, and " +
       "it is the lowest-bits member, not the min id") {
     val out = ops.Similarity.q156QualitySurvivors(spark, "/root/testdata/sf0.001")
