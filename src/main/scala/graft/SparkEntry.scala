@@ -175,6 +175,7 @@ object SparkEntry {
     "q155_contrastive_pairs" -> (Similarity.q155ContrastivePairs _),
     "q156_quality_survivors" -> (Similarity.q156QualitySurvivors _),
     "q157_delta_dedup" -> (Similarity.q157DeltaDedup _),
+    "q158_line_lm" -> (Quality.q158LineLm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3123,6 +3124,42 @@ object SparkEntry {
         |JOIN ex USING (doc_id)
         |LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+    // per-line LM scoring over the c4Plant corpus: lines keyed
+    // doc_id*10+idx, scored through the q113 LM CTEs, keys split back
+    "q158_line_lm" ->
+      ("WITH " +
+        """base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> CASE WHEN (doc_id + i) % 4 = 0
+        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
+        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['please enable javascript and cookies to continue.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ['var config = { mode: production };']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    AS lines
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
+        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
+        |lrel AS (
+        |  SELECT doc_id * 10 + idx AS doc_id, line AS text FROM ex)""".stripMargin +
+        ",\n" + lmCtesSql("lrel") + ",\n" + lmAggCteSql + "\n" +
+        """SELECT CAST(lm.doc_id // 10 AS BIGINT) AS doc_id,
+        |  CAST(lm.doc_id % 10 AS BIGINT) AS idx,
+        |  lm.lm_bits, lm.lm_bits > 6.0 AS is_bad
+        |FROM lm ORDER BY doc_id, idx""".stripMargin),
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

@@ -1004,6 +1004,48 @@ object Quality {
     dedupParagraphs(c4Plant(Sources.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** L6 at PARAGRAPH granularity — per-LINE LM quality scoring: CCNet
+    * computes its perplexity signal per PARAGRAPH, not per page
+    * (Wenzek et al. §4.4 — a page is kept/cut at paragraph level, so
+    * one boilerplate paragraph can't sink a good document and one good
+    * paragraph can't launder a spam page). Each line of a multi-line
+    * document scores independently under the [[lmScore]] char-bigram
+    * model; `is_bad` flags lines above `maxBits` (the q125 admission
+    * threshold), the unit the surgical-removal recipe excises.
+    *
+    * Mechanics: lines key as doc_id·10 + idx (plant docs carry ≤ 8
+    * lines — asserted), score through the UNCHANGED [[lmScore]] body,
+    * then the key splits back. 100 TB posture: identical to q113 —
+    * the model broadcasts (alphabet-bounded), scoring is one map +
+    * per-line aggregate; the line explode is the corpus's own size.
+    */
+  def lineLmScore(lines: DataFrame, reference: DataFrame,
+      maxBits: Double = 6.0): DataFrame = {
+    import lines.sparkSession.implicits._
+    val keyed = lines
+      .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
+      .select(($"doc_id" * 10 + $"idx").as("doc_id"), $"line".as("text"))
+    lmScore(keyed, reference)
+      .select(($"doc_id" / 10).cast("long").as("doc_id"),
+        ($"doc_id" % 10).cast("long").as("idx"),
+        $"bits_per_transition".as("lm_bits"))
+      .withColumn("is_bad", $"lm_bits" > maxBits)
+  }
+
+  /** ORACLED exercise (q158): [[lineLmScore]] over the [[c4Plant]]ed
+    * corpus against the q113 reference split — DuckDB re-derives the
+    * plant, the line keys, and the LM algebra through the SAME green
+    * CTEs; every line's bits and flag hash-checked. The injected
+    * boilerplate lines score differently from the soup lines, so the
+    * paragraph granularity carries real signal.
+    */
+  def q158LineLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    lineLmScore(c4Plant(docs), docs.filter($"doc_id" % 3 === 0))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
   /** ORACLED capstone (q150): the CCNet→C4 COMPOSED cleaning pass in
     * production order — cross-document paragraph dedup FIRST (so
     * boilerplate can't distort the line rules), then the C4 line/page

@@ -578,6 +578,24 @@ class QualitySpec extends SparkTestBase {
       "within-doc repeats keep only the first position")
   }
 
+  test("line LM scoring: per-line keys round-trip, every plant line " +
+      "scored independently, boilerplate differs from soup") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ops.Quality.q158LineLm(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._2 >= 0 && r._2 <= 9), "idx in key range")
+    // a doc's lines score differently (independent units)
+    val perDoc = out.groupBy(_._1).filter(_._2.length >= 3)
+    assert(perDoc.exists { case (_, ls) => ls.map(_._3).distinct.length > 1 })
+    // the injected lorem line scores the SAME bits in every %11 doc
+    // (same text, same model) — the signature of line granularity
+    val lorem = out.filter(r => r._1 % 11 == 0 && r._1 % 13 != 0)
+      .groupBy(_._1).map { case (_, ls) => ls.maxBy(_._2)._3 }.toSeq
+    assert(lorem.distinct.length === 1,
+      s"identical injected lines must score identically: $lorem")
+  }
+
   test("q150 composition: dedup-then-filter flips decisions in BOTH " +
       "directions vs filter-alone — the order is load-bearing") {
     val dir = "/root/testdata/sf0.001"
