@@ -176,6 +176,7 @@ object SparkEntry {
     "q156_quality_survivors" -> (Similarity.q156QualitySurvivors _),
     "q157_delta_dedup" -> (Similarity.q157DeltaDedup _),
     "q158_line_lm" -> (Quality.q158LineLm _),
+    "q159_line_lm_clean" -> (Quality.q159LineLmClean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3160,6 +3161,54 @@ object SparkEntry {
         |  CAST(lm.doc_id % 10 AS BIGINT) AS idx,
         |  lm.lm_bits, lm.lm_bits > 6.0 AS is_bad
         |FROM lm ORDER BY doc_id, idx""".stripMargin),
+    // CCNet line removal: q158's chain at the 4.2 cut, bad lines
+    // dropped, survivors reassembled in order (unscored lines kept)
+    "q159_line_lm_clean" ->
+      ("WITH " +
+        """base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> CASE WHEN (doc_id + i) % 4 = 0
+        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
+        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['please enable javascript and cookies to continue.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ['var config = { mode: production };']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    AS lines
+        |  FROM base),
+        |ex AS (
+        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
+        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
+        |lrel AS (
+        |  SELECT doc_id * 10 + idx AS doc_id, line AS text FROM ex)""".stripMargin +
+        ",\n" + lmCtesSql("lrel") + ",\n" + lmAggCteSql + ",\n" +
+        """fl AS (
+        |  SELECT CAST(doc_id // 10 AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 10 AS BIGINT) AS idx,
+        |    lm_bits > 4.2 AS is_bad
+        |  FROM lm),
+        |ka AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(e.line, chr(10) ORDER BY e.idx) AS cleaned_text
+        |  FROM ex e
+        |  LEFT JOIN fl ON fl.doc_id = e.doc_id AND fl.idx = e.idx
+        |  WHERE NOT coalesce(fl.is_bad, FALSE)
+        |  GROUP BY e.doc_id)
+        |SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept, ka.cleaned_text
+        |FROM pl p LEFT JOIN ka USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin),
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

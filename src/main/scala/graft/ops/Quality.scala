@@ -1046,6 +1046,49 @@ object Quality {
       .orderBy(col("doc_id"), col("idx"))
   }
 
+  /** L6 — the ACTION q158's signal feeds: drop every line the LM
+    * flags (`is_bad`), keep the rest in order — CCNet's per-paragraph
+    * removal mode (cut the worst paragraphs, keep the page). Unscored
+    * lines (under 2 chars — no transitions) carry no evidence and are
+    * KEPT, documented. Docs whose every line is cut ship NULL.
+    * 100 TB posture: q158's broadcast-model scoring + one doc-keyed
+    * reassembly aggregate — the [[dedupParagraphs]] tail.
+    */
+  def lineLmClean(lines: DataFrame, reference: DataFrame,
+      maxBits: Double = 6.0): DataFrame = {
+    import lines.sparkSession.implicits._
+    val flags = lineLmScore(lines, reference, maxBits)
+      .select($"doc_id", $"idx", $"is_bad")
+    val ex = lines
+      .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
+      .withColumn("idx", $"idx".cast("long"))
+    val kept = ex.join(flags, Seq("doc_id", "idx"), "left")
+      .filter(!coalesce($"is_bad", lit(false)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(
+            collect_list(struct($"idx", $"line"))), s => s("line")), "\n")
+          .as("cleaned_text"))
+    lines.select($"doc_id", size($"lines").cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce($"n_kept", lit(0L)))
+  }
+
+  /** ORACLED exercise (q159): [[lineLmClean]] over the [[c4Plant]]ed
+    * corpus at the q113 reference and a tight 4.2-bit cut (the
+    * fixture's line-bits spread is narrow, so the threshold must sit
+    * inside it to cut anything) — DuckDB re-derives plant, line LM,
+    * flags, and the reassembled bytes; n_kept < n_lines somewhere and
+    * every byte hash-checked.
+    */
+  def q159LineLmClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    lineLmClean(c4Plant(docs), docs.filter($"doc_id" % 3 === 0),
+        maxBits = 4.2)
+      .orderBy(col("doc_id"))
+  }
+
   /** ORACLED capstone (q150): the CCNet→C4 COMPOSED cleaning pass in
     * production order — cross-document paragraph dedup FIRST (so
     * boilerplate can't distort the line rules), then the C4 line/page

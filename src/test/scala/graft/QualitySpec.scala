@@ -596,6 +596,30 @@ class QualitySpec extends SparkTestBase {
       s"identical injected lines must score identically: $lorem")
   }
 
+  test("line LM removal: flagged lines are excised, survivors keep " +
+      "order, cleaned text equals the flag-filtered reassembly") {
+    val dir = "/root/testdata/sf0.001"
+    val flags = ops.Quality.q158LineLm(spark, dir)
+      .filter($"lm_bits" > 4.2).select($"doc_id", $"idx")
+      .as[(Long, Long)].collect().toSet
+    assert(flags.nonEmpty, "the 4.2 cut must flag something")
+    val out = ops.Quality.q159LineLmClean(spark, dir)
+      .select($"doc_id", $"n_lines", $"n_kept", $"cleaned_text")
+      .as[(Long, Long, Long, Option[String])].collect()
+    assert(out.exists(r => r._3 < r._2), "some doc must lose lines")
+    // no surviving line may be a flagged one
+    out.foreach { r =>
+      r._4.foreach { txt =>
+        val survivors = txt.split("\n", -1)
+        assert(survivors.length.toLong === r._3)
+      }
+      assert(r._2 - r._3 >= 0)
+    }
+    val cut = out.map(r => r._2 - r._3).sum
+    assert(cut === flags.size.toLong,
+      s"exactly the flagged lines are cut: $cut vs ${flags.size}")
+  }
+
   test("q150 composition: dedup-then-filter flips decisions in BOTH " +
       "directions vs filter-alone — the order is load-bearing") {
     val dir = "/root/testdata/sf0.001"
