@@ -177,6 +177,7 @@ object SparkEntry {
     "q157_delta_dedup" -> (Similarity.q157DeltaDedup _),
     "q158_line_lm" -> (Quality.q158LineLm _),
     "q159_line_lm_clean" -> (Quality.q159LineLmClean _),
+    "q160_curriculum" -> (Quality.q160Curriculum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3209,6 +3210,56 @@ object SparkEntry {
         |  coalesce(ka.n_kept, 0) AS n_kept, ka.cleaned_text
         |FROM pl p LEFT JOIN ka USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin),
+    // curriculum manifest: q120's tercile CTEs -> stage, then the q146
+    // Feistel rounds keyed by the STAGE (independent per-stage orders)
+    "q160_curriculum" ->
+      (s"WITH ${lmCtesSql("(SELECT * FROM documents WHERE doc_id % 3 <> 0)")},\n$lmAggCteSql,\n" +
+        """m AS (SELECT doc_id,
+        |         CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro
+        |       FROM lm),
+        |c AS (SELECT
+        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
+        |  FROM m),
+        |st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bits_micro <= c1 THEN 'head'
+        |         WHEN bits_micro <= c2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    CASE WHEN bits_micro <= c1 THEN 0
+        |         WHEN bits_micro <= c2 THEN 1 ELSE 2 END AS stage
+        |  FROM m, c),
+        |r0 AS (
+        |  SELECT doc_id, bucket, stage,
+        |    (doc_id // 1048576) % 1048576 AS l, doc_id % 1048576 AS r
+        |  FROM st),
+        |r1 AS (
+        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
+        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
+        |      CAST(t.r AS VARCHAR) || ':1:' || CAST(t.stage AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
+        |  FROM r0 t),
+        |r2 AS (
+        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
+        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
+        |      CAST(t.r AS VARCHAR) || ':2:' || CAST(t.stage AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
+        |  FROM r1 t),
+        |r3 AS (
+        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
+        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
+        |      CAST(t.r AS VARCHAR) || ':3:' || CAST(t.stage AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
+        |  FROM r2 t),
+        |r4 AS (
+        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
+        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
+        |      CAST(t.r AS VARCHAR) || ':4:' || CAST(t.stage AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
+        |  FROM r3 t)
+        |SELECT doc_id, bucket, CAST(stage AS BIGINT) AS stage,
+        |  t.l * 1048576 + t.r AS order_key
+        |FROM r4 t ORDER BY doc_id""".stripMargin),
   )
 
   /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing

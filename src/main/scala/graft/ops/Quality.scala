@@ -265,6 +265,41 @@ object Quality {
       docs.filter(col("doc_id") % 3 === 0))
   }
 
+  /** L7 — CURRICULUM training manifest: order the corpus easy→hard by
+    * LM perplexity tercile (Bengio et al. 2009's curriculum signal,
+    * instantiated with the CCNet buckets — head = closest to the
+    * reference distribution = first), with the WITHIN-stage order a
+    * zero-shuffle Feistel permutation keyed by the stage
+    * ([[graft.ops.Packing.epochShuffleKey]] — each stage reshuffles
+    * independently, resumably, with NO sort). Consumers range-scan by
+    * (stage, order_key): the whole training order is two pure-map
+    * columns on top of the q120 plan.
+    */
+  def curriculumManifest(candidates: DataFrame, reference: DataFrame)
+      : DataFrame = {
+    import candidates.sparkSession.implicits._
+    ccnetBuckets(candidates, reference)
+      .withColumn("stage",
+        when($"bucket" === "head", 0L)
+          .when($"bucket" === "middle", 1L).otherwise(2L))
+      .withColumn("order_key",
+        graft.ops.Packing.epochShuffleKey($"doc_id", $"stage"))
+      .select($"doc_id", $"bucket", $"stage", $"order_key")
+  }
+
+  /** ORACLED exercise (q160): [[curriculumManifest]] on q113's split —
+    * DuckDB re-derives the LM terciles (q120's green CTEs) and the
+    * stage-keyed Feistel rounds (q146's); every doc's bucket, stage,
+    * and order key hash-checked.
+    */
+  def q160Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    curriculumManifest(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** ORACLED exercise (q114): the batch ADMISSION decision — the
     * gates [[graft.ops.Streaming.admissionStream]] applies per
     * incoming document, computed for the whole candidate corpus in

@@ -578,6 +578,23 @@ class QualitySpec extends SparkTestBase {
       "within-doc repeats keep only the first position")
   }
 
+  test("curriculum manifest: stages mirror the tercile buckets, keys " +
+      "are collision-free within a stage, all candidates covered") {
+    val out = ops.Quality.q160Curriculum(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, Long)].collect()
+    val buckets = ops.Quality.q120CcnetBuckets(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(out.length === buckets.size)
+    out.foreach { r =>
+      assert(buckets(r._1) === r._2)
+      assert(r._3 === Seq("head", "middle", "tail").indexOf(r._2).toLong)
+    }
+    out.groupBy(_._3).foreach { case (st, rows) =>
+      assert(rows.map(_._4).distinct.length === rows.length,
+        s"stage $st keys must be collision-free")
+    }
+  }
+
   test("line LM scoring: per-line keys round-trip, every plant line " +
       "scored independently, boilerplate differs from soup") {
     val dir = "/root/testdata/sf0.001"
