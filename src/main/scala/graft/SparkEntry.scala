@@ -2591,29 +2591,8 @@ object SparkEntry {
     // (terminal punct + >=5 words + no "javascript") and page rules
     // (lorem ipsum / curly brace / >=3 surviving lines)
     "q144_c4_clean" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |pl AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
-        |      i -> CASE WHEN (doc_id + i) % 4 = 0
-        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
-        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ['please enable javascript and cookies to continue.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 13 = 0
-        |         THEN ['var config = { mode: production };']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    AS lines
-        |  FROM base),
-        |f AS (
+      ("WITH " + c4PlantCtesSql + ",\n" +
+      """f AS (
         |  SELECT doc_id, lines,
         |    list_filter(lines, l ->
         |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
@@ -2634,7 +2613,7 @@ object SparkEntry {
         |  (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3 AS keep,
         |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
         |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |FROM g ORDER BY doc_id""".stripMargin),
     // CLIP-score alignment gate (LAION 0.28 cut) over the planted pair
     // table: even/odd vec_ids pair up, even pair_ids mix the image
     // vector into the text side (0.8/0.2) as the aligned mode
@@ -2669,32 +2648,8 @@ object SparkEntry {
     // min-(doc_id, idx) survivor per exact line via one window, docs
     // reassembled in original line order
     "q147_paragraph_dedup" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |pl AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
-        |      i -> CASE WHEN (doc_id + i) % 4 = 0
-        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
-        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ['please enable javascript and cookies to continue.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 13 = 0
-        |         THEN ['var config = { mode: production };']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    AS lines
-        |  FROM base),
-        |ex AS (
-        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
-        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
-        |k AS (
+      ("WITH " + c4PlantCtesSql + ",\n" + c4PlantLinesCteSql + ",\n" +
+      """k AS (
         |  SELECT doc_id, idx, line,
         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
         |  FROM ex),
@@ -2704,7 +2659,7 @@ object SparkEntry {
         |  FROM k WHERE rn = 1 GROUP BY doc_id)
         |SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_lines,
         |  coalesce(ka.n_kept, 0) AS n_kept, ka.cleaned_text
-        |FROM pl p LEFT JOIN ka USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+        |FROM pl p LEFT JOIN ka USING (doc_id) ORDER BY p.doc_id""".stripMargin),
     // Luhn-validated PAN audit over the planted corpus: 13-19 digit
     // candidates, per-candidate checksum via the identical CASE
     // algebra, masks keep only the last 4
@@ -2790,32 +2745,8 @@ object SparkEntry {
     // q144's line/page battery; empty-survivor docs coalesce to ''
     // before contains() (array_to_string([]) is NULL in DuckDB)
     "q150_ccnet_c4_clean" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |pl AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
-        |      i -> CASE WHEN (doc_id + i) % 4 = 0
-        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
-        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ['please enable javascript and cookies to continue.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 13 = 0
-        |         THEN ['var config = { mode: production };']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    AS lines
-        |  FROM base),
-        |ex AS (
-        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
-        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
-        |k AS (
+      ("WITH " + c4PlantCtesSql + ",\n" + c4PlantLinesCteSql + ",\n" +
+      """k AS (
         |  SELECT doc_id, idx, line,
         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
         |  FROM ex),
@@ -2847,7 +2778,7 @@ object SparkEntry {
         |  (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3 AS keep,
         |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
         |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |FROM g ORDER BY doc_id""".stripMargin),
     // deletion blast radius over the q92 packing: per tainted example,
     // deleted/surviving token masses from pure interval algebra on the
     // global tape (prefix sums re-derived, %37==5 delete list)
@@ -3129,74 +3060,24 @@ object SparkEntry {
     // per-line LM scoring over the c4Plant corpus: lines keyed
     // doc_id*10+idx, scored through the q113 LM CTEs, keys split back
     "q158_line_lm" ->
-      ("WITH " +
-        """base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |pl AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
-        |      i -> CASE WHEN (doc_id + i) % 4 = 0
-        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
-        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ['please enable javascript and cookies to continue.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 13 = 0
-        |         THEN ['var config = { mode: production };']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    AS lines
-        |  FROM base),
-        |ex AS (
-        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
-        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
-        |lrel AS (
-        |  SELECT doc_id * 10 + idx AS doc_id, line AS text FROM ex)""".stripMargin +
+      ("WITH " + c4PlantCtesSql + ",\n" + c4PlantLinesCteSql + ",\n" +
+        """lrel AS (
+        |  SELECT doc_id * 1000000 + idx AS doc_id, line AS text FROM ex)""".stripMargin +
         ",\n" + lmCtesSql("lrel") + ",\n" + lmAggCteSql + "\n" +
-        """SELECT CAST(lm.doc_id // 10 AS BIGINT) AS doc_id,
-        |  CAST(lm.doc_id % 10 AS BIGINT) AS idx,
+        """SELECT CAST(lm.doc_id // 1000000 AS BIGINT) AS doc_id,
+        |  CAST(lm.doc_id % 1000000 AS BIGINT) AS idx,
         |  lm.lm_bits, lm.lm_bits > 6.0 AS is_bad
         |FROM lm ORDER BY doc_id, idx""".stripMargin),
     // CCNet line removal: q158's chain at the 4.2 cut, bad lines
     // dropped, survivors reassembled in order (unscored lines kept)
     "q159_line_lm_clean" ->
-      ("WITH " +
-        """base AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |pl AS (
-        |  SELECT doc_id,
-        |    list_transform(
-        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
-        |      i -> CASE WHEN (doc_id + i) % 4 = 0
-        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
-        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
-        |    || CASE WHEN doc_id % 5 = 0
-        |         THEN ['please enable javascript and cookies to continue.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    || CASE WHEN doc_id % 13 = 0
-        |         THEN ['var config = { mode: production };']
-        |         ELSE CAST([] AS VARCHAR[]) END
-        |    AS lines
-        |  FROM base),
-        |ex AS (
-        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
-        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i)),
-        |lrel AS (
-        |  SELECT doc_id * 10 + idx AS doc_id, line AS text FROM ex)""".stripMargin +
+      ("WITH " + c4PlantCtesSql + ",\n" + c4PlantLinesCteSql + ",\n" +
+        """lrel AS (
+        |  SELECT doc_id * 1000000 + idx AS doc_id, line AS text FROM ex)""".stripMargin +
         ",\n" + lmCtesSql("lrel") + ",\n" + lmAggCteSql + ",\n" +
         """fl AS (
-        |  SELECT CAST(doc_id // 10 AS BIGINT) AS doc_id,
-        |    CAST(doc_id % 10 AS BIGINT) AS idx,
+        |  SELECT CAST(doc_id // 1000000 AS BIGINT) AS doc_id,
+        |    CAST(doc_id % 1000000 AS BIGINT) AS idx,
         |    lm_bits > 4.2 AS is_bad
         |  FROM lm),
         |ka AS (
@@ -3232,59 +3113,89 @@ object SparkEntry {
         |r0 AS (
         |  SELECT doc_id, bucket, stage,
         |    (doc_id // 1048576) % 1048576 AS l, doc_id % 1048576 AS r
-        |  FROM st),
-        |r1 AS (
-        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
-        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
-        |      CAST(t.r AS VARCHAR) || ':1:' || CAST(t.stage AS VARCHAR)),
-        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
-        |  FROM r0 t),
-        |r2 AS (
-        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
-        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
-        |      CAST(t.r AS VARCHAR) || ':2:' || CAST(t.stage AS VARCHAR)),
-        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
-        |  FROM r1 t),
-        |r3 AS (
-        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
-        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
-        |      CAST(t.r AS VARCHAR) || ':3:' || CAST(t.stage AS VARCHAR)),
-        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
-        |  FROM r2 t),
-        |r4 AS (
-        |  SELECT t.doc_id, t.bucket, t.stage, t.r AS l,
-        |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
-        |      CAST(t.r AS VARCHAR) || ':4:' || CAST(t.stage AS VARCHAR)),
-        |      1, 8)) AS UBIGINT) % 1048576 AS BIGINT)) AS r
-        |  FROM r3 t)
-        |SELECT doc_id, bucket, CAST(stage AS BIGINT) AS stage,
+        |  FROM st)""".stripMargin + ",\n" +
+        feistelRoundsSql(4, 20, "stage", Seq("doc_id", "bucket", "stage")) +
+        "\n" +
+        """SELECT doc_id, bucket, CAST(stage AS BIGINT) AS stage,
         |  t.l * 1048576 + t.r AS order_key
         |FROM r4 t ORDER BY doc_id""".stripMargin),
   )
 
-  /** Unrolled Feistel-round CTE chain for q146 ([[graft.ops.Packing
-    * .epochShuffleKey]]'s oracle): round i maps (l, r) → (r, l ⊕
-    * F(r, i, epoch)) with F = the q93 md5-conv idiom mod 2^halfBits.
-    * Every reference is table-qualified — a bare `xor(l, …)` after
-    * `t.r AS l` would bind DuckDB's LATERAL alias (the new l = r), not
-    * the previous round's column.
+  /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle
+    * over the planted multi-line corpus (q144/q147/q150/q158/q159) —
+    * one copy, so an edit to the plant cannot desynchronize them.
+    * Ends WITHOUT a trailing comma; compose with ",\n" outside any
+    * stripMargin (the file-wide fragment rule).
     */
-  private def feistelOracleSql(rounds: Int, halfBits: Int): String = {
+  private val c4PlantCtesSql: String =
+    """base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> CASE WHEN (doc_id + i) % 4 = 0
+        |        THEN array_to_string(w[i*12+1 : i*12+12], ' ')
+        |        ELSE array_to_string(w[i*12+1 : i*12+12], ' ') || '.' END)
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ['please enable javascript and cookies to continue.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ['read more.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ['var config = { mode: production };']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    AS lines
+        |  FROM base)""".stripMargin
+
+  /** The plant's line explode (`ex(doc_id, idx, line)`) — the second
+    * fragment q147/q150/q158/q159 share.
+    */
+  private val c4PlantLinesCteSql: String =
+    """ex AS (
+        |  SELECT doc_id, i - 1 AS idx, lines[i] AS line
+        |  FROM pl, unnest(generate_series(1, len(lines))) AS u(i))""".stripMargin
+
+  /** Unrolled Feistel-round CTE chain r1..rN over an existing
+    * `r0(carry…, l, r)`: round i maps (l, r) → (r, l ⊕ F(r, i, key))
+    * with F = the q93 md5-conv idiom mod 2^halfBits. ONE generator for
+    * every Feistel oracle (q146 keys by epoch, q160 by stage) so the
+    * round recipe cannot diverge from [[graft.ops.Packing
+    * .epochShuffleKey]] in only one of them. Every reference is
+    * table-qualified — a bare `xor(l, …)` after `t.r AS l` would bind
+    * DuckDB's LATERAL alias (the new l = r), not the previous round's
+    * column.
+    */
+  private def feistelRoundsSql(rounds: Int, halfBits: Int, keyCol: String,
+      carry: Seq[String]): String = {
     val m = 1L << halfBits
-    val chain = (1 to rounds).map { i =>
+    val cols = carry.map("t." + _).mkString(", ")
+    (1 to rounds).map { i =>
       s"""r$i AS (
-         |  SELECT t.doc_id, t.epoch, t.r AS l,
+         |  SELECT $cols, t.r AS l,
          |    xor(t.l, CAST(CAST(concat('0x', substr(md5(
-         |      CAST(t.r AS VARCHAR) || ':$i:' || CAST(t.epoch AS VARCHAR)),
+         |      CAST(t.r AS VARCHAR) || ':$i:' || CAST(t.$keyCol AS VARCHAR)),
          |      1, 8)) AS UBIGINT) % $m AS BIGINT)) AS r
          |  FROM r${i - 1} t)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** q146's full oracle: two epochs over `documents` through
+    * [[feistelRoundsSql]].
+    */
+  private def feistelOracleSql(rounds: Int, halfBits: Int): String = {
+    val m = 1L << halfBits
     s"""WITH ep AS (
        |  SELECT doc_id, CAST(e.epoch AS BIGINT) AS epoch
        |  FROM documents, (SELECT unnest([0, 1]) AS epoch) e),
        |r0 AS (
        |  SELECT doc_id, epoch, (doc_id // $m) % $m AS l, doc_id % $m AS r
-       |  FROM ep),""".stripMargin + "\n" + chain + "\n" +
+       |  FROM ep),""".stripMargin + "\n" +
+      feistelRoundsSql(rounds, halfBits, "epoch", Seq("doc_id", "epoch")) +
+      "\n" +
       s"""SELECT epoch, doc_id, t.l * $m + t.r AS order_key
          |FROM r$rounds t ORDER BY epoch, doc_id""".stripMargin
   }

@@ -947,10 +947,11 @@ object Quality {
       : DataFrame = {
     import lines.sparkSession.implicits._
     val keepLine = (l: org.apache.spark.sql.Column) =>
-      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
-        l.endsWith("\"")) &&
-        size(split(l, " ")) >= minLineWords &&
-        banned.map(b => !l.contains(b)).reduce(_ && _)
+      banned.foldLeft(
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+          l.endsWith("\"")) &&
+          size(split(l, " ")) >= minLineWords)((acc, b) =>
+        acc && !l.contains(b))
     val full = array_join($"lines", "\n")
     lines
       .withColumn("kept", filter($"lines", keepLine))
@@ -1048,21 +1049,29 @@ object Quality {
     * model; `is_bad` flags lines above `maxBits` (the q125 admission
     * threshold), the unit the surgical-removal recipe excises.
     *
-    * Mechanics: lines key as doc_id·10 + idx (plant docs carry ≤ 8
-    * lines — asserted), score through the UNCHANGED [[lmScore]] body,
-    * then the key splits back. 100 TB posture: identical to q113 —
-    * the model broadcasts (alphabet-bounded), scoring is one map +
-    * per-line aggregate; the line explode is the corpus's own size.
+    * Mechanics: lines key as doc_id·1e6 + idx (a million lines per
+    * document of headroom; a doc exceeding it fails LOUDLY via
+    * raise_error instead of silently colliding keys with its
+    * neighbor — needs doc_id < ~9.2e12, documented), score through
+    * the UNCHANGED [[lmScore]] body, then the key splits back.
+    * 100 TB posture: identical to q113 — the model broadcasts
+    * (alphabet-bounded), scoring is one map + per-line aggregate; the
+    * line explode is the corpus's own size.
     */
   def lineLmScore(lines: DataFrame, reference: DataFrame,
       maxBits: Double = 6.0): DataFrame = {
     import lines.sparkSession.implicits._
+    val stride = 1000000L
     val keyed = lines
       .select($"doc_id", posexplode($"lines").as(Seq("idx", "line")))
-      .select(($"doc_id" * 10 + $"idx").as("doc_id"), $"line".as("text"))
+      .select((when($"idx" >= stride, raise_error(concat(
+          lit(s"lineLmScore: document "), $"doc_id",
+          lit(s" has >= $stride lines — line keys would collide"))))
+          .otherwise($"doc_id" * stride + $"idx")).as("doc_id"),
+        $"line".as("text"))
     lmScore(keyed, reference)
-      .select(($"doc_id" / 10).cast("long").as("doc_id"),
-        ($"doc_id" % 10).cast("long").as("idx"),
+      .select(expr(s"doc_id div $stride").as("doc_id"),
+        ($"doc_id" % stride).cast("long").as("idx"),
         $"bits_per_transition".as("lm_bits"))
       .withColumn("is_bad", $"lm_bits" > maxBits)
   }

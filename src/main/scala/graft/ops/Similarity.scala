@@ -478,7 +478,7 @@ object Similarity {
     * near-duplication.
     */
   def ngramJaccardPairs(docs: DataFrame, dfCap: Int = 100, n: Int = 3,
-      minJaccard: Double = 0.1): DataFrame = {
+      minJaccard: Double = 0.1, keepRaw: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = docs
       .select($"doc_id", split($"text", " ").as("t"))
@@ -512,7 +512,10 @@ object Similarity {
       .join(sizes.as("nb"), $"doc_b" === $"nb.doc_id")
       .withColumn("jacc", $"c".cast("double") / ($"na.n" + $"nb.n" - $"c"))
       .filter($"jacc" >= minJaccard)
-      .select($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard"))
+      // keepRaw: downstream THRESHOLD decisions must compare the raw
+      // ratio (the oracle convention) — rounding is presentation only
+      .select(Seq($"doc_a", $"doc_b", round($"jacc", 6).as("jaccard")) ++
+        (if (keepRaw) Seq($"jacc".as("jacc_raw")) else Nil): _*)
       .orderBy($"doc_a", $"doc_b")
       // Materialize now, then release the posting list: a persist that
       // outlives the query accumulates across a bench session.
@@ -1969,9 +1972,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(minNegJaccard > 0 && minNegJaccard < 0.1,
       s"negative band must sit below the 0.1 cluster threshold: $minNegJaccard")
-    val allPairs = ngramJaccardPairs(docs, minJaccard = minNegJaccard)
+    val allPairs = ngramJaccardPairs(docs, minJaccard = minNegJaccard,
+        keepRaw = true)
       .localCheckpoint(true)
-    val cl = connectedComponents(allPairs.filter($"jaccard" >= 0.1),
+    // edge threshold on the RAW ratio — the cluster-body oracle's rule;
+    // a raw 0.0999996 must NOT become an edge via its 0.1 rounding
+    val cl = connectedComponents(allPairs.filter($"jacc_raw" >= 0.1),
       "doc_a", "doc_b").localCheckpoint(true)
     val firstTwo = cl.groupBy($"cluster_id")
       .agg(slice(array_sort(collect_list($"doc_id")), 1, 2).as("lo"))
