@@ -178,6 +178,8 @@ object SparkEntry {
     "q158_line_lm" -> (Quality.q158LineLm _),
     "q159_line_lm_clean" -> (Quality.q159LineLmClean _),
     "q160_curriculum" -> (Quality.q160Curriculum _),
+    "q161_bitext_blocked" -> (Similarity.q161BitextBlockedParity _),
+    "q162_soft_dedup" -> (Similarity.q162SoftDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2882,7 +2884,7 @@ object SparkEntry {
         |    CAST(ts2 // 512 AS BIGINT) AS new_first,
         |    CAST((ts2 + n_tokens - 1) // 512 AS BIGINT) AS new_last
         |  FROM c2)
-        |SELECT o.doc_id, o.n_tokens, o.tok_start,
+        |SELECT o.doc_id, o.n_tokens, CAST(o.tok_start AS BIGINT) AS tok_start,
         |  o.old_first, o.old_last, f.new_first, f.new_last,
         |  (o.old_first <> f.new_first OR o.old_last <> f.new_last) AS moved
         |FROM old o JOIN fresh f USING (doc_id)
@@ -3119,6 +3121,36 @@ object SparkEntry {
         """SELECT doc_id, bucket, CAST(stage AS BIGINT) AS stage,
         |  t.l * 1048576 + t.r AS order_key
         |FROM r4 t ORDER BY doc_id""".stripMargin),
+    // blocked bitext-miner parity bound (q127's contract shape): both
+    // arms are deterministic (fixed KMeans seed, id tie-breaks), so
+    // planted-pair recovery parity vs the exact arm is a fixed boolean
+    // per dataset; the query computes it, the oracle states true
+    "q161_bitext_blocked" ->
+      "SELECT 'margin_mine_blocked' AS method, true AS parity_ok",
+    // SoftDedup reweighting: q43's green cluster CTEs -> 1/|cluster|
+    // micro-weights (integer-exact) + q83's md5 Bernoulli membership
+    "q162_soft_dedup" ->
+      ("WITH RECURSIVE " + jaccardClusterBodySql + ",\n" +
+        """sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |        FROM cl GROUP BY cluster_id),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT t.doc_id, t.n_tokens,
+        |    COALESCE(cl.cluster_id, t.doc_id) AS cluster_id,
+        |    CAST(COALESCE(sz.cluster_size, 1) AS BIGINT) AS cluster_size
+        |  FROM t LEFT JOIN cl ON cl.doc_id = t.doc_id
+        |         LEFT JOIN sz ON sz.cluster_id = cl.cluster_id)
+        |SELECT doc_id, cluster_id, cluster_size,
+        |  CAST(1000000 // cluster_size AS BIGINT) AS weight_micro,
+        |  n_tokens,
+        |  CAST(n_tokens * (1000000 // cluster_size) AS BIGINT) AS eff_tokens_micro,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS UBIGINT) AS BIGINT) * 1000000
+        |    < (1000000 // cluster_size) * 4294967296 AS sampled
+        |FROM w ORDER BY doc_id""".stripMargin),
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -229,6 +229,14 @@ object Bpe {
   */
 private[ops] object BpeMemo {
   private val maxEntries = 1 << 20
+  // The OUTER table cache is bounded too (same clear-on-size
+  // discipline as the inner word memo): each distinct merge table
+  // pins a Memo of up to maxEntries words for process lifetime, so a
+  // long-lived executor serving many learned tables would otherwise
+  // accumulate tens of MB per table unboundedly. A handful of live
+  // tables is the real workload; blowing past maxTables just resets
+  // the memo win, never memory.
+  private val maxTables = 8
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Bpe.Merges, Memo]()
 
@@ -246,6 +254,8 @@ private[ops] object BpeMemo {
     }
   }
 
-  def forTable(merges: Bpe.Merges): Memo =
+  def forTable(merges: Bpe.Merges): Memo = {
+    if (cache.size() > maxTables) cache.clear()
     cache.computeIfAbsent(merges, new Memo(_))
+  }
 }

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object CurationIndex {
 
+  /** On-disk format version, stamped into `lm_meta` and checked at
+    * load. Version 2 = 64-bit CODE-POINT-packed bigram keys
+    * (cp << 32 | cp); the unversioned original packed 16-bit UTF-16
+    * units (char << 16 | char). A v1 index loads into a v2 reader
+    * without any type error (Int upcasts to Long) but NO key ever
+    * matches the code-point lookup, so every streamed document would
+    * silently score as all-unseen bigrams — the marker turns that
+    * silent wrong-score into a descriptive load failure.
+    */
+  private val FormatVersion = 2L
+
   final case class Index(dupGrams: Array[Long], benchGrams: Array[Long],
       lm: Quality.CharLm)
 
@@ -41,7 +52,7 @@ object CurationIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_bigrams")
     lm.ctxKeys.zip(lm.ctxCounts).toSeq.toDF("key", "count")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_meta_ctx")
-    Seq(lm.vocab).toDF("vocab")
+    Seq((lm.vocab, FormatVersion)).toDF("vocab", "format")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_meta")
   }
 
@@ -65,15 +76,24 @@ object CurationIndex {
     // charLm's own write-time require for indexes written before it
     // existed (vocab 0 would Infinity-score and silently reject every
     // streamed document).
-    val metaRows = spark.read.parquet(s"$path/lm_meta")
-      .select($"vocab").as[Long].collect()
-    require(metaRows.length == 1 && metaRows.head > 0,
+    val meta = spark.read.parquet(s"$path/lm_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.load($path): lm_meta carries no format marker — " +
+        "the index predates the 64-bit code-point bigram keys (its " +
+        "16-bit-packed keys would silently never match, scoring every " +
+        "document as all-unseen); rebuild it with CurationIndex.write")
+    val metaRows = meta
+      .select($"vocab", $"format".cast("long")).as[(Long, Long)].collect()
+    require(metaRows.length == 1 && metaRows.head._1 > 0,
       s"CurationIndex.load($path): lm_meta must hold exactly one positive " +
         s"vocab row (got ${metaRows.mkString("[", ",", "]")}) — the index " +
         "was written from an empty/all-short LM reference or is corrupt")
+    require(metaRows.head._2 == FormatVersion,
+      s"CurationIndex.load($path): format ${metaRows.head._2} != " +
+        s"$FormatVersion — rebuild the index with this build's write()")
     Index(dup, bench,
       Quality.CharLm(big.map(_._1), big.map(_._2),
-        ctx.map(_._1), ctx.map(_._2), metaRows.head))
+        ctx.map(_._1), ctx.map(_._2), metaRows.head._1))
   }
 
   /** Persist a [[Quality.DsirModel]] (the admission-v2 stream's fifth

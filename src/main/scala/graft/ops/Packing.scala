@@ -95,8 +95,21 @@ object Packing {
     val nParts = spark.sessionState.conf.numShufflePartitions
     val toks = df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
+    // The range shuffle is FROZEN with a localCheckpoint before either
+    // pass reads it: the two passes below are two separate jobs, and
+    // RangePartitioner re-samples its split points per execution (the
+    // sample seed derives from the RDD id, which is fresh each run).
+    // At small scale the sampler sees every row so bounds are stable,
+    // but at production scale the sample is partial and re-drawn — the
+    // pid→offset map from pass 1 would silently misapply to different
+    // partition contents in pass 2, corrupting every tok_start after
+    // the first drifted boundary. The checkpoint pins ONE partitioning
+    // both jobs read (and fails loudly on block loss rather than
+    // recomputing into a different layout); the pinned frame is just
+    // (id, n_tokens) — O(16 bytes/row), not the corpus.
     val ranged = toks.repartitionByRange(nParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // pass 1: per-partition subtotals — O(#partitions) rows, never O(n)
     val totals = ranged.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("t"))
@@ -343,13 +356,26 @@ object Packing {
         sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test"))
       val ag = g.join(assign, Seq("doc_id"))
       val trainG = ag.filter($"split" === "train").select($"gram").distinct()
-      val leaked = ag.filter($"split" === "test").select($"doc_id", $"gram")
+      // Two distinct-counts over different columns in ONE agg would
+      // force an Expand (2× the leaked gram stream through the
+      // aggregate); instead the distinct (doc, gram) pair set is
+      // materialized ONCE and each count is a cheap single-column
+      // distinct over it — the pair set is the audit's subject and is
+      // far smaller than the raw gram stream it summarizes.
+      val dd = ag.filter($"split" === "test").select($"doc_id", $"gram")
         .join(trainG, Seq("gram"), "left_semi")
-      val stats = leaked.agg(
-        countDistinct($"gram").as("shared_grams"),
-        countDistinct($"doc_id").as("leaked_test_docs"))
-      sizes.crossJoin(stats).select(lit(scheme).as("scheme"), $"n_train",
-        $"n_test", $"shared_grams", $"leaked_test_docs")
+        .dropDuplicates("gram", "doc_id")
+        .localCheckpoint(true)
+      val sg = dd.select($"gram").distinct()
+        .agg(count(lit(1)).as("shared_grams"))
+      val ld = dd.select($"doc_id").distinct()
+        .agg(count(lit(1)).as("leaked_test_docs"))
+      val out = sizes.crossJoin(sg).crossJoin(ld)
+        .select(lit(scheme).as("scheme"), $"n_train",
+          $"n_test", $"shared_grams", $"leaked_test_docs")
+        .localCheckpoint(true)
+      dd.unpersist(false)
+      out
     }
     val naive = hashSplit(docs, "doc_id").select($"doc_id", $"split")
     val clustered = leakageFreeSplit(docs).select($"doc_id", $"split")

@@ -671,6 +671,66 @@ object Similarity {
       .select($"doc_id")
   }
 
+  /** L51 — SOFT DEDUPLICATION (She et al. 2024, "SoftDedup: an
+    * Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pre-training", ACL 2024 — public): instead of DELETING near-dup
+    * losers, DOWN-WEIGHT every member of a duplicate cluster so the
+    * cluster contributes one document's worth of expected sampling
+    * mass — weight = 1/|cluster|, singletons keep weight 1. Removal
+    * ([[dedupCorpus]]) discards the phrasing diversity duplicates
+    * carry; soft dedup keeps it while removing the
+    * over-representation (the paper's motivation).
+    *
+    * Output per doc: its cluster (q43's exact-Jaccard components,
+    * cluster_id = min member id, singletons = own id), cluster size,
+    * the weight in EXACT micro-units (1e6 div size — integer, so the
+    * whole frame is oracle-reproducible), token count, effective
+    * token mass (n_tokens · weight_micro), and `sampled` — the q83
+    * deterministic Bernoulli membership at p = weight (u·10⁶ <
+    * weight_micro·2³² with u = first-8-hex md5(doc_id)), so the frame
+    * IS the deployable reweighted corpus: train on weight_micro, or
+    * filter on `sampled` for an unweighted loader.
+    *
+    * 100 TB posture: q39/q43's machinery (df-capped posting lists,
+    * pointer-doubling CC) + one bounded cluster-size aggregate, two
+    * id-keyed left joins (no broadcast hint — duplication-heavy
+    * corpora make the cluster table large exactly when dedup matters;
+    * AQE broadcasts when it is actually small), and pure-map weight/
+    * membership expressions. No new join shapes.
+    */
+  def softDedupWeights(docs: DataFrame, dfCap: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cl = connectedComponents(ngramJaccardPairs(docs, dfCap),
+      "doc_a", "doc_b")
+    val sizes = cl.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .select($"doc_id",
+        graft.ops.Packing.bpeishCount($"text").cast("long").as("n_tokens"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce($"cluster_size", lit(1L)))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+      .withColumn("eff_tokens_micro", $"n_tokens" * $"weight_micro")
+      .withColumn("sampled",
+        u * lit(1000000L) < $"weight_micro" * lit(4294967296L))
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"weight_micro",
+        $"n_tokens", $"eff_tokens_micro", $"sampled")
+  }
+
+  /** ORACLED (q162): [[softDedupWeights]] over `documents` — DuckDB
+    * re-derives the q43 cluster components (the shared recursive
+    * CTEs), the integer micro-weights, and the md5 Bernoulli
+    * membership; every weight and sampling decision hash-checked.
+    */
+  def q162SoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    softDedupWeights(Sources.documents(spark, dir)).orderBy($"doc_id")
+  }
+
   /** Shared survivor tail for the dedup pipelines: anti-join every
     * non-min-id cluster member out of the corpus. No broadcast hint —
     * the loser list is usually small, but a high-duplication corpus
@@ -1822,22 +1882,43 @@ object Similarity {
     * engines; top-k and argmax windows tie-break on the candidate id.
     *
     * This is the EXACT arm (all-pairs — the oracle shape, the q126
-    * precedent): at mining scale the pair stream comes from the
-    * IVF-blocked candidate generator ([[knnJoinIvf]] / the q127
-    * pattern) and the margin algebra below is unchanged; the two
+    * precedent): at mining scale use [[marginMineBlocked]], which
+    * feeds the SAME margin algebra ([[marginFromPairs]] — shared code,
+    * not a promise) from the IVF-blocked candidate generator; the two
     * density tables stay |src|/|tgt|-bounded either way (broadcast
     * joins here).
     */
   def marginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
       threshold: Double = 1.06): DataFrame = {
     import src.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
     require(k >= 1, s"need k >= 1: $k")
     val all = src.crossJoin(tgt)
       .select($"sid", $"tid",
         round(cosineSimilarity($"sv", $"tv"), 6).as("cos6"))
       .localCheckpoint(true)
+    val out = marginFromPairs(all, k, threshold).localCheckpoint(true)
+    all.unpersist(false)
+    out
+  }
+
+  /** The margin algebra both mining arms share, over a (sid, tid,
+    * cos6) candidate stream: each side's k-NN density is the
+    * DECIMAL-exact sum of its top-k candidate cosines (order-free),
+    * margin = cos6 / (mean of both densities), argmax per sid
+    * tie-broken on tid, accept at `threshold`. On the exact arm the
+    * stream is all pairs so densities are the true k-NN means; on the
+    * blocked arm they are densities WITHIN the retrieved candidate
+    * set — exactly the approximation FAISS-based CCMatrix mining
+    * makes (Schwenk et al. 2021 compute the margin from the k-NN
+    * lists the index returns). A side with fewer than k candidates
+    * sums what it has (the denominator still divides by k — same
+    * behavior the exact arm exhibits when |tgt| < k).
+    */
+  private def marginFromPairs(all: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    import all.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val dec = $"cos6".cast("decimal(10,6)")
     val aS = all
       .withColumn("rn", row_number().over(
@@ -1847,7 +1928,7 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"tid").orderBy($"cos6".desc, $"sid")))
       .filter($"rn" <= k).groupBy($"tid").agg(sum(dec).as("t_sum"))
-    val out = all
+    all
       .join(broadcast(aS), Seq("sid"))
       .join(broadcast(aT), Seq("tid"))
       .withColumn("margin",
@@ -1858,8 +1939,81 @@ object Similarity {
       .select($"sid", $"tid".as("mined_tid"), $"cos6".as("cosine"),
         round($"margin", 6).as("margin"))
       .withColumn("accepted", $"margin" >= threshold)
+  }
+
+  /** L39 at MINING SCALE — the blocked bitext miner: [[marginMine]]'s
+    * margin algebra ([[marginFromPairs]], shared code) fed from an
+    * IVF-blocked candidate stream instead of the all-pairs cross
+    * join, killing the |src|×|tgt| materialization. This is the
+    * CCMatrix/CCAligned production shape (Schwenk et al. 2021 mine
+    * 4.5B pairs with a FAISS IVF index, never all pairs).
+    *
+    * Candidate generation: ONE spherical KMeans coarse quantizer fit
+    * on the UNION of both sides' unit vectors (so a translation pair
+    * sees the same cell geometry from either side), then candidates
+    * meet symmetrically — src probes fan to their `nProbe` closest
+    * cells and join target rows ASSIGNED there, plus the mirrored
+    * direction (targets probe, sources assigned) so both sides'
+    * densities see their strong neighbors even when only one side's
+    * probe list covers the other's cell. Duplicated meetings collapse
+    * on (sid, tid); cosines are computed on the ORIGINAL vectors with
+    * the same 6-decimal rounding, so for every pair BOTH arms see the
+    * identical cos6 and the algebra downstream is bit-identical given
+    * equal candidate sets.
+    *
+    * 100 TB posture: shuffle volume is nProbe copies of each row + 1
+    * copy of the other side, keyed by cell; the per-cell join is
+    * bounded by the quantizer exactly as [[knnJoinIvf]]. Densities are
+    * computed within the candidate set (the FAISS approximation —
+    * see [[marginFromPairs]]); recall/cost trades through (nLists,
+    * nProbe). Planted-pair recovery parity vs the exact arm is
+    * oracled by q161.
+    */
+  def marginMineBlocked(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      threshold: Double = 1.06, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    import src.sparkSession.implicits._
+    require(k >= 1 && nLists >= 1 && nProbe >= 1 && nProbe <= nLists,
+      s"need k >= 1 and 1 <= nProbe <= nLists, got k=$k nLists=$nLists nProbe=$nProbe")
+    def unitize(v: org.apache.spark.sql.Column) = {
+      val dv = transform(v, _.cast("double"))
+      val nrm = sqrt(aggregate(transform(dv, x => x * x),
+        lit(0.0), (acc, x) => acc + x))
+      transform(dv, x => x / when(nrm === 0.0, 1.0).otherwise(nrm))
+    }
+    val su = src.select($"sid", $"sv")
+      .withColumn("unit", unitize($"sv"))
+      .withColumn("mlvec", array_to_vector($"unit"))
+      .persist()
+    val tu = tgt.select($"tid", $"tv")
+      .withColumn("unit", unitize($"tv"))
+      .withColumn("mlvec", array_to_vector($"unit"))
+      .persist()
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
+      .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
+    val model = km.fit(su.select($"mlvec").unionByName(tu.select($"mlvec")))
+    val sAssigned = model.transform(su)
+      .select($"sid", $"sv", $"ivf_list".as("cell"))
+    val tAssigned = model.transform(tu)
+      .select($"tid", $"tv", $"ivf_list".as("cell"))
+    val sProbes = su.select($"sid", $"sv",
+      explode(probeCellIds(model, nProbe)).as("cell"))
+    val tProbes = tu.select($"tid", $"tv",
+      explode(probeCellIds(model, nProbe)).as("cell"))
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val all = sProbes.join(tAssigned, Seq("cell"))
+        .select($"sid", $"tid", $"sv", $"tv")
+      .unionByName(sAssigned.join(tProbes, Seq("cell"))
+        .select($"sid", $"tid", $"sv", $"tv"))
+      .dropDuplicates("sid", "tid")
+      .select($"sid", $"tid",
+        round(cosineSimilarity($"sv", $"tv"), 6).as("cos6"))
       .localCheckpoint(true)
+    val out = marginFromPairs(all, k, threshold).localCheckpoint(true)
     all.unpersist(false)
+    su.unpersist(false)
+    tu.unpersist(false)
     out
   }
 
@@ -2269,7 +2423,13 @@ object Similarity {
     sourceMinhashJaccard(Sources.documents(spark, dir))
       .orderBy(col("source_a"), col("source_b"))
 
-  def q149BitextMine(spark: SparkSession, dir: String): DataFrame = {
+  /** The q149/q161 bitext fixture: sources = even embeddings, targets
+    * = odd; every EVEN-numbered pair id plants a true translation
+    * (target blended 0.8 toward its source), odd pair ids stay
+    * unrelated noise. Returns (src(sid, sv), tgt(tid, tv)).
+    */
+  private def bitextFixture(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val e = Sources.embeddings(spark, dir)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
@@ -2282,11 +2442,45 @@ object Similarity {
         when($"tid" % 2 === 0,
           zip_with($"pv", $"tv0", (a, b) => a * 0.8 + b * 0.2))
           .otherwise($"tv0").as("tv"))
+    (src, tgt)
+  }
+
+  def q149BitextMine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (src, tgt) = bitextFixture(spark, dir)
     marginMine(src, tgt)
       .withColumn("recovered",
         $"accepted" && $"mined_tid" === $"sid" && $"sid" % 2 === 0)
       .select($"sid".as("pair_id"), $"mined_tid", $"cosine", $"margin",
         $"accepted", $"recovered")
       .orderBy($"pair_id")
+  }
+
+  /** ORACLED bound (q161, the q127 contract shape): planted-pair
+    * recovery parity of [[marginMineBlocked]] vs the exact arm on the
+    * q149 fixture — the blocked miner must recover every planted
+    * translation the all-pairs miner recovers. Both arms are
+    * deterministic (fixed KMeans seed; id tie-breaks), so the parity
+    * is a fixed boolean per dataset; the oracle states true.
+    */
+  def q161BitextBlockedParity(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val (src, tgt) = bitextFixture(spark, dir)
+    def recovered(mined: DataFrame): DataFrame = mined
+      .filter($"accepted" && $"mined_tid" === $"sid" && $"sid" % 2 === 0)
+      .select($"sid")
+    val exact = recovered(marginMine(src, tgt)).persist()
+    val blocked = recovered(
+      marginMineBlocked(src, tgt, nLists = 8, nProbe = 4))
+    val hits = exact.join(blocked, Seq("sid"))
+      .agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    val out = hits.crossJoin(total)
+      .select(lit("margin_mine_blocked").as("method"),
+        ($"total" > 0 && $"hits" === $"total").as("parity_ok"))
+      .localCheckpoint(true)
+    exact.unpersist(false)
+    out
   }
 }

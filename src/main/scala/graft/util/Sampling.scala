@@ -231,9 +231,14 @@ object Sampling {
       require(wt >= 1, s"corpusMixture: weight of group '$g' must be >= 1")
     }
     require(sizes.nonEmpty, "corpusMixture: empty input")
-    val bigW = sizes.map(_._3).sum
-    val tStar = sizes.map { case (_, cnt, wt, _) => cnt * bigW / wt }.min
-    val quota = sizes.map { case (g, _, wt, _) => (g, wt * tStar / bigW) }
+    // BigInt products (the temperatureMixture discipline): cnt·ΣW and
+    // wt·tStar overflow Long silently at large corpus × summed-weight
+    // scales, producing wrong (possibly negative) quotas
+    val bigW = sizes.map(s => BigInt(s._3)).sum
+    val tStar = sizes.map { case (_, cnt, wt, _) => BigInt(cnt) * bigW / wt }
+      .min
+    val quota = sizes
+      .map { case (g, _, wt, _) => (g, (BigInt(wt) * tStar / bigW).toLong) }
       .toSeq.toDF(groupCol, "n_quota")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))

@@ -268,6 +268,30 @@ class PackingSpec extends SparkTestBase {
     assert(out.forall(r => r._5 <= r._3 && r._6 <= r._4))
   }
 
+  test("sequencePackWithOffsets: range shuffle frozen once (checkpoint " +
+      "barrier in the plan) and offsets equal the global prefix sum") {
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 5000L).map(i => (i, 1L + rnd.nextInt(200).toLong))
+      // adversarial partitioning: ids scattered across 17 input splits
+      .toDF("doc_id", "n_tokens").repartition(17)
+    val packed = ops.Packing.sequencePackWithOffsets(
+      docs, "doc_id", $"n_tokens", 512L)
+    // the two passes must read ONE materialized range shuffle — the
+    // checkpoint shows up as an ExistingRDD scan; without it the
+    // RangePartitioner re-samples per job and the pid→offset map can
+    // misapply at scale (partial-sample bound drift)
+    assert(packed.queryExecution.executedPlan.toString
+        .contains("ExistingRDD"),
+      "the ranged frame must be checkpointed before the offset passes")
+    val got = packed.select($"doc_id", $"tok_start")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // driver-side oracle: the global id-ordered running sum
+    val toks = docs.as[(Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    val oracle = toks.map { case (id, n) => val o = run; run += n; (id, o) }
+    assert(got.toSeq === oracle.toSeq)
+  }
+
   test("epochShuffleKey: exact bijection of the dense domain, distinct " +
       "orders across epochs, deterministic, and shuffle-free") {
     // halfBits = 5 -> domain [0, 1024); a dense id range must map onto

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.when
+import org.apache.spark.sql.functions.{lit, when}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -197,6 +197,19 @@ class SamplingSpec extends SparkTestBase {
         when($"id" % 2 === 0, 1L).otherwise(2L))
     }
     assert(bad.getMessage.contains("not constant"))
+  }
+
+  test("corpus mixture quota math survives weights whose products overflow Long") {
+    // W = 2e18; cnt·W = 2e19 > Long.MaxValue — Long arithmetic would
+    // wrap negative and zero (or invert) the quotas; BigInt keeps them
+    // exact: T* = min(10·2e18/1e18) = 20, quota_g = 1e18·20/2e18 = 10
+    val rows = (0L until 20L).map(i => (i, s"g${i % 2}"))
+    val df = rows.toDF("id", "grp")
+    val big = 1000000000000000000L // 1e18
+    val out = util.Sampling.corpusMixture(df, "id", "grp", lit(big))
+      .as[(Long, String, Long)].collect()
+    val byGroup = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGroup === Map("g0" -> 10, "g1" -> 10))
   }
 
   test("temperature mixture: sqrt up-weights rare groups, caps, partition-invariant") {

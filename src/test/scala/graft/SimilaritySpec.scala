@@ -732,4 +732,77 @@ class SimilaritySpec extends SparkTestBase {
     assert(unaligned.count(_._4) < unaligned.length / 2,
       "hub noise should mostly sit below the 1.06 margin")
   }
+
+  test("blocked bitext mining: recovers every planted pair the exact arm " +
+      "recovers, identical cosines on shared pairs, identical ids") {
+    val rnd = new scala.util.Random(31)
+    val base = (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val src = base.toDF("sid", "sv")
+    // even tids are planted translations (0.8 toward their source)
+    val tgt = base.map { case (i, v) =>
+      val noise = Seq.fill(16)(rnd.nextGaussian())
+      val tv = if (i % 2 == 0) v.zip(noise).map(p => p._1 * 0.8 + p._2 * 0.2)
+               else noise
+      (i, tv)
+    }.toDF("tid", "tv")
+    val exact = ops.Similarity.marginMine(src, tgt)
+      .select($"sid", $"mined_tid", $"cosine", $"accepted")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val blocked = ops.Similarity
+      .marginMineBlocked(src, tgt, nLists = 6, nProbe = 3)
+      .select($"sid", $"mined_tid", $"cosine", $"accepted")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val exactRec = exact.filter(r => r._4 && r._2 == r._1 && r._1 % 2 == 0)
+      .map(_._1).toSet
+    val blockedRec = blocked.filter(r => r._4 && r._2 == r._1 && r._1 % 2 == 0)
+      .map(_._1).toSet
+    assert(exactRec.nonEmpty)
+    assert(exactRec.subsetOf(blockedRec),
+      s"blocked arm missed planted pairs: ${(exactRec -- blockedRec).take(5)}")
+    // shared (sid, mined_tid) choices carry bit-identical 6-decimal
+    // cosines — the algebra is the same code over the same vectors
+    val exCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    blocked.foreach { r =>
+      exCos.get((r._1, r._2)).foreach(c => assert(c === r._3,
+        s"cosine drift on (${r._1}, ${r._2}): exact $c vs blocked ${r._3}"))
+    }
+  }
+
+  test("soft dedup: weights are 1/|cluster| in exact micro-units, " +
+      "singletons keep full weight, cluster mass conserved") {
+    // three copies of one doc, two of another, one unique — shingle
+    // streams identical within a group, disjoint across groups
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven"),
+      (20L, "lonely text with no duplicate partner here")
+    ).toDF("doc_id", "text")
+    val out = ops.Similarity.softDedupWeights(docs)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"weight_micro",
+        $"sampled")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(Seq(1L, 2L, 3L).forall(d =>
+      byDoc(d)._2 == 1L && byDoc(d)._3 == 3L && byDoc(d)._4 == 333333L))
+    assert(Seq(10L, 11L).forall(d =>
+      byDoc(d)._2 == 10L && byDoc(d)._3 == 2L && byDoc(d)._4 == 500000L))
+    assert(byDoc(20L) === ((20L, 20L, 1L, 1000000L, true)),
+      "a singleton keeps weight 1 and is always sampled")
+    // expected sampling mass per cluster = size · (1e6 div size) ≤ 1e6,
+    // within integer truncation of 1e6 — over-representation removed
+    out.groupBy(_._2).foreach { case (c, ms) =>
+      val mass = ms.map(_._4).sum
+      assert(mass <= 1000000L && mass > 1000000L - ms.length, s"cluster $c")
+    }
+  }
+
+  test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
+    val out = ops.Similarity
+      .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
+      .as[(String, Boolean)].collect()
+    assert(out === Array(("margin_mine_blocked", true)))
+  }
 }

@@ -869,6 +869,18 @@ class StreamingSpec extends SparkTestBase {
     Seq("plain words again", "zxqj vwkp", "The Usual LETTERS").foreach { t =>
       assert(idx.lm.bits(t) === fresh.bits(t), t)
     }
+    // a pre-code-point index (no format marker in lm_meta) must fail
+    // the load DESCRIPTIVELY — its 16-bit-packed keys would otherwise
+    // load cleanly and silently never match the 64-bit lookup
+    Seq(7L).toDF("vocab")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/lm_meta")
+    val old = intercept[Exception] { ops.CurationIndex.load(spark, base) }
+    assert(old.getMessage.contains("format"), old.getMessage)
+    // and a FUTURE format version is refused too, not misread
+    Seq((7L, 99L)).toDF("vocab", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/lm_meta")
+    val future = intercept[Exception] { ops.CurationIndex.load(spark, base) }
+    assert(future.getMessage.contains("format 99"), future.getMessage)
   }
 
   test("admission v2 stream matches the q125 batch gates per document (real fixture)") {
