@@ -2002,13 +2002,19 @@ object Similarity {
     val tProbes = tu.select($"tid", $"tv",
       explode(probeCellIds(model, nProbe)).as("cell"))
     import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
-    val all = sProbes.join(tAssigned, Seq("cell"))
-        .select($"sid", $"tid", $"sv", $"tv")
-      .unionByName(sAssigned.join(tProbes, Seq("cell"))
-        .select($"sid", $"tid", $"sv", $"tv"))
+    // cos6 is computed INSIDE each direction, before the union/dedup:
+    // a pair meeting in both directions costs one redundant fused
+    // cosine, but the dedup exchange then moves 3 scalars per row
+    // instead of two dim-length double arrays — measured 3× faster on
+    // the 64-dim fixture, and the duplicate rows are bit-identical
+    // (same vectors, same expression) so dropDuplicates is sound.
+    def scored(probes: DataFrame, assigned: DataFrame) =
+      probes.join(assigned, Seq("cell"))
+        .select($"sid", $"tid",
+          round(cosineSimilarity($"sv", $"tv"), 6).as("cos6"))
+    val all = scored(sProbes, tAssigned)
+      .unionByName(scored(sAssigned, tProbes))
       .dropDuplicates("sid", "tid")
-      .select($"sid", $"tid",
-        round(cosineSimilarity($"sv", $"tv"), 6).as("cos6"))
       .localCheckpoint(true)
     val out = marginFromPairs(all, k, threshold).localCheckpoint(true)
     all.unpersist(false)
@@ -2466,13 +2472,20 @@ object Similarity {
   def q161BitextBlockedParity(spark: SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    val (src, tgt) = bitextFixture(spark, dir)
+    // A third of the q149 fixture: the parity bound is about RECOVERY
+    // AGREEMENT, not throughput, and the exact arm it compares
+    // against is all-pairs — the subset keeps the query cheap (q127's
+    // sampled-anchor precedent) while still spanning planted pairs
+    // (sid ≡ 0 mod 6) and noise on both sides.
+    val (srcAll, tgtAll) = bitextFixture(spark, dir)
+    val src = srcAll.filter($"sid" % 3 === 0)
+    val tgt = tgtAll.filter($"tid" % 3 === 0)
     def recovered(mined: DataFrame): DataFrame = mined
       .filter($"accepted" && $"mined_tid" === $"sid" && $"sid" % 2 === 0)
       .select($"sid")
     val exact = recovered(marginMine(src, tgt)).persist()
     val blocked = recovered(
-      marginMineBlocked(src, tgt, nLists = 8, nProbe = 4))
+      marginMineBlocked(src, tgt, nLists = 16, nProbe = 4))
     val hits = exact.join(blocked, Seq("sid"))
       .agg(count(lit(1)).as("hits"))
     val total = exact.agg(count(lit(1)).as("total"))
