@@ -180,6 +180,7 @@ object SparkEntry {
     "q160_curriculum" -> (Quality.q160Curriculum _),
     "q161_bitext_blocked" -> (Similarity.q161BitextBlockedParity _),
     "q162_soft_dedup" -> (Similarity.q162SoftDedup _),
+    "q163_moore_lewis" -> (Quality.q163MooreLewis _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,24 +377,36 @@ object SparkEntry {
     * `candsRel`'s bigram stream -> j(doc_id, logp).
     */
   private def lmCtesSql(candsRel: String): String =
-    s"""rb AS (
+    lmCtesPrefixedSql("", "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+      candsRel)
+
+  /** The same LM chain with every CTE name prefixed and the model's
+    * REFERENCE relation a parameter — lets one oracle host two
+    * independent LMs (the q163 Moore–Lewis shape: in-domain vs
+    * general). Prefix "" + the q113 reference reproduces [[lmCtesSql]]
+    * verbatim-semantically, so every existing LM oracle keeps its
+    * green fragment.
+    */
+  private def lmCtesPrefixedSql(p: String, refRel: String,
+      candsRel: String): String =
+    s"""${p}rb AS (
         |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
         |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
-        |cnt2 AS (SELECT bigram, count(*) AS c2 FROM rb GROUP BY bigram),
-        |cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM rb GROUP BY ctx),
-        |voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM rb),
-        |cb AS (
+        |  FROM $refRel AS ${p}ref_src WHERE length(text) >= 2),
+        |${p}cnt2 AS (SELECT bigram, count(*) AS c2 FROM ${p}rb GROUP BY bigram),
+        |${p}cnt1 AS (SELECT bigram[1:1] AS ctx, count(*) AS c1 FROM ${p}rb GROUP BY ctx),
+        |${p}voc AS (SELECT count(DISTINCT bigram[2:2]) AS v FROM ${p}rb),
+        |${p}cb AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
         |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM $candsRel AS cand_src WHERE length(text) >= 2),
-        |j AS (
-        |  SELECT cb.doc_id,
+        |  FROM $candsRel AS ${p}cand_src WHERE length(text) >= 2),
+        |${p}j AS (
+        |  SELECT ${p}cb.doc_id,
         |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
-        |  FROM cb
-        |  LEFT JOIN cnt2 USING (bigram)
-        |  LEFT JOIN cnt1 ON cnt1.ctx = cb.bigram[1:1]
-        |  CROSS JOIN voc)""".stripMargin
+        |  FROM ${p}cb
+        |  LEFT JOIN ${p}cnt2 USING (bigram)
+        |  LEFT JOIN ${p}cnt1 ON ${p}cnt1.ctx = ${p}cb.bigram[1:1]
+        |  CROSS JOIN ${p}voc)""".stripMargin
 
   /** Per-doc LM rollup CTE over `j` — the bits value q114/q116 gate on
     * (q113's own final select additionally reports n_transitions).
@@ -3151,6 +3164,25 @@ object SparkEntry {
         |       AS UBIGINT) AS BIGINT) * 1000000
         |    < (1000000 // cluster_size) * 4294967296 AS sampled
         |FROM w ORDER BY doc_id""".stripMargin),
+    // Moore-Lewis cross-entropy difference: the prefixed LM chain
+    // TWICE (in-domain src0/src1 vs the q113 general split), rounded
+    // per-doc bits, rounded diff, threshold-0 selection
+    "q163_moore_lewis" ->
+      ("WITH " +
+        lmCtesPrefixedSql("in_",
+          "(SELECT * FROM documents WHERE source IN ('src0', 'src1'))",
+          "documents") + ",\n" +
+        lmCtesPrefixedSql("gn_",
+          "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+          "documents") + ",\n" +
+        """ia AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS bits_in
+        |        FROM in_j GROUP BY doc_id),
+        |ga AS (SELECT doc_id, round(-avg(logp) / ln(2), 6) AS bits_gen
+        |       FROM gn_j GROUP BY doc_id)
+        |SELECT doc_id, bits_in, bits_gen,
+        |  round(bits_in - bits_gen, 6) AS xent_diff,
+        |  round(bits_in - bits_gen, 6) < 0.0 AS selected
+        |FROM ia JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin),
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -216,6 +216,62 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** L52 — MOORE–LEWIS cross-entropy-difference selection (Moore &
+    * Lewis 2010, "Intelligent Selection of Language Model Training
+    * Data", ACL — public; the classic in-domain data selection method
+    * and DSIR's generative ancestor): score every candidate by
+    *
+    *   xent_diff = bits_inDomain(doc) − bits_general(doc)
+    *
+    * — per-transition cross-entropy under an IN-DOMAIN LM minus under
+    * a GENERAL-corpus LM — and select docs with xent_diff below
+    * `threshold` (0 = "looks more like the target domain than like
+    * the crawl at large"). Subtracting the general-LM score is what
+    * separates domain affinity from plain fluency: a doc that is easy
+    * under BOTH models (boilerplate) cancels out, where a raw
+    * perplexity gate (q113) would keep it.
+    *
+    * Both scores are [[lmScore]] verbatim (same smoothing, same
+    * 6-decimal rounding), so the difference is the same IEEE
+    * subtraction cross-engine; the diff re-rounds at 6 before the
+    * threshold compare (the cosine discipline).
+    *
+    * 100 TB posture: two alphabet-bounded broadcast models, two
+    * independent map-stage scoring passes (each one keyed shuffle for
+    * the per-doc aggregate), one doc-keyed join of two per-doc
+    * summaries. Linear in candidate tokens; nothing corpus-sized
+    * moves. The two candidate explodes could fuse into one stream
+    * joined against both models — taken deliberately as two passes to
+    * reuse [[lmScore]]'s proven kernel (the q142 lesson: measure
+    * before restructuring a working linear plan).
+    */
+  def mooreLewisSelect(cands: DataFrame, inDomainRef: DataFrame,
+      generalRef: DataFrame, threshold: Double = 0.0): DataFrame = {
+    import cands.sparkSession.implicits._
+    val inB = lmScore(cands, inDomainRef)
+      .select($"doc_id", $"bits_per_transition".as("bits_in"))
+    val genB = lmScore(cands, generalRef)
+      .select($"doc_id", $"bits_per_transition".as("bits_gen"))
+    inB.join(genB, Seq("doc_id"))
+      .withColumn("xent_diff", round($"bits_in" - $"bits_gen", 6))
+      .withColumn("selected", $"xent_diff" < threshold)
+  }
+
+  /** ORACLED (q163): [[mooreLewisSelect]] over `documents` with the
+    * in-domain LM fit on sources src0/src1 and the general LM on the
+    * q113 reference split (doc_id ≡ 0 mod 3) — DuckDB re-derives BOTH
+    * models (the prefixed LM CTE chain twice), both per-doc scores,
+    * the rounded difference, and every selection decision.
+    */
+  def q163MooreLewis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    mooreLewisSelect(docs,
+        docs.filter($"source".isin("src0", "src1")),
+        docs.filter($"doc_id" % 3 === 0))
+      .orderBy($"doc_id")
+  }
+
   /** CCNet's actual DEPLOYMENT of the perplexity signal (Wenzek et al.
     * 2020 §4.3): bucket every candidate into head/middle/tail by
     * perplexity TERCILE rather than gating on a fixed cap — the head

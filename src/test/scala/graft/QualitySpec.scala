@@ -55,6 +55,44 @@ class QualitySpec extends SparkTestBase {
     assert(got.values.forall(b => b > 0.0 && b < 16.0))
   }
 
+  test("moore-lewis: domain-affine text scores negative diff, crawl-like " +
+      "positive; diff equals the two lmScore bits recomputed") {
+    val inDomain = Seq(
+      (100L, "the patient shows acute renal failure and elevated creatinine"),
+      (101L, "renal biopsy confirms acute tubular necrosis in the patient"),
+      (102L, "creatinine and urea elevated consistent with renal failure"))
+      .toDF("doc_id", "text")
+    val general = Seq(
+      (200L, "the game last night went to overtime and the crowd roared"),
+      (201L, "markets rallied today as tech stocks closed sharply higher"),
+      (202L, "the recipe calls for two cups of flour and a pinch of salt"),
+      (203L, "the patient shows some symptoms the doctor noted today"))
+      .toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "patient with renal failure and elevated creatinine levels"),
+      (2L, "stocks closed higher today as the markets rallied again"))
+      .toDF("doc_id", "text")
+    val got = ops.Quality.mooreLewisSelect(cands, inDomain, general)
+      .select($"doc_id", $"bits_in", $"bits_gen", $"xent_diff", $"selected")
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // the medical candidate is cheaper under the in-domain LM; the
+    // finance one cheaper under the general LM
+    assert(got(1L)._4 < 0.0 && got(1L)._5, s"domain doc not selected: $got")
+    assert(got(2L)._4 > 0.0 && !got(2L)._5, s"crawl doc selected: $got")
+    // the diff is exactly lmScore twice (shared kernel, no re-derivation)
+    val inBits = ops.Quality.lmScore(cands, inDomain)
+      .select($"doc_id", $"bits_per_transition").as[(Long, Double)]
+      .collect().toMap
+    val genBits = ops.Quality.lmScore(cands, general)
+      .select($"doc_id", $"bits_per_transition").as[(Long, Double)]
+      .collect().toMap
+    got.foreach { case (id, r) =>
+      assert(r._2 === inBits(id) && r._3 === genBits(id))
+      assert(math.abs(r._4 - (inBits(id) - genBits(id))) < 1e-6)
+    }
+  }
+
   test("q116 releases its persists (CacheManager empty after the capstone)") {
     spark.catalog.clearCache()
     val out = ops.Quality.q116ShippedCorpus(spark, "/root/testdata/sf0.001")
