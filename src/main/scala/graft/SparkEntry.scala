@@ -181,6 +181,8 @@ object SparkEntry {
     "q161_bitext_blocked" -> (Similarity.q161BitextBlockedParity _),
     "q162_soft_dedup" -> (Similarity.q162SoftDedup _),
     "q163_moore_lewis" -> (Quality.q163MooreLewis _),
+    "q164_unimax" -> (graft.util.Sampling.q164Unimax _),
+    "q165_budget_prune" -> (Quality.q165BudgetPrune _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3183,6 +3185,66 @@ object SparkEntry {
         |  round(bits_in - bits_gen, 6) AS xent_diff,
         |  round(bits_in - bits_gen, 6) < 0.0 AS selected
         |FROM ia JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // UniMax water-fill re-derived as a recursive CTE over the
+    // size-ordered language list (languages ascending take
+    // min(remaining // left, 2*c)); ranks/cumsums via the md5 idiom
+    "q164_unimax" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |    FROM documents)
+        |  WHERE n_tokens > 0),
+        |sz AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (ORDER BY sum(n_tokens), lang) AS BIGINT) AS i,
+        |    CAST(count(*) OVER () AS BIGINT) AS nl
+        |  FROM t GROUP BY lang),
+        |wf(i, remaining, lang, b) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(40000 AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  UNION ALL
+        |  SELECT s.i,
+        |    r.remaining - least(r.remaining // (s.nl - r.i), 2 * s.c),
+        |    s.lang,
+        |    least(r.remaining // (s.nl - r.i), 2 * s.c)
+        |  FROM wf r JOIN sz s ON s.i = r.i + 1),
+        |bl AS (SELECT lang, b AS lang_budget FROM wf WHERE lang IS NOT NULL),
+        |rk AS (
+        |  SELECT t.doc_id, t.lang, t.n_tokens, s.c AS lang_tokens, bl.lang_budget,
+        |    CAST(row_number() OVER (PARTITION BY t.lang
+        |      ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id) AS BIGINT) AS sel_rank,
+        |    CAST(sum(t.n_tokens) OVER (PARTITION BY t.lang
+        |      ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+        |  FROM t JOIN sz s USING (lang) JOIN bl USING (lang))
+        |SELECT doc_id, lang, n_tokens, lang_tokens, lang_budget, sel_rank,
+        |  CAST(lang_budget // lang_tokens AS BIGINT) AS full_epochs,
+        |  cum_end <= lang_budget % lang_tokens AS in_fractional,
+        |  CAST(lang_budget // lang_tokens
+        |    + CASE WHEN cum_end <= lang_budget % lang_tokens THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |FROM rk ORDER BY doc_id""".stripMargin,
+    // quality-ordered token-budget pruning: q113's LM CTEs -> window
+    // prefix sum over (bits, id) order, BIGINT-cast (the q153 lesson),
+    // greedy-prefix keep at the 10k budget
+    "q165_budget_prune" ->
+      (s"WITH ${lmCtesSql("(SELECT * FROM documents WHERE doc_id % 3 <> 0)")},\n$lmAggCteSql,\n" +
+        """tt AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |j2 AS (
+        |  SELECT lm.doc_id, lm.lm_bits AS score, tt.n_tokens
+        |  FROM lm JOIN tt USING (doc_id) WHERE tt.n_tokens > 0),
+        |c AS (
+        |  SELECT doc_id, score, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM j2)
+        |SELECT doc_id, score, n_tokens, tok_start,
+        |  tok_start + n_tokens <= 10000 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin),
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -91,28 +91,55 @@ object Packing {
   def sequencePackWithOffsets(df: DataFrame, idCol: String,
       tokensCol: Column, ctxTokens: Long): DataFrame = {
     require(ctxTokens >= 1, s"ctxTokens must be >= 1, got $ctxTokens")
-    val spark = df.sparkSession
-    val nParts = spark.sessionState.conf.numShufflePartitions
     val toks = df.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    // The range shuffle is FROZEN with a localCheckpoint before either
-    // pass reads it: the two passes below are two separate jobs, and
-    // RangePartitioner re-samples its split points per execution (the
-    // sample seed derives from the RDD id, which is fresh each run).
-    // At small scale the sampler sees every row so bounds are stable,
-    // but at production scale the sample is partial and re-drawn — the
-    // pid→offset map from pass 1 would silently misapply to different
-    // partition contents in pass 2, corrupting every tok_start after
-    // the first drifted boundary. The checkpoint pins ONE partitioning
-    // both jobs read (and fails loudly on block loss rather than
-    // recomputing into a different layout); the pinned frame is just
-    // (id, n_tokens) — O(16 bytes/row), not the corpus.
-    val ranged = toks.repartitionByRange(nParts, col(idCol))
+    orderedCumBefore(toks, Seq(col(idCol)), "n_tokens")
+      .withColumn("first_example", expr(s"cum_before div $ctxTokens"))
+      .withColumn("last_example",
+        expr(s"(cum_before + n_tokens - 1) div $ctxTokens"))
+      .withColumn("n_examples",
+        col("last_example") - col("first_example") + lit(1L))
+      .withColumn("tok_start", col("cum_before"))
+      .drop("cum_before")
+  }
+
+  /** The DISTRIBUTED ordered prefix sum both packing and budget
+    * truncation ride on: appends `cum_before` = the sum of `valueCol`
+    * over every row strictly earlier in `sortKeys` order (globally,
+    * with no single-partition sort). Two passes over ONE
+    * range-partitioned layout:
+    *
+    *  - pass 1: per-partition subtotals → a driver-side running sum
+    *    gives each partition its global offset (O(#partitions) rows
+    *    collected, never O(n));
+    *  - pass 2: partition-local window cumsum + the broadcast offset.
+    *
+    * The range shuffle is FROZEN with a localCheckpoint before either
+    * pass reads it: the passes are separate jobs, and RangePartitioner
+    * re-samples its split points per execution (the sample seed
+    * derives from the RDD id, which is fresh each run). At small scale
+    * the sampler sees every row so bounds are stable, but at
+    * production scale the sample is partial and re-drawn — the
+    * pid→offset map from pass 1 would silently misapply to different
+    * partition contents in pass 2, corrupting every offset after the
+    * first drifted boundary. The checkpoint pins ONE partitioning both
+    * jobs read (and fails loudly on block loss rather than recomputing
+    * into a different layout); the pinned frame carries only the sort
+    * keys + the value column, not the corpus.
+    *
+    * `sortKeys` must be a total order (tie-break on a unique id) or
+    * `cum_before` is ill-defined within tie groups.
+    */
+  private[graft] def orderedCumBefore(df: DataFrame, sortKeys: Seq[Column],
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     // pass 1: per-partition subtotals — O(#partitions) rows, never O(n)
     val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("t"))
+      .agg(sum(col(valueCol)).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -127,18 +154,41 @@ object Packing {
           Seq(lit(p), lit(o)) }.toIndexedSeq: _*),
         col("__pid"))
     // pass 2: partition-local cumulative sum + broadcast offset
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
       .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offset)
-      .withColumn("first_example", expr(s"cum_before div $ctxTokens"))
-      .withColumn("last_example",
-        expr(s"(cum_before + n_tokens - 1) div $ctxTokens"))
-      .withColumn("n_examples",
-        col("last_example") - col("first_example") + lit(1L))
+        coalesce(sum(col(valueCol)).over(w), lit(0L)) + offset)
+      .drop("__pid")
+  }
+
+  /** L54 — TOKEN-BUDGET CORPUS TRUNCATION (the data-pruning deployment
+    * of a quality signal — SlimPajama/FineWeb-style "keep the best
+    * documents until the budget is spent", Sorscher et al. 2022's
+    * pruning-under-budget framing): order docs by (`scoreCol` asc,
+    * id) — lower score = better, e.g. LM bits — and keep each doc iff
+    * its whole token count still fits the running budget (never
+    * overshoots; a straddling doc is dropped, not split).
+    *
+    * The global order is NOT a single-partition sort: the running
+    * total rides [[orderedCumBefore]]'s range-partitioned two-pass
+    * prefix sum, so the op scales exactly as sequence packing does.
+    * Output: (id, score, n_tokens, tok_start = total tokens of all
+    * strictly better-ranked docs, kept). The kept set is a contiguous
+    * quality-order prefix: the first straddling doc ends selection
+    * (greedy prefix, not skip-ahead bin packing — the budget is a
+    * cap, not a packing target).
+    */
+  def budgetTruncate(df: DataFrame, idCol: String, scoreCol: Column,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budgetTruncate: budget must be >= 0, got $budget")
+    val toks = df.select(col(idCol), scoreCol.as("score"),
+        tokensCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    orderedCumBefore(toks, Seq(col("score"), col(idCol)), "n_tokens")
       .withColumn("tok_start", col("cum_before"))
-      .drop("__pid", "cum_before")
+      .withColumn("kept", col("cum_before") + col("n_tokens") <= budget)
+      .drop("cum_before")
   }
 
   /** Overlapping strided chunking for retrieval: cut each document into

@@ -272,6 +272,27 @@ object Quality {
       .orderBy($"doc_id")
   }
 
+  /** ORACLED (q165): [[graft.ops.Packing.budgetTruncate]] deployed on
+    * the q113 perplexity signal — keep the LOWEST-bits candidates
+    * until a 10 000-token budget is spent (the quality-ordered corpus
+    * pruning a fixed training budget forces). DuckDB re-derives the LM
+    * scores (the shared CTEs), the (bits, id)-ordered window prefix
+    * sum (BIGINT-cast — the q153 lesson), and every keep decision.
+    */
+  def q165BudgetPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val cands = docs.filter($"doc_id" % 3 =!= 0)
+    val scored = lmScore(cands, docs.filter($"doc_id" % 3 === 0))
+      .select($"doc_id", $"bits_per_transition")
+    val toks = cands.select($"doc_id",
+      graft.ops.Packing.bpeishCount($"text").as("n_toks0"))
+    graft.ops.Packing.budgetTruncate(
+        scored.join(toks, Seq("doc_id")),
+        "doc_id", $"bits_per_transition", $"n_toks0", 10000L)
+      .orderBy($"doc_id")
+  }
+
   /** CCNet's actual DEPLOYMENT of the perplexity signal (Wenzek et al.
     * 2020 §4.3): bucket every candidate into head/middle/tail by
     * perplexity TERCILE rather than gating on a fixed cap — the head

@@ -267,6 +267,86 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** L53 — UNIMAX language sampling (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", ICLR — public): allocate a total TOKEN
+    * budget across languages as uniformly as possible, capping any
+    * language at `maxEpochs` repetitions of its corpus — the paper's
+    * fix for temperature sampling's twin failure modes (head languages
+    * still dominate at high temperature; tail languages over-epoch and
+    * memorize at low temperature).
+    *
+    * Water-filling, integer-exact (BigInt products, the corpusMixture
+    * discipline): languages ascending by token count; each takes
+    * b_l = min(remaining div languages_left, maxEpochs·c_l), remaining
+    * shrinks, so budget freed by capped small languages flows to the
+    * big ones. Per-language plan → per-doc manifest: full_epochs =
+    * b_l div c_l copies of everything, plus ONE partial epoch — docs
+    * ranked by (md5(id), id) within the language, included while their
+    * RUNNING token total fits b_l mod c_l (never overshoots).
+    *
+    * Output per doc: lang totals/budget, its rank, full_epochs,
+    * in_fractional, copies = full_epochs + (in_fractional ? 1 : 0).
+    *
+    * 100 TB posture: one bounded per-language aggregate (collect is
+    * O(#languages)), a driver fold over it, a broadcast plan join, and
+    * one rank+running-sum window per language partition — the q121
+    * rank idiom; for languages too large for one sort partition the
+    * window becomes the range-partitioned two-pass prefix sum
+    * ([[graft.ops.Packing.sequencePackWithOffsets]]'s shape, keyed by
+    * (md5, id) instead of id).
+    */
+  def unimaxPlan(df: DataFrame, idCol: String, langCol: String,
+      tokensCol: Column, budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"unimaxPlan: budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"unimaxPlan: maxEpochs must be >= 1, got $maxEpochs")
+    import df.sparkSession.implicits._
+    val toks = df.select(col(idCol), col(langCol).cast("string").as("lang"),
+        tokensCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val sizes = toks.groupBy($"lang").agg(sum($"n_tokens").as("c"))
+      .as[(String, Long)].collect().sortBy { case (l, c) => (c, l) }
+    require(sizes.nonEmpty, "unimaxPlan: empty input")
+    var remaining = BigInt(budget)
+    var left = sizes.length
+    val plan = sizes.map { case (l, c) =>
+      val b = (remaining / left).min(BigInt(maxEpochs) * c)
+      remaining -= b; left -= 1
+      (l, c, b.toLong)
+    }
+    val bdf = broadcast(
+      plan.toSeq.toDF("lang", "lang_tokens", "lang_budget"))
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(bdf, Seq("lang"))
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_end", sum($"n_tokens").over(wRun))
+      .withColumn("full_epochs", expr("lang_budget div lang_tokens"))
+      .withColumn("in_fractional",
+        $"cum_end" <= expr("lang_budget % lang_tokens"))
+      .withColumn("copies",
+        $"full_epochs" + when($"in_fractional", 1L).otherwise(0L))
+      .select(col(idCol), $"lang", $"n_tokens", $"lang_tokens",
+        $"lang_budget", $"sel_rank", $"full_epochs", $"in_fractional",
+        $"copies")
+  }
+
+  /** ORACLED (q164): [[unimaxPlan]] over `documents` at budget 40 000
+    * tokens, maxEpochs 2 — at sf0.01 the four small languages hit the
+    * 2-epoch cap and release budget to `en`, which lands a fractional
+    * epoch; DuckDB re-derives the water-fill as a recursive CTE over
+    * the size-ordered language list and every rank/cumsum/copy
+    * decision.
+    */
+  def q164Unimax(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.ops.Sources.documents(spark, dir)
+    unimaxPlan(docs, "doc_id", "lang",
+        graft.ops.Packing.bpeishCount(col("text")), 40000L, 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-scaled corpus mixture (XLM-R / mT5-style α-sampling,
     * Conneau et al. 2020 §3.1): per-group sampling mass ∝ count^α with
     * α < 1 UP-weighting rare groups relative to their natural share.

@@ -292,6 +292,35 @@ class PackingSpec extends SparkTestBase {
     assert(got.toSeq === oracle.toSeq)
   }
 
+  test("budgetTruncate: kept set is the longest quality-order prefix " +
+      "whose total fits, never overshoots, partition-invariant") {
+    val rnd = new scala.util.Random(43)
+    val docs = (0L until 400L)
+      .map(i => (i, rnd.nextDouble() * 10.0, 1L + rnd.nextInt(50).toLong))
+      .toDF("doc_id", "q", "toks").repartition(11)
+    val out = ops.Packing.budgetTruncate(docs, "doc_id", $"q", $"toks", 3000L)
+      .as[(Long, Double, Long, Long, Boolean)].collect()
+    assert(out.length === 400)
+    val ordered = out.sortBy(r => (r._2, r._1))
+    // tok_start is the exact running sum in (score, id) order
+    var run = 0L
+    ordered.foreach { r =>
+      assert(r._4 === run, s"tok_start drift at doc ${r._1}")
+      run += r._3
+    }
+    // kept = the longest prefix with total <= budget; nothing after it
+    val kept = ordered.takeWhile(_._5)
+    assert(kept.map(_._3).sum <= 3000L)
+    assert(kept.map(_._3).sum + ordered(kept.length)._3 > 3000L)
+    assert(ordered.drop(kept.length).forall(!_._5),
+      "a doc after the cut must not be kept")
+    // pure function of the rows — partitioning changes nothing
+    val out2 = ops.Packing
+      .budgetTruncate(docs.repartition(3), "doc_id", $"q", $"toks", 3000L)
+      .as[(Long, Double, Long, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+  }
+
   test("epochShuffleKey: exact bijection of the dense domain, distinct " +
       "orders across epochs, deterministic, and shuffle-free") {
     // halfBits = 5 -> domain [0, 1024); a dense id range must map onto

@@ -199,6 +199,43 @@ class SamplingSpec extends SparkTestBase {
     assert(bad.getMessage.contains("not constant"))
   }
 
+  test("unimax: caps bind smallest-first, freed budget flows to big " +
+      "languages, fractional epoch never overshoots, partition-invariant") {
+    // lang sizes (tokens): a=6 docs*2=12, b=30*2=60, c=100*2=200
+    val rows = (0L until 136L).map { i =>
+      val lang = if (i < 6) "a" else if (i < 36) "b" else "c"
+      (i, lang, 2L)
+    }
+    val df = rows.toDF("id", "lang", "toks")
+    // budget 120, maxEpochs 3: asc order a(12), b(60), c(200)
+    //  a: min(120/3=40, 36) = 36 -> rem 84
+    //  b: min(84/2=42, 180) = 42 -> rem 42   (fractional: 42 of 60)
+    //  c: min(42/1=42, 600) = 42              (fractional: 42 of 200)
+    val out = util.Sampling.unimaxPlan(df, "id", "lang", $"toks", 120L, 3)
+      .as[(Long, String, Long, Long, Long, Long, Long, Boolean, Long)]
+      .collect()
+    val byLang = out.groupBy(_._2)
+    def plan(l: String) = byLang(l).head
+    assert(plan("a")._5 === 36L && plan("b")._5 === 42L && plan("c")._5 === 42L)
+    // budgets sum to the full budget (nothing stranded)
+    assert(Seq("a", "b", "c").map(plan(_)._5).sum === 120L)
+    // a: 3 full epochs, no fractional; b/c: 0 full + fractional prefix
+    assert(byLang("a").forall(r => r._7 == 3L && !r._8 && r._9 == 3L))
+    assert(byLang("b").count(_._8) === 21 && byLang("c").count(_._8) === 21)
+    // fractional selection = exactly the lowest ranks, never overshoots
+    Seq("b", "c").foreach { l =>
+      val sel = byLang(l).filter(_._8)
+      assert(sel.map(_._3).sum <= 42L)
+      assert(sel.map(_._6).sorted.toSeq === (1L to sel.length).toSeq, l)
+    }
+    // pure function of (id, lang, toks): partitioning changes nothing
+    val out2 = util.Sampling
+      .unimaxPlan(df.repartition(13), "id", "lang", $"toks", 120L, 3)
+      .as[(Long, String, Long, Long, Long, Long, Long, Boolean, Long)]
+      .collect()
+    assert(out.sortBy(_._1).toSeq === out2.sortBy(_._1).toSeq)
+  }
+
   test("corpus mixture quota math survives weights whose products overflow Long") {
     // W = 2e18; cnt·W = 2e19 > Long.MaxValue — Long arithmetic would
     // wrap negative and zero (or invert) the quotas; BigInt keeps them
