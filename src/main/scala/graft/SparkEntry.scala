@@ -183,6 +183,7 @@ object SparkEntry {
     "q163_moore_lewis" -> (Quality.q163MooreLewis _),
     "q164_unimax" -> (graft.util.Sampling.q164Unimax _),
     "q165_budget_prune" -> (Quality.q165BudgetPrune _),
+    "q166_dup_lines" -> (Quality.q166DupLines _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3245,6 +3246,39 @@ object SparkEntry {
         |SELECT doc_id, score, n_tokens, tok_start,
         |  tok_start + n_tokens <= 10000 AS kept
         |FROM c ORDER BY doc_id""".stripMargin),
+    // Gopher duplicate-line battery over the replayable repPlant:
+    // micro-unit integer fractions, integer threshold compares
+    "q166_dup_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b0 AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> array_to_string(w[i*12+1 : i*12+12], ' ')) AS bl
+        |  FROM base),
+        |rpl AS (
+        |  SELECT doc_id, bl
+        |    || CASE WHEN doc_id % 3 = 0 THEN [bl[1], bl[1]]
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 4 = 0 THEN [bl[len(bl)]]
+        |         ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM b0),
+        |ex AS (SELECT doc_id, unnest(lines) AS line FROM rpl),
+        |g AS (SELECT doc_id, line, count(*) AS c FROM ex GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
+        |    CAST(sum(c * length(line)) AS BIGINT) AS n_chars,
+        |    CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_chars
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_distinct_lines,
+        |  n_lines - n_distinct_lines AS dup_lines, n_chars, dup_chars,
+        |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / n_lines + 0.5) AS BIGINT) AS dup_line_micro,
+        |  CAST(floor(dup_chars * 1e6 / n_chars + 0.5) AS BIGINT) AS dup_char_micro,
+        |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / n_lines + 0.5) AS BIGINT) <= 300000
+        |    AND CAST(floor(dup_chars * 1e6 / n_chars + 0.5) AS BIGINT) <= 200000 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -995,6 +995,79 @@ object Quality {
         .as("lines"))
   }
 
+  /** Deterministic duplicate-line corpus for [[q166DupLines]] (the
+    * [[gopherPlant]]/[[c4Plant]] technique): docs rebuilt as 12-word
+    * lines (first 48 words); docs with doc_id % 3 == 0 append their
+    * FIRST line twice more, % 4 == 0 their LAST line once —
+    * expression-only from `doc_id` so DuckDB replays it bit-exactly,
+    * with both duplicate-line rules firing in both directions.
+    */
+  private[ops] def repPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = split($"text", " ")
+    val nl = ceil(least(size(w), lit(48)).cast("double") / 12).cast("int")
+    val baseLines = transform(sequence(lit(0), nl - 1),
+      i => array_join(slice(w, i * lit(12) + 1, lit(12)), " "))
+    val emptyArr = array().cast("array<string>")
+    docs.select($"doc_id",
+      concat(baseLines,
+        when($"doc_id" % 3 === 0,
+          array(element_at(baseLines, 1), element_at(baseLines, 1)))
+          .otherwise(emptyArr),
+        when($"doc_id" % 4 === 0, array(element_at(baseLines, -1)))
+          .otherwise(emptyArr)).as("lines"))
+  }
+
+  /** L55 — GOPHER DUPLICATE-LINE battery (Rae et al. 2022 §A1.1, the
+    * repetition family's LINE rows — the within-document complement of
+    * [[q56Repetition]]'s n-gram rows and of q147's CROSS-document
+    * paragraph dedup): per document, the fraction of LINES that are
+    * repeats of a line already seen in the same document, and the
+    * fraction of CHARACTERS sitting in those repeats; drop the page
+    * when either passes the paper's thresholds (0.30 duplicate-line
+    * fraction / 0.20 duplicate-line character fraction — Gopher's
+    * boilerplate/spam signature). Fractions are exposed as MICRO-UNIT
+    * INTEGERS and thresholds compared in integers (the q120
+    * discipline — no double-literal typing drift cross-engine).
+    *
+    * 100 TB posture: one line explode → one (doc, line) count with
+    * map-side combine → one per-doc aggregate — q56's two-exchange
+    * explode-aggregate shape, linear in corpus lines; at production
+    * scale the group key becomes xxhash64(line) (the q136 trade —
+    * literal lines here keep the oracle exact).
+    */
+  def dupLineStats(lines: DataFrame, maxLineMicro: Long = 300000L,
+      maxCharMicro: Long = 200000L): DataFrame = {
+    import lines.sparkSession.implicits._
+    def micro(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      floor(p.cast("double") * 1e6 / q + 0.5).cast("long")
+    lines.select($"doc_id", explode($"lines").as("line"))
+      .groupBy($"doc_id", $"line").agg(count(lit(1)).as("c"))
+      .withColumn("len", length($"line").cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum($"c" * $"len").as("n_chars"),
+        sum(($"c" - 1L) * $"len").as("dup_chars"))
+      .withColumn("dup_lines", $"n_lines" - $"n_distinct_lines")
+      .withColumn("dup_line_micro", micro($"dup_lines", $"n_lines"))
+      .withColumn("dup_char_micro", micro($"dup_chars", $"n_chars"))
+      .withColumn("keep",
+        $"dup_line_micro" <= maxLineMicro &&
+          $"dup_char_micro" <= maxCharMicro)
+      .select($"doc_id", $"n_lines", $"n_distinct_lines", $"dup_lines",
+        $"n_chars", $"dup_chars", $"dup_line_micro", $"dup_char_micro",
+        $"keep")
+  }
+
+  /** ORACLED exercise (q166): [[dupLineStats]] over the [[repPlant]]ed
+    * corpus — DuckDB re-derives the plant, both duplicate-line
+    * fractions, and every keep decision.
+    */
+  def q166DupLines(spark: SparkSession, dir: String): DataFrame =
+    dupLineStats(repPlant(Sources.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
   /** L5/L6 — the C4 LINE-LEVEL cleaning battery (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning with a Unified
     * Text-to-Text Transformer", §2.2 — public): the famous heuristics

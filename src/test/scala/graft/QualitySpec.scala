@@ -93,6 +93,29 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("duplicate-line battery: hand-checked fractions, char mass counts " +
+      "repeats only, thresholds drop the spam shape") {
+    // doc 1: 4 lines, "aa bb" repeated 3x -> dup_lines 2/4, dup chars
+    // 2*5 of 5+5+5+4 = 10/19; doc 2: all distinct
+    val lines = Seq(
+      (1L, Seq("aa bb", "aa bb", "aa bb", "cc d")),
+      (2L, Seq("one line", "two line", "three line"))
+    ).toDF("doc_id", "lines")
+    val out = ops.Quality.dupLineStats(lines)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 2L, 2L, 19L, 10L, 500000L, 526316L, false)))
+    assert(out(2L) === ((2L, 3L, 3L, 0L, 26L, 0L, 0L, 0L, true)))
+    // boundary: exactly 30% duplicate lines is kept (<=, Gopher's rule)
+    val edge = Seq((3L, Seq("a", "b", "c", "d", "e", "f", "g", "a", "b", "c")))
+      .toDF("doc_id", "lines")
+    val e = ops.Quality.dupLineStats(edge)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    assert(e._7 === 300000L && e._9 === false,
+      "char fraction 30% > 20% still drops it")
+  }
+
   test("q116 releases its persists (CacheManager empty after the capstone)") {
     spark.catalog.clearCache()
     val out = ops.Quality.q116ShippedCorpus(spark, "/root/testdata/sf0.001")
