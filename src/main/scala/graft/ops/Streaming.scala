@@ -252,6 +252,46 @@ object Streaming {
         $"contaminated_chars", $"lm_bits", $"keep")
   }
 
+  /** STREAMING MOORE–LEWIS GATE — the per-row twin of
+    * [[Quality.mooreLewisSelect]] (q163): each arriving document is
+    * scored under TWO broadcast [[Quality.CharLm]]s — in-domain and
+    * general — in ONE UDF call, and admitted when the rounded
+    * cross-entropy difference sits below `threshold`. Both models are
+    * alphabet-bounded broadcasts (the [[admissionStream]] argument
+    * shape, persistable via [[CurationIndex]]); scoring is stateless,
+    * so the stream needs no watermark or state store — a pure map over
+    * the micro-batch. Bits round at scale 6 HALF_UP exactly as the
+    * batch arm rounds `bits_per_transition`, and the diff re-rounds at
+    * 6 (the q163 discipline), so stream and batch decisions agree
+    * per document (parity asserted on the real fixture in
+    * `StreamingSpec`). Documents with fewer than 2 code points carry
+    * no transition evidence and are dropped — exactly the rows the
+    * batch arm's bigram explode never emits.
+    */
+  def mooreLewisStream(docs: DataFrame, inLm: Quality.CharLm,
+      genLm: Quality.CharLm, threshold: Double = 0.0): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val bIn = sc.broadcast(inLm)
+    val bGen = sc.broadcast(genLm)
+    val gates = udf { text: String =>
+      if (text == null || text.codePointCount(0, text.length) < 2) None
+      else {
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val bi = r6(bIn.value.bits(text))
+        val bg = r6(bGen.value.bits(text))
+        Some((bi, bg, r6(bi - bg)))
+      }
+    }
+    docs
+      .withColumn("g", gates($"text"))
+      .filter($"g".isNotNull)
+      .select($"doc_id", $"g._1".as("bits_in"), $"g._2".as("bits_gen"),
+        $"g._3".as("xent_diff"))
+      .withColumn("selected", $"xent_diff" < threshold)
+  }
+
   /** STREAMING ADMISSION v2 — the streaming twin of the q125 batch
     * capstone: [[admissionStream]]'s four gates PLUS the Gopher
     * structural battery and the DSIR importance-weight floor, every

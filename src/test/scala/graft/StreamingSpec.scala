@@ -883,6 +883,41 @@ class StreamingSpec extends SparkTestBase {
     assert(future.getMessage.contains("format 99"), future.getMessage)
   }
 
+  test("moore-lewis stream matches the q163 batch selection per document " +
+      "(real fixture)") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val inLm = ops.Quality.charLm(docs.filter($"source".isin("src0", "src1")))
+    val genLm = ops.Quality.charLm(docs.filter($"doc_id" % 3 === 0))
+    val batch = ops.Quality.mooreLewisSelect(docs,
+        docs.filter($"source".isin("src0", "src1")),
+        docs.filter($"doc_id" % 3 === 0))
+      .select($"doc_id", $"bits_in", $"bits_gen", $"xent_diff", $"selected")
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.mooreLewisStream(input.toDF(), inLm, genLm)
+      .writeStream.format("memory").queryName("moore_lewis_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(rows.toIndexedSeq.map { case (id, t) =>
+        TDoc(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("moore_lewis_stream")
+        .as[(Long, Double, Double, Double, Boolean)].collect()
+      assert(out.length === batch.size, "stream must score every batch doc")
+      out.foreach { case (id, bi, bg, d, sel) =>
+        val b = batch(id)
+        assert(math.abs(bi - b._2) <= 1e-6, s"bits_in doc $id")
+        assert(math.abs(bg - b._3) <= 1e-6, s"bits_gen doc $id")
+        assert(math.abs(d - b._4) <= 1e-6, s"diff doc $id")
+        if (math.abs(b._4) > 1e-5)
+          assert(sel === b._5, s"selection diverges on doc $id (diff ${b._4})")
+      }
+    }
+  }
+
   test("admission v2 stream matches the q125 batch gates per document (real fixture)") {
     implicit val sql = spark.sqlContext
     val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
