@@ -42,12 +42,22 @@ object CurationIndex {
     */
   def write(spark: SparkSession, path: String, reference: DataFrame,
       bench: DataFrame, lmReference: DataFrame, gramLen: Int = 24): Unit = {
-    import spark.implicits._
     SpanDedup.dupGramHashes(reference, gramLen)
       .write.mode("overwrite").parquet(s"$path/dup_grams")
     SpanDedup.benchGramHashes(bench, gramLen)
       .write.mode("overwrite").parquet(s"$path/bench_grams")
-    val lm = Quality.charLm(lmReference)
+    writeLm(spark, path, Quality.charLm(lmReference))
+  }
+
+  /** Persist ONE [[Quality.CharLm]] standalone — same layout and
+    * format marker as [[write]]'s LM subtree. The Moore–Lewis gate
+    * ([[Streaming.mooreLewisStream]]) deploys with TWO models —
+    * in-domain and general — each under its own directory; [[write]]
+    * bundles a single LM with the gram gates.
+    */
+  def writeLm(spark: SparkSession, path: String,
+      lm: Quality.CharLm): Unit = {
+    import spark.implicits._
     lm.bigramKeys.zip(lm.bigramCounts).toSeq.toDF("key", "count")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/lm_bigrams")
     lm.ctxKeys.zip(lm.ctxCounts).toSeq.toDF("key", "count")
@@ -67,6 +77,14 @@ object CurationIndex {
       .as[Long].collect().sorted
     val bench = spark.read.parquet(s"$path/bench_grams")
       .as[Long].collect().sorted
+    Index(dup, bench, loadLm(spark, path))
+  }
+
+  /** Load a [[Quality.CharLm]] written by [[writeLm]] (or [[write]]'s
+    * LM subtree), enforcing the format marker.
+    */
+  def loadLm(spark: SparkSession, path: String): Quality.CharLm = {
+    import spark.implicits._
     val big = spark.read.parquet(s"$path/lm_bigrams")
       .select($"key", $"count").as[(Long, Long)].collect().sortBy(_._1)
     val ctx = spark.read.parquet(s"$path/lm_meta_ctx")
@@ -78,22 +96,21 @@ object CurationIndex {
     // streamed document).
     val meta = spark.read.parquet(s"$path/lm_meta")
     require(meta.columns.contains("format"),
-      s"CurationIndex.load($path): lm_meta carries no format marker — " +
+      s"CurationIndex.loadLm($path): lm_meta carries no format marker — " +
         "the index predates the 64-bit code-point bigram keys (its " +
         "16-bit-packed keys would silently never match, scoring every " +
-        "document as all-unseen); rebuild it with CurationIndex.write")
+        "document as all-unseen); rebuild it with CurationIndex.write/writeLm")
     val metaRows = meta
       .select($"vocab", $"format".cast("long")).as[(Long, Long)].collect()
     require(metaRows.length == 1 && metaRows.head._1 > 0,
-      s"CurationIndex.load($path): lm_meta must hold exactly one positive " +
+      s"CurationIndex.loadLm($path): lm_meta must hold exactly one positive " +
         s"vocab row (got ${metaRows.mkString("[", ",", "]")}) — the index " +
         "was written from an empty/all-short LM reference or is corrupt")
     require(metaRows.head._2 == FormatVersion,
-      s"CurationIndex.load($path): format ${metaRows.head._2} != " +
+      s"CurationIndex.loadLm($path): format ${metaRows.head._2} != " +
         s"$FormatVersion — rebuild the index with this build's write()")
-    Index(dup, bench,
-      Quality.CharLm(big.map(_._1), big.map(_._2),
-        ctx.map(_._1), ctx.map(_._2), metaRows.head._1))
+    Quality.CharLm(big.map(_._1), big.map(_._2),
+      ctx.map(_._1), ctx.map(_._2), metaRows.head._1)
   }
 
   /** Persist a [[Quality.DsirModel]] (the admission-v2 stream's fifth

@@ -896,8 +896,15 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, Double, Double, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    // the deployment path: BOTH models persisted standalone and
+    // reloaded (each its own directory — write() bundles only one LM)
+    val base = java.nio.file.Files.createTempDirectory("graft-ml").toString
+    ops.CurationIndex.writeLm(spark, s"$base/in", inLm)
+    ops.CurationIndex.writeLm(spark, s"$base/gen", genLm)
+    val inL = ops.CurationIndex.loadLm(spark, s"$base/in")
+    val genL = ops.CurationIndex.loadLm(spark, s"$base/gen")
     val input = MemoryStream[TDoc]
-    val q = ops.Streaming.mooreLewisStream(input.toDF(), inLm, genLm)
+    val q = ops.Streaming.mooreLewisStream(input.toDF(), inL, genL)
       .writeStream.format("memory").queryName("moore_lewis_stream")
       .outputMode("append").start()
     withQuery(q) {
