@@ -184,6 +184,7 @@ object SparkEntry {
     "q164_unimax" -> (graft.util.Sampling.q164Unimax _),
     "q165_budget_prune" -> (Quality.q165BudgetPrune _),
     "q166_dup_lines" -> (Quality.q166DupLines _),
+    "q167_ngram_repetition" -> (Quality.q167NgramRepetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3279,6 +3280,73 @@ object SparkEntry {
         |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / n_lines + 0.5) AS BIGINT) <= 300000
         |    AND CAST(floor(dup_chars * 1e6 / n_chars + 0.5) AS BIGINT) <= 200000 AS keep
         |FROM a ORDER BY doc_id""".stripMargin,
+    // Gopher n-gram repetition battery over the same repPlant: top
+    // family = occurrence-sum chars of the most frequent gram
+    // (n 2..4); dup family = span-union covered word chars (n 5..10)
+    "q167_ngram_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b0 AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(least(len(w), 48) / 12.0) AS INT) - 1),
+        |      i -> array_to_string(w[i*12+1 : i*12+12], ' ')) AS bl
+        |  FROM base),
+        |rpl AS (
+        |  SELECT doc_id, bl
+        |    || CASE WHEN doc_id % 3 = 0 THEN [bl[1], bl[1]]
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || CASE WHEN doc_id % 4 = 0 THEN [bl[len(bl)]]
+        |         ELSE CAST([] AS VARCHAR[]) END AS lines
+        |  FROM b0),
+        |tok AS (SELECT doc_id,
+        |  string_split(array_to_string(lines, ' '), ' ') AS t FROM rpl),
+        |wch AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS w_chars
+        |  FROM tok),
+        |ns AS (SELECT unnest(generate_series(2, 10)) AS n),
+        |gx AS (
+        |  SELECT tok.doc_id, ns.n, u.i AS pos,
+        |    array_to_string(t[u.i : u.i + ns.n - 1], ' ') AS gram
+        |  FROM tok, ns, unnest(generate_series(1, len(t) - ns.n + 1)) AS u(i)
+        |  WHERE len(t) >= ns.n),
+        |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM gx GROUP BY 1, 2, 3),
+        |tops AS (
+        |  SELECT doc_id, n,
+        |    CAST(c * (length(gram) - (n - 1)) AS BIGINT) AS metric_chars
+        |  FROM (SELECT doc_id, n, gram, c,
+        |      row_number() OVER (PARTITION BY doc_id, n
+        |        ORDER BY c DESC, length(gram) DESC, gram) AS rk
+        |    FROM gc WHERE n <= 4) WHERE rk = 1),
+        |dpos AS (
+        |  SELECT DISTINCT g.doc_id, g.n, u.k AS idx
+        |  FROM gx g JOIN gc ON gc.doc_id = g.doc_id AND gc.n = g.n
+        |    AND gc.gram = g.gram,
+        |    unnest(generate_series(g.pos, g.pos + g.n - 1)) AS u(k)
+        |  WHERE gc.c > 1 AND g.n >= 5),
+        |wlen AS (
+        |  SELECT doc_id, u.i AS idx, CAST(length(t[u.i]) AS BIGINT) AS wl
+        |  FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+        |dups AS (
+        |  SELECT d.doc_id, d.n, CAST(sum(w.wl) AS BIGINT) AS metric_chars
+        |  FROM dpos d JOIN wlen w USING (doc_id, idx) GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT doc_id, n FROM gx),
+        |fam AS (
+        |  SELECT doc_id, n, 'top' AS family, metric_chars FROM tops
+        |  UNION ALL
+        |  SELECT g.doc_id, g.n, 'dup' AS family,
+        |    COALESCE(d.metric_chars, 0) AS metric_chars
+        |  FROM grid g LEFT JOIN dups d USING (doc_id, n) WHERE g.n >= 5),
+        |th AS (SELECT * FROM (VALUES (2, 200000), (3, 180000), (4, 160000),
+        |  (5, 150000), (6, 140000), (7, 130000), (8, 120000), (9, 110000),
+        |  (10, 100000)) v(n, thr))
+        |SELECT f.doc_id, CAST(f.n AS BIGINT) AS n, f.family, w.w_chars,
+        |  CAST(f.metric_chars AS BIGINT) AS metric_chars,
+        |  CAST(floor(f.metric_chars * 1e6 / w.w_chars + 0.5) AS BIGINT) AS frac_micro,
+        |  CAST(th.thr AS BIGINT) AS threshold_micro,
+        |  CAST(floor(f.metric_chars * 1e6 / w.w_chars + 0.5) AS BIGINT) <= th.thr AS ok
+        |FROM fam f JOIN wch w USING (doc_id) JOIN th ON th.n = f.n
+        |ORDER BY f.doc_id, f.n""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

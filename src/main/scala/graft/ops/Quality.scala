@@ -1068,6 +1068,118 @@ object Quality {
     dupLineStats(repPlant(Sources.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** L56 — GOPHER n-GRAM REPETITION battery (Rae et al. 2022 §A1.1,
+    * the remaining repetition rows — with [[q56Repetition]] and
+    * [[dupLineStats]] the full published family is now covered):
+    * per document and n,
+    *
+    *  - n ∈ {2, 3, 4} — "top" family: the fraction of characters in
+    *    ALL OCCURRENCES of the single most frequent word n-gram
+    *    (count · gram chars / word chars; thresholds 0.20/0.18/0.16);
+    *  - n ∈ {5..10} — "dup" family: the fraction of characters
+    *    covered by ANY n-gram occurring more than once, counted ONCE
+    *    per word position (span-union, NOT occurrence sums — summing
+    *    overlapping occurrences exceeds 1.0 for any periodic text and
+    *    makes the paper's 0.15..0.10 thresholds meaningless; this is
+    *    the convention of the public Gopher-rule reimplementations).
+    *
+    * Mechanics — RELATIONAL gram stream, not HOF lambdas: higher-order
+    * `transform` lambdas are interpreted (no codegen), and 9 of them
+    * building Σn-length strings per row measured 45+ s at sf0.1; the
+    * shipped plan posexplodes words ONCE, takes 9 window `lead`s per
+    * word (one per-doc sort of the word stream), and builds every
+    * gram's hash/length as FLAT codegen expressions — then one
+    * 9-struct array explode. Counts come from a GROUP BY (map-side
+    * partial combine; a window count would full-sort the gram
+    * stream). The top family is one aggregate with a
+    * (count, len)-struct max — ties on both give the same char
+    * product, so the metric is deterministic; the dup family explodes
+    * covered word positions, dedups them, and sums word lengths.
+    * Fractions are micro-unit integers compared in integers (the q166
+    * discipline).
+    *
+    * 100 TB posture: linear in corpus words × Σn, one per-doc word
+    * sort + five keyed exchanges, no joins wider than (doc, idx); the
+    * gram key is an 8-byte hash from birth (counts invariant under
+    * injective hashing — the q56 trade, 2⁻⁶⁴ caveat).
+    */
+  def ngramRepetitionStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val thrMicro: Seq[(Int, Long)] = Seq(2 -> 200000L, 3 -> 180000L,
+      4 -> 160000L, 5 -> 150000L, 6 -> 140000L, 7 -> 130000L,
+      8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+    val t = split($"text", " ")
+    val words = docs.select($"doc_id", posexplode(t).as(Seq("i0", "word")))
+    val wByDoc = Window.partitionBy($"doc_id").orderBy($"i0")
+    val leads = words.select(
+      Seq($"doc_id", ($"i0" + 1).cast("long").as("pos"), $"word") ++
+        (1 to 9).map(k => lead($"word", k).over(wByDoc).as(s"w$k")): _*)
+    val gramCols = (2 to 10).map { n =>
+      // concat_ws SKIPS nulls, so a doc-end truncated gram would alias
+      // a shorter one — the last-word null check gates the whole struct
+      val gram = concat_ws(" ",
+        ($"word" +: (1 until n).map(k => col(s"w$k"))): _*)
+      when(col(s"w${n - 1}").isNotNull,
+        struct(lit(n).as("n"), xxhash64(gram).as("g"),
+          (length(gram) - lit(n - 1)).cast("long").as("len")))
+    }
+    val gx = leads
+      .select($"doc_id", $"pos", explode(array(gramCols: _*)).as("gr"))
+      .filter($"gr".isNotNull)
+      .select($"doc_id", $"pos", $"gr.n".as("n"), $"gr.g".as("g"),
+        $"gr.len".as("len"))
+    val gc = gx.groupBy($"doc_id", $"n", $"g", $"len")
+      .agg(count(lit(1)).as("c"))
+    val tops = gc.filter($"n" <= 4)
+      .groupBy($"doc_id", $"n")
+      .agg(max(struct($"c", $"len")).as("top"))
+      .select($"doc_id", $"n", lit("top").as("family"),
+        ($"top.c" * $"top.len").as("metric_chars"))
+    val wlen = words.select($"doc_id", ($"i0" + 1).cast("long").as("idx"),
+      length($"word").cast("long").as("wl"))
+    val dupCover = gx.filter($"n" >= 5)
+      .join(gc.filter($"n" >= 5 && $"c" > 1).select($"doc_id", $"n", $"g"),
+        Seq("doc_id", "n", "g"), "left_semi")
+      .select($"doc_id", $"n",
+        explode(sequence($"pos", $"pos" + $"n" - 1)).as("idx"))
+      .distinct()
+      .join(wlen, Seq("doc_id", "idx"))
+      .groupBy($"doc_id", $"n").agg(sum($"wl").as("metric_chars"))
+    val grid = gx.filter($"n" >= 5).select($"doc_id", $"n").distinct()
+    val dups = grid.join(dupCover, Seq("doc_id", "n"), "left")
+      .select($"doc_id", $"n", lit("dup").as("family"),
+        coalesce($"metric_chars", lit(0L)).as("metric_chars"))
+    val thr = element_at(
+      map(thrMicro.flatMap { case (n, m) => Seq(lit(n), lit(m)) }: _*),
+      $"n".cast("int"))
+    val wch = words.groupBy($"doc_id")
+      .agg(sum(length($"word")).cast("long").as("w_chars"))
+    tops.unionByName(dups)
+      .join(wch, Seq("doc_id"))
+      .withColumn("frac_micro",
+        floor($"metric_chars".cast("double") * 1e6 / $"w_chars" + 0.5)
+          .cast("long"))
+      .withColumn("threshold_micro", thr)
+      .withColumn("ok", $"frac_micro" <= $"threshold_micro")
+      .select($"doc_id", $"n", $"family", $"w_chars", $"metric_chars",
+        $"frac_micro", $"threshold_micro", $"ok")
+  }
+
+  /** ORACLED exercise (q167): [[ngramRepetitionStats]] over the
+    * [[repPlant]]ed corpus (lines rejoined — repeated 12-word blocks
+    * light up every n) — DuckDB re-derives the plant, both metric
+    * families including the span-union coverage, and every rule
+    * boolean.
+    */
+  def q167NgramRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ngramRepetitionStats(
+        repPlant(Sources.documents(spark, dir))
+          .select($"doc_id", array_join($"lines", " ").as("text")))
+      .orderBy($"doc_id", $"n")
+  }
+
   /** L5/L6 — the C4 LINE-LEVEL cleaning battery (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning with a Unified
     * Text-to-Text Transformer", §2.2 — public): the famous heuristics

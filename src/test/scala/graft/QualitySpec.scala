@@ -116,6 +116,35 @@ class QualitySpec extends SparkTestBase {
       "char fraction 30% > 20% still drops it")
   }
 
+  test("ngram repetition battery: top family sums occurrences, dup family " +
+      "covers positions once, thresholds fire both ways") {
+    val docs = Seq(
+      // "x y" x3 dominates the 2-grams; no 5-gram repeats
+      (1L, "x y x y x y"),
+      // "a b c d e" repeats at 1/6/11 -> every word position covered
+      (2L, "a b c d e a b c d e a b c d e"),
+      // no repetition at all
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = ops.Quality.ngramRepetitionStats(docs)
+      .as[(Long, Int, String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // doc 1: w_chars 6; top-2 metric = 3 occurrences * 2 chars = 6 ->
+    // frac 1.0, over the 0.20 threshold
+    assert(out((1L, 2)) === ((1L, 2, "top", 6L, 6L, 1000000L, 200000L, false)))
+    // doc 1 has 5-gram rows (6 words) but no duplicated 5-gram
+    assert(out((1L, 5)) === ((1L, 5, "dup", 6L, 0L, 0L, 150000L, true)))
+    // doc 2: every position covered by the repeated 5-gram -> frac 1.0
+    assert(out((2L, 5))._5 === 15L && out((2L, 5))._6 === 1000000L
+      && !out((2L, 5))._8)
+    // doc 3: clean -> every family/threshold passes except tiny-doc top
+    // fractions, which are a property of doc SIZE, not repetition
+    assert(out((3L, 5))._5 === 0L && out((3L, 5))._8)
+    assert(out((3L, 10))._5 === 0L && out((3L, 10))._8)
+    // grid completeness: docs with >= n words carry a row for every n
+    assert(out.keySet.count(_._1 == 3L) === 9)
+  }
+
   test("q116 releases its persists (CacheManager empty after the capstone)") {
     spark.catalog.clearCache()
     val out = ops.Quality.q116ShippedCorpus(spark, "/root/testdata/sf0.001")
