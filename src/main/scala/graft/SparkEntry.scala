@@ -3275,10 +3275,10 @@ object SparkEntry {
         |  FROM g GROUP BY doc_id)
         |SELECT doc_id, n_lines, n_distinct_lines,
         |  n_lines - n_distinct_lines AS dup_lines, n_chars, dup_chars,
-        |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / n_lines + 0.5) AS BIGINT) AS dup_line_micro,
-        |  CAST(floor(dup_chars * 1e6 / n_chars + 0.5) AS BIGINT) AS dup_char_micro,
-        |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / n_lines + 0.5) AS BIGINT) <= 300000
-        |    AND CAST(floor(dup_chars * 1e6 / n_chars + 0.5) AS BIGINT) <= 200000 AS keep
+        |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / greatest(n_lines, 1) + 0.5) AS BIGINT) AS dup_line_micro,
+        |  CAST(floor(dup_chars * 1e6 / greatest(n_chars, 1) + 0.5) AS BIGINT) AS dup_char_micro,
+        |  CAST(floor((n_lines - n_distinct_lines) * 1e6 / greatest(n_lines, 1) + 0.5) AS BIGINT) <= 300000
+        |    AND CAST(floor(dup_chars * 1e6 / greatest(n_chars, 1) + 0.5) AS BIGINT) <= 200000 AS keep
         |FROM a ORDER BY doc_id""".stripMargin,
     // Gopher n-gram repetition battery over the same repPlant: top
     // family = occurrence-sum chars of the most frequent gram
@@ -3342,9 +3342,9 @@ object SparkEntry {
         |  (10, 100000)) v(n, thr))
         |SELECT f.doc_id, CAST(f.n AS BIGINT) AS n, f.family, w.w_chars,
         |  CAST(f.metric_chars AS BIGINT) AS metric_chars,
-        |  CAST(floor(f.metric_chars * 1e6 / w.w_chars + 0.5) AS BIGINT) AS frac_micro,
+        |  CAST(floor(f.metric_chars * 1e6 / greatest(w.w_chars, 1) + 0.5) AS BIGINT) AS frac_micro,
         |  CAST(th.thr AS BIGINT) AS threshold_micro,
-        |  CAST(floor(f.metric_chars * 1e6 / w.w_chars + 0.5) AS BIGINT) <= th.thr AS ok
+        |  CAST(floor(f.metric_chars * 1e6 / greatest(w.w_chars, 1) + 0.5) AS BIGINT) <= th.thr AS ok
         |FROM fam f JOIN wch w USING (doc_id) JOIN th ON th.n = f.n
         |ORDER BY f.doc_id, f.n""".stripMargin,
   )

@@ -127,6 +127,11 @@ object Packing {
     * into a different layout); the pinned frame carries only the sort
     * keys + the value column, not the corpus.
     *
+    * The OUTPUT is eagerly checkpointed and the ranged frame
+    * unpersisted before return, so repeated calls in a long-lived
+    * session do not accumulate pinned blocks (the marginMine
+    * checkpoint-then-unpersist discipline).
+    *
     * `sortKeys` must be a total order (tie-break on a unique id) or
     * `cum_before` is ill-defined within tie groups.
     */
@@ -153,13 +158,21 @@ object Packing {
         map(offsets.flatMap { case (p, o) =>
           Seq(lit(p), lit(o)) }.toIndexedSeq: _*),
         col("__pid"))
-    // pass 2: partition-local cumulative sum + broadcast offset
+    // pass 2: partition-local cumulative sum + broadcast offset.
+    // The output is eagerly checkpointed so the ranged frame can be
+    // unpersisted here (the marginMine discipline) — otherwise every
+    // call would pin the ranged blocks for executor lifetime, since
+    // the lazy result keeps referencing them. Transient cost: one
+    // extra copy of (keys, value, cum_before) during the handoff.
     val w = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    val out = ranged
       .withColumn("cum_before",
         coalesce(sum(col(valueCol)).over(w), lit(0L)) + offset)
       .drop("__pid")
+      .localCheckpoint(true)
+    ranged.unpersist(false)
+    out
   }
 
   /** L54 — TOKEN-BUDGET CORPUS TRUNCATION (the data-pruning deployment

@@ -1039,8 +1039,12 @@ object Quality {
   def dupLineStats(lines: DataFrame, maxLineMicro: Long = 300000L,
       maxCharMicro: Long = 200000L): DataFrame = {
     import lines.sparkSession.implicits._
+    // greatest(q, 1): a doc whose lines are ALL empty strings has
+    // n_chars = 0, and 0 * 1e6 / 0 is NaN — which nulls in Spark but
+    // errors in the oracle's BIGINT cast. The numerator is 0 whenever
+    // the denominator is, so the clamp only ever turns NaN into 0.
     def micro(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
-      floor(p.cast("double") * 1e6 / q + 0.5).cast("long")
+      floor(p.cast("double") * 1e6 / greatest(q, lit(1L)) + 0.5).cast("long")
     lines.select($"doc_id", explode($"lines").as("line"))
       .groupBy($"doc_id", $"line").agg(count(lit(1)).as("c"))
       .withColumn("len", length($"line").cast("long"))
@@ -1158,8 +1162,10 @@ object Quality {
     tops.unionByName(dups)
       .join(wch, Seq("doc_id"))
       .withColumn("frac_micro",
-        floor($"metric_chars".cast("double") * 1e6 / $"w_chars" + 0.5)
-          .cast("long"))
+        // greatest(..., 1): all-empty-word docs have w_chars = 0 and
+        // metric_chars = 0 — clamp turns the 0/0 NaN into 0 (q166 rule)
+        floor($"metric_chars".cast("double") * 1e6 /
+          greatest($"w_chars", lit(1L)) + 0.5).cast("long"))
       .withColumn("threshold_micro", thr)
       .withColumn("ok", $"frac_micro" <= $"threshold_micro")
       .select($"doc_id", $"n", $"family", $"w_chars", $"metric_chars",

@@ -1884,9 +1884,13 @@ object Similarity {
     * This is the EXACT arm (all-pairs — the oracle shape, the q126
     * precedent): at mining scale use [[marginMineBlocked]], which
     * feeds the SAME margin algebra ([[marginFromPairs]] — shared code,
-    * not a promise) from the IVF-blocked candidate generator; the two
-    * density tables stay |src|/|tgt|-bounded either way (broadcast
-    * joins here).
+    * not a promise) from the IVF-blocked candidate generator. The two
+    * density tables hold one row per source/target sentence — corpus-
+    * sized at mining scale (CCMatrix mines billions of sentences) —
+    * so they are joined back with plain keyed equi-joins and AQE
+    * decides broadcast vs shuffle at runtime (the [[keepSurvivors]]
+    * rule: forcing a broadcast would OOM exactly when mining scale
+    * is the point).
     */
   def marginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
       threshold: Double = 1.06): DataFrame = {
@@ -1928,9 +1932,13 @@ object Similarity {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"tid").orderBy($"cos6".desc, $"sid")))
       .filter($"rn" <= k).groupBy($"tid").agg(sum(dec).as("t_sum"))
+    // Plain keyed joins: aS/aT hold one row per sentence — corpus-
+    // sized at mining scale. AQE converts to broadcast when the side
+    // is actually small; forcing the hint would OOM at the scale the
+    // blocked arm exists for (the keepSurvivors rule).
     all
-      .join(broadcast(aS), Seq("sid"))
-      .join(broadcast(aT), Seq("tid"))
+      .join(aS, Seq("sid"))
+      .join(aT, Seq("tid"))
       .withColumn("margin",
         $"cos6" / (($"s_sum" + $"t_sum").cast("double") / lit(2.0 * k)))
       .withColumn("rm", row_number().over(
@@ -1992,7 +2000,20 @@ object Similarity {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(42L).setMaxIter(10).setInitMode("random")
       .setFeaturesCol("mlvec").setPredictionCol("ivf_list")
-    val model = km.fit(su.select($"mlvec").unionByName(tu.select($"mlvec")))
+    // The random-init takeSample depends on the RDD's partition
+    // layout AND per-partition row order, so a different file split /
+    // parallelism would shift cluster geometry and flip q161's
+    // blocked-vs-exact parity even with a fixed seed. Hash-partition
+    // on a value-derived key and sort within partitions: the layout —
+    // hence the init sample, hence the geometry — becomes a pure
+    // function of the dataset values, never of how it arrived.
+    val fitInput = su.select($"unit", $"mlvec")
+      .unionByName(tu.select($"unit", $"mlvec"))
+      .withColumn("fit_key", xxhash64($"unit"))
+      .repartition(32, $"fit_key")
+      .sortWithinPartitions($"fit_key", $"unit")
+      .select($"mlvec")
+    val model = km.fit(fitInput)
     val sAssigned = model.transform(su)
       .select($"sid", $"sv", $"ivf_list".as("cell"))
     val tAssigned = model.transform(tu)
