@@ -307,20 +307,37 @@ object Quality {
     * 100 TB posture: scoring is q113's (broadcast model, one map +
     * per-doc aggregate). The exact percentile aggregate buffers the
     * per-doc bits column (one value per DOCUMENT, not per token — tens
-    * of GB at 100 TB corpus scale, still the one stage to swap out);
-    * the production path fits cutoffs on a sample or the GK sketch
-    * (q75's machinery, rank error ε) exactly as CCNet fits its cutoffs
-    * on a sample of Common Crawl — the assignment stage, which is the
-    * corpus-sized one, is already the scalable shape.
+    * of GB at 100 TB corpus scale); pass `exactCutoffs = false` for
+    * the production arm, which fits the cutoffs with the GK sketch
+    * (q75's machinery, `approx_percentile`, rank error
+    * 1/`sketchAccuracy`, constant-size state) exactly as CCNet fits
+    * its cutoffs on a sample of Common Crawl — only docs whose rank
+    * sits within ε·n of a tercile boundary can flip bucket. The
+    * assignment stage, which is the corpus-sized one, is the same
+    * scalable map either way.
     */
-  def ccnetBuckets(candidates: DataFrame, reference: DataFrame): DataFrame = {
+  def ccnetBuckets(candidates: DataFrame, reference: DataFrame,
+      exactCutoffs: Boolean = true, sketchAccuracy: Int = 10000): DataFrame = {
     import candidates.sparkSession.implicits._
     val lm = lmScore(candidates, reference)
       .select($"doc_id",
         floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
-    val cuts = lm.agg(
-      floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
-      floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+    // exactCutoffs = the ORACLE arm (interpolated percentile, buffers
+    // one value per doc — fine at fixture scale, tens of GB at 100 TB);
+    // exactCutoffs = false is the PRODUCTION arm: Greenwald–Khanna
+    // approx_percentile (q75's machinery) with rank error
+    // 1/sketchAccuracy and constant-size state. GK on a LONG column
+    // returns an OBSERVED long (no interpolation), so a doc flips
+    // bucket only if its rank sits within ε·n of a tercile boundary —
+    // the agreement the spec pins.
+    val cuts =
+      if (exactCutoffs) lm.agg(
+        floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
+        floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+      else lm.agg(expr(
+          s"approx_percentile(bits_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), $sketchAccuracy)")
+          .as("gk"))
+        .select(element_at($"gk", 1).as("c1"), element_at($"gk", 2).as("c2"))
     lm.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when($"bits_micro" <= $"c1", "head")

@@ -145,6 +145,56 @@ class QualitySpec extends SparkTestBase {
     assert(out.keySet.count(_._1 == 3L) === 9)
   }
 
+  test("repetition batteries: all-empty-line/word docs hit the zero-char " +
+      "guard — fractions are 0, never NaN/null") {
+    // doc 1: three empty lines -> n_chars = 0; the dup-char fraction
+    // divides 0/0 without the greatest() clamp
+    val lines = Seq((1L, Seq("", "", ""))).toDF("doc_id", "lines")
+    val d = ops.Quality.dupLineStats(lines)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    assert(d._5 === 0L && d._8 === 0L, "n_chars and dup_char_micro are 0")
+    assert(d._7 === 666667L && !d._9, "line fraction still fires")
+    // doc of empty words (double spaces split to "") -> w_chars = 0
+    // with duplicated empty grams -> metric_chars = 0 and frac 0
+    val docs = Seq((1L, "     ")).toDF("doc_id", "text")
+    val out = ops.Quality.ngramRepetitionStats(docs)
+      .as[(Long, Int, String, Long, Long, Long, Long, Boolean)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._4 === 0L, "w_chars is 0")
+      assert(r._6 === 0L, s"frac_micro must clamp to 0, got ${r._6}")
+    }
+  }
+
+  test("ccnetBuckets sketch arm: GK cutoffs agree with the exact arm " +
+      "except within rank-eps of a tercile boundary") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val cand = docs.filter($"doc_id" % 3 =!= 0)
+    val ref = docs.filter($"doc_id" % 3 === 0)
+    val exact = ops.Quality.ccnetBuckets(cand, ref)
+      .as[(Long, Long, String)].collect()
+    val sketch = ops.Quality.ccnetBuckets(cand, ref, exactCutoffs = false)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    val n = exact.length
+    assert(n > 100 && sketch.size === n)
+    val sorted = exact.map(_._2).sorted
+    // GK rank error eps*n, +2 for interpolated-vs-observed cutoffs
+    val slack = n.toDouble / 10000 + 2
+    val bands = Seq(n / 3.0, 2.0 * n / 3)
+    val disagree = exact.filter(r => sketch(r._1) != r._3)
+    disagree.foreach { case (id, bits, _) =>
+      val lo = sorted.count(_ < bits) + 1
+      val hi = sorted.count(_ <= bits)
+      val near = bands.exists(b => lo <= b + slack && hi >= b - slack)
+      assert(near, s"doc $id flipped bucket at rank [$lo,$hi] of $n — " +
+        "outside every tercile band")
+    }
+    assert(disagree.length <= math.max(2, n / 100),
+      s"${disagree.length} of $n flipped — more than boundary noise")
+  }
+
   test("q116 releases its persists (CacheManager empty after the capstone)") {
     spark.catalog.clearCache()
     val out = ops.Quality.q116ShippedCorpus(spark, "/root/testdata/sf0.001")
