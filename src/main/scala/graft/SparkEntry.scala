@@ -185,6 +185,7 @@ object SparkEntry {
     "q165_budget_prune" -> (Quality.q165BudgetPrune _),
     "q166_dup_lines" -> (Quality.q166DupLines _),
     "q167_ngram_repetition" -> (Quality.q167NgramRepetition _),
+    "q168_admission_v3" -> (Quality.q168AdmissionV3 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -470,6 +471,79 @@ object SparkEntry {
         |     AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |     AND alpha_frac >= 0.8 AND n_stop >= $minStop) AS keep
         |  FROM gpm)""".stripMargin
+
+  /** Duplicate-line battery CTEs over `srcRel` (doc_id, text; lines =
+    * newline split) → `dlk(doc_id, dup_line_micro, dup_char_micro)` —
+    * the q166 algebra parameterized for composition (q168).
+    */
+  private def dupLineCtesSql(srcRel: String): String =
+    s"""dlex AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |        FROM $srcRel),
+        |dlg AS (SELECT doc_id, line, count(*) AS c FROM dlex GROUP BY 1, 2),
+        |dla AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+        |          sum(c * length(line)) AS n_chars,
+        |          sum((c - 1) * length(line)) AS dup_chars
+        |        FROM dlg GROUP BY doc_id),
+        |dlk AS (SELECT doc_id,
+        |    CAST(floor((n_lines - n_distinct) * 1e6 / greatest(n_lines, 1) + 0.5) AS BIGINT) AS dup_line_micro,
+        |    CAST(floor(dup_chars * 1e6 / greatest(n_chars, 1) + 0.5) AS BIGINT) AS dup_char_micro
+        |  FROM dla)""".stripMargin
+
+  /** n-gram repetition battery CTEs over `srcRel` (doc_id, text;
+    * words = space split after newline→space) →
+    * `ngk(doc_id, ok_n2..ok_n10)` — the q167 algebra parameterized
+    * and pivoted to per-doc rule booleans (q168). Docs absent from
+    * `ngk` (fewer than 2 words) pass vacuously — callers coalesce.
+    */
+  private def ngramOkCtesSql(srcRel: String): String = {
+    val okCols = (2 to 10).map(n =>
+      s"    coalesce(bool_and(CASE WHEN n = $n THEN ok END), TRUE) AS ok_n$n")
+      .mkString(",\n")
+    s"""ngtok AS (SELECT doc_id,
+        |    string_split(replace(text, chr(10), ' '), ' ') AS t FROM $srcRel),
+        |ngw AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS w_chars
+        |  FROM ngtok),
+        |ngn AS (SELECT unnest(generate_series(2, 10)) AS n),
+        |nggx AS (
+        |  SELECT ngtok.doc_id, ngn.n, u.i AS pos,
+        |    array_to_string(t[u.i : u.i + ngn.n - 1], ' ') AS gram
+        |  FROM ngtok, ngn, unnest(generate_series(1, len(t) - ngn.n + 1)) AS u(i)
+        |  WHERE len(t) >= ngn.n),
+        |nggc AS (SELECT doc_id, n, gram, count(*) AS c FROM nggx GROUP BY 1, 2, 3),
+        |ngtop AS (
+        |  SELECT doc_id, n, CAST(c * (length(gram) - (n - 1)) AS BIGINT) AS metric_chars
+        |  FROM (SELECT doc_id, n, gram, c,
+        |      row_number() OVER (PARTITION BY doc_id, n
+        |        ORDER BY c DESC, length(gram) DESC, gram) AS rk
+        |    FROM nggc WHERE n <= 4) WHERE rk = 1),
+        |ngdpos AS (
+        |  SELECT DISTINCT g.doc_id, g.n, u.k AS idx
+        |  FROM nggx g JOIN nggc ON nggc.doc_id = g.doc_id AND nggc.n = g.n
+        |    AND nggc.gram = g.gram,
+        |    unnest(generate_series(g.pos, g.pos + g.n - 1)) AS u(k)
+        |  WHERE nggc.c > 1 AND g.n >= 5),
+        |ngwlen AS (
+        |  SELECT doc_id, u.i AS idx, CAST(length(t[u.i]) AS BIGINT) AS wl
+        |  FROM ngtok, unnest(generate_series(1, len(t))) AS u(i)),
+        |ngdup AS (
+        |  SELECT d.doc_id, d.n, CAST(sum(w.wl) AS BIGINT) AS metric_chars
+        |  FROM ngdpos d JOIN ngwlen w USING (doc_id, idx) GROUP BY 1, 2),
+        |nggrid AS (SELECT DISTINCT doc_id, n FROM nggx),
+        |ngfam AS (
+        |  SELECT doc_id, n, metric_chars FROM ngtop
+        |  UNION ALL
+        |  SELECT g.doc_id, g.n, COALESCE(d.metric_chars, 0) AS metric_chars
+        |  FROM nggrid g LEFT JOIN ngdup d USING (doc_id, n) WHERE g.n >= 5),
+        |ngth AS (SELECT * FROM (VALUES (2, 200000), (3, 180000), (4, 160000),
+        |  (5, 150000), (6, 140000), (7, 130000), (8, 120000), (9, 110000),
+        |  (10, 100000)) v(n, thr)),
+        |ngok AS (
+        |  SELECT f.doc_id, f.n,
+        |    CAST(floor(f.metric_chars * 1e6 / greatest(w.w_chars, 1) + 0.5) AS BIGINT) <= th.thr AS ok
+        |  FROM ngfam f JOIN ngw w USING (doc_id) JOIN ngth th ON th.n = f.n)""".stripMargin +
+      ",\nngk AS (\n  SELECT doc_id,\n" + okCols + "\n  FROM ngok GROUP BY doc_id)"
+  }
 
   /** DSIR CTEs (q123/q125): hashed word uni+bigram features of
     * `candsRel` (doc_id, text) scored against `targetRel` (text) →
@@ -3347,6 +3421,70 @@ object SparkEntry {
         |  CAST(floor(f.metric_chars * 1e6 / greatest(w.w_chars, 1) + 0.5) AS BIGINT) <= th.thr AS ok
         |FROM fam f JOIN wch w USING (doc_id) JOIN th ON th.n = f.n
         |ORDER BY f.doc_id, f.n""".stripMargin,
+    // ADMISSION v3 capstone: q125's gates with the Gopher unit
+    // upgraded to the FULL battery (doc rules + dup lines + n-gram
+    // repetition as ONE filter), over repetition-planted candidates —
+    // every fragment shared with q112/q113/q122/q123/q125/q166/q167
+    "q168_admission_v3" -> {
+      val okAnd = (2 to 10).map(n => s"gf.ok_n$n").mkString(" AND ")
+      val okSel = (2 to 10).map(n => s"  gf.ok_n$n,").mkString("\n")
+      s"$trainBenchSplitSql,\n" +
+        """trp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || chr(10) || l8 || chr(10) || l8
+        |         WHEN doc_id % 19 = 0 THEN text || ' ' || p6 || ' ' || p6 || ' ' || p6 || ' ' || p6
+        |         ELSE text END AS text
+        |  FROM (SELECT doc_id, text,
+        |      array_to_string(string_split(text, ' ')[1:8], ' ') AS l8,
+        |      array_to_string(string_split(text, ' ')[1:6], ' ') AS p6
+        |    FROM tr))""".stripMargin + ",\n" +
+        containmentHitCtesSql("trp") + ",\n" + islandCtesSql + ",\n" +
+        """cspans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e2
+        |           FROM grp GROUP BY doc_id, gid),
+        |contam AS (SELECT doc_id, sum(e2 - s + 1) AS contaminated_chars
+        |           FROM cspans GROUP BY doc_id)""".stripMargin +
+        s",\n${lmCtesSql("trp")},\n$lmAggCteSql,\n" +
+        gopherCtesSql("trp", 30, 1) + ",\n" +
+        dupLineCtesSql("trp") + ",\n" +
+        ngramOkCtesSql("trp") + ",\n" +
+        dsirCtesSql("trp",
+          "(SELECT text FROM documents WHERE source IN ('src0', 'src1'))") + ",\n" +
+        """gfull AS (
+        |  SELECT gb.doc_id, gb.keep AS rules_keep,
+        |    dl.dup_line_micro, dl.dup_char_micro,
+        |    (dl.dup_line_micro <= 300000 AND dl.dup_char_micro <= 200000) AS lines_keep,
+        |""".stripMargin +
+        (2 to 10).map(n =>
+          s"    COALESCE(nk.ok_n$n, TRUE) AS ok_n$n").mkString(",\n") + "\n" +
+        """  FROM gob gb JOIN dlk dl USING (doc_id)
+        |  LEFT JOIN ngk nk USING (doc_id)),
+        |surv AS (SELECT text, min(doc_id) AS survivor_id FROM trp GROUP BY text),
+        |stats AS (SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM trp)
+        |SELECT d.doc_id, d.n_tok,
+        |  CAST(COALESCE(c.contaminated_chars, 0) AS BIGINT) AS contaminated_chars,
+        |  COALESCE(l.lm_bits, 0.0) AS lm_bits,
+        |  gf.rules_keep, gf.dup_line_micro, gf.dup_char_micro, gf.lines_keep,
+        |""".stripMargin + okSel + "\n" +
+        s"  ($okAnd) AS ngrams_keep,\n" +
+        s"  (gf.rules_keep AND gf.lines_keep AND $okAnd) AS gopher_keep,\n" +
+        """  COALESCE(w.log_weight, 0.0) AS log_weight,
+        |  (COALESCE(w.log_weight, 0.0) >= -8.0) AS dsir_ok,
+        |  d.doc_id = sv.survivor_id AS is_survivor,
+        |  (d.doc_id = sv.survivor_id AND d.n_tok >= 5 AND
+        |   COALESCE(c.contaminated_chars, 0) = 0 AND
+        |   COALESCE(l.lm_bits, 0.0) <= 6.0 AND
+        |""".stripMargin +
+        s"   gf.rules_keep AND gf.lines_keep AND $okAnd AND\n" +
+        """   COALESCE(w.log_weight, 0.0) >= -8.0) AS keep
+        |FROM stats d
+        |JOIN surv sv ON d.text = sv.text
+        |LEFT JOIN contam c USING (doc_id)
+        |LEFT JOIN lm l USING (doc_id)
+        |JOIN gfull gf USING (doc_id)
+        |LEFT JOIN dsw w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

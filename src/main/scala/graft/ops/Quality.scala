@@ -1203,6 +1203,131 @@ object Quality {
       .orderBy($"doc_id", $"n")
   }
 
+  /** L15+L55+L56 — the UNIFIED Gopher filter (Rae et al. 2022 §A1.1
+    * applies its quality rules AND both repetition families as ONE
+    * admission unit; the engine's q122/q166/q167 batteries are its
+    * three independently-oracled components): per document, the doc-
+    * rule verdict ([[gopherRules]]), the duplicate-line verdict
+    * ([[dupLineStats]] over newline-split lines), and the n-gram
+    * repetition verdicts ([[ngramRepetitionStats]] — the per-(doc, n)
+    * rows PIVOTED to per-doc `ok_n2..ok_n10` columns via one
+    * conditional aggregate), with `keep` their conjunction. A doc too
+    * short to form an n-gram passes that rule vacuously (coalesce to
+    * true — Rae et al. only gate what exists).
+    *
+    * 100 TB posture: no new corpus-stream shuffle beyond the component
+    * batteries' own — the doc battery is map-only, and both repetition
+    * batteries already END in per-doc aggregates, so the unifier adds
+    * only doc_id-keyed joins of per-doc frames (AQE broadcasts the
+    * smaller sides; all three legs scan the corpus once each and
+    * could share one scan under columnar caching).
+    */
+  def gopherFullBattery(docs: DataFrame, minWords: Long = 50L,
+      minStop: Long = 2L, maxLineMicro: Long = 300000L,
+      maxCharMicro: Long = 200000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rules = withGopherBattery(docs, minWords, minStop)
+      .select($"doc_id", $"keep".as("rules_keep"))
+    val lines = dupLineStats(
+        docs.select($"doc_id", split($"text", "\n").as("lines")),
+        maxLineMicro, maxCharMicro)
+      .select($"doc_id", $"dup_line_micro", $"dup_char_micro",
+        $"keep".as("lines_keep"))
+    // one conditional aggregate = the declared pivot (q57's rationale:
+    // values are known, no distinct job); (doc, n) is unique so min()
+    // reads the single row
+    val okAggs = (2 to 10).map(n =>
+      min(when($"n" === n, $"ok")).as(s"ok_n$n"))
+    val ngOk = ngramRepetitionStats(
+        docs.select($"doc_id", translate($"text", "\n", " ").as("text")))
+      .groupBy($"doc_id")
+      .agg(okAggs.head, okAggs.tail: _*)
+    val okCols = (2 to 10).map(n =>
+      coalesce(col(s"ok_n$n"), lit(true)).as(s"ok_n$n"))
+    rules
+      .join(lines, Seq("doc_id"))
+      .join(ngOk, Seq("doc_id"), "left")
+      .select(Seq($"doc_id", $"rules_keep", $"dup_line_micro",
+        $"dup_char_micro", $"lines_keep") ++ okCols: _*)
+      .withColumn("ngrams_keep",
+        (2 to 10).map(n => col(s"ok_n$n")).reduce(_ && _))
+      .withColumn("keep", $"rules_keep" && $"lines_keep" && $"ngrams_keep")
+  }
+
+  /** q168's candidate plant: adds REPETITION breaches to the raw
+    * corpus expression-only from (doc_id, text) so DuckDB replays it
+    * bit-exactly. doc_id % 17: two identical appended lines (the
+    * duplicate-line rule fires; the repeated 8-gram also lights the
+    * dup family). doc_id % 19: the first 6 words appended 4× (top/dup
+    * n-gram rules fire on SHORT docs but stay under threshold on long
+    * ones — both directions per rule, decided by doc length).
+    */
+  private[ops] def admissionRepPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = split($"text", " ")
+    val l8 = array_join(slice(w, 1, 8), " ")
+    val p6 = array_join(slice(w, 1, 6), " ")
+    docs.withColumn("text",
+      when($"doc_id" % 17 === 0,
+        concat($"text", lit("\n"), l8, lit("\n"), l8))
+        .when($"doc_id" % 19 === 0,
+          concat($"text", lit(" "), p6, lit(" "), p6, lit(" "), p6,
+            lit(" "), p6))
+        .otherwise($"text"))
+  }
+
+  /** ORACLED capstone (q168) — ADMISSION v3: q125's composed gates
+    * with the Gopher unit UPGRADED from [[gopherRules]] alone to the
+    * full [[gopherFullBattery]] (doc rules + duplicate-line +
+    * n-gram repetition applied as ONE filter, the way Rae et al.
+    * deploy it), over the [[admissionRepPlant]]ed candidates so both
+    * repetition gates decide real admissions in both directions.
+    * DuckDB re-derives the plant, all three Gopher batteries, and
+    * every other gate from the SAME shared CTE fragments as
+    * q112/q113/q122/q123/q125.
+    */
+  def q168AdmissionV3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = admissionRepPlant(docs.filter($"doc_id" % 97 =!= 0))
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val target = docs.filter($"source".isin("src0", "src1"))
+    val contam = SpanDedup.decontaminate(cands, bench, gramLen = 24)
+    val lm = lmScore(cands, lmRef)
+    val gop = gopherFullBattery(cands, minWords = 30L, minStop = 1L)
+      .withColumnRenamed("keep", "gopher_keep")
+    val dsir = dsirWeights(cands, target).select($"doc_id", $"log_weight")
+    val surv = cands.groupBy(xxhash64($"text").as("th"))
+      .agg(min($"doc_id").as("survivor_id"))
+    cands
+      .withColumn("th", xxhash64($"text"))
+      .join(surv, Seq("th"))
+      .join(contam.select($"doc_id", $"contaminated_chars"),
+        Seq("doc_id"), "left")
+      .join(lm.select($"doc_id", $"bits_per_transition"),
+        Seq("doc_id"), "left")
+      .join(gop, Seq("doc_id"))
+      .join(dsir, Seq("doc_id"), "left")
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("contaminated_chars",
+        coalesce($"contaminated_chars", lit(0L)))
+      .withColumn("lm_bits", coalesce($"bits_per_transition", lit(0.0)))
+      .withColumn("log_weight", coalesce($"log_weight", lit(0.0)))
+      .withColumn("is_survivor", $"doc_id" === $"survivor_id")
+      .withColumn("dsir_ok", $"log_weight" >= -8.0)
+      .withColumn("keep",
+        $"is_survivor" && $"n_tok" >= 5 && $"contaminated_chars" === 0L &&
+          $"lm_bits" <= 6.0 && $"gopher_keep" && $"dsir_ok")
+      .select(Seq($"doc_id", $"n_tok", $"contaminated_chars", $"lm_bits",
+        $"rules_keep", $"dup_line_micro", $"dup_char_micro",
+        $"lines_keep") ++
+        (2 to 10).map(n => col(s"ok_n$n")) ++
+        Seq($"ngrams_keep", $"gopher_keep", $"log_weight", $"dsir_ok",
+          $"is_survivor", $"keep"): _*)
+      .orderBy($"doc_id")
+  }
+
   /** L5/L6 — the C4 LINE-LEVEL cleaning battery (Raffel et al. 2020,
     * "Exploring the Limits of Transfer Learning with a Unified
     * Text-to-Text Transformer", §2.2 — public): the famous heuristics

@@ -168,6 +168,35 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("gopherFullBattery: keep conjoins the three batteries; short docs " +
+      "pass n-gram rules vacuously") {
+    val clean = "the and that have with " +
+      (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean),
+      (2L, clean + "\nsame line twice\nsame line twice\nsame line twice"),
+      (3L, Array.fill(8)("the alpha beta gamma delta epsilon").mkString(" ")),
+      (4L, "word")
+    ).toDF("doc_id", "text")
+    val out = ops.Quality.gopherFullBattery(docs, minWords = 5L, minStop = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def b(id: Long, c: String) = out(id).getAs[Boolean](c)
+    assert(b(1L, "rules_keep") && b(1L, "lines_keep") && b(1L, "ngrams_keep")
+      && b(1L, "keep"), "clean doc passes every battery")
+    assert(b(2L, "rules_keep") && !b(2L, "lines_keep") && !b(2L, "keep"),
+      "duplicated lines drop the doc through the line battery alone")
+    assert(b(3L, "rules_keep") && b(3L, "lines_keep") && !b(3L, "ok_n2") &&
+      !b(3L, "ok_n6") && !b(3L, "ngrams_keep") && !b(3L, "keep"),
+      "periodic text drops through both n-gram families alone")
+    assert(!b(4L, "rules_keep") && (2 to 10).forall(n => b(4L, s"ok_n$n")) &&
+      b(4L, "ngrams_keep") && !b(4L, "keep"),
+      "a 1-word doc passes every n-gram rule vacuously, fails word count")
+    out.keys.foreach { id =>
+      assert(b(id, "keep") === (b(id, "rules_keep") && b(id, "lines_keep")
+        && b(id, "ngrams_keep")), s"doc $id: keep must be the conjunction")
+    }
+  }
+
   test("ccnetBuckets sketch arm: GK cutoffs agree with the exact arm " +
       "except within rank-eps of a tercile boundary") {
     val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
