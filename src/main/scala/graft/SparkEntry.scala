@@ -186,6 +186,7 @@ object SparkEntry {
     "q166_dup_lines" -> (Quality.q166DupLines _),
     "q167_ngram_repetition" -> (Quality.q167NgramRepetition _),
     "q168_admission_v3" -> (Quality.q168AdmissionV3 _),
+    "q169_phash_dedup" -> (Images.q169PhashDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3485,6 +3486,55 @@ object SparkEntry {
         |LEFT JOIN dsw w USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
     },
+    // perceptual image dedup: DuckDB re-derives the planted pixels,
+    // the 8x8 block sums, all 56 dHash gradient bits, the 4x14-bit
+    // banded candidate join, the popcount verify, and the q43-shape
+    // transitive closure — every hash and survivor bit-checked
+    "q169_phash_dedup" ->
+      """WITH RECURSIVE imgs AS (
+        |  SELECT doc_id * 4 AS img_id, doc_id, 0 AS shift, FALSE AS bump
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1, doc_id, 40, FALSE FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2, doc_id, 0, TRUE FROM documents WHERE doc_id % 11 = 0),
+        |px AS (
+        |  SELECT img_id, u.i AS i,
+        |    ((doc_id * 31 + u.i) * (u.i + 7) % 4093) % 200 + shift
+        |      + CASE WHEN bump AND u.i < 128 AND u.i % 32 < 4 THEN 55 ELSE 0 END AS p
+        |  FROM imgs, unnest(generate_series(0, 1023)) AS u(i)),
+        |bs AS (
+        |  SELECT img_id, (i // 32) // 4 AS r, (i % 32) // 4 AS c,
+        |    CAST(sum(p) AS BIGINT) AS s
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT a.img_id, a.r * 7 + a.c AS k,
+        |    CASE WHEN a.s < b.s THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM bs a JOIN bs b ON a.img_id = b.img_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c <= 6),
+        |ph AS (SELECT img_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT) AS phash
+        |  FROM bits GROUP BY img_id),
+        |bands AS (
+        |  SELECT img_id, phash, u.b AS band, (phash >> CAST(u.b * 14 AS INT)) & 16383 AS key
+        |  FROM ph, unnest(generate_series(0, 3)) AS u(b)),
+        |prs AS (
+        |  SELECT DISTINCT x.img_id AS a, y.img_id AS b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.key = y.key AND x.img_id < y.img_id
+        |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, peer) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+        |cl AS (SELECT node AS img_id, min(peer) AS cluster_id
+        |       FROM reach GROUP BY node)
+        |SELECT p.img_id, p.phash,
+        |  COALESCE(cl.cluster_id, p.img_id) AS cluster_id,
+        |  p.img_id = COALESCE(cl.cluster_id, p.img_id) AS is_survivor
+        |FROM ph p LEFT JOIN cl USING (img_id)
+        |ORDER BY p.img_id""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

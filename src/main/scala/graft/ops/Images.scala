@@ -90,4 +90,96 @@ object Images {
     */
   def loadBalanced(spark: SparkSession, root: String, seed: Long = 42L): DataFrame =
     graft.util.Sampling.balanceToMinClass(decoded(spark, root), "label", seed)
+
+  /** L4+L2 — PERCEPTUAL image dedup (the LAION-style near-dup gate on
+    * the reference's own modality, main.py:128-142): every image gets
+    * a 56-bit difference hash ([[graft.expressions.DHash56]] over the
+    * decoded 32×32 vector — invariant under re-encoding and global
+    * brightness shift, O(1) bits flipped by small local edits), then
+    * near-dups meet through a BANDED Hamming join (4 × 14-bit bands —
+    * two hashes within Hamming ≤ 3 agree on ≥ 1 band by pigeonhole,
+    * the q38 SimHash discipline), verify with one popcount, and
+    * collapse via [[Similarity.connectedComponents]] to a min-id
+    * survivor per cluster.
+    *
+    * Returns one row per image: (img_id, phash, cluster_id,
+    * is_survivor) — byte-identical copies and perceptual variants
+    * share a cluster; the smallest id ships.
+    *
+    * 100 TB posture: hashing is a fused map stage next to the decode
+    * (no shuffle); the band self-join moves 8-byte (band, key, hash)
+    * triples and its cost is Σ_bucket df² with buckets split 4 ways;
+    * the popcount kills false candidates before CC, whose shuffles
+    * carry only matched pairs.
+    */
+  def perceptualDedup(imgs: DataFrame, idCol: String = "img_id",
+      vecCol: String = "img", maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x14-bit banding guarantees recall only for hamming <= 3: $maxHamming")
+    val hashed = imgs
+      .select(col(idCol).cast("long").as("img_id"),
+        dHash56(col(vecCol)).as("phash"))
+      .localCheckpoint(true)
+    val banded = hashed.select(col("img_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("phash"), b * 14).bitwiseAND(lit(0x3FFFL))): _*))
+        .as(Seq("band", "key")))
+    val x = banded.as("x")
+    val y = banded.as("y")
+    val pairs = x.join(y,
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.img_id") < col("y.img_id"))
+      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming)
+      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
+      .dropDuplicates("a", "b")
+    val cl = Similarity.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("doc_id", "img_id")
+    val out = hashed.join(cl, Seq("img_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("img_id")))
+      .withColumn("is_survivor", col("img_id") === col("cluster_id"))
+      .localCheckpoint(true)
+    hashed.unpersist(false)
+    out
+  }
+
+  /** q169's planted image corpus — deterministic 32×32 integer-pixel
+    * images expression-only from `doc_id` so DuckDB re-derives every
+    * pixel, block sum, and hash bit (the q27 bit-algebra precedent;
+    * no codecs needed): one base image per doc; docs ≡ 0 (mod 7) add
+    * a +40 BRIGHTNESS variant (dHash-identical — the re-encode/
+    * levels-adjust duplicate); docs ≡ 0 (mod 11) add a LOCAL-EDIT
+    * variant (+55 on the top-left 4×4 block — flips at most one hash
+    * bit, the small-crop/watermark duplicate). Pixels stay in
+    * [0, 255].
+    */
+  private[ops] def phashPlant(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    def pix(shift: Int, bump: Boolean) =
+      transform(sequence(lit(0), lit(1023)), i => {
+        val base = ((col("doc_id") * 31 + i) * (i + 7) % 4093) % 200
+        val bumped =
+          if (bump) when(i < 128 && i % 32 < 4, base + 55).otherwise(base)
+          else base
+        (bumped + lit(shift)).cast("float")
+      })
+    ids.select((col("doc_id") * 4).as("img_id"), pix(0, bump = false).as("img"))
+      .unionByName(ids.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") * 4 + 1).as("img_id"),
+          pix(40, bump = false).as("img")))
+      .unionByName(ids.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") * 4 + 2).as("img_id"),
+          pix(0, bump = true).as("img")))
+  }
+
+  /** ORACLED exercise (q169): [[perceptualDedup]] over the
+    * [[phashPlant]]ed corpus — DuckDB re-derives every pixel, the 64
+    * block sums, all 56 gradient bits, the banded candidate join, the
+    * popcount verify, and the transitive closure; planted brightness
+    * and local-edit variants collapse onto their base image, distinct
+    * images survive.
+    */
+  def q169PhashDedup(spark: SparkSession, dir: String): DataFrame =
+    perceptualDedup(phashPlant(Sources.documents(spark, dir)))
+      .orderBy(col("img_id"))
 }

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, EmnistFeatures, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, DHash56, EmnistFeatures, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -52,6 +52,12 @@ object GraftColumns {
     */
   def simHash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  /** 56-bit perceptual difference hash of a 32×32 grayscale image
+    * vector, map-only (see [[graft.expressions.DHash56]]).
+    */
+  def dHash56(c: Column): Column =
+    ExpressionUtils.column(DHash56(ExpressionUtils.expression(c)))
 
   /** Morton (Z-order) interleave of two long bucket-rank columns into a
     * 64-bit sort key (see [[graft.expressions.InterleaveBits]]).

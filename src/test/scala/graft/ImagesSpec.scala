@@ -81,4 +81,83 @@ class ImagesSpec extends SparkTestBase {
     assert(fields("features") === "array")
     assert(df.count() === 9)
   }
+
+  /** 32×32 grayscale image with pixel (r,c) = f(seed,r,c), encoded in
+    * `fmt`, run through the REAL decode UDF — the planted-transform
+    * input for the perceptual-dedup tests.
+    */
+  private def encodedVector(seed: Int, fmt: String, shift: Int = 0,
+      bumpTopLeft: Boolean = false): Array[Float] = {
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (r <- 0 until 32; c <- 0 until 32) {
+      // multiplicative seed mixing — an additive seed term is a
+      // near-constant brightness offset mod 200, which dHash ignores
+      // by design, making "distinct" images collide
+      val i = r * 32 + c
+      val base = (((seed * 31 + i) * (i + 7)) % 4093) % 200
+      val bump = if (bumpTopLeft && r < 4 && c < 4) 55 else 0
+      raster.setSample(c, r, 0, base + shift + bump)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    ops.Images.decodeToVector(bos.toByteArray)
+  }
+
+  test("perceptual dedup: re-encoded, brightness-shifted, and locally " +
+      "edited copies collapse; distinct images survive") {
+    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    // hash invariances on the REAL decode path
+    val png = encodedVector(1, "png")
+    val bmp = encodedVector(1, "bmp")
+    val bright = encodedVector(1, "png", shift = 40)
+    val edited = encodedVector(1, "png", bumpTopLeft = true)
+    val other = encodedVector(9, "png")
+    def hash(v: Array[Float]): Long =
+      Seq((0L, v)).toDF("id", "img").select(dHash56($"img")).head().getLong(0)
+    assert(hash(png) === hash(bmp), "re-encoding preserves the hash")
+    assert(hash(png) === hash(bright), "global brightness preserves the hash")
+    val editDist = java.lang.Long.bitCount(hash(png) ^ hash(edited))
+    assert(editDist >= 1 && editDist <= 1, "a one-block edit flips at most one bit")
+    assert(java.lang.Long.bitCount(hash(png) ^ hash(other)) > 3,
+      "distinct images sit beyond the Hamming gate")
+    // end to end: the planted group collapses to min id, others survive
+    val imgs = Seq((10L, png), (11L, bmp), (12L, bright), (13L, edited),
+      (20L, other), (30L, encodedVector(77, "png")))
+      .toDF("img_id", "img")
+    val out = ops.Images.perceptualDedup(imgs)
+      .select($"img_id", $"cluster_id", $"is_survivor")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    Seq(10L, 11L, 12L, 13L).foreach { id =>
+      assert(out(id)._2 === 10L, s"$id clusters onto the base image")
+      assert(out(id)._3 === (id == 10L))
+    }
+    Seq(20L, 30L).foreach { id =>
+      assert(out(id)._2 === id && out(id)._3, s"$id must survive alone")
+    }
+  }
+
+  test("DHash56 kernel matches an independent reference implementation") {
+    val rnd = new scala.util.Random(42)
+    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    def ref(v: Array[Float]): Long = {
+      val s = Array.fill(8, 8)(0.0)
+      for (i <- v.indices.take(1024))
+        s((i / 32) / 4)((i % 32) / 4) += v(i)
+      (for (r <- 0 until 8; c <- 0 until 7 if s(r)(c) < s(r)(c + 1))
+        yield 1L << (r * 7 + c)).foldLeft(0L)(_ | _)
+    }
+    val vecs = (0 until 20).map(i =>
+      i.toLong -> Array.fill(1024)(rnd.nextInt(256).toFloat))
+    val got = vecs.toDF("id", "img")
+      .select($"id", dHash56($"img").as("h"))
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === ref(v), s"vector $id")
+    }
+    // short vector: missing pixels are zero-sum blocks
+    val short = Seq((0L, Array.fill(100)(7f))).toDF("id", "img")
+      .select(dHash56($"img")).head().getLong(0)
+    assert(short === ref(Array.fill(100)(7f) ++ Array.fill(924)(0f)))
+  }
 }
