@@ -292,6 +292,49 @@ object Streaming {
       .withColumn("selected", $"xent_diff" < threshold)
   }
 
+  /** STREAMING SOFT-DEDUP REWEIGHTING — the per-row twin of
+    * [[Similarity.softDedupWeights]] (q162): each arriving document is
+    * assigned its 1/|cluster| micro-weight and deterministic Bernoulli
+    * membership by probing CLUSTER STATE from the periodic batch CC
+    * fit — the deployment shape where clustering runs offline and the
+    * ingest stream re-weights live.
+    *
+    * `clusterState` is a STATIC frame (doc_id, cluster_id,
+    * cluster_size) — [[Similarity.softDedupWeights]]' own output
+    * columns, or any CC output joined to its sizes. The probe is a
+    * stream-static LEFT join, NOT a broadcast UDF: cluster state is
+    * |clustered docs|-bounded — corpus-sized on a high-duplication
+    * crawl — so forcing it into a broadcast would OOM exactly when
+    * dedup matters most (the [[Similarity.keepSurvivors]] rule); AQE
+    * broadcasts the state per micro-batch when it is actually small.
+    * Docs absent from the state are singleton clusters of themselves
+    * (weight 1.0), exactly the batch arm's left-join semantics.
+    *
+    * Everything downstream of the join is the batch algebra VERBATIM
+    * (integer micro-weights, md5 Bernoulli membership — deterministic
+    * expressions, so the stream needs no watermark or state store),
+    * giving stream == batch parity by construction; asserted on the
+    * real fixture in `StreamingSpec`.
+    */
+  def softDedupStream(docs: DataFrame, clusterState: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs
+      .select($"doc_id",
+        graft.ops.Packing.bpeishCount($"text").cast("long").as("n_tokens"))
+      .join(clusterState.select($"doc_id", $"cluster_id", $"cluster_size"),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      .withColumn("cluster_size", coalesce($"cluster_size", lit(1L)))
+      .withColumn("weight_micro", expr("1000000 div cluster_size"))
+      .withColumn("eff_tokens_micro", $"n_tokens" * $"weight_micro")
+      .withColumn("sampled",
+        u * lit(1000000L) < $"weight_micro" * lit(4294967296L))
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"weight_micro",
+        $"n_tokens", $"eff_tokens_micro", $"sampled")
+  }
+
   /** STREAMING ADMISSION v2 — the streaming twin of the q125 batch
     * capstone: [[admissionStream]]'s four gates PLUS the Gopher
     * structural battery and the DSIR importance-weight floor, every

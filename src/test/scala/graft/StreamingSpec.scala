@@ -925,6 +925,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("soft-dedup stream matches the q162 batch weights per document " +
+      "(real fixture)") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val batch = ops.Similarity.softDedupWeights(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(batch.values.exists(_._3 > 1L), "fixture must carry clusters")
+    // the deployment shape: cluster state from the (offline) batch CC
+    // fit, the ingest stream probing it via a stream-static join
+    val state = batch.values.toSeq.map(r => (r._1, r._2, r._3))
+      .toDF("doc_id", "cluster_id", "cluster_size")
+      // singleton rows withheld: the stream must re-derive weight-1
+      // membership through its left-join coalesce, not read it
+      .filter($"cluster_size" > 1L)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.softDedupStream(input.toDF(), state)
+      .writeStream.format("memory").queryName("soft_dedup_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(rows.toIndexedSeq.map { case (id, t) =>
+        TDoc(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("soft_dedup_stream")
+        .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      assert(out.length === batch.size, "stream must weight every doc")
+      out.foreach { r =>
+        assert(r === batch(r._1), s"doc ${r._1} diverges from batch")
+      }
+    }
+  }
+
   test("admission v2 stream matches the q125 batch gates per document (real fixture)") {
     implicit val sql = spark.sqlContext
     val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
