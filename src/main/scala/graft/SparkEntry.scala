@@ -187,6 +187,7 @@ object SparkEntry {
     "q167_ngram_repetition" -> (Quality.q167NgramRepetition _),
     "q168_admission_v3" -> (Quality.q168AdmissionV3 _),
     "q169_phash_dedup" -> (Images.q169PhashDedup _),
+    "q170_budgeted_corpus" -> ((s, d) => Quality.q170BudgetedCorpus(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -730,7 +731,7 @@ object SparkEntry {
     * islands merge), then 512-token sequence packing of the cleaned
     * text — q116/q117's result shape.
     */
-  private val shippedCorpusTailSql: String =
+  private val cleanedTokensCtesSql: String =
     """spans AS (SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
         |          FROM grp GROUP BY doc_id, gid),
         |seg AS (
@@ -755,8 +756,11 @@ object SparkEntry {
         |t AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
-        |  FROM cleaned),
-        |cp AS (
+        |  FROM cleaned)""".stripMargin
+
+  private val shippedCorpusTailSql: String =
+    cleanedTokensCtesSql + ",\n" +
+      """cp AS (
         |  SELECT doc_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
@@ -767,6 +771,37 @@ object SparkEntry {
         |  CAST((cum_before + n_tokens - 1) // 512
         |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
         |FROM cp ORDER BY doc_id""".stripMargin
+
+  /** q170's tail: the shared cleaned-tokens CTEs, then the q165
+    * budget prune in (lm_bits, doc_id) order, then q92's pack over
+    * ONLY the kept prefix — the gate→budget→pack loop closed.
+    */
+  private val budgetedCorpusTailSql: String =
+    cleanedTokensCtesSql + ",\n" +
+      """bp AS (
+        |  SELECT t.doc_id, round(COALESCE(l.lm_bits, 0.0), 6) AS score,
+        |    t.n_tokens,
+        |    COALESCE(SUM(t.n_tokens) OVER (
+        |      ORDER BY COALESCE(l.lm_bits, 0.0), t.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t LEFT JOIN lm l ON l.doc_id = t.doc_id
+        |  WHERE t.n_tokens > 0),
+        |kp AS (SELECT doc_id, score, n_tokens,
+        |         cum_before + n_tokens <= 15000 AS kept FROM bp),
+        |cp AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0
+        |    AND doc_id IN (SELECT doc_id FROM kp WHERE kept))
+        |SELECT k.doc_id, k.score AS lm_bits, k.n_tokens, k.kept,
+        |  CAST(c.cum_before // 512 AS BIGINT) AS first_example,
+        |  CAST((c.cum_before + c.n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((c.cum_before + c.n_tokens - 1) // 512
+        |       - c.cum_before // 512 + 1 AS BIGINT) AS n_examples,
+        |  CAST(c.cum_before AS BIGINT) AS pack_tok_start
+        |FROM kp k LEFT JOIN cp c USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // exact substring dedup: the FULL pipeline re-derived relationally —
@@ -869,6 +904,22 @@ object SparkEntry {
           "\n    AND COALESCE((SELECT log_weight FROM dsw WHERE dsw.doc_id = d.doc_id), 0.0) >= -8.0") +
         s",\n${containmentHitCtesSql("kept")},\n" +
         s"$islandCtesSql,\n$shippedCorpusTailSql"),
+    // BUDGETED shipped corpus: q129's admission + excision, then the
+    // q165 budget prune in (lm_bits, id) order, then q92's pack over
+    // only the kept prefix — gate -> token budget -> training layout
+    // in ONE oracled plan, every stage from shared green fragments
+    "q170_budgeted_corpus" ->
+      (s"WITH RECURSIVE $trainBenchSplitBodySql,\n" +
+        s"${nearDupLoserCtesSql("tr")},\n${lmCtesSql("tr")},\n$lmAggCteSql,\n" +
+        gopherCtesSql("tr", 30, 1) + ",\n" +
+        dsirCtesSql("tr",
+          "(SELECT text FROM documents WHERE source IN ('src0', 'src1'))") + ",\n" +
+        shippedKeptCteSql(
+          "\n    AND d.doc_id NOT IN (SELECT doc_id FROM losers)" +
+          "\n    AND d.doc_id IN (SELECT doc_id FROM gob WHERE keep)" +
+          "\n    AND COALESCE((SELECT log_weight FROM dsw WHERE dsw.doc_id = d.doc_id), 0.0) >= -8.0") +
+        s",\n${containmentHitCtesSql("kept")},\n" +
+        s"$islandCtesSql,\n$budgetedCorpusTailSql"),
     // learned-BPE packing: the ENTIRE training loop re-derived
     // relationally (10 generated stages — pair counts, deterministic
     // argmax, left-to-right rewrite via islands alternation), then

@@ -1993,6 +1993,78 @@ object Quality {
     assembleShippedCorpus(gated, bench, docs.filter($"doc_id" % 3 === 0))
   }
 
+  /** ORACLED capstone (q170) — the BUDGETED shipped corpus: q129's
+    * full admission + surgical excision, then [[graft.ops.Packing
+    * .budgetTruncate]] (q165) prunes the CLEANED corpus to a fixed
+    * token budget in quality order (lowest LM bits first, id
+    * tie-break), then q92's sequence packing lays out ONLY the kept
+    * prefix. This closes the gate → token-budget → training-layout
+    * loop the capstones left open (q129 packs everything admitted):
+    * the result is directly the manifest a budget-capped training run
+    * consumes, with every admission, prune, and packing boundary
+    * re-derived by the oracle from the same shared fragments.
+    *
+    * Output per admitted-and-cleaned doc: its quality score, cleaned
+    * token count, the budget verdict, and (for kept docs) the packed
+    * example range — dropped docs carry NULL packing columns.
+    *
+    * 100 TB posture: the gates are q129's audited shapes; the prune
+    * adds one checkpoint-frozen two-pass prefix sum in (score, id)
+    * range order; the pack reuses the same machinery in id order. No
+    * new corpus-wide shuffle beyond those two range partitionings.
+    */
+  def q170BudgetedCorpus(spark: SparkSession, dir: String,
+      budget: Long = 15000L): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val cands = docs.filter($"doc_id" % 97 =!= 0)
+    val target = docs.filter($"source".isin("src0", "src1"))
+    val lmRef = docs.filter($"doc_id" % 3 === 0)
+    val gopherKeep = gopherRules(cands, minWords = 30L, minStop = 1L)
+      .filter($"keep").select($"doc_id")
+    val gated = exactGated(cands)
+      .join(Similarity.nearDupLosers(cands), Seq("doc_id"), "left_anti")
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(dsirWeights(cands, target).select($"doc_id", $"log_weight"),
+        Seq("doc_id"), "left")
+      .filter(coalesce($"log_weight", lit(0.0)) >= -8.0)
+      .select($"doc_id", $"text")
+    val lm = lmScore(gated, lmRef).select($"doc_id", $"bits_per_transition")
+    val kept = gated.join(lm, Seq("doc_id"), "left")
+      .withColumn("lm_bits", coalesce($"bits_per_transition", lit(0.0)))
+      .filter($"lm_bits" <= 6.0)
+      .select($"doc_id", $"text", $"lm_bits")
+      .persist()
+    val cleaned = SpanDedup.removeSpans(kept.select($"doc_id", $"text"),
+        SpanDedup.contaminationSpans(kept.select($"doc_id", $"text"),
+          bench, gramLen = 24))
+      .select($"doc_id", $"clean_text")
+      .persist()
+    val pruned = Packing.budgetTruncate(
+        cleaned.join(kept.select($"doc_id", $"lm_bits"), Seq("doc_id"))
+          .select($"doc_id", $"lm_bits",
+            Packing.bpeishCount($"clean_text").as("n_toks0")),
+        "doc_id", $"lm_bits", $"n_toks0", budget)
+      .persist()
+    val packed = Packing.sequencePackWithOffsets(
+      cleaned.join(pruned.filter($"kept").select($"doc_id"),
+        Seq("doc_id"), "left_semi"),
+      "doc_id", Packing.bpeishCount($"clean_text"), 512L)
+    val out = pruned
+      .select($"doc_id", round($"score", 6).as("lm_bits"), $"n_tokens",
+        $"kept")
+      .join(packed.select($"doc_id", $"first_example", $"last_example",
+        $"n_examples", $"tok_start".as("pack_tok_start")),
+        Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+      .localCheckpoint(true)
+    kept.unpersist(false)
+    cleaned.unpersist(false)
+    pruned.unpersist(false)
+    out
+  }
+
   /** ORACLED capstone (q125): ADMISSION v2 — every per-document
     * quality gate the engine owns, composed in ONE plan: q114's four
     * gates (exact-dup survivorship, token floor, q112 benchmark
