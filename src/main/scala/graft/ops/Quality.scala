@@ -330,14 +330,7 @@ object Quality {
     // returns an OBSERVED long (no interpolation), so a doc flips
     // bucket only if its rank sits within ε·n of a tercile boundary —
     // the agreement the spec pins.
-    val cuts =
-      if (exactCutoffs) lm.agg(
-        floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
-        floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
-      else lm.agg(expr(
-          s"approx_percentile(bits_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), $sketchAccuracy)")
-          .as("gk"))
-        .select(element_at($"gk", 1).as("c1"), element_at($"gk", 2).as("c2"))
+    val cuts = ccnetCutsFrame(lm, exactCutoffs, sketchAccuracy)
     lm.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when($"bits_micro" <= $"c1", "head")
@@ -345,6 +338,37 @@ object Quality {
           .otherwise("tail"))
       .select($"doc_id", $"bits_micro", $"bucket")
       .orderBy($"doc_id")
+  }
+
+  /** The tercile-cutoff fit both [[ccnetBuckets]] arms share, as a
+    * 1-row frame over the (doc_id, bits_micro) scores.
+    */
+  private def ccnetCutsFrame(lm: DataFrame, exactCutoffs: Boolean,
+      sketchAccuracy: Int): DataFrame = {
+    import lm.sparkSession.implicits._
+    if (exactCutoffs) lm.agg(
+      floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
+      floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+    else lm.agg(expr(
+        s"approx_percentile(bits_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), $sketchAccuracy)")
+        .as("gk"))
+      .select(element_at($"gk", 1).as("c1"), element_at($"gk", 2).as("c2"))
+  }
+
+  /** The CCNet cutoffs as DRIVER VALUES (c1, c2) — the deployment fit
+    * for [[graft.ops.Streaming.ccnetBucketStream]]: the batch job fits
+    * the terciles (exact or GK arm, same code as [[ccnetBuckets]]),
+    * the ingest stream assigns buckets against them as constants. One
+    * collect of a 1-row frame.
+    */
+  def ccnetCutoffs(candidates: DataFrame, reference: DataFrame,
+      exactCutoffs: Boolean = true, sketchAccuracy: Int = 10000): (Long, Long) = {
+    import candidates.sparkSession.implicits._
+    val lm = lmScore(candidates, reference)
+      .select($"doc_id",
+        floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
+    val r = ccnetCutsFrame(lm, exactCutoffs, sketchAccuracy).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** ORACLED exercise (q120): [[ccnetBuckets]] on q113's split — every

@@ -292,6 +292,44 @@ object Streaming {
       .withColumn("selected", $"xent_diff" < threshold)
   }
 
+  /** STREAMING CCNET BUCKETS — the per-row twin of
+    * [[Quality.ccnetBuckets]] (q120): each arriving document is scored
+    * under the broadcast [[Quality.CharLm]] and assigned its
+    * head/middle/tail bucket against the (c1, c2) micro-unit cutoffs
+    * the batch job fit ([[Quality.ccnetCutoffs]], exact or GK arm) —
+    * CCNet's deployment shape: cutoffs are fit ONCE on a reference
+    * sample, then the crawl streams through the assignment. The model
+    * is alphabet-bounded and the cutoffs are two longs, so the whole
+    * gate is a stateless map (no watermark, no state store). Bits
+    * round at scale 6 HALF_UP exactly as the batch arm, then take the
+    * same floor(x·1e6 + 0.5) micro grid, so stream and batch buckets
+    * agree per document (parity asserted on the real fixture in
+    * `StreamingSpec`). Documents with fewer than 2 code points carry
+    * no transition evidence and are dropped — the rows the batch
+    * arm's bigram explode never emits.
+    */
+  def ccnetBucketStream(docs: DataFrame, lm: Quality.CharLm,
+      c1: Long, c2: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bLm = docs.sparkSession.sparkContext.broadcast(lm)
+    val micro = udf { text: String =>
+      if (text == null || text.codePointCount(0, text.length) < 2) None
+      else {
+        val r6 = BigDecimal(bLm.value.bits(text))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(math.floor(r6 * 1e6 + 0.5).toLong)
+      }
+    }
+    docs
+      .withColumn("bits_micro", micro($"text"))
+      .filter($"bits_micro".isNotNull)
+      .withColumn("bucket",
+        when($"bits_micro" <= c1, "head")
+          .when($"bits_micro" <= c2, "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"bits_micro", $"bucket")
+  }
+
   /** STREAMING SOFT-DEDUP REWEIGHTING — the per-row twin of
     * [[Similarity.softDedupWeights]] (q162): each arriving document is
     * assigned its 1/|cluster| micro-weight and deterministic Bernoulli

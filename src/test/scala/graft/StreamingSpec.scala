@@ -925,6 +925,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ccnet bucket stream matches the q120 batch assignment per document " +
+      "(real fixture)") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val cands = docs.filter($"doc_id" % 3 =!= 0)
+    val ref = docs.filter($"doc_id" % 3 === 0)
+    val batch = ops.Quality.q120CcnetBuckets(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.map(_._3).toSet === Set("head", "middle", "tail"))
+    val (c1, c2) = ops.Quality.ccnetCutoffs(cands, ref)
+    val lm = ops.Quality.charLm(ref)
+    val rows = cands.select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming.ccnetBucketStream(input.toDF(), lm, c1, c2)
+      .writeStream.format("memory").queryName("ccnet_bucket_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(rows.toIndexedSeq.map { case (id, t) =>
+        TDoc(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("ccnet_bucket_stream")
+        .as[(Long, Long, String)].collect()
+      assert(out.length === batch.size, "stream must bucket every doc")
+      out.foreach { case (id, micro, bucket) =>
+        val b = batch(id)
+        assert(math.abs(micro - b._2) <= 1L, s"bits_micro doc $id")
+        // a 1-micro kernel/batch rounding delta can only flip the
+        // bucket when the doc sits exactly on a cutoff
+        if (micro != c1 && micro != c2 && b._2 != c1 && b._2 != c2)
+          assert(bucket === b._3, s"bucket doc $id (micro $micro vs ${b._2})")
+      }
+    }
+  }
+
   test("soft-dedup stream matches the q162 batch weights per document " +
       "(real fixture)") {
     implicit val sql = spark.sqlContext
