@@ -111,6 +111,61 @@ object Multimodal {
           size($"pixels"), 6).as("mean_intensity"))
   }
 
+  /** L4+L2 — VIDEO near-dup dedup via frame-hash signatures: sample
+    * frames ([[sampleFrames]]), perceptual-hash each one
+    * ([[graft.expressions.DHash56]] over the decoded 32×32 gray frame
+    * — invariant under re-encode/brightness, the q169 kernel), and
+    * call two videos near-duplicates when they share at least
+    * `minShared` distinct frame hashes — the classic frame-fingerprint
+    * video-copy-detection shape: re-encoded, brightness-adjusted, and
+    * TRIMMED copies keep matching because matching is per-frame, not
+    * whole-file.
+    *
+    * Mechanics: each video's signature is its SET of sampled frame
+    * hashes; a frame-hash inverted index joins videos meeting on a
+    * hash (posting lists over `dfCap` are DROPPED — black/title-card
+    * frames are the video analogue of boilerplate shingles, the q39
+    * cap); the pair gate counts distinct shared hashes; clusters
+    * collapse via the shared pointer-doubling CC with min-id
+    * survivors.
+    *
+    * 100 TB posture: hashing fuses into the frame decode (map-only);
+    * the only shuffles move 8-byte (hash, asset) postings and the
+    * matched pairs; join cost is Σ_hash df² with df ≤ dfCap.
+    */
+  def videoNearDup(assets: DataFrame, frameBytes: Int = 1024,
+      everyK: Int = 1, minShared: Int = 3, dfCap: Int = 100): DataFrame = {
+    import assets.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    require(minShared >= 1 && dfCap >= 2,
+      s"need minShared >= 1 and dfCap >= 2: $minShared, $dfCap")
+    val fh = sampleFrames(assets, frameBytes, everyK)
+      .withColumn("pixels", decodeFrameUdf($"frame_bytes"))
+      .select($"asset_id", dHash56($"pixels").as("phash"))
+      .distinct()
+      .persist()
+    val ok = fh.groupBy($"phash").agg(count(lit(1)).as("df"))
+      .filter($"df" <= dfCap).select($"phash")
+    val kept = fh.join(ok, Seq("phash"), "left_semi")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.phash") === col("b.phash") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id").as("va"), col("b.asset_id").as("vb"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter($"shared_frames" >= minShared)
+      .select($"va", $"vb")
+    val cl = Similarity.connectedComponents(pairs, "va", "vb")
+      .withColumnRenamed("doc_id", "asset_id")
+    val out = fh.groupBy($"asset_id")
+      .agg(count(lit(1)).as("n_frame_hashes"))
+      .join(cl, Seq("asset_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"asset_id"))
+      .withColumn("is_survivor", $"asset_id" === $"cluster_id")
+      .localCheckpoint(true)
+    fh.unpersist(false)
+    out
+  }
+
   /** L4 (ORACLED) — the multimodal-schema join: text docs and their
     * embedding vectors united into one frame on id, then profiled per
     * (lang, embedding-label) group. This is the core L4 claim — typed

@@ -93,4 +93,52 @@ class MultimodalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"clip gate must not shuffle:\n$plan")
   }
+
+  /** Raw grayscale "video": `nFrames` 32×32 frames, pixel (f,i) a pure
+    * function of (seed, f, i); multiplicative seed mixing (the q169
+    * lesson — an additive seed is a brightness offset dHash ignores).
+    */
+  private def rawVideo(seed: Int, nFrames: Int, shift: Int = 0,
+      from: Int = 0): Array[Byte] = {
+    (from until nFrames).flatMap { f =>
+      (0 until 1024).map { i =>
+        ((((seed * 31 + f * 131 + i) * (i + 7)) % 4093 % 200 + shift) & 0xff)
+          .toByte
+      }
+    }.toArray
+  }
+
+  test("video near-dup: re-encoded, brightness-shifted, and trimmed " +
+      "copies collapse on shared frame hashes; distinct videos survive") {
+    val a = assets(
+      (10L, "video", rawVideo(1, 6)),
+      (11L, "video", rawVideo(1, 6)),             // byte-identical re-upload
+      (12L, "video", rawVideo(1, 6, shift = 20)), // brightness-adjusted copy
+      (13L, "video", rawVideo(1, 6, from = 2)),   // trimmed: frames 2..5
+      (20L, "video", rawVideo(9, 6)),             // distinct content
+      (30L, "video", rawVideo(77, 4)),            // distinct, shorter
+      (40L, "audio", pcm(1, 2, 3, 4)))            // wrong modality: ignored
+    val out = ops.Multimodal.videoNearDup(a, frameBytes = 1024,
+        everyK = 1, minShared = 3)
+      .select($"asset_id", $"n_frame_hashes", $"cluster_id", $"is_survivor")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(40L), "audio assets never enter the video index")
+    Seq(10L, 11L, 12L, 13L).foreach { id =>
+      assert(out(id)._3 === 10L, s"$id clusters onto the original upload")
+      assert(out(id)._4 === (id == 10L))
+    }
+    assert(out(13L)._2 === 4L, "the trim keeps 4 sampled frames")
+    Seq(20L, 30L).foreach { id =>
+      assert(out(id)._3 === id && out(id)._4, s"$id must survive alone")
+    }
+    // below the shared-frame floor: a 2-frame overlap does NOT match
+    val b = assets(
+      (10L, "video", rawVideo(1, 6)),
+      (14L, "video", rawVideo(1, 6, from = 4))) // only frames 4..5 shared
+    val out2 = ops.Multimodal.videoNearDup(b, frameBytes = 1024,
+        everyK = 1, minShared = 3)
+      .select($"asset_id", $"is_survivor").as[(Long, Boolean)]
+      .collect().toMap
+    assert(out2(10L) && out2(14L), "2 shared frames < minShared keeps both")
+  }
 }
