@@ -113,6 +113,41 @@ object CurationIndex {
       ctx.map(_._1), ctx.map(_._2), metaRows.head._1)
   }
 
+  /** Persist the PERCEPTUAL-HASH survivor index ([[Images
+    * .perceptualDedup]]'s survivor rows) as `path/phash_hashes`
+    * (img_id, phash) + a format-marked meta — the frozen side
+    * [[Images.perceptualDedupDelta]] probes, so daily image ingest
+    * never re-hashes the accumulated corpus. Stays a DataFrame end to
+    * end (never collected): unlike the gram/LM gates this table is
+    * survivor-count-sized — corpus-scale on an image crawl — and the
+    * delta arm joins it, so AQE decides broadcast per batch.
+    */
+  def writePhash(spark: SparkSession, path: String,
+      survivors: DataFrame): Unit = {
+    import spark.implicits._
+    survivors.filter(col("is_survivor"))
+      .select(col("img_id"), col("phash"))
+      .write.mode("overwrite").parquet(s"$path/phash_hashes")
+    Seq(FormatVersion).toDF("format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/phash_meta")
+  }
+
+  /** Load an index written by [[writePhash]], enforcing the format
+    * marker (a marker-less or foreign-version directory would probe
+    * hashes from a different kernel and silently match nothing).
+    */
+  def loadPhash(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/phash_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.loadPhash($path): phash_meta carries no format marker")
+    val v = meta.select($"format".cast("long")).as[Long].collect()
+    require(v.length == 1 && v.head == FormatVersion,
+      s"CurationIndex.loadPhash($path): format ${v.mkString(",")} != " +
+        s"$FormatVersion — rebuild the index with this build's writePhash")
+    spark.read.parquet(s"$path/phash_hashes").select($"img_id", $"phash")
+  }
+
   /** Persist a [[Quality.DsirModel]] (the admission-v2 stream's fifth
     * gate state) as `path/dsir_ratios` (bucket, log_ratio) — `buckets`
     * rows, the same bounded-by-construction argument as the LM tables.

@@ -143,6 +143,76 @@ object Images {
     out
   }
 
+  /** INCREMENTAL arm of [[perceptualDedup]] (the q157 delta-dedup
+    * shape on the image modality): match a batch of NEW images against
+    * a FROZEN survivor-hash index — [[perceptualDedup]]'s survivors,
+    * persisted via [[CurationIndex.writePhash]] — so daily ingest
+    * never re-clusters the accumulated corpus.
+    *
+    * Semantics: a new image whose hash sits within `maxHamming` of an
+    * indexed survivor ADOPTS that survivor's cluster (smallest
+    * matching survivor id; `matched_index` = true, never a survivor
+    * itself); pure misses cluster AMONG THEMSELVES with the same
+    * banding and min-id survivors — exactly the rows a subsequent
+    * [[CurationIndex.writePhash]] appends to the index. Index hits
+    * take precedence over new-new matches (their partners hit the
+    * same indexed hash anyway; documented asymmetry of every delta
+    * arm — the periodic full re-cluster reconciles).
+    *
+    * 100 TB posture: the probe is the q169 banded join against the
+    * index — no re-hash and no re-join of the accumulated corpus;
+    * shuffle volume is the NEW batch's bands plus the (survivor-only)
+    * index bands.
+    */
+  def perceptualDedupDelta(newImgs: DataFrame, index: DataFrame,
+      idCol: String = "img_id", vecCol: String = "img",
+      maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x14-bit banding guarantees recall only for hamming <= 3: $maxHamming")
+    def banded(df: DataFrame, id: String, h: String) =
+      df.select(col(id), col(h),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col(h), b * 14).bitwiseAND(lit(0x3FFFL))): _*))
+          .as(Seq("band", "key")))
+    val hashed = newImgs
+      .select(col(idCol).cast("long").as("img_id"),
+        dHash56(col(vecCol)).as("phash"))
+      .localCheckpoint(true)
+    val ib = banded(index.select(col("img_id").as("idx_id"),
+      col("phash").as("idx_hash")), "idx_id", "idx_hash")
+    val hits = banded(hashed, "img_id", "phash")
+      .join(ib, Seq("band", "key"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("idx_hash"))) <= maxHamming)
+      .groupBy(col("img_id")).agg(min(col("idx_id")).as("idx_cluster"))
+    val missBanded = banded(
+      hashed.join(hits, Seq("img_id"), "left_anti"), "img_id", "phash")
+    val x = missBanded.as("x")
+    val y = missBanded.as("y")
+    val pairs = x.join(y,
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.img_id") < col("y.img_id"))
+      .filter(bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming)
+      .select(col("x.img_id").as("a"), col("y.img_id").as("b"))
+      .dropDuplicates("a", "b")
+    val cl = Similarity.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("doc_id", "img_id")
+      .withColumnRenamed("cluster_id", "self_cluster")
+    val out = hashed
+      .join(hits, Seq("img_id"), "left")
+      .join(cl, Seq("img_id"), "left")
+      .withColumn("matched_index", col("idx_cluster").isNotNull)
+      .withColumn("cluster_id",
+        coalesce(col("idx_cluster"), col("self_cluster"), col("img_id")))
+      .withColumn("is_survivor",
+        !col("matched_index") && col("img_id") === col("cluster_id"))
+      .select(col("img_id"), col("phash"), col("cluster_id"),
+        col("matched_index"), col("is_survivor"))
+      .localCheckpoint(true)
+    hashed.unpersist(false)
+    out
+  }
+
   /** q169's planted image corpus — deterministic 32×32 integer-pixel
     * images expression-only from `doc_id` so DuckDB re-derives every
     * pixel, block sum, and hash bit (the q27 bit-algebra precedent;

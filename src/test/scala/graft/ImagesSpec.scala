@@ -137,6 +137,43 @@ class ImagesSpec extends SparkTestBase {
     }
   }
 
+  test("perceptual delta dedup: hits adopt the indexed cluster through a " +
+      "persisted round-tripped index; misses cluster among themselves") {
+    val base = Seq((1L, encodedVector(1, "png")), (2L, encodedVector(5, "png")),
+      (3L, encodedVector(5, "bmp"))).toDF("img_id", "img")
+    val survivors = ops.Images.perceptualDedup(base)
+    assert(survivors.filter($"is_survivor").count() === 2,
+      "base: {2,3} collapse, {1} survives")
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    ops.CurationIndex.writePhash(spark, dir, survivors)
+    val index = ops.CurationIndex.loadPhash(spark, dir)
+    assert(index.as[(Long, Long)].collect().map(_._1).sorted === Array(1L, 2L))
+    val delta = Seq(
+      (10L, encodedVector(1, "png", shift = 30)),  // brightness copy of #1
+      (11L, encodedVector(33, "png")),             // new content...
+      (12L, encodedVector(33, "bmp")),             // ...re-encoded twin of 11
+      (13L, encodedVector(64, "png"))              // fresh singleton
+    ).toDF("img_id", "img")
+    val out = ops.Images.perceptualDedupDelta(delta, index)
+      .as[(Long, Long, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._3 === 1L && out(10L)._4 && !out(10L)._5,
+      "the brightness copy adopts indexed cluster 1, never survives")
+    assert(out(11L)._3 === 11L && !out(11L)._4 && out(11L)._5)
+    assert(out(12L)._3 === 11L && !out(12L)._4 && !out(12L)._5,
+      "new-new twins cluster among themselves, min id survives")
+    assert(out(13L)._3 === 13L && !out(13L)._4 && out(13L)._5)
+    // a version-foreign directory fails descriptively, not silently
+    val bad = java.nio.file.Files.createTempDirectory("graft-phash-bad").toString
+    Seq(99L).toDF("format").write.parquet(s"$bad/phash_meta")
+    survivors.filter($"is_survivor").select($"img_id", $"phash")
+      .write.parquet(s"$bad/phash_hashes")
+    val e = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadPhash(spark, bad)
+    }
+    assert(e.getMessage.contains("format"))
+  }
+
   test("DHash56 kernel matches an independent reference implementation") {
     val rnd = new scala.util.Random(42)
     import org.apache.spark.sql.graftshim.GraftColumns.dHash56
