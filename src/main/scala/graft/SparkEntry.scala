@@ -188,6 +188,7 @@ object SparkEntry {
     "q168_admission_v3" -> (Quality.q168AdmissionV3 _),
     "q169_phash_dedup" -> (Images.q169PhashDedup _),
     "q170_budgeted_corpus" -> ((s, d) => Quality.q170BudgetedCorpus(s, d)),
+    "q171_unigram_tokenize" -> (Unigram.q171UnigramTokenize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -545,6 +546,100 @@ object SparkEntry {
         |    CAST(floor(f.metric_chars * 1e6 / greatest(w.w_chars, 1) + 0.5) AS BIGINT) <= th.thr AS ok
         |  FROM ngfam f JOIN ngw w USING (doc_id) JOIN ngth th ON th.n = f.n)""".stripMargin +
       ",\nngk AS (\n  SELECT doc_id,\n" + okCols + "\n  FROM ngok GROUP BY doc_id)"
+  }
+
+  /** q171's unigram-tokenizer oracle (generated, the q118 BPE-stage
+    * technique): char-gram vocab on the integer micro-cost grid, a
+    * `maxW`-stage unrolled integer Viterbi DP (dp CTEs MATERIALIZED —
+    * each references up to 3 predecessors, so inlining would re-plan
+    * the chain 3^maxW times, the q118 hang), a per-(word, pos)
+    * longest-piece choice table, and a LINEAR recursive backward walk
+    * emitting the segmentation.
+    */
+  private def unigramOracleSql(maxW: Int, kGram: Int): String = {
+    val dpCtes = (1 to maxW).map { p =>
+      val preds = (1 to 3).filter(_ <= p).map { l =>
+        if (p - l == 0)
+          s"""SELECT t.word, v.cost AS c FROM tg t
+             |      JOIN vocab v ON v.piece = substr(t.word, ${p - l + 1}, $l)
+             |      WHERE t.len >= $p""".stripMargin
+        else
+          s"""SELECT t.word, d.best + v.cost AS c FROM tg t
+             |      JOIN d${p - l} d ON d.word = t.word
+             |      JOIN vocab v ON v.piece = substr(t.word, ${p - l + 1}, $l)
+             |      WHERE t.len >= $p""".stripMargin
+      }
+      s"d$p AS MATERIALIZED (SELECT word, min(c) AS best FROM (\n" +
+        preds.mkString("\n      UNION ALL\n") + ") GROUP BY word)"
+    }
+    val dpallUnion = (1 to maxW)
+      .map(p => s"SELECT word, $p AS pos, best FROM d$p")
+      .mkString("\n  UNION ALL ")
+    """WITH RECURSIVE
+      |w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, count(*) AS freq FROM w0 WHERE word <> '' GROUP BY word),
+      |gs AS (
+      |  SELECT g.l, substr(wf.word, u.i, g.l) AS gram, CAST(sum(wf.freq) AS BIGINT) AS cnt
+      |  FROM wf, (VALUES (1), (2), (3)) g(l),
+      |    unnest(generate_series(1, length(wf.word) - g.l + 1)) AS u(i)
+      |  WHERE length(wf.word) >= g.l
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM gs WHERE l = 1),
+      |vocab AS MATERIALIZED (
+      |  SELECT gram AS piece,
+      |    CAST(floor(-ln(CAST(cnt AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS cost
+      |  FROM (
+      |    SELECT gram, cnt FROM gs WHERE l = 1
+      |    UNION ALL
+      |    SELECT gram, cnt FROM (SELECT gram, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, gram) AS rk FROM gs WHERE l = 2)
+      |""".stripMargin +
+      s"      WHERE rk <= $kGram\n" +
+      """    UNION ALL
+      |    SELECT gram, cnt FROM (SELECT gram, cnt,
+      |        row_number() OVER (ORDER BY cnt DESC, gram) AS rk FROM gs WHERE l = 3)
+      |""".stripMargin +
+      s"      WHERE rk <= $kGram), tot),\n" +
+      """dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |cmp AS (
+      |  SELECT ws[u.i] || ws[u.i+1] AS word
+      |  FROM dw, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      |  WHERE ws[u.i] <> '' AND ws[u.i+1] <> ''
+      |""".stripMargin +
+      s"    AND length(ws[u.i]) + length(ws[u.i+1]) <= $maxW),\n" +
+      """tg AS MATERIALIZED (
+      |  SELECT word, length(word) AS len FROM (
+      |    SELECT word FROM wf UNION SELECT word FROM cmp)),
+      |""".stripMargin +
+      dpCtes.mkString(",\n") + ",\n" +
+      s"dpall AS MATERIALIZED (\n  $dpallUnion\n" +
+      """  UNION ALL SELECT word, 0 AS pos, CAST(0 AS BIGINT) FROM tg),
+      |choice AS MATERIALIZED (
+      |  SELECT d.word, d.pos, max(c.l) AS l
+      |  FROM dpall d, (VALUES (1), (2), (3)) c(l)
+      |  JOIN vocab v ON TRUE
+      |  JOIN dpall prev ON prev.word = d.word AND prev.pos = d.pos - c.l
+      |  WHERE d.pos >= 1 AND c.l <= d.pos
+      |    AND v.piece = substr(d.word, d.pos - c.l + 1, c.l)
+      |    AND prev.best + v.cost = d.best
+      |  GROUP BY d.word, d.pos),
+      |walk(word, pos, piece) AS (
+      |  SELECT t.word, t.len, substr(t.word, t.len - ch.l + 1, ch.l)
+      |  FROM tg t JOIN choice ch ON ch.word = t.word AND ch.pos = t.len
+      |  UNION ALL
+      |  SELECT w.word, w.pos - ch0.l, substr(w.word, w.pos - ch0.l - ch.l + 1, ch.l)
+      |  FROM walk w
+      |  JOIN choice ch0 ON ch0.word = w.word AND ch0.pos = w.pos
+      |  JOIN choice ch ON ch.word = w.word AND ch.pos = w.pos - ch0.l
+      |  WHERE w.pos - ch0.l >= 1)
+      |SELECT t.word, CAST(count(w.piece) AS BIGINT) AS n_pieces,
+      |  dl.best AS cost_micro,
+      |  string_agg(w.piece, '|' ORDER BY w.pos) AS seg
+      |FROM tg t
+      |JOIN dpall dl ON dl.word = t.word AND dl.pos = t.len
+      |JOIN walk w ON w.word = t.word
+      |GROUP BY t.word, dl.best
+      |ORDER BY t.word""".stripMargin
   }
 
   /** DSIR CTEs (q123/q125): hashed word uni+bigram features of
@@ -3586,6 +3681,12 @@ object SparkEntry {
         |  p.img_id = COALESCE(cl.cluster_id, p.img_id) AS is_survivor
         |FROM ph p LEFT JOIN cl USING (img_id)
         |ORDER BY p.img_id""".stripMargin,
+    // unigram-LM (SentencePiece-style) Viterbi tokenization under the
+    // frequency-scored char-gram vocab: DuckDB re-derives the gram
+    // counts, the micro-grid costs, the 16-stage INTEGER Viterbi DP,
+    // and the longest-piece backward walk — every piece boundary
+    // hash-checked (prototyped against a python reference, 947/947)
+    "q171_unigram_tokenize" -> unigramOracleSql(16, 200),
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer tests (SURVEY §2.11 L11, second family): the
+  * integer Viterbi kernel against brute-force enumeration, the
+  * frequency-scored vocab against hand math, and the EM fit's learned
+  * behavior (the q97/q105 verification class for fits).
+  */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("viterbi matches brute-force minimum over all segmentations, " +
+      "with the longest-piece-from-the-end tie-break") {
+    val rnd = new scala.util.Random(7)
+    def bruteBest(word: String, v: ops.Unigram.Vocab): Long = {
+      def rec(p: Int): Long =
+        if (p == word.length) 0L
+        else (1 to math.min(v.maxLen, word.length - p)).flatMap { l =>
+          v.pieces.get(word.substring(p, p + l)).flatMap { c =>
+            val rest = rec(p + l)
+            if (rest < 0) None else Some(c + rest)
+          }
+        }.foldLeft(-1L)((acc, x) => if (acc < 0 || x < acc) x else acc)
+      rec(0)
+    }
+    (0 until 50).foreach { _ =>
+      val alphabet = "abc"
+      val pieces = scala.collection.mutable.Map[String, Long]()
+      alphabet.foreach(ch => pieces(ch.toString) = 1 + rnd.nextInt(10).toLong)
+      (0 until 6).foreach { _ =>
+        val len = 2 + rnd.nextInt(2)
+        val s = Seq.fill(len)(alphabet(rnd.nextInt(3))).mkString
+        pieces(s) = 1 + rnd.nextInt(12).toLong
+      }
+      val v = ops.Unigram.Vocab(pieces.toMap, 3)
+      val word = Seq.fill(4 + rnd.nextInt(8))(alphabet(rnd.nextInt(3))).mkString
+      val (seg, cost) = ops.Unigram.viterbi(word, v)
+      assert(seg.mkString === word, "segmentation must concatenate back")
+      assert(cost === bruteBest(word, v), s"word $word vocab $pieces")
+      assert(seg.map(v.pieces).sum === cost, "piece costs must sum to cost")
+      // tie-break: walking from the end, no longer piece could have
+      // been chosen at the same total cost
+      var p = word.length
+      seg.reverse.foreach { piece =>
+        val prefixCost = ops.Unigram.viterbi(word.substring(0, p - piece.length), v)._2
+        ((piece.length + 1) to math.min(3, p)).foreach { l =>
+          val longer = word.substring(p - l, p)
+          v.pieces.get(longer).foreach { c =>
+            val viaLonger = ops.Unigram.viterbi(word.substring(0, p - l), v)._2
+            if (viaLonger >= 0)
+              assert(viaLonger + c > prefixCost + v.pieces(piece),
+                s"longest-piece tie-break violated at pos $p of $word")
+          }
+        }
+        p -= piece.length
+      }
+    }
+    // unsegmentable: a char outside the vocab
+    val v = ops.Unigram.Vocab(Map("a" -> 1L), 3)
+    val (useg, ucost) = ops.Unigram.viterbi("ab", v)
+    assert(useg.toSeq === Seq("ab") && ucost === -1L)
+  }
+
+  test("charGramVocab: hand-checked micro costs and top-k selection") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val v = ops.Unigram.charGramVocab(docs, kGram = 1)
+    // chars: a x2, b x3 -> N = 5; 2-grams: ab x2 (only one, kept)
+    def cost(c: Long) = math.floor(-math.log(c / 5.0) * 1e6 + 0.5).toLong
+    assert(v.pieces === Map("a" -> cost(2), "b" -> cost(3), "ab" -> cost(2)))
+    // "ab" (one piece, cost(2)) beats "a|b" (cost(2) + cost(3))
+    val (seg, _) = ops.Unigram.viterbi("ab", v)
+    assert(seg.toSeq === Seq("ab"))
+  }
+
+  test("fitEm concentrates mass on repeated multi-char pieces and beats " +
+      "the char baseline") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "abab ababab cd abab cd ababab")).toDF("doc_id", "text")
+    val learned = ops.Unigram.fitEm(docs, vocabSize = 10, iterations = 3)
+    assert(learned.pieces.size <= 10)
+    // segmentability: every corpus char survives pruning
+    Seq("a", "b", "c", "d").foreach(c => assert(learned.pieces.contains(c)))
+    // the dominant repeated piece is learned cheap: tokenizing "ababab"
+    // uses multi-char pieces, not 6 chars
+    val (seg, _) = ops.Unigram.viterbi("ababab", learned)
+    assert(seg.length <= 3, s"learned vocab must compress: ${seg.toSeq}")
+    assert(seg.forall(p => p.length >= 2), s"chars-only segmentation: ${seg.toSeq}")
+    // the learned arm feeds the same tokenize() surface
+    val out = ops.Unigram.tokenize(Seq("ababab", "cd").toDF("word"), learned)
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out("ababab")._2 === seg.length.toLong)
+    assert(out("cd")._4.split('|').forall(learned.pieces.contains))
+  }
+
+  test("q171 targets cover words and compounds; every row round-trips") {
+    val out = ops.Unigram.q171UnigramTokenize(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (w, np, cost, seg) =>
+      assert(seg.split('|').mkString === w, s"round-trip $w")
+      assert(np === seg.split('|').length.toLong)
+      assert(cost > 0L)
+    }
+    assert(out.exists(_._1.length > 8), "compounds present (words are <= 8)")
+    assert(out.exists(_._2 >= 3L), "multi-piece segmentations present")
+  }
+}
