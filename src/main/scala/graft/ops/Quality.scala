@@ -1278,6 +1278,97 @@ object Quality {
       .withColumn("keep", $"rules_keep" && $"lines_keep" && $"ngrams_keep")
   }
 
+  /** Per-document repetition gates as ONE in-memory kernel — the
+    * streaming twin's engine for [[dupLineStats]] + [[ngramRepetitionStats]]
+    * (both batteries are WITHIN-document: a streamed doc arrives whole,
+    * so the stats are per-row bounded work, no state store). Mirrors
+    * the relational algebra exactly: lines = split("\n", -1) (trailing
+    * empties kept — Java's default split drops them, Spark's doesn't);
+    * words = split(" ", -1) after newline→space; top family = max
+    * (count, len) struct; dup family = span-union coverage; micro
+    * fractions on the same clamped integer grid. Parity with the batch
+    * arms is asserted column-for-column in `StreamingSpec`.
+    *
+    * Returns (dup_line_micro, dup_char_micro, lines_keep,
+    * ok_n2..ok_n10, ngrams_keep).
+    */
+  private[graft] def repetitionGates(text: String,
+      maxLineMicro: Long = 300000L, maxCharMicro: Long = 200000L)
+      : (Long, Long, Boolean, Seq[Boolean], Boolean) = {
+    def micro(p: Long, q: Long): Long =
+      math.floor(p.toDouble * 1e6 / math.max(q, 1L) + 0.5).toLong
+    val lines = text.split("\n", -1)
+    val lc = scala.collection.mutable.HashMap[String, Long]()
+    lines.foreach(l => lc(l) = lc.getOrElse(l, 0L) + 1L)
+    val nLines = lines.length.toLong
+    val nDistinct = lc.size.toLong
+    var nChars = 0L
+    var dupChars = 0L
+    lc.foreach { case (l, c) =>
+      nChars += c * l.length; dupChars += (c - 1) * l.length
+    }
+    val dupLineMicro = micro(nLines - nDistinct, nLines)
+    val dupCharMicro = micro(dupChars, nChars)
+    val linesKeep = dupLineMicro <= maxLineMicro && dupCharMicro <= maxCharMicro
+    val words = text.replace('\n', ' ').split(" ", -1)
+    val wl = words.map(_.length.toLong)
+    val wChars = wl.sum
+    val thr = Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L, 5 -> 150000L,
+      6 -> 140000L, 7 -> 130000L, 8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+    val oks: Seq[Boolean] = (2 to 10).map { n =>
+      if (words.length < n) true // no gram row -> vacuous pass (batch coalesce)
+      else {
+        def gramAt(i: Int): String = {
+          val sb = new java.lang.StringBuilder()
+          var j = i
+          while (j < i + n) {
+            if (j > i) sb.append(' ')
+            sb.append(words(j)); j += 1
+          }
+          sb.toString
+        }
+        var metric = 0L
+        if (n <= 4) {
+          val cnt = scala.collection.mutable.HashMap[String, (Long, Long)]()
+          var i = 0
+          while (i + n <= words.length) {
+            var len = 0L; var j = i
+            while (j < i + n) { len += wl(j); j += 1 }
+            val g = gramAt(i)
+            val cur = cnt.getOrElse(g, (0L, len))
+            cnt(g) = (cur._1 + 1L, len)
+            i += 1
+          }
+          var bc = 0L; var bl = 0L
+          cnt.values.foreach { case (c, l) =>
+            if (c > bc || (c == bc && l > bl)) { bc = c; bl = l }
+          }
+          metric = bc * bl
+        } else {
+          val cnt = scala.collection.mutable.HashMap[String, Long]()
+          var i = 0
+          while (i + n <= words.length) {
+            val g = gramAt(i); cnt(g) = cnt.getOrElse(g, 0L) + 1L; i += 1
+          }
+          val covered = new Array[Boolean](words.length)
+          i = 0
+          while (i + n <= words.length) {
+            if (cnt(gramAt(i)) > 1L) {
+              var j = i; while (j < i + n) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          var i2 = 0
+          while (i2 < words.length) {
+            if (covered(i2)) metric += wl(i2); i2 += 1
+          }
+        }
+        micro(metric, wChars) <= thr(n)
+      }
+    }
+    (dupLineMicro, dupCharMicro, linesKeep, oks, oks.forall(identity))
+  }
+
   /** q168's candidate plant: adds REPETITION breaches to the raw
     * corpus expression-only from (doc_id, text) so DuckDB replays it
     * bit-exactly. doc_id % 17: two identical appended lines (the

@@ -292,6 +292,37 @@ object Streaming {
       .withColumn("selected", $"xent_diff" < threshold)
   }
 
+  /** STREAMING UNIFIED GOPHER FILTER — the per-row twin of
+    * [[Quality.gopherFullBattery]] (q168's gate unit): the doc-rule
+    * battery is [[Quality.withGopherBattery]]'s expression columns
+    * (they fuse into the streaming stage unchanged — parity by
+    * construction, the admissionStreamV2 argument), and BOTH
+    * repetition batteries run in [[Quality.repetitionGates]] — one
+    * in-memory kernel per row, since a streamed document arrives
+    * WHOLE and every repetition stat is within-document. Stateless:
+    * no watermark, no state store, nothing broadcast. Emits the batch
+    * arm's exact columns; column-for-column parity asserted on a
+    * planted corpus in `StreamingSpec`.
+    */
+  def gopherFullBatteryStream(docs: DataFrame, minWords: Long = 50L,
+      minStop: Long = 2L, maxLineMicro: Long = 300000L,
+      maxCharMicro: Long = 200000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gates = udf { text: String =>
+      Quality.repetitionGates(if (text == null) "" else text,
+        maxLineMicro, maxCharMicro)
+    }
+    val okCols = (2 to 10).map(n =>
+      element_at($"rg._4", n - 1).as(s"ok_n$n"))
+    Quality.withGopherBattery(docs, minWords, minStop)
+      .withColumn("rg", gates($"text"))
+      .select(Seq($"doc_id", $"keep".as("rules_keep"),
+        $"rg._1".as("dup_line_micro"), $"rg._2".as("dup_char_micro"),
+        $"rg._3".as("lines_keep")) ++ okCols :+
+        $"rg._5".as("ngrams_keep"): _*)
+      .withColumn("keep", $"rules_keep" && $"lines_keep" && $"ngrams_keep")
+  }
+
   /** STREAMING CCNET BUCKETS — the per-row twin of
     * [[Quality.ccnetBuckets]] (q120): each arriving document is scored
     * under the broadcast [[Quality.CharLm]] and assigned its

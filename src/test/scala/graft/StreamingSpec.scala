@@ -925,6 +925,47 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("unified gopher stream matches gopherFullBattery column-for-column " +
+      "(planted repetition corpus)") {
+    implicit val sql = spark.sqlContext
+    val raw = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // plant both repetition breaches in test code (both arms see the
+    // identical rows, so any deterministic plant works)
+    val planted = raw.map { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      val l8 = w.take(8).mkString(" ")
+      val p6 = w.take(6).mkString(" ")
+      val t2 =
+        if (id % 5 == 0) t + "\n" + l8 + "\n" + l8
+        else if (id % 7 == 0) t + " " + p6 + " " + p6 + " " + p6 + " " + p6
+        else t
+      (id, t2)
+    }
+    val batch = ops.Quality
+      .gopherFullBattery(planted.toSeq.toDF("doc_id", "text"),
+        minWords = 30L, minStop = 1L)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(batch.values.exists(r => r(4) == false), "line gate fires")
+    assert(batch.values.exists(r => r(14) == false), "ngram gate fires")
+    val input = MemoryStream[TDoc]
+    val q = ops.Streaming
+      .gopherFullBatteryStream(input.toDF(), minWords = 30L, minStop = 1L)
+      .writeStream.format("memory").queryName("gopher_full_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(planted.toIndexedSeq.map { case (id, t) =>
+        TDoc(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("gopher_full_stream").collect()
+      assert(out.length === batch.size, "stream must gate every doc")
+      out.foreach { r =>
+        assert(r.toSeq === batch(r.getLong(0)),
+          s"doc ${r.getLong(0)} diverges from the batch battery")
+      }
+    }
+  }
+
   test("ccnet bucket stream matches the q120 batch assignment per document " +
       "(real fixture)") {
     implicit val sql = spark.sqlContext
