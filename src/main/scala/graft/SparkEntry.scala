@@ -189,6 +189,7 @@ object SparkEntry {
     "q169_phash_dedup" -> (Images.q169PhashDedup _),
     "q170_budgeted_corpus" -> ((s, d) => Quality.q170BudgetedCorpus(s, d)),
     "q171_unigram_tokenize" -> (Unigram.q171UnigramTokenize _),
+    "q172_unigram_em_gate" -> (Unigram.q172UnigramEmGate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3687,6 +3688,18 @@ object SparkEntry {
     // and the longest-piece backward walk — every piece boundary
     // hash-checked (prototyped against a python reference, 947/947)
     "q171_unigram_tokenize" -> unigramOracleSql(16, 200),
+    // EM-fit gate (the q97/q105 fit-invariant pattern): the char
+    // inventory is REAL parity (DuckDB re-derives the distinct chars
+    // of the word stream); the budget/compression booleans are
+    // Spark-measured contracts the oracle states
+    "q172_unigram_em_gate" ->
+      """SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_char_pieces,
+        |  TRUE AS vocab_le_budget, TRUE AS compresses
+        |FROM (
+        |  SELECT substr(w.word, u.i, 1) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w,
+        |    unnest(generate_series(1, length(w.word))) AS u(i)
+        |  WHERE w.word <> '')""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

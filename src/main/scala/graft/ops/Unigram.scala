@@ -168,6 +168,33 @@ object Unigram {
     tokenize(targets, vocab).orderBy($"word")
   }
 
+  /** ORACLED gate (q172) — the EM arm's driver-visible verification
+    * (the q97/q105 fit-invariant pattern): fit [[fitEm]] on
+    * `documents`, then emit one row of invariants. `n_char_pieces` is
+    * REAL parity — the char inventory the fit must keep equals the
+    * corpus' distinct word-stream characters, which DuckDB re-derives;
+    * the two booleans are Spark-measured contracts the oracle states
+    * (`vocab_le_budget`: the prune respects max(budget, #chars);
+    * `compresses`: tokenizing every distinct word under the learned
+    * vocab uses strictly fewer pieces than the char baseline — the
+    * point of learning multi-char pieces).
+    */
+  def q172UnigramEmGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val learned = fitEm(docs, vocabSize = 120, iterations = 3)
+    val nCharPieces = learned.pieces.keysIterator.count(_.length == 1).toLong
+    val budgetOk =
+      learned.pieces.size <= math.max(120, nCharPieces).toInt
+    val words = docs.select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0).distinct()
+    val (p, c) = tokenize(words, learned)
+      .agg(sum($"n_pieces"), sum(length($"word")).cast("long"))
+      .as[(Long, Long)].head()
+    Seq((nCharPieces, budgetOk, p < c))
+      .toDF("n_char_pieces", "vocab_le_budget", "compresses")
+  }
+
   /** The LEARNED arm — Kudo's EM over the word-frequency summary:
     * candidate pieces = all grams ≤ `pieceMaxLen` of the corpus words;
     * each round computes every word's forward–backward expected piece
