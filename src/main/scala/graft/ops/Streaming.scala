@@ -433,6 +433,55 @@ object Streaming {
       minWords: Long = 30L, minStop: Long = 1L,
       minLogWeight: Double = -8.0): DataFrame = {
     import docs.sparkSession.implicits._
+    admissionCore(docs, dupGrams, benchGrams, lm, dsir, gramLen, minTok,
+        maxCoverage, maxBits, minWords, minStop, minLogWeight)
+      .withColumnRenamed("base_keep", "keep")
+      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage",
+        $"contaminated_chars", $"lm_bits", $"gopher_keep",
+        $"log_weight", $"dsir_ok", $"keep")
+  }
+
+  /** STREAMING ADMISSION v3 — the q168 capstone's streaming twin:
+    * [[admissionStreamV2]]'s gates PLUS the two repetition batteries
+    * of the UNIFIED Gopher filter ([[Quality.repetitionGates]], the
+    * [[gopherFullBatteryStream]] kernel — per-row bounded work since a
+    * streamed document arrives whole). keep = v2's conjunction ∧
+    * lines_keep ∧ ngrams_keep, exactly how q168 upgrades q125. No new
+    * state: the kernel is a second stateless map over the same rows.
+    */
+  def admissionStreamV3(docs: DataFrame, dupGrams: Array[Long],
+      benchGrams: Array[Long], lm: Quality.CharLm,
+      dsir: Quality.DsirModel, gramLen: Int = 24, minTok: Int = 5,
+      maxCoverage: Double = 0.5, maxBits: Double = 6.0,
+      minWords: Long = 30L, minStop: Long = 1L,
+      minLogWeight: Double = -8.0, maxLineMicro: Long = 300000L,
+      maxCharMicro: Long = 200000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rep = udf { text: String =>
+      Quality.repetitionGates(if (text == null) "" else text,
+        maxLineMicro, maxCharMicro)
+    }
+    admissionCore(docs, dupGrams, benchGrams, lm, dsir, gramLen, minTok,
+        maxCoverage, maxBits, minWords, minStop, minLogWeight)
+      .withColumn("rg", rep($"text"))
+      .withColumn("lines_keep", $"rg._3")
+      .withColumn("ngrams_keep", $"rg._5")
+      .withColumn("keep", $"base_keep" && $"lines_keep" && $"ngrams_keep")
+      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage",
+        $"contaminated_chars", $"lm_bits", $"gopher_keep",
+        $"lines_keep", $"ngrams_keep", $"log_weight", $"dsir_ok", $"keep")
+  }
+
+  /** The shared V2/V3 admission pipeline up to (but not including)
+    * each arm's final keep/column shape; emits `base_keep` (the v2
+    * conjunction) and retains `text` for arm-specific kernels.
+    */
+  private def admissionCore(docs: DataFrame, dupGrams: Array[Long],
+      benchGrams: Array[Long], lm: Quality.CharLm,
+      dsir: Quality.DsirModel, gramLen: Int, minTok: Int,
+      maxCoverage: Double, maxBits: Double,
+      minWords: Long, minStop: Long, minLogWeight: Double): DataFrame = {
+    import docs.sparkSession.implicits._
     val sc = docs.sparkSession.sparkContext
     val sortedDup = dupGrams.clone(); java.util.Arrays.sort(sortedDup)
     val sortedBench = benchGrams.clone(); java.util.Arrays.sort(sortedBench)
@@ -469,13 +518,10 @@ object Streaming {
       .withColumn("lm_bits", $"g._3")
       .withColumn("log_weight", $"g._5")
       .withColumn("dsir_ok", $"log_weight" >= minLogWeight)
-      .withColumn("keep",
+      .withColumn("base_keep",
         $"n_tok" >= minTok && $"dup_coverage" <= maxCoverage &&
           $"contaminated_chars" === 0L && $"lm_bits" <= maxBits &&
           $"gopher_keep" && $"dsir_ok")
-      .select($"ts", $"doc_id", $"n_tok", $"dup_coverage",
-        $"contaminated_chars", $"lm_bits", $"gopher_keep",
-        $"log_weight", $"dsir_ok", $"keep")
   }
 
   /** [[admissionStream]] with a BOUNDED-MEMORY duplicate-gram gate —

@@ -1093,6 +1093,68 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("admission v3 stream = v2 gates + the unified-battery repetition " +
+      "gates (planted corpus)") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val raw = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    // plant repetition breaches so the NEW gates decide real admissions
+    val planted = raw.map { case (id, t) =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      val t2 =
+        if (id % 5 == 0) t + "\n" + w.take(8).mkString(" ") +
+          "\n" + w.take(8).mkString(" ")
+        else if (id % 7 == 0)
+          t + (" " + w.take(6).mkString(" ")) * 4
+        else t
+      (id, t2)
+    }
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val lm = ops.Quality.charLm(docs.filter($"doc_id" % 3 === 0))
+    val dsir = ops.Quality.dsirModel(docs.filter($"doc_id" % 97 =!= 0),
+      docs.filter($"source".isin("src0", "src1")))
+    val benchSet = ops.SpanDedup.benchGramHashes(bench, 24).as[Long].collect()
+    val battery = ops.Quality
+      .gopherFullBattery(planted.toSeq.toDF("doc_id", "text"),
+        minWords = 30L, minStop = 1L)
+      .select($"doc_id", $"lines_keep", $"ngrams_keep")
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(battery.values.exists(!_._2) && battery.values.exists(!_._3),
+      "both new gates must fire on the plant")
+    def run(name: String, mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[Long, org.apache.spark.sql.Row] = {
+      val input = MemoryStream[TDoc]
+      val q = mk(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      withQuery(q) {
+        input.addData(planted.toIndexedSeq.map { case (id, t) =>
+          TDoc(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+      }
+    }
+    val v2 = run("admission_v2_for_v3", df =>
+      ops.Streaming.admissionStreamV2(df, Array.empty[Long], benchSet, lm, dsir))
+    val v3 = run("admission_v3", df =>
+      ops.Streaming.admissionStreamV3(df, Array.empty[Long], benchSet, lm, dsir))
+    assert(v3.size === v2.size && v3.nonEmpty)
+    v3.foreach { case (id, r) =>
+      val (_, lk, nk) = battery(id)
+      assert(r.getBoolean(r.fieldIndex("lines_keep")) === lk, s"lines doc $id")
+      assert(r.getBoolean(r.fieldIndex("ngrams_keep")) === nk, s"ngrams doc $id")
+      val v2keep = v2(id).getBoolean(v2(id).fieldIndex("keep"))
+      assert(r.getBoolean(r.fieldIndex("keep")) === (v2keep && lk && nk),
+        s"v3 keep doc $id")
+    }
+    // the upgrade is load-bearing: some doc v2 admits, v3 drops
+    assert(v3.exists { case (id, r) =>
+      v2(id).getBoolean(v2(id).fieldIndex("keep")) &&
+        !r.getBoolean(r.fieldIndex("keep"))
+    }, "the repetition gates must flip at least one admission")
+  }
+
   test("semantic decontamination gate applies UNCHANGED to a streaming frame") {
     // semanticDecontaminate is stateless expressions over a 1-row
     // stream-static broadcast attach, so the BATCH FUNCTION is the
