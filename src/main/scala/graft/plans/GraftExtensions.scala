@@ -6,14 +6,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharBigrams, CosineSimilarity, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, DHash56, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
 
 /** Session extensions for the graft engine — the standard third-party
   * integration point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   *
   *  - registers the custom codegen'd Catalyst expressions as SQL
   *    functions (`cosine_sim`, `simhash64`, `char_bigrams`,
-  *    `winnow_fingerprints`, `interleave_bits`), so `spark.sql("...")`
+  *    `winnow_fingerprints`, `dhash56`, `interleave_bits`), so `spark.sql("...")`
   *    users get the fused kernels without touching the Scala column API;
   *  - injects [[BandJoinToBinned]], which turns literal band joins into
   *    binned equi hash joins instead of nested loops.
@@ -80,6 +80,12 @@ object GraftExtensions {
         WinnowedGramMins(args(0),
           intLit(args(1), "winnowed_gram_mins k"),
           intLit(args(2), "winnowed_gram_mins w"))
+      }),
+    (FunctionIdentifier("dhash56"),
+      new ExpressionInfo(classOf[DHash56].getName, "dhash56"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "dhash56(array<float>) takes 1 argument")
+        DHash56(args(0))
       }),
     (FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),

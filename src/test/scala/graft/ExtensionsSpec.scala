@@ -57,6 +57,16 @@ class ExtensionsSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       .select(GraftColumns.winnowFingerprints(lit(text), 5, 4).as("f"))
       .head.getSeq[Long](0)
     assert(fpSql == fpCol && fpSql.nonEmpty)
+
+    val dhSql = ext.sql(
+      "SELECT dhash56(transform(sequence(0, 1023), i -> CAST(i % 251 AS FLOAT))) AS h")
+      .head.getLong(0)
+    val dhCol = ext.range(1)
+      .select(GraftColumns.dHash56(
+        transform(sequence(lit(0), lit(1023)),
+          i => (i % 251).cast("float"))).as("h"))
+      .head.getLong(0)
+    assert(dhSql == dhCol)
   }
 
   test("winnow_fingerprints rejects non-literal k/w") {
