@@ -168,6 +168,37 @@ object Unigram {
     tokenize(targets, vocab).orderBy($"word")
   }
 
+  /** Per-document token count under `vocab` as a Column — the
+    * unigram-LM drop-in for [[graft.ops.Packing.bpeishCount]] /
+    * [[Bpe.bpeCount]] in q92-style packing: whitespace words each
+    * segment through [[viterbi]]; empty words contribute 0; a word
+    * with an out-of-vocab character counts as ONE unsplittable token
+    * (the standard unknown-piece fallback). Per-executor word→count
+    * memo (the [[BpeMemo]] economics — corpora repeat words heavily);
+    * the vocab rides the UDF closure, bounded by construction.
+    */
+  def unigramCount(vocab: Vocab): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf { text: String =>
+      if (text == null) 0L
+      else {
+        val memo = UnigramMemo.forVocab(vocab)
+        var sum = 0L
+        var start = 0
+        val n = text.length
+        var i = 0
+        while (i <= n) {
+          if (i == n || text.charAt(i) == ' ') {
+            if (i > start) sum += memo.count(text.substring(start, i))
+            start = i + 1
+          }
+          i += 1
+        }
+        sum
+      }
+    }
+    (c: org.apache.spark.sql.Column) => f(c)
+  }
+
   /** ORACLED gate (q172) — the EM arm's driver-visible verification
     * (the q97/q105 fit-invariant pattern): fit [[fitEm]] on
     * `documents`, then emit one row of invariants. `n_char_pieces` is
@@ -210,6 +241,37 @@ object Unigram {
     * and the learned segmentation beats the char baseline —
     * `UnigramSpec`.
     */
+  /** Per-executor word→piece-count memo for [[unigramCount]] — the
+    * [[BpeMemo]] bounded-cache discipline (clear-on-size inner word
+    * memo, clear-on-size outer vocab cache).
+    */
+  private object UnigramMemo {
+    private val maxEntries = 1 << 20
+    private val maxVocabs = 8
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Vocab, Memo]()
+
+    final class Memo(vocab: Vocab) {
+      private val m = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      def count(word: String): Long = {
+        val c = m.get(word)
+        if (c != 0L) c
+        else {
+          if (m.size() > maxEntries) m.clear()
+          val (pieces, cost) = viterbi(word, vocab)
+          val v = if (cost < 0) 1L else pieces.length.toLong
+          m.put(word, v)
+          v
+        }
+      }
+    }
+
+    def forVocab(vocab: Vocab): Memo = {
+      if (cache.size() > maxVocabs) cache.clear()
+      cache.computeIfAbsent(vocab, new Memo(_))
+    }
+  }
+
   def fitEm(docs: DataFrame, vocabSize: Int = 400, pieceMaxLen: Int = 3,
       iterations: Int = 3, candidateCap: Int = 2000,
       textCol: String = "text"): Vocab = {

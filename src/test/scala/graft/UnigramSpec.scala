@@ -93,6 +93,58 @@ class UnigramSpec extends SparkTestBase {
     assert(out("cd")._4.split('|').forall(learned.pieces.contains))
   }
 
+  test("unigramCount packs: per-doc counts equal the per-word tokenize " +
+      "sums and drive sequencePack") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val vocab = ops.Unigram.charGramVocab(docs)
+    val viaCount = docs
+      .select($"doc_id", ops.Unigram.unigramCount(vocab)($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val viaTokenize = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0)
+      .as[(Long, String)].collect()
+      .groupBy(_._1)
+      .map { case (id, ws) =>
+        id -> ws.map(w => ops.Unigram.viterbi(w._2, vocab)._1.length.toLong).sum
+      }
+    viaTokenize.foreach { case (id, n) =>
+      assert(viaCount(id) === n, s"doc $id")
+    }
+    // the count column drops into the packing family unchanged
+    val packed = ops.Packing.sequencePack(docs, "doc_id",
+      ops.Unigram.unigramCount(vocab)($"text"), 512L)
+    assert(packed.count() > 0)
+    val total = packed.agg(sum($"n_tokens")).head.getLong(0)
+    assert(total === viaTokenize.values.sum)
+  }
+
+  test("unigram tokenize applies UNCHANGED to a streaming frame") {
+    // the segmentation UDF is stateless, so the BATCH FUNCTION is the
+    // streaming twin — the semanticDecontaminate precedent
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val vocab = ops.Unigram.charGramVocab(docs)
+    val words = docs.select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0).distinct()
+    val batch = ops.Unigram.tokenize(words, vocab)
+      .as[(String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val input = MemoryStream[String]
+    val q = ops.Unigram.tokenize(input.toDF().withColumnRenamed("value", "word"),
+        vocab)
+      .writeStream.format("memory").queryName("unigram_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(batch.keys.toSeq: _*)
+      q.processAllAvailable()
+      val out = spark.table("unigram_stream")
+        .as[(String, Long, Long, String)].collect()
+      assert(out.length === batch.size)
+      out.foreach(r => assert(r === batch(r._1), s"word ${r._1}"))
+    } finally q.stop()
+  }
+
   test("q171 targets cover words and compounds; every row round-trips") {
     val out = ops.Unigram.q171UnigramTokenize(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, String)].collect()
