@@ -2138,6 +2138,9 @@ object Quality {
     val lmRef = docs.filter($"doc_id" % 3 === 0)
     val gopherKeep = gopherRules(cands, minWords = 30L, minStop = 1L)
       .filter($"keep").select($"doc_id")
+    // gated feeds BOTH the LM explode and the kept join — persist so
+    // the gate chain (exact dedup + near-dup CC + gopher + DSIR) runs
+    // once, not per reference (the assembleShippedCorpus discipline)
     val gated = exactGated(cands)
       .join(Similarity.nearDupLosers(cands), Seq("doc_id"), "left_anti")
       .join(gopherKeep, Seq("doc_id"), "left_semi")
@@ -2145,6 +2148,7 @@ object Quality {
         Seq("doc_id"), "left")
       .filter(coalesce($"log_weight", lit(0.0)) >= -8.0)
       .select($"doc_id", $"text")
+      .persist()
     val lm = lmScore(gated, lmRef).select($"doc_id", $"bits_per_transition")
     val kept = gated.join(lm, Seq("doc_id"), "left")
       .withColumn("lm_bits", coalesce($"bits_per_transition", lit(0.0)))
@@ -2174,6 +2178,7 @@ object Quality {
         Seq("doc_id"), "left")
       .orderBy($"doc_id")
       .localCheckpoint(true)
+    gated.unpersist(false)
     kept.unpersist(false)
     cleaned.unpersist(false)
     pruned.unpersist(false)
