@@ -224,6 +224,18 @@ class QualitySpec extends SparkTestBase {
       s"${disagree.length} of $n flipped — more than boundary noise")
   }
 
+  test("q170 releases its persists (CacheManager empty after the budgeted " +
+      "capstone)") {
+    spark.catalog.clearCache()
+    val out = ops.Quality.q170BudgetedCorpus(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    assert(org.apache.spark.sql.graftshim.GraftColumns.cacheIsEmpty(spark),
+      "q170 leaked a persisted DataFrame")
+    // the budget decides both ways on the fixture
+    assert(out.filter(col("kept")).count() > 0)
+    assert(out.filter(!col("kept")).count() > 0)
+  }
+
   test("q116 releases its persists (CacheManager empty after the capstone)") {
     spark.catalog.clearCache()
     val out = ops.Quality.q116ShippedCorpus(spark, "/root/testdata/sf0.001")
