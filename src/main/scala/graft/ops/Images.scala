@@ -108,23 +108,33 @@ object Images {
     *
     * 100 TB posture: hashing is a fused map stage next to the decode
     * (no shuffle); the band self-join moves 8-byte (band, key, hash)
-    * triples and its cost is Σ_bucket df² with buckets split 4 ways;
-    * the popcount kills false candidates before CC, whose shuffles
-    * carry only matched pairs.
+    * triples and its cost is Σ_bucket df² with buckets split 4 ways
+    * AND df ≤ `bandDfCap` — band buckets over the cap are DROPPED
+    * before the self-join (the q39 stop-shingle / [[Multimodal
+    * .videoNearDup]] dfCap posture: solid-color frames, letterhead
+    * templates, and app-screenshot chrome are the image analogue of
+    * boilerplate shingles, and one such hot (band, key) bucket makes
+    * the join quadratic at LAION scale). Recall trade of the cap: a
+    * pair within `maxHamming` is still found through ANY of its
+    * agreeing bands that stays under the cap, so only pairs whose
+    * every agreeing band is boilerplate-hot are missed — and those
+    * are near-identical template images an EXACT byte/hash dedup
+    * upstream already collapses (dHash-identical copies share all 4
+    * bands). The popcount kills false candidates before CC, whose
+    * shuffles carry only matched pairs.
     */
   def perceptualDedup(imgs: DataFrame, idCol: String = "img_id",
-      vecCol: String = "img", maxHamming: Int = 3): DataFrame = {
-    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+      vecCol: String = "img", maxHamming: Int = 3,
+      bandDfCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.{checkpointRdd, dHash56}
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x14-bit banding guarantees recall only for hamming <= 3: $maxHamming")
+    require(bandDfCap >= 2, s"bandDfCap must be >= 2: $bandDfCap")
     val hashed = imgs
       .select(col(idCol).cast("long").as("img_id"),
         dHash56(col(vecCol)).as("phash"))
       .localCheckpoint(true)
-    val banded = hashed.select(col("img_id"), col("phash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("phash"), b * 14).bitwiseAND(lit(0x3FFFL))): _*))
-        .as(Seq("band", "key")))
+    val banded = dropHotBands(bandExplode(hashed, "img_id", "phash"), bandDfCap)
     val x = banded.as("x")
     val y = banded.as("y")
     val pairs = x.join(y,
@@ -139,9 +149,34 @@ object Images {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("img_id")))
       .withColumn("is_survivor", col("img_id") === col("cluster_id"))
       .localCheckpoint(true)
-    hashed.unpersist(false)
+    // release the checkpoint's pinned RDD blocks directly — Dataset
+    // .unpersist is a CacheManager call and does not see localCheckpoint
+    // storage, which otherwise waits on the ContextCleaner
+    checkpointRdd(hashed).foreach(_.unpersist(false))
     out
   }
+
+  /** 4 × 14-bit band explode of a 56-bit hash column: one (band, key)
+    * row per band, carrying the id and full hash for the popcount
+    * verify.
+    */
+  private def bandExplode(df: DataFrame, id: String, h: String): DataFrame =
+    df.select(col(id), col(h),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col(h), b * 14).bitwiseAND(lit(0x3FFFL))): _*))
+        .as(Seq("band", "key")))
+
+  /** Drop (band, key) buckets whose posting list exceeds `cap` — the
+    * boilerplate guard shared by both banded joins (see
+    * [[perceptualDedup]]'s recall-trade note). One extra aggregate +
+    * anti-join over 8-byte keys, linear in the band stream.
+    */
+  private def dropHotBands(banded: DataFrame, cap: Int): DataFrame =
+    banded.join(
+      banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select(col("band"), col("key")),
+      Seq("band", "key"), "left_anti")
 
   /** INCREMENTAL arm of [[perceptualDedup]] (the q157 delta-dedup
     * shape on the image modality): match a batch of NEW images against
@@ -155,38 +190,39 @@ object Images {
     * itself); pure misses cluster AMONG THEMSELVES with the same
     * banding and min-id survivors — exactly the rows a subsequent
     * [[CurationIndex.writePhash]] appends to the index. Index hits
-    * take precedence over new-new matches (their partners hit the
-    * same indexed hash anyway; documented asymmetry of every delta
-    * arm — the periodic full re-cluster reconciles).
+    * take precedence over new-new matches — the documented asymmetry
+    * of every delta arm: transitive chains THROUGH an index hit are
+    * genuinely missed until the periodic full re-cluster (a new image
+    * within `maxHamming` of an index-hitting batchmate can itself sit
+    * up to 2×`maxHamming` from the indexed survivor, miss the index,
+    * and be appended as a fresh survivor).
     *
     * 100 TB posture: the probe is the q169 banded join against the
     * index — no re-hash and no re-join of the accumulated corpus;
     * shuffle volume is the NEW batch's bands plus the (survivor-only)
-    * index bands.
+    * index bands; the miss self-join carries [[perceptualDedup]]'s
+    * `bandDfCap` boilerplate guard.
     */
   def perceptualDedupDelta(newImgs: DataFrame, index: DataFrame,
       idCol: String = "img_id", vecCol: String = "img",
-      maxHamming: Int = 3): DataFrame = {
-    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+      maxHamming: Int = 3, bandDfCap: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftColumns.{checkpointRdd, dHash56}
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x14-bit banding guarantees recall only for hamming <= 3: $maxHamming")
-    def banded(df: DataFrame, id: String, h: String) =
-      df.select(col(id), col(h),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col(h), b * 14).bitwiseAND(lit(0x3FFFL))): _*))
-          .as(Seq("band", "key")))
+    require(bandDfCap >= 2, s"bandDfCap must be >= 2: $bandDfCap")
     val hashed = newImgs
       .select(col(idCol).cast("long").as("img_id"),
         dHash56(col(vecCol)).as("phash"))
       .localCheckpoint(true)
-    val ib = banded(index.select(col("img_id").as("idx_id"),
+    val ib = bandExplode(index.select(col("img_id").as("idx_id"),
       col("phash").as("idx_hash")), "idx_id", "idx_hash")
-    val hits = banded(hashed, "img_id", "phash")
+    val hits = bandExplode(hashed, "img_id", "phash")
       .join(ib, Seq("band", "key"))
       .filter(bit_count(col("phash").bitwiseXOR(col("idx_hash"))) <= maxHamming)
       .groupBy(col("img_id")).agg(min(col("idx_id")).as("idx_cluster"))
-    val missBanded = banded(
-      hashed.join(hits, Seq("img_id"), "left_anti"), "img_id", "phash")
+    val missBanded = dropHotBands(bandExplode(
+      hashed.join(hits, Seq("img_id"), "left_anti"), "img_id", "phash"),
+      bandDfCap)
     val x = missBanded.as("x")
     val y = missBanded.as("y")
     val pairs = x.join(y,
@@ -209,7 +245,7 @@ object Images {
       .select(col("img_id"), col("phash"), col("cluster_id"),
         col("matched_index"), col("is_survivor"))
       .localCheckpoint(true)
-    hashed.unpersist(false)
+    checkpointRdd(hashed).foreach(_.unpersist(false))
     out
   }
 

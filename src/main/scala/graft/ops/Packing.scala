@@ -127,10 +127,11 @@ object Packing {
     * into a different layout); the pinned frame carries only the sort
     * keys + the value column, not the corpus.
     *
-    * The OUTPUT is eagerly checkpointed and the ranged frame
-    * unpersisted before return, so repeated calls in a long-lived
-    * session do not accumulate pinned blocks (the marginMine
-    * checkpoint-then-unpersist discipline).
+    * The OUTPUT is eagerly checkpointed and the ranged frame's
+    * checkpoint RDD unpersisted directly before return (Dataset
+    * .unpersist is a CacheManager call and does not see localCheckpoint
+    * storage), so repeated calls in a long-lived session do not
+    * accumulate pinned blocks (the connectedComponents discipline).
     *
     * `sortKeys` must be a total order (tie-break on a unique id) or
     * `cum_before` is ill-defined within tie groups.
@@ -171,7 +172,8 @@ object Packing {
         coalesce(sum(col(valueCol)).over(w), lit(0L)) + offset)
       .drop("__pid")
       .localCheckpoint(true)
-    ranged.unpersist(false)
+    org.apache.spark.sql.graftshim.GraftColumns.checkpointRdd(ranged)
+      .foreach(_.unpersist(false))
     out
   }
 

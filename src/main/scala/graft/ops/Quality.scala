@@ -555,9 +555,15 @@ object Quality {
   /** Shared tail of the corpus capstones (q116/q117): LM gate →
     * surgical benchmark excision → 512-token sequence packing.
     */
-  private def assembleShippedCorpus(gated: DataFrame, bench: DataFrame,
+  private def assembleShippedCorpus(gated0: DataFrame, bench: DataFrame,
       lmRef: DataFrame): DataFrame = {
-    import gated.sparkSession.implicits._
+    import gated0.sparkSession.implicits._
+    // gated feeds BOTH the LM-score subtree and the kept join — without
+    // the persist the caller's whole gate chain (exact-dup aggregate +
+    // near-dup CC + gopher map + DSIR probes) executes once per
+    // reference; at corpus scale that double execution is real cost
+    // (the q170 discipline, applied to the shared tail)
+    val gated = gated0.persist()
     val lm = lmScore(gated, lmRef)
       .select($"doc_id", $"bits_per_transition")
     // kept feeds BOTH removal sides (gram stream + join-back) and
@@ -578,6 +584,7 @@ object Quality {
         Packing.bpeishCount($"clean_text"), 512L)
       .orderBy($"doc_id")
       .localCheckpoint(true)
+    gated.unpersist(false)
     kept.unpersist(false)
     cleaned.unpersist(false)
     out

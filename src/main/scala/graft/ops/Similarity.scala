@@ -2006,11 +2006,16 @@ object Similarity {
     // blocked-vs-exact parity even with a fixed seed. Hash-partition
     // on a value-derived key and sort within partitions: the layout —
     // hence the init sample, hence the geometry — becomes a pure
-    // function of the dataset values, never of how it arrived.
+    // function of the dataset values and the session's configured
+    // shuffle width (a deliberately explicit count, NOT a hard-coded
+    // small constant: at CCMatrix scale a fixed 32 would bottleneck
+    // the per-partition sorts regardless of cluster size; runs that
+    // must reproduce each other pin spark.sql.shuffle.partitions).
+    val fitParts = src.sparkSession.sessionState.conf.numShufflePartitions
     val fitInput = su.select($"unit", $"mlvec")
       .unionByName(tu.select($"unit", $"mlvec"))
       .withColumn("fit_key", xxhash64($"unit"))
-      .repartition(32, $"fit_key")
+      .repartition(fitParts, $"fit_key")
       .sortWithinPartitions($"fit_key", $"unit")
       .select($"mlvec")
     val model = km.fit(fitInput)

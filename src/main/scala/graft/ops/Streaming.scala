@@ -332,10 +332,15 @@ object Streaming {
     * sample, then the crawl streams through the assignment. The model
     * is alphabet-bounded and the cutoffs are two longs, so the whole
     * gate is a stateless map (no watermark, no state store). Bits
-    * round at scale 6 HALF_UP exactly as the batch arm, then take the
-    * same floor(x·1e6 + 0.5) micro grid, so stream and batch buckets
-    * agree per document (parity asserted on the real fixture in
-    * `StreamingSpec`). Documents with fewer than 2 code points carry
+    * round at scale 6 HALF_UP, then take the same floor(x·1e6 + 0.5)
+    * micro grid as the batch arm — but the kernel sums log-probs
+    * sequentially while the batch avg() aggregates in partition order,
+    * so bits_micro can differ by ±1 on representational ties: stream
+    * and batch buckets agree per document EXCEPT for a doc whose micro
+    * score lands exactly on c1/c2 under that 1-micro delta (exactly
+    * what `StreamingSpec` asserts — it skips the bucket check for
+    * docs sitting on a cutoff). Documents with fewer than 2 code
+    * points carry
     * no transition evidence and are dropped — the rows the batch
     * arm's bigram explode never emits.
     */

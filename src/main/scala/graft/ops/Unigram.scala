@@ -178,10 +178,24 @@ object Unigram {
     * the vocab rides the UDF closure, bounded by construction.
     */
   def unigramCount(vocab: Vocab): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
-    val f = udf { text: String =>
+    val f = udf(new UnigramCountFn(vocab): String => Long)
+    (c: org.apache.spark.sql.Column) => f(c)
+  }
+
+  /** [[unigramCount]]'s kernel as a serializable function object: the
+    * per-executor memo resolves ONCE per deserialized task (transient
+    * lazy), not per row — `forVocab`'s ConcurrentHashMap lookup
+    * structurally hashes the whole vocab Map, an O(|vocab|) cost that
+    * would otherwise dominate the Viterbi work it memoizes. Cross-task
+    * sharing still works because the cache key is the (structurally
+    * equal) vocab itself.
+    */
+  private final class UnigramCountFn(vocab: Vocab)
+      extends (String => Long) with Serializable {
+    @transient private lazy val memo = UnigramMemo.forVocab(vocab)
+    def apply(text: String): Long = {
       if (text == null) 0L
       else {
-        val memo = UnigramMemo.forVocab(vocab)
         var sum = 0L
         var start = 0
         val n = text.length
@@ -196,7 +210,6 @@ object Unigram {
         sum
       }
     }
-    (c: org.apache.spark.sql.Column) => f(c)
   }
 
   /** ORACLED gate (q172) — the EM arm's driver-visible verification

@@ -174,6 +174,40 @@ class ImagesSpec extends SparkTestBase {
     assert(e.getMessage.contains("format"))
   }
 
+  test("perceptual dedup bandDfCap: planted boilerplate images bound the " +
+      "band join; genuine near-dups still collapse through cold bands") {
+    // 12 dHash-identical "boilerplate" images (solid gray — every
+    // gradient bit 0, the letterhead/solid-color mode): all 4 band
+    // buckets go hot together, the worst case for Σdf²
+    val solid = Array.fill(1024)(128f)
+    val boiler = (100L until 112L).map(i => (i, solid))
+    val legit = Seq((10L, encodedVector(1, "png")),
+      (11L, encodedVector(1, "png", shift = 40)), // brightness near-dup of 10
+      (20L, encodedVector(9, "png")))
+    val imgs = (boiler ++ legit).toDF("img_id", "img")
+    val out = ops.Images.perceptualDedup(imgs, bandDfCap = 4)
+      .select($"img_id", $"cluster_id", $"is_survivor")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 15, "one row per image regardless of the cap")
+    // every boilerplate band bucket has df = 12 > 4: the cap drops them
+    // all, so no boilerplate pair is ever materialized (the bounded-
+    // pairs contract — an exact dedup upstream owns identical copies)
+    boiler.foreach { case (id, _) =>
+      assert(out(id)._2 === id && out(id)._3,
+        s"capped boilerplate $id emits no pairs and survives alone")
+    }
+    // the genuine near-dup pair meets through its own cold buckets
+    assert(out(10L)._2 === 10L && out(11L)._2 === 10L && !out(11L)._3,
+      "cold-band near-dups still collapse under the cap")
+    assert(out(20L)._2 === 20L && out(20L)._3)
+    // with the cap above the boilerplate df the same input collapses —
+    // the cap is the only thing separating the two behaviors
+    val uncapped = ops.Images.perceptualDedup(imgs, bandDfCap = 12)
+      .filter($"img_id" >= 100L)
+      .select($"cluster_id").distinct().as[Long].collect()
+    assert(uncapped === Array(100L), "cap >= df clusters the boilerplate")
+  }
+
   test("DHash56 kernel matches an independent reference implementation") {
     val rnd = new scala.util.Random(42)
     import org.apache.spark.sql.graftshim.GraftColumns.dHash56
