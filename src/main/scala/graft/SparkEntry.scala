@@ -190,6 +190,8 @@ object SparkEntry {
     "q170_budgeted_corpus" -> ((s, d) => Quality.q170BudgetedCorpus(s, d)),
     "q171_unigram_tokenize" -> (Unigram.q171UnigramTokenize _),
     "q172_unigram_em_gate" -> (Unigram.q172UnigramEmGate _),
+    "q173_unigram_em_tokenize" -> (Unigram.q173UnigramEmTokenize _),
+    "q174_unigram_pack" -> (Unigram.q174UnigramPack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,37 +551,16 @@ object SparkEntry {
       ",\nngk AS (\n  SELECT doc_id,\n" + okCols + "\n  FROM ngok GROUP BY doc_id)"
   }
 
-  /** q171's unigram-tokenizer oracle (generated, the q118 BPE-stage
-    * technique): char-gram vocab on the integer micro-cost grid, a
-    * `maxW`-stage unrolled integer Viterbi DP (dp CTEs MATERIALIZED —
-    * each references up to 3 predecessors, so inlining would re-plan
-    * the chain 3^maxW times, the q118 hang), a per-(word, pos)
-    * longest-piece choice table, and a LINEAR recursive backward walk
-    * emitting the segmentation.
+  /** The word-frequency head every unigram oracle shares. */
+  private val unigramWfSql: String =
+    """w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT word, count(*) AS freq FROM w0 WHERE word <> '' GROUP BY word)""".stripMargin
+
+  /** q171/q174's frequency-scored vocab on the integer micro-cost grid
+    * (needs `wf`): all single chars + top-`kGram` 2-/3-grams.
     */
-  private def unigramOracleSql(maxW: Int, kGram: Int): String = {
-    val dpCtes = (1 to maxW).map { p =>
-      val preds = (1 to 3).filter(_ <= p).map { l =>
-        if (p - l == 0)
-          s"""SELECT t.word, v.cost AS c FROM tg t
-             |      JOIN vocab v ON v.piece = substr(t.word, ${p - l + 1}, $l)
-             |      WHERE t.len >= $p""".stripMargin
-        else
-          s"""SELECT t.word, d.best + v.cost AS c FROM tg t
-             |      JOIN d${p - l} d ON d.word = t.word
-             |      JOIN vocab v ON v.piece = substr(t.word, ${p - l + 1}, $l)
-             |      WHERE t.len >= $p""".stripMargin
-      }
-      s"d$p AS MATERIALIZED (SELECT word, min(c) AS best FROM (\n" +
-        preds.mkString("\n      UNION ALL\n") + ") GROUP BY word)"
-    }
-    val dpallUnion = (1 to maxW)
-      .map(p => s"SELECT word, $p AS pos, best FROM d$p")
-      .mkString("\n  UNION ALL ")
-    """WITH RECURSIVE
-      |w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-      |wf AS (SELECT word, count(*) AS freq FROM w0 WHERE word <> '' GROUP BY word),
-      |gs AS (
+  private def unigramFreqVocabSql(kGram: Int): String =
+    """gs AS (
       |  SELECT g.l, substr(wf.word, u.i, g.l) AS gram, CAST(sum(wf.freq) AS BIGINT) AS cnt
       |  FROM wf, (VALUES (1), (2), (3)) g(l),
       |    unnest(generate_series(1, length(wf.word) - g.l + 1)) AS u(i)
@@ -600,8 +581,26 @@ object SparkEntry {
       |    SELECT gram, cnt FROM (SELECT gram, cnt,
       |        row_number() OVER (ORDER BY cnt DESC, gram) AS rk FROM gs WHERE l = 3)
       |""".stripMargin +
-      s"      WHERE rk <= $kGram), tot),\n" +
-      """dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"      WHERE rk <= $kGram), tot)"
+
+  /** q173's FITTED cost table as a literal VALUES CTE — the EM arm's
+    * oracle injection (see [[graft.ops.Unigram.lastEmVocab]]): costs
+    * are already integer micro-grid longs, so the literal round-trip
+    * is exact.
+    */
+  private def unigramVocabLiteralSql(v: graft.ops.Unigram.Vocab): String = {
+    val rows = v.pieces.toSeq.sorted.map { case (p, c) =>
+      s"('${p.replace("'", "''")}', $c)"
+    }.mkString(",\n    ")
+    "vocab AS MATERIALIZED (\n  SELECT piece, CAST(cost AS BIGINT) AS cost FROM (VALUES\n    " +
+      rows + ") v(piece, cost))"
+  }
+
+  /** q171/q173's tokenization targets (needs `wf`): distinct words +
+    * adjacent-word compounds ≤ `maxW` chars.
+    */
+  private def unigramTargetsSql(maxW: Int): String =
+    """dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |cmp AS (
       |  SELECT ws[u.i] || ws[u.i+1] AS word
       |  FROM dw, unnest(generate_series(1, len(ws) - 1)) AS u(i)
@@ -610,9 +609,35 @@ object SparkEntry {
       s"    AND length(ws[u.i]) + length(ws[u.i+1]) <= $maxW),\n" +
       """tg AS MATERIALIZED (
       |  SELECT word, length(word) AS len FROM (
-      |    SELECT word FROM wf UNION SELECT word FROM cmp)),
-      |""".stripMargin +
-      dpCtes.mkString(",\n") + ",\n" +
+      |    SELECT word FROM wf UNION SELECT word FROM cmp))""".stripMargin
+
+  /** The unigram Viterbi machinery (needs `tg`, `vocab`): a
+    * `maxW`-stage unrolled integer DP (dp CTEs MATERIALIZED — each
+    * references up to 3 predecessors, so inlining would re-plan the
+    * chain 3^maxW times, the q118 hang), a per-(word, pos)
+    * longest-piece choice table, and a LINEAR recursive backward walk
+    * emitting the segmentation.
+    */
+  private def unigramDpWalkSql(maxW: Int): String = {
+    val dpCtes = (1 to maxW).map { p =>
+      val preds = (1 to 3).filter(_ <= p).map { l =>
+        if (p - l == 0)
+          s"""SELECT t.word, v.cost AS c FROM tg t
+             |      JOIN vocab v ON v.piece = substr(t.word, ${p - l + 1}, $l)
+             |      WHERE t.len >= $p""".stripMargin
+        else
+          s"""SELECT t.word, d.best + v.cost AS c FROM tg t
+             |      JOIN d${p - l} d ON d.word = t.word
+             |      JOIN vocab v ON v.piece = substr(t.word, ${p - l + 1}, $l)
+             |      WHERE t.len >= $p""".stripMargin
+      }
+      s"d$p AS MATERIALIZED (SELECT word, min(c) AS best FROM (\n" +
+        preds.mkString("\n      UNION ALL\n") + ") GROUP BY word)"
+    }
+    val dpallUnion = (1 to maxW)
+      .map(p => s"SELECT word, $p AS pos, best FROM d$p")
+      .mkString("\n  UNION ALL ")
+    dpCtes.mkString(",\n") + ",\n" +
       s"dpall AS MATERIALIZED (\n  $dpallUnion\n" +
       """  UNION ALL SELECT word, 0 AS pos, CAST(0 AS BIGINT) FROM tg),
       |choice AS MATERIALIZED (
@@ -632,8 +657,12 @@ object SparkEntry {
       |  FROM walk w
       |  JOIN choice ch0 ON ch0.word = w.word AND ch0.pos = w.pos
       |  JOIN choice ch ON ch.word = w.word AND ch.pos = w.pos - ch0.l
-      |  WHERE w.pos - ch0.l >= 1)
-      |SELECT t.word, CAST(count(w.piece) AS BIGINT) AS n_pieces,
+      |  WHERE w.pos - ch0.l >= 1)""".stripMargin
+  }
+
+  /** The per-word segmentation tail q171/q173 share. */
+  private val unigramWordTailSql: String =
+    """SELECT t.word, CAST(count(w.piece) AS BIGINT) AS n_pieces,
       |  dl.best AS cost_micro,
       |  string_agg(w.piece, '|' ORDER BY w.pos) AS seg
       |FROM tg t
@@ -641,7 +670,57 @@ object SparkEntry {
       |JOIN walk w ON w.word = t.word
       |GROUP BY t.word, dl.best
       |ORDER BY t.word""".stripMargin
-  }
+
+  /** q171's unigram-tokenizer oracle (generated, the q118 BPE-stage
+    * technique): frequency vocab → DP → walk → per-word output.
+    */
+  private def unigramOracleSql(maxW: Int, kGram: Int): String =
+    "WITH RECURSIVE\n" + unigramWfSql + ",\n" + unigramFreqVocabSql(kGram) +
+      ",\n" + unigramTargetsSql(maxW) + ",\n" + unigramDpWalkSql(maxW) +
+      "\n" + unigramWordTailSql
+
+  /** q173's oracle: the SAME targets/DP/walk/tail as q171, under the
+    * EM-FIT cost table this run produced (literal CTE injection).
+    * Until the query has run in this session there is no fitted table
+    * to inject — the placeholder keeps `oracleSql` total; `Verify`
+    * always runs queries first.
+    */
+  private def unigramEmOracleSql(maxW: Int): String =
+    graft.ops.Unigram.lastEmVocab.map { v =>
+      "WITH RECURSIVE\n" + unigramWfSql + ",\n" + unigramVocabLiteralSql(v) +
+        ",\n" + unigramTargetsSql(maxW) + ",\n" + unigramDpWalkSql(maxW) +
+        "\n" + unigramWordTailSql
+    }.getOrElse(
+      "SELECT 'q173 must run before its oracle is dumped' AS err")
+
+  /** q174's oracle: frequency vocab → DP → walk over every distinct
+    * WORD, per-doc token counts through the word stream, then q92's
+    * packing prefix sum (512-token examples, zero-token docs dropped
+    * exactly as sequencePack drops them).
+    */
+  private def unigramPackOracleSql(maxW: Int, kGram: Int): String =
+    "WITH RECURSIVE\n" + unigramWfSql + ",\n" + unigramFreqVocabSql(kGram) +
+      ",\ntg AS MATERIALIZED (SELECT word, length(word) AS len FROM wf),\n" +
+      unigramDpWalkSql(maxW) + ",\n" +
+      """wcount AS MATERIALIZED (
+        |  SELECT t.word, CAST(count(w.piece) AS BIGINT) AS np
+        |  FROM tg t JOIN walk w ON w.word = t.word GROUP BY t.word),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |dt AS (
+        |  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_tokens
+        |  FROM docw JOIN wcount USING (word) GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM dt WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS first_example,
+        |  CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((cum_before + n_tokens - 1) // 512
+        |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
+        |FROM c ORDER BY doc_id""".stripMargin
 
   /** DSIR CTEs (q123/q125): hashed word uni+bigram features of
     * `candsRel` (doc_id, text) scored against `targetRel` (text) →
@@ -3700,6 +3779,12 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w,
         |    unnest(generate_series(1, length(w.word))) AS u(i)
         |  WHERE w.word <> '')""".stripMargin,
+    // EM arm END TO END: the cost table the run actually fit rides in
+    // as literal CTEs (Verify dumps oracleSql AFTER the queries run),
+    // and DuckDB re-derives every boundary under it — see
+    // Unigram.lastEmVocab
+    "q173_unigram_em_tokenize" -> unigramEmOracleSql(16),
+    "q174_unigram_pack" -> unigramPackOracleSql(16, 200),
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

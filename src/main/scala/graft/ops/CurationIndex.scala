@@ -148,6 +148,96 @@ object CurationIndex {
     spark.read.parquet(s"$path/phash_hashes").select($"img_id", $"phash")
   }
 
+  /** Persist a learned BPE merge table ([[Bpe.Merges]], [[Bpe.fit]]'s
+    * output) as `path/bpe_merges` (rank, a, b) plus a format-marked
+    * meta — the fit-once/apply-many production shape (the reference
+    * pickles every fitted model and reloads it,
+    * /root/reference/main.py:345-363): a later session [[loadBpe]]s
+    * the table and tokenizes NEW batches through [[Bpe.bpeCount]]
+    * without ever refitting from the corpus. The table is `numMerges`
+    * string pairs — kilobytes, the bounded-collect class.
+    */
+  def writeBpe(spark: SparkSession, path: String,
+      merges: Bpe.Merges): Unit = {
+    import spark.implicits._
+    merges.pairs.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bpe_merges")
+    Seq(FormatVersion).toDF("format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bpe_meta")
+  }
+
+  /** Load a merge table written by [[writeBpe]]: format-marker
+    * enforced, ranks must be exactly 0..n-1 — RANK ORDER IS THE
+    * ALGORITHM ([[Bpe]]'s rank-replay exactness argument), so a gap or
+    * duplicate would silently tokenize differently, not fail.
+    */
+  def loadBpe(spark: SparkSession, path: String): Bpe.Merges = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/bpe_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.loadBpe($path): bpe_meta carries no format marker")
+    val v = meta.select($"format".cast("long")).as[Long].collect()
+    require(v.length == 1 && v.head == FormatVersion,
+      s"CurationIndex.loadBpe($path): format ${v.mkString(",")} != " +
+        s"$FormatVersion — rebuild the table with this build's writeBpe")
+    val rows = spark.read.parquet(s"$path/bpe_merges")
+      .select($"rank".cast("int"), $"a", $"b").as[(Int, String, String)]
+      .collect().sortBy(_._1)
+    require(rows.iterator.map(_._1).zipWithIndex.forall(p => p._1 == p._2),
+      s"CurationIndex.loadBpe($path): ranks must be exactly 0..n-1 " +
+        s"(got ${rows.length} rows) — the table is truncated or corrupt")
+    Bpe.Merges(rows.map(r => (r._2, r._3)).toIndexedSeq)
+  }
+
+  /** Persist a unigram-LM vocab ([[Unigram.Vocab]], either fitting
+    * arm's output) as `path/unigram_pieces` (piece, cost_micro) plus a
+    * format-marked meta carrying `max_len` — same fit-once/apply-many
+    * contract as [[writeBpe]]: [[loadUnigram]] feeds the SAME
+    * [[Unigram.tokenize]]/[[Unigram.unigramCount]] kernels, so a new
+    * batch segments identically to the fitting session without a
+    * corpus pass. Costs are already on the integer micro grid —
+    * round-tripping is exact by construction.
+    */
+  def writeUnigram(spark: SparkSession, path: String,
+      vocab: Unigram.Vocab): Unit = {
+    import spark.implicits._
+    vocab.pieces.toSeq.toDF("piece", "cost_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_pieces")
+    Seq((vocab.maxLen, FormatVersion)).toDF("max_len", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_meta")
+  }
+
+  /** Load a vocab written by [[writeUnigram]], enforcing the format
+    * marker, piece uniqueness (a duplicate piece would keep an
+    * arbitrary cost), and that `max_len` covers the longest piece (a
+    * smaller lookback would silently skip long pieces in the DP).
+    */
+  def loadUnigram(spark: SparkSession, path: String): Unigram.Vocab = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/unigram_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.loadUnigram($path): unigram_meta carries no format marker")
+    val metaRows = meta.select($"max_len".cast("int"),
+      $"format".cast("long")).as[(Int, Long)].collect()
+    require(metaRows.length == 1 && metaRows.head._2 == FormatVersion,
+      s"CurationIndex.loadUnigram($path): bad meta " +
+        s"${metaRows.mkString("[", ",", "]")} — rebuild with this " +
+        "build's writeUnigram")
+    val rows = spark.read.parquet(s"$path/unigram_pieces")
+      .select($"piece", $"cost_micro".cast("long")).as[(String, Long)]
+      .collect()
+    require(rows.nonEmpty,
+      s"CurationIndex.loadUnigram($path): empty piece table")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"CurationIndex.loadUnigram($path): duplicate pieces — corrupt table")
+    val maxPiece = rows.iterator.map(_._1.length).max
+    require(maxPiece <= metaRows.head._1,
+      s"CurationIndex.loadUnigram($path): piece of length $maxPiece " +
+        s"exceeds max_len ${metaRows.head._1} — corrupt meta")
+    Unigram.Vocab(rows.toMap, metaRows.head._1)
+  }
+
   /** Persist a [[Quality.DsirModel]] (the admission-v2 stream's fifth
     * gate state) as `path/dsir_ratios` (bucket, log_ratio) — `buckets`
     * rows, the same bounded-by-construction argument as the LM tables.

@@ -153,7 +153,16 @@ object Unigram {
   def q171UnigramTokenize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Sources.documents(spark, dir)
-    val vocab = charGramVocab(docs)
+    tokenize(tokenizeTargets(docs), charGramVocab(docs)).orderBy($"word")
+  }
+
+  /** The shared q171/q173 target set: every distinct word of the
+    * corpus PLUS every distinct adjacent-word compound ≤ 16 chars (the
+    * fixture's words are ≤ 8 chars — compounds force genuinely
+    * multi-piece segmentations).
+    */
+  private def tokenizeTargets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val words = docs.select(explode(split($"text", " ")).as("word"))
       .filter(length($"word") > 0)
     val ws = split($"text", " ")
@@ -164,8 +173,59 @@ object Unigram {
       .filter(length($"word") > 0 && length($"word") <= 16)
       // element_at concat of an empty neighbor could equal a plain word;
       // the distinct union below collapses those exactly like the oracle
-    val targets = words.unionByName(compounds).distinct()
-    tokenize(targets, vocab).orderBy($"word")
+    words.unionByName(compounds).distinct()
+  }
+
+  /** Handoff of the LAST [[fitEm]] vocab to q173's oracle: the EM
+    * procedure itself is not SQL-replayable (iterative double-precision
+    * forward–backward — q172 oracles the fit's contracts instead), but
+    * `Verify` dumps `oracleSql` AFTER running every query, so q173's
+    * oracle embeds the cost table THIS run actually fit as literal
+    * VALUES and re-derives every tokenization boundary under it.
+    */
+  @volatile private[graft] var lastEmVocab: Option[Vocab] = None
+
+  /** ORACLED exercise (q173) — the EM arm END TO END: [[fitEm]] on
+    * `documents`, then [[tokenize]] over q171's exact target set
+    * (distinct words + ≤16-char compounds). The oracle receives the
+    * fitted (piece, cost_micro) table as literal CTEs (see
+    * [[lastEmVocab]]) and re-runs the full 16-stage integer Viterbi DP
+    * and longest-piece backward walk under those costs — every piece
+    * boundary, cost, and piece count of the LEARNED tokenizer
+    * hash-checked, closing the family's "fit feeds the same oracled
+    * kernel" property that q171 (frequency arm) + q172 (fit contracts)
+    * left spec-only.
+    */
+  def q173UnigramEmTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val learned = fitEm(docs, vocabSize = 120, iterations = 3)
+    lastEmVocab = Some(learned)
+    tokenize(tokenizeTargets(docs), learned).orderBy($"word")
+  }
+
+  /** ORACLED exercise (q174) — [[unigramCount]] as a LOAD-BEARING
+    * packing consumer: q92's 512-token sequence packing of `documents`
+    * under unigram-LM token counts ([[charGramVocab]]'s oracle-exact
+    * arm) instead of the fixed-regex [[Packing.bpeishCount]]. The
+    * oracle re-derives the vocab, runs the Viterbi DP + walk over
+    * every distinct word, sums piece counts per document through the
+    * word stream, and replays the packing prefix sum — every token
+    * count and example boundary of the unigram-tokenized corpus
+    * hash-checked.
+    *
+    * 100 TB posture: the fit is two bounded aggregates; scoring is a
+    * pure memoized map ([[UnigramCountFn]]); packing adds q92's
+    * checkpoint-frozen two-pass prefix sum. No new shuffle class.
+    */
+  def q174UnigramPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val vocab = charGramVocab(docs)
+    Packing.sequencePack(docs, "doc_id", unigramCount(vocab)($"text"), 512L)
+      .select($"doc_id", $"n_tokens", $"first_example", $"last_example",
+        $"n_examples")
+      .orderBy($"doc_id")
   }
 
   /** Per-document token count under `vocab` as a Column — the

@@ -96,6 +96,44 @@ class BpeSpec extends SparkTestBase {
       Seq("ab", "ab"))
   }
 
+  test("merge table round-trips through CurationIndex: fit once, load in " +
+      "a later session, tokenize a NEW batch with no refit") {
+    val corpus = Seq((1L, "low lower lowest low low"),
+      (2L, "newer lower low wide")).toDF("doc_id", "text")
+    val fit = Bpe.fit(corpus, numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    ops.CurationIndex.writeBpe(spark, dir, fit)
+    val loaded = ops.CurationIndex.loadBpe(spark, dir)
+    assert(loaded === fit, "exact table round-trip, rank order included")
+    // the delta apply path: a batch the fit never saw tokenizes
+    // identically under the loaded table — no corpus pass
+    val newBatch = Seq((10L, "lower and slower"), (11L, "lowest low"))
+      .toDF("doc_id", "text")
+    val a = newBatch.select($"doc_id", Bpe.bpeCount(fit)($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val b = newBatch.select($"doc_id", Bpe.bpeCount(loaded)($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // a marker-less directory fails descriptively, not silently
+    val bad = java.nio.file.Files.createTempDirectory("graft-bpe-bad").toString
+    Seq((0, "l", "o")).toDF("rank", "a", "b")
+      .write.parquet(s"$bad/bpe_merges")
+    Seq(99L).toDF("other").write.parquet(s"$bad/bpe_meta")
+    val e = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadBpe(spark, bad)
+    }
+    assert(e.getMessage.contains("format"))
+    // a rank gap fails loudly — rank order IS the algorithm
+    val gap = java.nio.file.Files.createTempDirectory("graft-bpe-gap").toString
+    Seq((0, "l", "o"), (2, "lo", "w")).toDF("rank", "a", "b")
+      .write.parquet(s"$gap/bpe_merges")
+    Seq(2L).toDF("format").write.parquet(s"$gap/bpe_meta")
+    val g = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadBpe(spark, gap)
+    }
+    assert(g.getMessage.contains("0..n-1"))
+  }
+
   test("fertility discriminates: in-distribution text compresses better than gibberish") {
     // corpus dominated by a few repeated words -> merges learn their
     // bigrams -> those words tokenize short (high chars/token); a

@@ -145,6 +145,83 @@ class UnigramSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("q173 tokenizes the q171 target set under the EM vocab and " +
+      "publishes the fitted table for the oracle; q174 packs under " +
+      "unigram counts") {
+    val dir = "/root/testdata/sf0.001"
+    ops.Unigram.lastEmVocab = None
+    val em = ops.Unigram.q173UnigramEmTokenize(spark, dir)
+      .as[(String, Long, Long, String)].collect()
+    assert(em.nonEmpty)
+    val fitted = ops.Unigram.lastEmVocab
+    assert(fitted.nonEmpty, "q173 must hand its vocab to the oracle")
+    em.foreach { case (w, np, cost, seg) =>
+      assert(seg.split('|').mkString === w, s"round-trip $w")
+      assert(np === seg.split('|').length.toLong && cost > 0L)
+    }
+    // same target set as q171 — the two arms differ ONLY in costs
+    val freq = ops.Unigram.q171UnigramTokenize(spark, dir)
+      .select($"word").as[String].collect()
+    assert(em.map(_._1).sorted === freq.sorted)
+    // q174: packed totals equal the sum of per-doc unigram counts
+    val docs = ops.Sources.documents(spark, dir)
+    val vocab = ops.Unigram.charGramVocab(docs)
+    val expected = docs
+      .select(ops.Unigram.unigramCount(vocab)($"text").as("n"))
+      .filter($"n" > 0).agg(sum($"n")).head.getLong(0)
+    val packed = ops.Unigram.q174UnigramPack(spark, dir)
+    assert(packed.agg(sum($"n_tokens")).head.getLong(0) === expected)
+    val last = packed.agg(max($"last_example")).head.getLong(0)
+    assert(last === (expected - 1) / 512, "boundaries lay out one tape")
+  }
+
+  test("unigram vocab round-trips through CurationIndex: both fitting " +
+      "arms persist, reload, and tokenize a NEW batch with no refit") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    Seq(
+      "freq" -> ops.Unigram.charGramVocab(docs, kGram = 50),
+      "em" -> ops.Unigram.fitEm(docs, vocabSize = 80, iterations = 2)
+    ).foreach { case (arm, fit) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-unigram-$arm").toString
+      ops.CurationIndex.writeUnigram(spark, dir, fit)
+      val loaded = ops.CurationIndex.loadUnigram(spark, dir)
+      assert(loaded === fit,
+        s"$arm: exact round-trip (integer micro-grid costs, maxLen)")
+      // the delta apply path: words the fit session never materialized
+      // segment identically under the loaded vocab — boundaries, costs
+      val newWords = Seq("freshcompound", "neverseen", "ab")
+        .toDF("word")
+      val a = ops.Unigram.tokenize(newWords, fit)
+        .as[(String, Long, Long, String)].collect().sortBy(_._1)
+      val b = ops.Unigram.tokenize(newWords, loaded)
+        .as[(String, Long, Long, String)].collect().sortBy(_._1)
+      assert(a === b, s"$arm: tokenize parity under the loaded vocab")
+    }
+    // a marker-less directory fails descriptively
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft-unigram-bad").toString
+    Seq(("a", 5L)).toDF("piece", "cost_micro")
+      .write.parquet(s"$bad/unigram_pieces")
+    Seq(3).toDF("max_len").write.parquet(s"$bad/unigram_meta")
+    val e = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadUnigram(spark, bad)
+    }
+    assert(e.getMessage.contains("format"))
+    // a lookback shorter than the longest piece fails loudly — the DP
+    // would silently never consider long pieces
+    val short = java.nio.file.Files
+      .createTempDirectory("graft-unigram-short").toString
+    Seq(("a", 5L), ("abc", 2L)).toDF("piece", "cost_micro")
+      .write.parquet(s"$short/unigram_pieces")
+    Seq((1, 2L)).toDF("max_len", "format")
+      .write.parquet(s"$short/unigram_meta")
+    val s = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadUnigram(spark, short)
+    }
+    assert(s.getMessage.contains("max_len"))
+  }
+
   test("q171 targets cover words and compounds; every row round-trips") {
     val out = ops.Unigram.q171UnigramTokenize(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, String)].collect()
