@@ -409,6 +409,45 @@ object Streaming {
         $"n_tokens", $"eff_tokens_micro", $"sampled")
   }
 
+  /** STREAMING PERCEPTUAL IMAGE DEDUP (T5 + L58) — the newest dedup
+    * family's ingest twin, completing its batch/stream symmetry: each
+    * micro-batch of arriving images probes the FROZEN phash survivor
+    * index ([[CurationIndex.loadPhash]]) by running the BATCH delta arm
+    * [[Images.perceptualDedupDelta]] VERBATIM inside `foreachBatch` —
+    * index hits adopt their indexed cluster, misses cluster among
+    * themselves within the batch (df-capped band join), exactly the
+    * batch semantics, so stream == batch parity holds by construction
+    * per micro-batch (asserted in `StreamingSpec`).
+    *
+    * foreachBatch rather than a stateful operator is the deliberate
+    * choice here (vs [[nearDupPairsStream]]'s fMGWS): the delta arm's
+    * miss SELF-JOIN and min-id adoption are whole-batch relational
+    * algebra, and Structured Streaming's contract for reusing exactly
+    * such batch logic is the foreachBatch sink. The cost: new-new
+    * chains ACROSS micro-batches inherit the delta arm's documented
+    * asymmetry (reconciled by the periodic full re-cluster) — same
+    * trade as running the delta arm on daily batches, just smaller
+    * batches. `sink` receives each micro-batch's resolved frame (e.g.
+    * append to the survivor store and [[CurationIndex.writePhash]] the
+    * new survivors — kept a callback so tests and deployments choose).
+    *
+    * 100 TB posture: per micro-batch it is exactly the delta arm's —
+    * probe bands against the survivor index (no re-hash of the
+    * accumulated corpus), df-capped miss self-join, CC over matched
+    * pairs only.
+    */
+  def perceptualDedupStream(imgs: DataFrame, index: DataFrame,
+      sink: DataFrame => Unit, maxHamming: Int = 3,
+      bandDfCap: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    imgs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(Images.perceptualDedupDelta(batch, index,
+            maxHamming = maxHamming, bandDfCap = bandDfCap))
+      }
+      .start()
+
   /** STREAMING ADMISSION v2 — the streaming twin of the q125 batch
     * capstone: [[admissionStream]]'s four gates PLUS the Gopher
     * structural battery and the DSIR importance-weight floor, every

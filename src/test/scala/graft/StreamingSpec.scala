@@ -21,6 +21,9 @@ case class TDoc(doc_id: Long, text: String, ts: Timestamp)
 /** Embedded document for the streaming semantic near-dup tests. */
 case class EDoc(doc_id: Long, embedding: Seq[Double], ts: Timestamp)
 
+/** Decoded image for the streaming perceptual-dedup test. */
+case class PImg(img_id: Long, img: Seq[Float])
+
 /** Structured Streaming tests (SURVEY §2.10 T1–T6, §5.2) via
   * MemoryStream — windows, watermark late-drop, streaming dedup, and the
   * stream-static join, with batch/stream plan parity.
@@ -1031,6 +1034,58 @@ class StreamingSpec extends SparkTestBase {
         assert(r === batch(r._1), s"doc ${r._1} diverges from batch")
       }
     }
+  }
+
+  test("perceptual image dedup stream matches the batch delta arm per " +
+      "micro-batch against a persisted index") {
+    implicit val sql = spark.sqlContext
+    // deterministic 1024-float images, q169's generator algebra
+    def vec(seed: Int, shift: Int = 0): Seq[Float] =
+      (0 until 1024).map { i =>
+        ((((seed * 31 + i) * (i + 7)) % 4093) % 200 + shift).toFloat
+      }
+    val base = Seq((1L, vec(1)), (2L, vec(5))).toDF("img_id", "img")
+    val survivors = ops.Images.perceptualDedup(base)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-phash-stream").toString
+    ops.CurationIndex.writePhash(spark, dir, survivors)
+    val index = ops.CurationIndex.loadPhash(spark, dir).persist()
+    // batch 1: an index hit (brightness copy of #1) + a fresh pair;
+    // batch 2: another index hit + a singleton — the stream must
+    // resolve each micro-batch independently, exactly like daily deltas
+    val batches = Seq(
+      Seq(PImg(10L, vec(1, shift = 30)), PImg(11L, vec(33)),
+        PImg(12L, vec(33, shift = 25))),
+      Seq(PImg(20L, vec(5, shift = 40)), PImg(21L, vec(64))))
+    val got = scala.collection.mutable.ArrayBuffer[Array[
+      (Long, Long, Long, Boolean, Boolean)]]()
+    val input = MemoryStream[PImg]
+    val q = ops.Streaming.perceptualDedupStream(input.toDF(), index,
+      out => got.synchronized {
+        got += out.as[(Long, Long, Long, Boolean, Boolean)].collect()
+      })
+    withQuery(q) {
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    }
+    assert(got.length === batches.length, "one sink call per micro-batch")
+    batches.zip(got).foreach { case (b, out) =>
+      val expect = ops.Images.perceptualDedupDelta(
+          b.toDF(), index)
+        .as[(Long, Long, Long, Boolean, Boolean)].collect()
+        .sortBy(_._1)
+      assert(out.sortBy(_._1) === expect,
+        s"micro-batch ${b.map(_.img_id)} diverges from the batch delta arm")
+    }
+    // semantics spot-check: hits adopted, fresh pair clustered in-batch
+    val all = got.flatten.map(r => r._1 -> r).toMap
+    assert(all(10L)._3 === 1L && all(10L)._4)
+    assert(all(12L)._3 === 11L && !all(12L)._4 && !all(12L)._5)
+    assert(all(20L)._3 === 2L && all(20L)._4)
+    assert(all(21L)._3 === 21L && all(21L)._5)
+    index.unpersist()
   }
 
   test("admission v2 stream matches the q125 batch gates per document (real fixture)") {
