@@ -192,6 +192,7 @@ object SparkEntry {
     "q172_unigram_em_gate" -> (Unigram.q172UnigramEmGate _),
     "q173_unigram_em_tokenize" -> (Unigram.q173UnigramEmTokenize _),
     "q174_unigram_pack" -> (Unigram.q174UnigramPack _),
+    "q175_unigram_delta_apply" -> (Unigram.q175UnigramDeltaApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,9 +552,11 @@ object SparkEntry {
       ",\nngk AS (\n  SELECT doc_id,\n" + okCols + "\n  FROM ngok GROUP BY doc_id)"
   }
 
-  /** The word-frequency head every unigram oracle shares. */
-  private val unigramWfSql: String =
-    """w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+  /** The word-frequency head every unigram oracle shares; `srcRel` is
+    * the FIT corpus (q175 fits on a split, not the whole table).
+    */
+  private def unigramWfSql(srcRel: String = "documents"): String =
+    s"""w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM $srcRel AS uwf_src),
       |wf AS (SELECT word, count(*) AS freq FROM w0 WHERE word <> '' GROUP BY word)""".stripMargin
 
   /** q171/q174's frequency-scored vocab on the integer micro-cost grid
@@ -675,7 +678,7 @@ object SparkEntry {
     * technique): frequency vocab → DP → walk → per-word output.
     */
   private def unigramOracleSql(maxW: Int, kGram: Int): String =
-    "WITH RECURSIVE\n" + unigramWfSql + ",\n" + unigramFreqVocabSql(kGram) +
+    "WITH RECURSIVE\n" + unigramWfSql() + ",\n" + unigramFreqVocabSql(kGram) +
       ",\n" + unigramTargetsSql(maxW) + ",\n" + unigramDpWalkSql(maxW) +
       "\n" + unigramWordTailSql
 
@@ -687,11 +690,43 @@ object SparkEntry {
     */
   private def unigramEmOracleSql(maxW: Int): String =
     graft.ops.Unigram.lastEmVocab.map { v =>
-      "WITH RECURSIVE\n" + unigramWfSql + ",\n" + unigramVocabLiteralSql(v) +
+      "WITH RECURSIVE\n" + unigramWfSql() + ",\n" + unigramVocabLiteralSql(v) +
         ",\n" + unigramTargetsSql(maxW) + ",\n" + unigramDpWalkSql(maxW) +
         "\n" + unigramWordTailSql
     }.getOrElse(
       "SELECT 'q173 must run before its oracle is dumped' AS err")
+
+  /** q175's oracle: the vocab derives from the EVEN split ONLY; the
+    * targets are the ODD split's distinct words; the tail is
+    * OOV-TOLERANT — a word the DP cannot segment (a char the fit
+    * split never saw) reports (1, −1, itself), the engine's
+    * unsegmentable contract.
+    */
+  private def unigramDeltaOracleSql(maxW: Int, kGram: Int): String =
+    "WITH RECURSIVE\n" +
+      unigramWfSql("(SELECT * FROM documents WHERE doc_id % 2 = 0)") +
+      ",\n" + unigramFreqVocabSql(kGram) + ",\n" +
+      """tg AS MATERIALIZED (
+        |  SELECT word, length(word) AS len FROM (
+        |    SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        |    FROM documents WHERE doc_id % 2 = 1) u
+        |  WHERE word <> ''),
+        |""".stripMargin +
+      unigramDpWalkSql(maxW) + ",\n" +
+      """segd AS (
+        |  SELECT t.word, CAST(count(w.piece) AS BIGINT) AS n_pieces,
+        |    dl.best AS cost_micro,
+        |    string_agg(w.piece, '|' ORDER BY w.pos) AS seg
+        |  FROM tg t
+        |  JOIN dpall dl ON dl.word = t.word AND dl.pos = t.len
+        |  JOIN walk w ON w.word = t.word
+        |  GROUP BY t.word, dl.best)
+        |SELECT word, n_pieces, cost_micro, seg FROM segd
+        |UNION ALL
+        |SELECT t.word, CAST(1 AS BIGINT), CAST(-1 AS BIGINT), t.word
+        |FROM tg t LEFT JOIN segd s ON s.word = t.word
+        |WHERE s.word IS NULL
+        |ORDER BY word""".stripMargin
 
   /** q174's oracle: frequency vocab → DP → walk over every distinct
     * WORD, per-doc token counts through the word stream, then q92's
@@ -699,7 +734,7 @@ object SparkEntry {
     * exactly as sequencePack drops them).
     */
   private def unigramPackOracleSql(maxW: Int, kGram: Int): String =
-    "WITH RECURSIVE\n" + unigramWfSql + ",\n" + unigramFreqVocabSql(kGram) +
+    "WITH RECURSIVE\n" + unigramWfSql() + ",\n" + unigramFreqVocabSql(kGram) +
       ",\ntg AS MATERIALIZED (SELECT word, length(word) AS len FROM wf),\n" +
       unigramDpWalkSql(maxW) + ",\n" +
       """wcount AS MATERIALIZED (
@@ -3785,6 +3820,9 @@ object SparkEntry {
     // Unigram.lastEmVocab
     "q173_unigram_em_tokenize" -> unigramEmOracleSql(16),
     "q174_unigram_pack" -> unigramPackOracleSql(16, 200),
+    // fit-once/apply-many: vocab from the even split, targets from the
+    // odd split, OOV-tolerant tail — the persisted-vocab delta path
+    "q175_unigram_delta_apply" -> unigramDeltaOracleSql(16, 200),
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -228,6 +228,32 @@ object Unigram {
       .orderBy($"doc_id")
   }
 
+  /** ORACLED exercise (q175) — FIT-ONCE/APPLY-MANY made driver-visible
+    * (the reference's own pickle-reload deployment shape,
+    * /root/reference/main.py:345-363): fit the frequency vocab on the
+    * EVEN-doc split only, round-trip it through [[CurationIndex
+    * .writeUnigram]]/[[CurationIndex.loadUnigram]], then tokenize the
+    * ODD split's distinct words under the RELOADED vocab — no refit
+    * ever touches the apply batch. The oracle re-derives the vocab
+    * from the fit split alone and every boundary over the apply
+    * split's words; a word carrying a char the fit split never saw is
+    * unsegmentable and reports (1 piece, cost −1, itself) in BOTH
+    * engines — the delta batch's honest OOV contract.
+    */
+  def q175UnigramDeltaApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val vocab = charGramVocab(docs.filter($"doc_id" % 2 === 0))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-q175-vocab").toString
+    CurationIndex.writeUnigram(spark, idx, vocab)
+    val loaded = CurationIndex.loadUnigram(spark, idx)
+    val applyWords = docs.filter($"doc_id" % 2 === 1)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") > 0).distinct()
+    tokenize(applyWords, loaded).orderBy($"word")
+  }
+
   /** Per-document token count under `vocab` as a Column — the
     * unigram-LM drop-in for [[graft.ops.Packing.bpeishCount]] /
     * [[Bpe.bpeCount]] in q92-style packing: whitespace words each
