@@ -694,7 +694,12 @@ object SparkEntry {
         ",\n" + unigramTargetsSql(maxW) + ",\n" + unigramDpWalkSql(maxW) +
         "\n" + unigramWordTailSql
     }.getOrElse(
-      "SELECT 'q173 must run before its oracle is dumped' AS err")
+      // FAIL CLOSED: if the query never ran (Verify catches per-query
+      // throwables and continues), the dumped oracle must ERROR in
+      // DuckDB, not succeed with a decoy row — the driver then records
+      // a loud oracle failure instead of depending on the missing
+      // parquet alone
+      "SELECT error('q173 query did not run before oracleSql was dumped')")
 
   /** q175's oracle: the vocab derives from the EVEN split ONLY; the
     * targets are the ODD split's distinct words; the tail is
@@ -3749,8 +3754,11 @@ object SparkEntry {
     },
     // perceptual image dedup: DuckDB re-derives the planted pixels,
     // the 8x8 block sums, all 56 dHash gradient bits, the 4x14-bit
-    // banded candidate join, the popcount verify, and the q43-shape
-    // transitive closure — every hash and survivor bit-checked
+    // banded candidate join INCLUDING the engine's bandDfCap=1000
+    // boilerplate guard (hotb/kband — inert at the fixture SFs but
+    // modeled so the oracle stays exact at ANY scale), the popcount
+    // verify, and the q43-shape transitive closure — every hash and
+    // survivor bit-checked
     "q169_phash_dedup" ->
       """WITH RECURSIVE imgs AS (
         |  SELECT doc_id * 4 AS img_id, doc_id, 0 AS shift, FALSE AS bump
@@ -3779,9 +3787,15 @@ object SparkEntry {
         |bands AS (
         |  SELECT img_id, phash, u.b AS band, (phash >> CAST(u.b * 14 AS INT)) & 16383 AS key
         |  FROM ph, unnest(generate_series(0, 3)) AS u(b)),
+        |hotb AS (
+        |  SELECT band, key FROM bands GROUP BY band, key HAVING count(*) > 1000),
+        |kband AS (
+        |  SELECT b.img_id, b.phash, b.band, b.key FROM bands b
+        |  LEFT JOIN hotb h ON b.band = h.band AND b.key = h.key
+        |  WHERE h.band IS NULL),
         |prs AS (
         |  SELECT DISTINCT x.img_id AS a, y.img_id AS b
-        |  FROM bands x JOIN bands y
+        |  FROM kband x JOIN kband y
         |    ON x.band = y.band AND x.key = y.key AND x.img_id < y.img_id
         |  WHERE bit_count(xor(x.phash, y.phash)) <= 3),
         |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),

@@ -2004,14 +2004,17 @@ object Similarity {
     // layout AND per-partition row order, so a different file split /
     // parallelism would shift cluster geometry and flip q161's
     // blocked-vs-exact parity even with a fixed seed. Hash-partition
-    // on a value-derived key and sort within partitions: the layout —
-    // hence the init sample, hence the geometry — becomes a pure
-    // function of the dataset values and the session's configured
-    // shuffle width (a deliberately explicit count, NOT a hard-coded
-    // small constant: at CCMatrix scale a fixed 32 would bottleneck
-    // the per-partition sorts regardless of cluster size; runs that
-    // must reproduce each other pin spark.sql.shuffle.partitions).
-    val fitParts = src.sparkSession.sessionState.conf.numShufflePartitions
+    // on a value-derived key and sort within partitions, with the
+    // partition COUNT a pure function of the input row count (NOT of
+    // spark.sql.shuffle.partitions or the host's core count — Verify
+    // and Bench size those to availableProcessors, so a conf-derived
+    // width would shift the init sample, hence the geometry, hence
+    // q161's result, between machines): the layout is then a pure
+    // function of the dataset values everywhere. The count GROWS with
+    // the data (~1M rows per sort task) so a fixed small constant
+    // never becomes the parallelism bottleneck at CCMatrix scale.
+    val fitParts = math.max(32L,
+      (su.count() + tu.count() + 999999L) / 1000000L).toInt
     val fitInput = su.select($"unit", $"mlvec")
       .unionByName(tu.select($"unit", $"mlvec"))
       .withColumn("fit_key", xxhash64($"unit"))

@@ -429,7 +429,9 @@ object Streaming {
     * trade as running the delta arm on daily batches, just smaller
     * batches. `sink` receives each micro-batch's resolved frame (e.g.
     * append to the survivor store and [[CurationIndex.writePhash]] the
-    * new survivors — kept a callback so tests and deployments choose).
+    * new survivors — kept a callback so tests and deployments choose);
+    * it must CONSUME the frame before returning — its checkpoint
+    * blocks are released as soon as the callback exits.
     *
     * 100 TB posture: per micro-batch it is exactly the delta arm's —
     * probe bands against the survivor index (no re-hash of the
@@ -442,9 +444,18 @@ object Streaming {
     imgs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          sink(Images.perceptualDedupDelta(batch, index,
-            maxHamming = maxHamming, bandDfCap = bandDfCap))
+        if (!batch.isEmpty) {
+          val out = Images.perceptualDedupDelta(batch, index,
+            maxHamming = maxHamming, bandDfCap = bandDfCap)
+          // the delta arm returns an eagerly localCheckpoint'd frame;
+          // release its pinned RDD blocks once the sink has consumed it
+          // — a long-lived ingest stream would otherwise accumulate one
+          // checkpoint per micro-batch until the ContextCleaner gets to
+          // them (the GraftColumns.checkpointRdd rationale)
+          try sink(out)
+          finally org.apache.spark.sql.graftshim.GraftColumns
+            .checkpointRdd(out).foreach(_.unpersist(false))
+        }
       }
       .start()
 

@@ -244,8 +244,11 @@ object Unigram {
     import spark.implicits._
     val docs = Sources.documents(spark, dir)
     val vocab = charGramVocab(docs.filter($"doc_id" % 2 === 0))
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft-q175-vocab").toString
+    // fixed per-session path + overwrite mode, NOT createTempDirectory:
+    // Bench re-runs each query 2-3x and a fresh dir per invocation
+    // would accumulate for the life of the machine
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q175-vocab-" +
+      spark.sparkContext.applicationId
     CurationIndex.writeUnigram(spark, idx, vocab)
     val loaded = CurationIndex.loadUnigram(spark, idx)
     val applyWords = docs.filter($"doc_id" % 2 === 1)
