@@ -238,6 +238,64 @@ object CurationIndex {
     Unigram.Vocab(rows.toMap, metaRows.head._1)
   }
 
+  /** Persist a [[Similarity.PqIndex]] (the q99 product-quantization
+    * codebooks) as `path/pq_codebooks` (sub, code, centroid) plus a
+    * format-marked meta — the FAISS write_index analogue for the PQ
+    * arm, completing the fit-once/apply-many story beside the on-disk
+    * IVF index ([[Similarity.writeIvfIndex]]): a later session
+    * [[loadPq]]s the codebooks and encodes/searches NEW batches through
+    * the unchanged [[Similarity.pqEncode]]/ADC kernels without ever
+    * refitting. m·k rows of subDim doubles — kilobytes, the
+    * bounded-collect class.
+    */
+  def writePq(spark: SparkSession, path: String,
+      idx: Similarity.PqIndex): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- idx.codebooks.indices
+      c <- idx.codebooks(s).indices
+    } yield (s, c, idx.codebooks(s)(c).toSeq)
+    rows.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    Seq((idx.m, idx.subDim, idx.k, FormatVersion))
+      .toDF("m", "sub_dim", "k", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_meta")
+  }
+
+  /** Load codebooks written by [[writePq]], enforcing the format
+    * marker and the FULL (sub, code) grid — a missing code would
+    * silently shift every later code id and decode garbage distances,
+    * so truncation fails loudly instead.
+    */
+  def loadPq(spark: SparkSession, path: String): Similarity.PqIndex = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/pq_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.loadPq($path): pq_meta carries no format marker")
+    val metaRows = meta.select($"m".cast("int"), $"sub_dim".cast("int"),
+      $"k".cast("int"), $"format".cast("long")).as[(Int, Int, Int, Long)]
+      .collect()
+    require(metaRows.length == 1 && metaRows.head._4 == FormatVersion,
+      s"CurationIndex.loadPq($path): bad meta " +
+        s"${metaRows.mkString("[", ",", "]")} — rebuild with this " +
+        "build's writePq")
+    val (m, subDim, k, _) = metaRows.head
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .select($"sub".cast("int"), $"code".cast("int"), $"centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.length == m * k &&
+        rows.map(r => (r._1, r._2)).toSet ==
+          (for (s <- 0 until m; c <- 0 until k) yield (s, c)).toSet,
+      s"CurationIndex.loadPq($path): codebook grid must hold exactly " +
+        s"every (sub 0..${m - 1}, code 0..${k - 1}) once (got " +
+        s"${rows.length} rows) — the table is truncated or corrupt")
+    require(rows.forall(_._3.length == subDim),
+      s"CurationIndex.loadPq($path): centroid width != sub_dim $subDim")
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, c, v) => books(s)(c) = v.toArray }
+    Similarity.PqIndex(m, subDim, books)
+  }
+
   /** Persist a [[Quality.DsirModel]] (the admission-v2 stream's fifth
     * gate state) as `path/dsir_ratios` (bucket, log_ratio) — `buckets`
     * rows, the same bounded-by-construction argument as the LM tables.

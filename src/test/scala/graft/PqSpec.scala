@@ -74,6 +74,46 @@ class PqSpec extends SparkTestBase {
       s"ADC let another cluster into the top-10: ${top.toSeq}")
   }
 
+  test("codebooks round-trip through CurationIndex: fit once, load in a " +
+      "later session, encode a NEW batch with no refit") {
+    val idx = ops.Similarity.pqFit(clustered, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    ops.CurationIndex.writePq(spark, dir, idx)
+    val loaded = ops.CurationIndex.loadPq(spark, dir)
+    assert(loaded.m === idx.m && loaded.subDim === idx.subDim &&
+      loaded.k === idx.k)
+    // doubles round-trip exactly through parquet — bit-identical books
+    for (s <- 0 until idx.m; c <- 0 until idx.k)
+      assert(loaded.codebooks(s)(c).toSeq === idx.codebooks(s)(c).toSeq,
+        s"codebook ($s, $c)")
+    // the apply path: a batch the fit never saw encodes identically
+    val newBatch = clustered.filter($"vec_id" % 3 === 0)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+    val a = ops.Similarity.pqEncode(newBatch, idx)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val b = ops.Similarity.pqEncode(newBatch, loaded)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(a === b, "encode parity under the loaded codebooks")
+    // a marker-less directory fails descriptively
+    val bad = java.nio.file.Files.createTempDirectory("graft-pq-bad").toString
+    Seq((0, 0, Seq(1.0))).toDF("sub", "code", "centroid")
+      .write.parquet(s"$bad/pq_codebooks")
+    Seq((8, 8)).toDF("m", "sub_dim").write.parquet(s"$bad/pq_meta")
+    val e = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadPq(spark, bad)
+    }
+    assert(e.getMessage.contains("format"))
+    // a truncated codebook grid fails loudly — code ids are positional
+    val cut = java.nio.file.Files.createTempDirectory("graft-pq-cut").toString
+    spark.read.parquet(s"$dir/pq_codebooks").filter($"code" > 0)
+      .write.parquet(s"$cut/pq_codebooks")
+    spark.read.parquet(s"$dir/pq_meta").write.parquet(s"$cut/pq_meta")
+    val g = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadPq(spark, cut)
+    }
+    assert(g.getMessage.contains("grid"))
+  }
+
   test("fit and encode are deterministic under the fixed seed") {
     val a = ops.Similarity.pqFit(clustered, m = 8, k = 16, seed = 9L)
     val b = ops.Similarity.pqFit(clustered, m = 8, k = 16, seed = 9L)
