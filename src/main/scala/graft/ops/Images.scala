@@ -216,13 +216,19 @@ object Images {
       .localCheckpoint(true)
     val ib = bandExplode(index.select(col("img_id").as("idx_id"),
       col("phash").as("idx_hash")), "idx_id", "idx_hash")
+    // hits feeds the anti-join, the final adoption join, and (through
+    // the misses frame) both self-join sides plus the hot-bucket
+    // aggregate — persist/freeze so the index probe join runs ONCE per
+    // batch, not per reference (the assembleShippedCorpus discipline)
     val hits = bandExplode(hashed, "img_id", "phash")
       .join(ib, Seq("band", "key"))
       .filter(bit_count(col("phash").bitwiseXOR(col("idx_hash"))) <= maxHamming)
       .groupBy(col("img_id")).agg(min(col("idx_id")).as("idx_cluster"))
-    val missBanded = dropHotBands(bandExplode(
-      hashed.join(hits, Seq("img_id"), "left_anti"), "img_id", "phash"),
-      bandDfCap)
+      .persist()
+    val misses = hashed.join(hits, Seq("img_id"), "left_anti")
+      .localCheckpoint(true)
+    val missBanded = dropHotBands(
+      bandExplode(misses, "img_id", "phash"), bandDfCap)
     val x = missBanded.as("x")
     val y = missBanded.as("y")
     val pairs = x.join(y,
@@ -245,7 +251,9 @@ object Images {
       .select(col("img_id"), col("phash"), col("cluster_id"),
         col("matched_index"), col("is_survivor"))
       .localCheckpoint(true)
+    hits.unpersist(false)
     checkpointRdd(hashed).foreach(_.unpersist(false))
+    checkpointRdd(misses).foreach(_.unpersist(false))
     out
   }
 
