@@ -193,6 +193,7 @@ object SparkEntry {
     "q173_unigram_em_tokenize" -> (Unigram.q173UnigramEmTokenize _),
     "q174_unigram_pack" -> (Unigram.q174UnigramPack _),
     "q175_unigram_delta_apply" -> (Unigram.q175UnigramDeltaApply _),
+    "q176_video_neardup" -> (Multimodal.q176VideoNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3837,6 +3838,62 @@ object SparkEntry {
     // fit-once/apply-many: vocab from the even split, targets from the
     // odd split, OOV-tolerant tail — the persisted-vocab delta path
     "q175_unigram_delta_apply" -> unigramDeltaOracleSql(16, 200),
+    // video near-dup over planted frames: DuckDB re-derives every
+    // frame's pixels and dHash bits (the q169 algebra, one extra frame
+    // dimension), the distinct postings, the dfCap drop of the shared
+    // black title-card hash, the >= minShared pair gate, and the
+    // transitive closure — brightness and TRIMMED twins collapse
+    "q176_video_neardup" ->
+      """WITH RECURSIVE
+        |assets AS (
+        |  SELECT doc_id * 4 AS asset_id, doc_id, 0 AS first_f, 0 AS shift FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 1, doc_id, 0, 40 FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 4 + 2, doc_id, 2, 0 FROM documents WHERE doc_id % 9 = 0),
+        |px AS (
+        |  SELECT asset_id, fr.f AS f, u.i AS i,
+        |    CASE WHEN fr.f = 0 THEN 0
+        |         ELSE ((doc_id * 131 + fr.f * 977 + u.i * 61 + 1) * (u.i + 7) % 1048573) % 200 + shift END AS p
+        |  FROM assets, unnest(generate_series(0, 5)) AS fr(f),
+        |    unnest(generate_series(0, 1023)) AS u(i)
+        |  WHERE fr.f >= first_f),
+        |bs AS (
+        |  SELECT asset_id, f, (i // 32) // 4 AS r, (i % 32) // 4 AS c,
+        |    CAST(sum(p) AS BIGINT) AS s
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        |  SELECT a.asset_id, a.f, a.r * 7 + a.c AS k,
+        |    CASE WHEN a.s < b.s THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM bs a JOIN bs b ON a.asset_id = b.asset_id AND a.f = b.f
+        |    AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c <= 6),
+        |fh AS MATERIALIZED (
+        |  SELECT DISTINCT asset_id, phash FROM (
+        |    SELECT asset_id, f,
+        |      CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT) AS phash
+        |    FROM bits GROUP BY asset_id, f)),
+        |okh AS (SELECT phash FROM fh GROUP BY phash HAVING count(*) <= 100),
+        |kept AS MATERIALIZED (
+        |  SELECT fh.asset_id, fh.phash FROM fh JOIN okh USING (phash)),
+        |prs AS (
+        |  SELECT a.asset_id AS a, b.asset_id AS b
+        |  FROM kept a JOIN kept b ON a.phash = b.phash AND a.asset_id < b.asset_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+        |reach(node, peer) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+        |cl AS (SELECT node AS asset_id, min(peer) AS cluster_id
+        |       FROM reach GROUP BY node),
+        |nfh AS (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_frame_hashes
+        |        FROM fh GROUP BY asset_id)
+        |SELECT n.asset_id, n.n_frame_hashes,
+        |  COALESCE(cl.cluster_id, n.asset_id) AS cluster_id,
+        |  n.asset_id = COALESCE(cl.cluster_id, n.asset_id) AS is_survivor
+        |FROM nfh n LEFT JOIN cl USING (asset_id)
+        |ORDER BY n.asset_id""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

@@ -137,11 +137,26 @@ object Multimodal {
       everyK: Int = 1, minShared: Int = 3, dfCap: Int = 100): DataFrame = {
     import assets.sparkSession.implicits._
     import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    videoNearDupFromHashes(
+      sampleFrames(assets, frameBytes, everyK)
+        .withColumn("pixels", decodeFrameUdf($"frame_bytes"))
+        .select($"asset_id", dHash56($"pixels").as("phash")),
+      minShared, dfCap)
+  }
+
+  /** [[videoNearDup]]'s post-decode core over an (asset_id, phash)
+    * frame-hash stream — the entry point for pre-decoded/planted
+    * frames (q176's oracle-exact arm hashes expression-only pixel
+    * frames through the same [[graft.expressions.DHash56]] and feeds
+    * them here).
+    */
+  def videoNearDupFromHashes(frameHashes: DataFrame, minShared: Int = 3,
+      dfCap: Int = 100): DataFrame = {
+    import frameHashes.sparkSession.implicits._
     require(minShared >= 1 && dfCap >= 2,
       s"need minShared >= 1 and dfCap >= 2: $minShared, $dfCap")
-    val fh = sampleFrames(assets, frameBytes, everyK)
-      .withColumn("pixels", decodeFrameUdf($"frame_bytes"))
-      .select($"asset_id", dHash56($"pixels").as("phash"))
+    val fh = frameHashes
+      .select($"asset_id", $"phash")
       .distinct()
       .persist()
     val ok = fh.groupBy($"phash").agg(count(lit(1)).as("df"))
@@ -164,6 +179,70 @@ object Multimodal {
       .localCheckpoint(true)
     fh.unpersist(false)
     out
+  }
+
+  /** q176's planted frame corpus — deterministic 32×32 integer-pixel
+    * FRAMES expression-only from (doc_id, frame) so DuckDB re-derives
+    * every pixel, block sum, hash bit, posting list, and cluster (the
+    * [[graft.ops.Images.phashPlant]] technique lifted to the video
+    * signature): every doc is a 6-frame base asset whose frame 0 is
+    * BLACK — one hash shared by EVERY asset, the title-card
+    * boilerplate mode the dfCap exists for; docs ≡ 0 (mod 5) add a
+    * +40-brightness RE-ENCODE twin (dHash-identical frames); docs ≡ 0
+    * (mod 9) add a TRIMMED twin carrying only frames 2–5 (4 shared
+    * hashes ≥ minShared=3 — trimmed copies keep matching because
+    * matching is per-frame).
+    */
+  private[ops] def videoPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // the 6×1024 pixel lambdas are INTERPRETED (the q167 HOF lesson)
+    // and `documents` is one small parquet split — without this
+    // repartition the whole plant evaluates in ONE task (measured
+    // >100 s single-threaded at sf0.1 vs seconds spread across the
+    // session's cores). Shuffles only 8-byte ids; the RESULT is
+    // layout-independent (hashes are per-row pure functions).
+    val ids = docs.select($"doc_id")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // modulus 1048573 (prime, > 131·maxDoc + 977·5 at every fixture
+    // SF) so the seed 131·d + 977·f never wraps: every (doc, frame)
+    // owns a DISTINCT pixel array. A small modulus (the first cut used
+    // 4093) folds all frames onto ≤ 4093 arrays — at sf0.1 that made
+    // ~9 assets share every hash, wired the whole corpus into one
+    // giant near-dup component, and blew up the CC loop.
+    def frames(first: Int, shift: Int) =
+      explode(transform(sequence(lit(first), lit(5)), f => struct(
+        f.as("f"),
+        transform(sequence(lit(0), lit(1023)), i => when(f === 0, 0.0f)
+          .otherwise((((($"doc_id" * 131 + f * 977 + i * 61 + 1) * (i + 7))
+            % 1048573) % 200 + lit(shift)).cast("float"))).as("pix"))))
+    def arm(sel: DataFrame, slot: Int, first: Int, shift: Int) = sel
+      .select(($"doc_id" * 4 + slot).as("asset_id"),
+        frames(first, shift).as("fr"))
+      .select($"asset_id", $"fr.pix".as("pix"))
+    arm(ids, 0, first = 0, shift = 0)
+      .unionByName(arm(ids.filter($"doc_id" % 5 === 0), 1, 0, 40))
+      .unionByName(arm(ids.filter($"doc_id" % 9 === 0), 2, 2, 0))
+  }
+
+  /** ORACLED exercise (q176): [[videoNearDupFromHashes]] over the
+    * [[videoPlant]]ed corpus — DuckDB re-derives every frame's pixels,
+    * the 56 dHash bits, the distinct (asset, hash) postings, the
+    * dfCap-dropped boilerplate black frame, the ≥ minShared pair gate,
+    * and the transitive closure; brightness and trimmed twins collapse
+    * onto their base asset, distinct videos survive. Upgrades L58+
+    * from spec-only to hash-checked (the codec decode stays stubbed
+    * per L4 scope — this oracles everything downstream of decode,
+    * which is all of the dedup).
+    */
+  def q176VideoNearDup(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.dHash56
+    videoNearDupFromHashes(
+      videoPlant(Sources.documents(spark, dir))
+        .select($"asset_id", dHash56($"pix").as("phash")),
+      minShared = 3, dfCap = 100)
+      .orderBy($"asset_id")
   }
 
   /** L4 (ORACLED) — the multimodal-schema join: text docs and their

@@ -141,4 +141,31 @@ class MultimodalSpec extends SparkTestBase {
       .collect().toMap
     assert(out2(10L) && out2(14L), "2 shared frames < minShared keeps both")
   }
+
+  test("q176 planted corpus: brightness and trimmed twins collapse onto " +
+      "their base asset, distinct videos survive, black frame df-capped") {
+    val out = ops.Multimodal.q176VideoNearDup(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    val docIds = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id").as[Long].collect()
+    assert(out.size === docIds.length + docIds.count(_ % 5 == 0) +
+      docIds.count(_ % 9 == 0), "one row per planted asset")
+    docIds.foreach { d =>
+      assert(out(d * 4)._3 === d * 4 && out(d * 4)._4,
+        s"base asset of doc $d is its own min-id survivor")
+      if (d % 5 == 0)
+        assert(out(d * 4 + 1)._3 === d * 4 && !out(d * 4 + 1)._4,
+          s"brightness twin of doc $d collapses onto the base")
+      if (d % 9 == 0)
+        assert(out(d * 4 + 2)._3 === d * 4 && !out(d * 4 + 2)._4,
+          s"trimmed twin of doc $d collapses onto the base")
+    }
+    // the shared black title-card frame counts toward n_frame_hashes
+    // (6 for full assets, 4 for trims) but never wires distinct docs
+    // together: at this SF its df (600) exceeds the cap (100)
+    docIds.foreach { d =>
+      assert(out(d * 4)._2 === 6L, s"doc $d base carries 6 frame hashes")
+      if (d % 9 == 0) assert(out(d * 4 + 2)._2 === 4L)
+    }
+  }
 }
