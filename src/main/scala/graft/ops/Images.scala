@@ -268,7 +268,11 @@ object Images {
     * [0, 255].
     */
   private[ops] def phashPlant(docs: DataFrame): DataFrame = {
+    // the 1024-px lambdas are interpreted and `documents` is one small
+    // parquet split — spread the plant across the session's cores (the
+    // videoPlant lesson; shuffles only 8-byte ids, result layout-free)
     val ids = docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     def pix(shift: Int, bump: Boolean) =
       transform(sequence(lit(0), lit(1023)), i => {
         val base = ((col("doc_id") * 31 + i) * (i + 7) % 4093) % 200
