@@ -194,6 +194,7 @@ object SparkEntry {
     "q174_unigram_pack" -> (Unigram.q174UnigramPack _),
     "q175_unigram_delta_apply" -> (Unigram.q175UnigramDeltaApply _),
     "q176_video_neardup" -> (Multimodal.q176VideoNearDup _),
+    "q177_url_curation" -> (Text.q177UrlCuration _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3894,6 +3895,43 @@ object SparkEntry {
         |  n.asset_id = COALESCE(cl.cluster_id, n.asset_id) AS is_survivor
         |FROM nfh n LEFT JOIN cl USING (asset_id)
         |ORDER BY n.asset_id""".stripMargin,
+    // URL curation: DuckDB re-builds every planted URL byte and replays
+    // the identical regexp chain (no lookaround/backreference — Java
+    // and RE2 agree; each pattern matches at most once per URL, so
+    // DuckDB's first-match regexp_replace equals Spark's replace-all),
+    // the subdomain blocklist gate, and the canonical-URL survivor rule
+    "q177_url_curation" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    'sub' || CAST(doc_id % 3 AS VARCHAR) || '.' || source || '.com' AS host,
+        |    '/docs/' || CAST(doc_id // 6 AS VARCHAR) AS path
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, CASE doc_id % 6
+        |    WHEN 1 THEN 'HTTPS://' || upper(host) || ':443' || path
+        |    WHEN 2 THEN 'https://' || host || path || '?utm_source=feed&utm_campaign=x'
+        |    WHEN 3 THEN 'https://' || host || path || '/'
+        |    WHEN 4 THEN 'https://' || host || path || '#section-2'
+        |    WHEN 5 THEN 'https://' || host || path || '?page=2'
+        |    ELSE 'https://' || host || path END AS url
+        |  FROM u0),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        |c2 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^([^/]*//[^/]*)', 1)) ||
+        |    regexp_extract(u, '^[^/]*//[^/]*(.*)', 1) AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u, ':(443|80)/', '/') AS u FROM c2),
+        |c4 AS (SELECT doc_id,
+        |    regexp_replace(u, '\?(utm_[a-z]+=[^&#]*)(&utm_[a-z]+=[^&#]*)*$', '') AS u
+        |  FROM c3),
+        |cu AS (SELECT doc_id, regexp_replace(u, '/$', '') AS canonical_url FROM c4),
+        |bl AS (SELECT doc_id, canonical_url,
+        |    regexp_extract(canonical_url, '^[a-z]+://([^/:?#]+)', 1) AS host FROM cu),
+        |sv AS (SELECT canonical_url, min(doc_id) AS survivor_id FROM cu GROUP BY 1)
+        |SELECT b.doc_id, b.canonical_url,
+        |  (b.host = 'src1.com' OR b.host LIKE '%.src1.com') AS blocked,
+        |  s.survivor_id, b.doc_id = s.survivor_id AS is_survivor
+        |FROM bl b JOIN sv s USING (canonical_url)
+        |ORDER BY b.doc_id""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

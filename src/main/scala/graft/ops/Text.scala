@@ -554,4 +554,99 @@ object Text {
         $"masked_pans")
       .orderBy($"doc_id")
   }
+
+  /** URL CANONICALIZATION (L62) — the first stage of every public
+    * crawl-curation pipeline's URL handling (C4 strips fragments and
+    * normalizes, RefinedWeb and Dolma dedup by canonical URL and gate
+    * on domain blocklists): one codegen'd regexp chain, no UDF, fusing
+    * into the scan. Rules, in order:
+    *
+    *   1. strip the `#fragment`;
+    *   2. lowercase the scheme://host prefix (paths stay case-exact);
+    *   3. drop default ports `:443`/`:80` (the chain expects the port
+    *      directly before the path slash — RE2 has no lookahead, so
+    *      the oracle-shared pattern anchors on `/`);
+    *   4. strip the query iff it is tracking-only (`utm_*` chains —
+    *      a real parameter like `?page=2` is MEANINGFUL and kept);
+    *   5. strip one trailing `/`.
+    *
+    * The patterns use no lookaround/backreference so Java regex
+    * (Spark) and RE2 (DuckDB) agree symbol for symbol.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/]*//[^/]*)", 1)),
+      regexp_extract(noFrag, "^[^/]*//[^/]*(.*)", 1))
+    val noPort = regexp_replace(lowered, ":(443|80)/", "/")
+    val noTrack = regexp_replace(noPort,
+      "\\?(utm_[a-z]+=[^&#]*)(&utm_[a-z]+=[^&#]*)*$", "")
+    regexp_replace(noTrack, "/$", "")
+  }
+
+  /** Registrable-domain blocklist gate over a canonical URL: blocked
+    * iff the host IS a listed domain or a subdomain of one (suffix
+    * match on `.domain`). The blocklist is a literal array in the plan
+    * (UT1-style lists are a few MB — broadcast-bounded at any corpus
+    * size); the whole gate is expression-only map work.
+    */
+  def urlBlocked(canonical: Column, blocklist: Seq[String]): Column = {
+    val host = regexp_extract(canonical, "^[a-z]+://([^/:?#]+)", 1)
+    exists(typedlit(blocklist),
+      d => host === d || host.endsWith(concat(lit("."), d)))
+  }
+
+  /** q177's planted URL corpus — expression-only from (doc_id, source)
+    * so DuckDB re-derives every URL byte: groups of 6 consecutive docs
+    * share a base `https://sub{id%3}.{source}.com/docs/{id div 6}`,
+    * and the variant exercises exactly one canonicalization rule:
+    * ≡1 uppercased scheme+host and an explicit `:443`; ≡2 a
+    * tracking-only query; ≡3 a trailing slash; ≡4 a fragment (all four
+    * collapse onto ≡0's canonical); ≡5 a REAL `?page=2` parameter that
+    * must survive (a distinct canonical — the negative case).
+    */
+  private[ops] def urlPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val host = concat(lit("sub"), ($"doc_id" % 3).cast("string"), lit("."),
+      $"source", lit(".com"))
+    val path = concat(lit("/docs/"), ($"doc_id" / 6).cast("long").cast("string"))
+    val base = concat(lit("https://"), host, path)
+    docs.select($"doc_id", when($"doc_id" % 6 === 1,
+        concat(lit("HTTPS://"), upper(host), lit(":443"), path))
+      .when($"doc_id" % 6 === 2,
+        concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .when($"doc_id" % 6 === 3, concat(base, lit("/")))
+      .when($"doc_id" % 6 === 4, concat(base, lit("#section-2")))
+      .when($"doc_id" % 6 === 5, concat(base, lit("?page=2")))
+      .otherwise(base).as("url"))
+  }
+
+  /** ORACLED exercise (q177) — URL curation end to end over the
+    * [[urlPlant]]ed corpus: canonicalize ([[canonicalizeUrl]]), gate on
+    * a domain blocklist ([[urlBlocked]] — `src1.com` and every
+    * subdomain), and EXACT-DEDUP BY CANONICAL URL (the q21 survivor
+    * rule on the canonical string: min doc_id ships). DuckDB re-builds
+    * every planted URL and replays the identical regexp chain, the
+    * suffix gate, and the survivor group — every canonical byte,
+    * blocked flag, and survivor hash-checked.
+    *
+    * 100 TB posture: canonicalization and the gate fuse into the scan
+    * (expression-only); the dedup groups on xxhash64 of the canonical
+    * (8-byte shuffle keys, the q21 economics).
+    */
+  def q177UrlCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = urlPlant(Sources.documents(spark, dir))
+      .withColumn("canonical_url", canonicalizeUrl($"url"))
+      .withColumn("blocked", urlBlocked($"canonical_url", Seq("src1.com")))
+    val surv = urls.groupBy(xxhash64($"canonical_url").as("ch"))
+      .agg(min($"doc_id").as("survivor_id"))
+    urls
+      .withColumn("ch", xxhash64($"canonical_url"))
+      .join(surv, Seq("ch"))
+      .withColumn("is_survivor", $"doc_id" === $"survivor_id")
+      .select($"doc_id", $"canonical_url", $"blocked", $"survivor_id",
+        $"is_survivor")
+      .orderBy($"doc_id")
+  }
 }

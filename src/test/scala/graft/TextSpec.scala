@@ -284,4 +284,43 @@ class TextSpec extends SparkTestBase {
     // no raw PAN ever ships
     assert(!got.values.exists(_._5.contains("4532015112830366")))
   }
+
+  test("URL canonicalization: each rule by hand, real params survive, " +
+      "blocklist gates subdomains") {
+    val cases = Seq(
+      // fragment stripped
+      "https://a.example.com/p#x" -> "https://a.example.com/p",
+      // scheme+host lowercased, path case kept, default port dropped
+      "HTTPS://A.Example.COM:443/Path" -> "https://a.example.com/Path",
+      "http://a.example.com:80/p" -> "http://a.example.com/p",
+      // tracking-only query stripped; mixed/real queries kept
+      "https://a.example.com/p?utm_source=f&utm_campaign=x" ->
+        "https://a.example.com/p",
+      "https://a.example.com/p?page=2" -> "https://a.example.com/p?page=2",
+      "https://a.example.com/p?page=2&utm_source=f" ->
+        "https://a.example.com/p?page=2&utm_source=f",
+      // one trailing slash stripped
+      "https://a.example.com/p/" -> "https://a.example.com/p",
+      // composed: everything at once
+      "HTTPS://B.Example.COM:443/Q/?utm_medium=m#frag" ->
+        "https://b.example.com/Q")
+    val got = cases.map(_._1).toDF("url")
+      .select($"url", ops.Text.canonicalizeUrl($"url").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, in) }
+    // blocklist: exact domain and subdomains blocked; lookalikes NOT
+    val bl = Seq("bad.com")
+    val flags = Seq("https://bad.com/x", "https://a.bad.com/x",
+        "https://deep.a.bad.com/x", "https://notbad.com/x",
+        "https://bad.com.evil.org/x")
+      .toDF("u")
+      .select($"u", ops.Text.urlBlocked($"u", bl).as("b"))
+      .as[(String, Boolean)].collect().toMap
+    assert(flags("https://bad.com/x") && flags("https://a.bad.com/x") &&
+      flags("https://deep.a.bad.com/x"))
+    assert(!flags("https://notbad.com/x"),
+      "suffix match must anchor at a label boundary")
+    assert(!flags("https://bad.com.evil.org/x"),
+      "a blocked name as a non-registrable prefix is not a hit")
+  }
 }
