@@ -459,6 +459,28 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING URL CURATION (T5 + L62) — q177's ingest twin: arriving
+    * `(doc_id, url, ts)` rows canonicalize and blocklist-gate through
+    * the EXACT batch expressions ([[Text.canonicalizeUrl]]/
+    * [[Text.urlBlocked]] — stateless maps, parity by construction),
+    * and URL-dedup becomes first-arrival-wins on the canonical string
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`,
+    * the [[dedupStream]] state posture: one marker per distinct
+    * canonical URL inside the horizon, evicted by event time — the
+    * crawl-frontier "have we fetched this URL recently" shape). Emits
+    * only surviving, unblocked rows — the fetch/keep frontier.
+    */
+  def urlCurationStream(urls: DataFrame, blocklist: Seq[String],
+      delay: String = "10 minutes"): DataFrame = {
+    import urls.sparkSession.implicits._
+    urls
+      .withColumn("canonical_url", Text.canonicalizeUrl($"url"))
+      .filter(!Text.urlBlocked($"canonical_url", blocklist))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("canonical_url")
+      .select($"ts", $"doc_id", $"canonical_url")
+  }
+
   /** STREAMING ADMISSION v2 — the streaming twin of the q125 batch
     * capstone: [[admissionStream]]'s four gates PLUS the Gopher
     * structural battery and the DSIR importance-weight floor, every

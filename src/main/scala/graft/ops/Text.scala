@@ -605,7 +605,7 @@ object Text {
     * collapse onto ≡0's canonical); ≡5 a REAL `?page=2` parameter that
     * must survive (a distinct canonical — the negative case).
     */
-  private[ops] def urlPlant(docs: DataFrame): DataFrame = {
+  private[graft] def urlPlant(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val host = concat(lit("sub"), ($"doc_id" % 3).cast("string"), lit("."),
       $"source", lit(".com"))

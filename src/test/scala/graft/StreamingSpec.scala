@@ -1088,6 +1088,36 @@ class StreamingSpec extends SparkTestBase {
     index.unpersist()
   }
 
+  test("URL curation stream matches the q177 batch semantics: canonical " +
+      "parity, blocked rows dropped, first arrival per canonical wins") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val batch = ops.Text.q177UrlCuration(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Boolean, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val planted = ops.Text.urlPlant(docs)
+      .select($"doc_id", $"url").as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = ops.Streaming.urlCurationStream(
+        input.toDF().toDF("doc_id", "url", "ts"), Seq("src1.com"))
+      .writeStream.format("memory").queryName("url_curation_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      // arrival order follows doc_id — the batch min-id survivor rule
+      input.addData(planted.toIndexedSeq.map { case (id, u) =>
+        (id, u, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("url_curation_stream")
+        .select($"doc_id", $"canonical_url")
+        .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+      // the stream's survivors are exactly the batch's unblocked ones
+      val expect = batch.values.filter(r => r._5 && !r._3)
+        .map(r => r._1 -> r._2).toMap
+      assert(out === expect,
+        "stream frontier == batch unblocked survivors, canonical bytes equal")
+    }
+  }
+
   test("admission v2 stream matches the q125 batch gates per document (real fixture)") {
     implicit val sql = spark.sqlContext
     val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
