@@ -195,6 +195,7 @@ object SparkEntry {
     "q175_unigram_delta_apply" -> (Unigram.q175UnigramDeltaApply _),
     "q176_video_neardup" -> (Multimodal.q176VideoNearDup _),
     "q177_url_curation" -> (Text.q177UrlCuration _),
+    "q178_html_extract" -> (Text.q178HtmlExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3932,6 +3933,33 @@ object SparkEntry {
         |  s.survivor_id, b.doc_id = s.survivor_id AS is_survivor
         |FROM bl b JOIN sv s USING (canonical_url)
         |ORDER BY b.doc_id""".stripMargin,
+    // HTML extraction: DuckDB re-builds every planted page byte and
+    // replays the identical linearization chain (DuckDB regexp_replace
+    // needs the 'g' flag — Spark replaces all by default; entities use
+    // plain replace(), which is all-occurrence in both engines)
+    "q178_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || substr(text, 1, 20) ||
+        |    '</title><style>p { color: red; }</style></head><body><h1>' ||
+        |    substr(text, 1, 20) || '</h1><p>' || substr(text, 21, 40) ||
+        |    ' &amp; more</p><script>var x = 1;</script><p>' || substr(text, 61) ||
+        |    '</p><br><div class="footer">footer text</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '<script>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<style>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '</p>|</h[1-6]>|</title>|</div>|</li>|<br>', chr(10), 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, ' *\n *', chr(10), 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id,
+        |    trim(regexp_replace(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS extracted FROM s7)
+        |SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars
+        |FROM s8 ORDER BY doc_id""".stripMargin,
   )
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle

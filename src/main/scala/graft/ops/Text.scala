@@ -621,6 +621,83 @@ object Text {
       .otherwise(base).as("url"))
   }
 
+  /** HTML → TEXT LINEARIZATION (L63) — the extraction stage every
+    * crawl pipeline runs before any text filter sees a document
+    * (C4 consumes pre-extracted WET; RefinedWeb and Dolma run their
+    * own extractors and call it the highest-leverage stage). One
+    * codegen'd regexp/replace chain, no UDF:
+    *
+    *   1. drop `<script>`/`<style>` blocks whole (content is code,
+    *      not text — the boilerplate the quality gates otherwise eat);
+    *   2. block-level closers (`</p>`, `</h1..6>`, `</title>`,
+    *      `</div>`, `</li>`, `<br>`) become newlines — paragraph
+    *      structure survives for the line-level filters (q144/q158)
+    *      downstream;
+    *   3. every remaining tag becomes a space;
+    *   4. decode the five core entities (`&lt; &gt; &quot; &#39;
+    *      &nbsp;`, and `&amp;` LAST so `&amp;lt;` single-decodes);
+    *   5. collapse space runs, trim around newlines, collapse newline
+    *      runs, trim.
+    *
+    * Patterns are lookaround-free (RE2-compatible); non-greedy `.*?`
+    * is shared Java/RE2 syntax. This is deliberately the LINEAR
+    * extractor shape (tag-structure-blind): planted fixtures keep
+    * tags single-line and unnested, and the scaladoc contract is
+    * "linearize well-formed markup", not "parse adversarial HTML".
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style>.*?</style>", " ")
+    val breaks = regexp_replace(noStyle,
+      "</p>|</h[1-6]>|</title>|</div>|</li>|<br>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+    val oneSpace = regexp_replace(decoded, "[ \\t]+", " ")
+    val trimmed = regexp_replace(oneSpace, " *\\n *", "\n")
+    trim(regexp_replace(trimmed, "\\n+", "\n"), " \n")
+  }
+
+  /** q178's planted HTML corpus — expression-only from (doc_id, text):
+    * the doc's text splits into a title (chars 1–20) and two body
+    * chunks wrapped in head/style/script/h1/p/br/div boilerplate, with
+    * an `&amp;`-entity seam between the chunks. Every byte of the
+    * input page is re-derivable by DuckDB.
+    */
+  private[graft] def htmlPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val title = substring($"text", 1, 20)
+    val chunk1 = substring($"text", 21, 40)
+    val chunk2 = substring($"text", 61, 1000000)
+    docs.select($"doc_id", concat(
+      lit("<html><head><title>"), title,
+      lit("</title><style>p { color: red; }</style></head><body><h1>"),
+      title, lit("</h1><p>"), chunk1,
+      lit(" &amp; more</p><script>var x = 1;</script><p>"), chunk2,
+      lit("</p><br><div class=\"footer\">footer text</div></body></html>"))
+      .as("html"))
+  }
+
+  /** ORACLED exercise (q178) — HTML extraction end to end over the
+    * [[htmlPlant]]ed corpus: [[stripHtml]] linearizes every planted
+    * page and DuckDB re-builds the page bytes and replays the
+    * identical replace chain — every extracted byte, newline boundary,
+    * and length hash-checked.
+    *
+    * 100 TB posture: pure expression map work, fuses into the scan —
+    * the same zero-shuffle class as q63/q66.
+    */
+  def q178HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    htmlPlant(Sources.documents(spark, dir))
+      .withColumn("extracted", stripHtml($"html"))
+      .select($"doc_id", $"extracted",
+        length($"extracted").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** ORACLED exercise (q177) — URL curation end to end over the
     * [[urlPlant]]ed corpus: canonicalize ([[canonicalizeUrl]]), gate on
     * a domain blocklist ([[urlBlocked]] — `src1.com` and every

@@ -285,6 +285,22 @@ class TextSpec extends SparkTestBase {
     assert(!got.values.exists(_._5.contains("4532015112830366")))
   }
 
+  test("HTML extraction: scripts/styles dropped whole, block closers " +
+      "become newlines, entities decode once, whitespace normalizes") {
+    val html = "<html><head><title>T</title><style>p { color: red; }" +
+      "</style></head><body><h1>Big  News</h1><p>a &amp;lt; b</p>" +
+      "<script>var x = 1;</script><p>second&nbsp;chunk</p><br>" +
+      "<div class=\"footer\">footer text</div></body></html>"
+    val got = Seq(html).toDF("html")
+      .select(ops.Text.stripHtml($"html")).as[String].head()
+    // title text survives; h1/p/br structure becomes newlines; the
+    // style body, script body, and every tag are gone; &amp;lt;
+    // single-decodes to &lt; (never to <); nbsp becomes a space;
+    // double spaces collapse
+    assert(got === "T\nBig News\na &lt; b\nsecond chunk\nfooter text")
+    assert(!got.contains("var x") && !got.contains("color"))
+  }
+
   test("URL canonicalization: each rule by hand, real params survive, " +
       "blocklist gates subdomains") {
     val cases = Seq(
