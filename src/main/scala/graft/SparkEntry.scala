@@ -196,6 +196,7 @@ object SparkEntry {
     "q176_video_neardup" -> (Multimodal.q176VideoNearDup _),
     "q177_url_curation" -> (Text.q177UrlCuration _),
     "q178_html_extract" -> (Text.q178HtmlExtract _),
+    "q179_extract_clean" -> (Text.q179ExtractClean _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2954,29 +2955,7 @@ object SparkEntry {
     // (terminal punct + >=5 words + no "javascript") and page rules
     // (lorem ipsum / curly brace / >=3 surviving lines)
     "q144_c4_clean" ->
-      ("WITH " + c4PlantCtesSql + ",\n" +
-      """f AS (
-        |  SELECT doc_id, lines,
-        |    list_filter(lines, l ->
-        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
-        |        OR ends_with(l, '"'))
-        |      AND len(string_split(l, ' ')) >= 5
-        |      AND NOT contains(l, 'javascript')) AS kept,
-        |    array_to_string(lines, chr(10)) AS full_text
-        |  FROM pl),
-        |g AS (
-        |  SELECT doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(kept) AS BIGINT) AS n_kept,
-        |    contains(full_text, 'lorem ipsum') AS has_lorem,
-        |    contains(full_text, '{') AS has_brace,
-        |    kept
-        |  FROM f)
-        |SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
-        |  (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3 AS keep,
-        |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
-        |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
-        |FROM g ORDER BY doc_id""".stripMargin),
+      ("WITH " + c4PlantCtesSql + ",\n" + c4BatteryTailSql("pl")),
     // CLIP-score alignment gate (LAION 0.28 cut) over the planted pair
     // table: even/odd vec_ids pair up, even pair_ids mix the image
     // vector into the text side (0.8/0.2) as the aligned mode
@@ -3938,29 +3917,76 @@ object SparkEntry {
     // needs the 'g' flag — Spark replaces all by default; entities use
     // plain replace(), which is all-occurrence in both engines)
     "q178_html_extract" ->
-      """WITH h AS (
+      ("""WITH h AS (
         |  SELECT doc_id,
         |    '<html><head><title>' || substr(text, 1, 20) ||
         |    '</title><style>p { color: red; }</style></head><body><h1>' ||
         |    substr(text, 1, 20) || '</h1><p>' || substr(text, 21, 40) ||
         |    ' &amp; more</p><script>var x = 1;</script><p>' || substr(text, 61) ||
         |    '</p><br><div class="footer">footer text</div></body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html, '<script>.*?</script>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '<style>.*?</style>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t, '</p>|</h[1-6]>|</title>|</div>|</li>|<br>', chr(10), 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id,
-        |    replace(replace(replace(replace(replace(replace(t,
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |      '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
-        |s6 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5),
-        |s7 AS (SELECT doc_id, regexp_replace(t, ' *\n *', chr(10), 'g') AS t FROM s6),
-        |s8 AS (SELECT doc_id,
-        |    trim(regexp_replace(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS extracted FROM s7)
-        |SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars
-        |FROM s8 ORDER BY doc_id""".stripMargin,
+        |  FROM documents)""".stripMargin + ",\n" + htmlChainCtesSql("h") +
+        "\nSELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars" +
+        "\nFROM s8 ORDER BY doc_id"),
+    // crawl head composed: c4Plant pages wrapped in real HTML (style
+    // body carries a '{' the extractor must discard before the brace
+    // check), extracted through the q178 chain, then the q144 battery —
+    // output equals q144's row for row (the extraction round-trip)
+    "q179_extract_clean" ->
+      ("WITH " + c4PlantCtesSql + ",\n" +
+        """hw AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red; }</style></head><body><p>' ||
+        |    array_to_string(lines, '</p><p>') ||
+        |    '</p><script>var x = 1;</script></body></html>' AS html
+        |  FROM pl)""".stripMargin + ",\n" + htmlChainCtesSql("hw") +
+        ",\npl2 AS (SELECT doc_id, string_split(extracted, chr(10)) AS lines FROM s8),\n" +
+        c4BatteryTailSql("pl2")),
   )
+
+  /** q178's HTML-linearization chain over `srcRel` (doc_id, html) →
+    * `s8(doc_id, extracted)` — the DuckDB mirror of
+    * [[graft.ops.Text.stripHtml]], shared by q178 and q179.
+    */
+  private def htmlChainCtesSql(srcRel: String): String =
+    s"""s1 AS (SELECT doc_id, regexp_replace(html, '<script>.*?</script>', ' ', 'g') AS t FROM $srcRel AS hc_src),
+      |s2 AS (SELECT doc_id, regexp_replace(t, '<style>.*?</style>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t, '</p>|</h[1-6]>|</title>|</div>|</li>|<br>', chr(10), 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(t,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+      |s6 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s5),
+      |s7 AS (SELECT doc_id, regexp_replace(t, ' *\n *', chr(10), 'g') AS t FROM s6),
+      |s8 AS (SELECT doc_id,
+      |    trim(regexp_replace(t, '\n+', chr(10), 'g'), ' ' || chr(10)) AS extracted FROM s7)""".stripMargin
+
+  /** q144's C4 line/page battery over `plRel` (doc_id, lines) — the
+    * final-select tail shared by q144 and q179.
+    */
+  private def c4BatteryTailSql(plRel: String): String =
+    s"""f AS (
+      |  SELECT doc_id, lines,
+      |    list_filter(lines, l ->
+      |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+      |        OR ends_with(l, '"'))
+      |      AND len(string_split(l, ' ')) >= 5
+      |      AND NOT contains(l, 'javascript')) AS kept,
+      |    array_to_string(lines, chr(10)) AS full_text
+      |  FROM $plRel AS c4b_src),
+      |g AS (
+      |  SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(kept) AS BIGINT) AS n_kept,
+      |    contains(full_text, 'lorem ipsum') AS has_lorem,
+      |    contains(full_text, '{') AS has_brace,
+      |    kept
+      |  FROM f)
+      |SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+      |  (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3 AS keep,
+      |  CASE WHEN (NOT has_lorem) AND (NOT has_brace) AND n_kept >= 3
+      |    THEN array_to_string(kept, chr(10)) END AS cleaned_text
+      |FROM g ORDER BY doc_id""".stripMargin
 
   /** The c4Plant CTEs (`base`, `pl`) shared VERBATIM by every oracle
     * over the planted multi-line corpus (q144/q147/q150/q158/q159) —

@@ -698,6 +698,34 @@ object Text {
       .orderBy($"doc_id")
   }
 
+  /** ORACLED composition (q179) — the crawl HEAD end to end: wrap the
+    * q144 corpus ([[Quality.c4Plant]]'s multi-line pages) in real HTML
+    * (one `<p>` per line, plus the style/script boilerplate
+    * [[stripHtml]] must discard — note the style body carries a `{`
+    * that must NOT reach the battery's brace check), EXTRACT with
+    * [[stripHtml]], and run [[Quality.c4LineFilter]] on the extracted
+    * lines. Because extraction round-trips the line structure
+    * byte-exactly, q179's output EQUALS q144's row for row — the
+    * composition proves the extractor preserves exactly what the
+    * line-level filters consume (asserted directly in `TextSpec`, and
+    * independently re-derived by the oracle through the full
+    * wrap → extract → battery chain).
+    *
+    * 100 TB posture: wrap + extract + battery are all expression-only
+    * map work fused into one scan — zero shuffle, the q144 class.
+    */
+  def q179ExtractClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = Quality.c4Plant(Sources.documents(spark, dir))
+      .select($"doc_id", concat(
+        lit("<html><head><style>p { color: red; }</style></head><body><p>"),
+        array_join($"lines", "</p><p>"),
+        lit("</p><script>var x = 1;</script></body></html>")).as("html"))
+    Quality.c4LineFilter(
+        pages.select($"doc_id", split(stripHtml($"html"), "\n").as("lines")))
+      .orderBy($"doc_id")
+  }
+
   /** ORACLED exercise (q177) — URL curation end to end over the
     * [[urlPlant]]ed corpus: canonicalize ([[canonicalizeUrl]]), gate on
     * a domain blocklist ([[urlBlocked]] — `src1.com` and every

@@ -301,6 +301,21 @@ class TextSpec extends SparkTestBase {
     assert(!got.contains("var x") && !got.contains("color"))
   }
 
+  test("q179 == q144 row for row: HTML wrap + extraction round-trips " +
+      "exactly what the C4 line battery consumes") {
+    val dir = "/root/testdata/sf0.001"
+    val viaHtml = ops.Text.q179ExtractClean(spark, dir)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, String)].collect()
+    val direct = ops.Quality.q144C4Clean(spark, dir)
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, String)].collect()
+    assert(viaHtml.nonEmpty && viaHtml.toSeq === direct.toSeq,
+      "extraction must preserve every line byte the battery reads — " +
+        "including the planted '{' line, while the style block's '{' " +
+        "never reaches the brace check")
+    assert(viaHtml.exists(_._5), "brace-planted docs present (has_brace)")
+    assert(viaHtml.exists(_._6), "kept docs present")
+  }
+
   test("URL canonicalization: each rule by hand, real params survive, " +
       "blocklist gates subdomains") {
     val cases = Seq(
