@@ -197,6 +197,11 @@ object SparkEntry {
     "q177_url_curation" -> (Text.q177UrlCuration _),
     "q178_html_extract" -> (Text.q178HtmlExtract _),
     "q179_extract_clean" -> (Text.q179ExtractClean _),
+    "q180_ccnet_lang_buckets" -> (Quality.q180CcnetLangBuckets _),
+    "q181_example_spans" -> (Packing.q181ExampleSpans _),
+    "q182_ccnet_norm_buckets" -> (Quality.q182CcnetNormBuckets _),
+    "q183_robots_gate" -> (Text.q183RobotsGate _),
+    "q184_site_boilerplate" -> (Quality.q184SiteBoilerplate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3941,7 +3946,153 @@ object SparkEntry {
         |  FROM pl)""".stripMargin + ",\n" + htmlChainCtesSql("hw") +
         ",\npl2 AS (SELECT doc_id, string_split(extracted, chr(10)) AS lines FROM s8),\n" +
         c4BatteryTailSql("pl2")),
+    // per-language CCNet: the q120/q113 LM chain with `lang` added to
+    // every model group/join key (one model per language), grouped
+    // quantile_cont terciles, per-language bucket assignment — every
+    // language's model counts, every doc's micro bits, and every
+    // cutoff hash-checked. The lvoc INNER join drops candidates whose
+    // language has no reference model (the batch arm's contract).
+    "q180_ccnet_lang_buckets" ->
+      """WITH lrb AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM (SELECT * FROM documents WHERE doc_id % 3 = 0) lref_src
+        |  WHERE length(text) >= 2),
+        |lcnt2 AS (SELECT lang, bigram, count(*) AS c2 FROM lrb GROUP BY lang, bigram),
+        |lcnt1 AS (SELECT lang, bigram[1:1] AS ctx, count(*) AS c1 FROM lrb GROUP BY lang, ctx),
+        |lvoc AS (SELECT lang, count(DISTINCT bigram[2:2]) AS v FROM lrb GROUP BY lang),
+        |lcb AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM (SELECT * FROM documents WHERE doc_id % 3 <> 0) lcand_src
+        |  WHERE length(text) >= 2),
+        |lj AS (
+        |  SELECT lcb.doc_id, lcb.lang,
+        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
+        |  FROM lcb
+        |  LEFT JOIN lcnt2 USING (lang, bigram)
+        |  LEFT JOIN lcnt1 ON lcnt1.lang = lcb.lang AND lcnt1.ctx = lcb.bigram[1:1]
+        |  JOIN lvoc ON lvoc.lang = lcb.lang),
+        |llm AS (SELECT doc_id, lang, round(-avg(logp) / ln(2), 6) AS lm_bits
+        |        FROM lj GROUP BY doc_id, lang),
+        |m AS (SELECT doc_id, lang,
+        |        CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro FROM llm),
+        |c AS (SELECT lang,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
+        |  FROM m GROUP BY lang)
+        |SELECT doc_id, m.lang, bits_micro,
+        |  CASE WHEN bits_micro <= c.c1 THEN 'head'
+        |       WHEN bits_micro <= c.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM m JOIN c USING (lang) ORDER BY doc_id""".stripMargin,
+    // per-example composition manifest: q92's prefix sum, each doc's
+    // window range unnested (generate_series), window-local span
+    // arithmetic — every (window, doc, span) boundary hash-checked
+    "q181_example_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0),
+        |e AS (
+        |  SELECT doc_id, n_tokens, cum_before,
+        |    unnest(generate_series(CAST(cum_before // 512 AS BIGINT),
+        |      CAST((cum_before + n_tokens - 1) // 512 AS BIGINT))) AS example_id
+        |  FROM c)
+        |SELECT doc_id, example_id,
+        |  CAST(GREATEST(cum_before - example_id * 512, 0) AS BIGINT) AS span_start,
+        |  CAST(LEAST(cum_before + n_tokens - example_id * 512, 512) AS BIGINT) AS span_end,
+        |  CAST(LEAST(cum_before + n_tokens - example_id * 512, 512)
+        |     - GREATEST(cum_before - example_id * 512, 0) AS BIGINT) AS span_tokens
+        |FROM e ORDER BY doc_id, example_id""".stripMargin,
+    // CCNet normalization → buckets: the normalized BYTES ride in the
+    // output (norm_text), so the translate/digit-fold/whitespace chain
+    // is hash-checked byte-for-byte alongside the buckets it induces;
+    // the LM chain is q120's verbatim over the normalized relation
+    "q182_ccnet_norm_buckets" ->
+      (s"WITH nrm AS (SELECT doc_id, $ccnetNormSql AS text FROM documents),\n" +
+        lmCtesPrefixedSql("", "(SELECT * FROM nrm WHERE doc_id % 3 = 0)",
+          "(SELECT * FROM nrm WHERE doc_id % 3 <> 0)") + ",\n" +
+        lmAggCteSql + ",\n" +
+        """m AS (SELECT doc_id,
+        |         CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro
+        |       FROM lm),
+        |c AS (SELECT
+        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
+        |  FROM m)
+        |SELECT m.doc_id, nrm.text AS norm_text, bits_micro,
+        |  CASE WHEN bits_micro <= c1 THEN 'head'
+        |       WHEN bits_micro <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM m JOIN nrm USING (doc_id), c ORDER BY doc_id""".stripMargin),
+    // meta-robots opt-out gate composed with extraction: the plant, both
+    // attribute-order probes, the case-insensitive arm, and the
+    // kept-pages-only stripHtml chain all re-derived; opted-out pages
+    // carry NULL extraction in both engines
+    "q183_robots_gate" ->
+      ("""WITH rp AS (
+        |  SELECT doc_id,
+        |    '<html><head>' ||
+        |    CASE WHEN doc_id % 8 = 0 THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, FOLLOW">'
+        |         WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="noindex, follow">'
+        |         WHEN doc_id % 4 = 1 THEN '<meta content="none" name="robots">'
+        |         WHEN doc_id % 4 = 2 THEN '<meta name="robots" content="nofollow">'
+        |         ELSE '<meta name="viewport" content="width=device-width">' END ||
+        |    '<title>t</title></head><body><p>' || substr(text, 1, 40) || '</p></body></html>' AS html
+        |  FROM documents),
+        |og AS (
+        |  SELECT doc_id, html,
+        |    regexp_matches(html, '(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*(noindex|none)')
+        |    OR regexp_matches(html, '(?i)<meta[^>]*content\s*=\s*"[^"]*(noindex|none)[^"]*"[^>]*name\s*=\s*"robots"')
+        |    AS opted_out
+        |  FROM rp)""".stripMargin + ",\n" + htmlChainCtesSql("og") + "\n" +
+        """SELECT og.doc_id, og.opted_out,
+        |  CASE WHEN og.opted_out THEN NULL ELSE s8.extracted END AS extracted
+        |FROM og JOIN s8 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // site-boilerplate removal: the source-keyed plant, the per-(source,
+    // line) distinct-doc frequency, the >= 3 threshold, the blank-line
+    // exemption, and every reassembled document re-derived byte-for-byte
+    "q184_site_boilerplate" ->
+      """WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source,
+        |    ['home | products | about ' || chr(8212) || ' ' || source]
+        |    || list_transform(generate_series(0, CAST(ceil(least(len(w), 24) / 12.0) AS INT) - 1),
+        |         i -> array_to_string(w[i*12+1 : i*12+12], ' '))
+        |    || ['']
+        |    || CASE WHEN doc_id % 97 = 0 THEN ['subscribe to the ' || source || ' newsletter']
+        |         ELSE CAST([] AS VARCHAR[]) END
+        |    || ['copyright ' || source || ' all rights reserved'] AS lines
+        |  FROM b),
+        |ex AS (SELECT doc_id, source, i AS idx, lines[i] AS line
+        |       FROM sp, unnest(generate_series(1, len(lines))) AS u(i)),
+        |bp AS (SELECT source, line FROM ex WHERE trim(line) <> ''
+        |       GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT ex.* FROM ex WHERE NOT EXISTS
+        |         (SELECT 1 FROM bp WHERE bp.source = ex.source AND bp.line = ex.line)),
+        |res AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               string_agg(line, chr(10) ORDER BY idx) AS cleaned_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT sp.doc_id, CAST(len(sp.lines) AS BIGINT) AS n_raw,
+        |  COALESCE(res.n_kept, 0) AS n_kept,
+        |  COALESCE(res.cleaned_text, '') AS cleaned_text
+        |FROM sp LEFT JOIN res USING (doc_id) ORDER BY sp.doc_id""".stripMargin,
   )
+
+  /** [[graft.ops.Quality.ccnetNormalize]]'s DuckDB mirror over a `text`
+    * column — chr()-composed so no quote-escaping ambiguity; 'g' flags
+    * per the cross-engine regexp_replace contract (q177/q178).
+    */
+  private val ccnetNormSql: String =
+    "trim(regexp_replace(regexp_replace(translate(lower(text), " +
+      "chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160), " +
+      "chr(39)||chr(39)||'\"\"--'||' '), '[0-9]', '0', 'g'), '\\s+', ' ', 'g'))"
 
   /** q178's HTML-linearization chain over `srcRel` (doc_id, html) →
     * `s8(doc_id, extracted)` — the DuckDB mirror of

@@ -103,6 +103,52 @@ object Packing {
       .drop("cum_before")
   }
 
+  /** PER-EXAMPLE COMPOSITION MANIFEST — the inverse view of
+    * [[sequencePackWithOffsets]]: one row per (context window,
+    * document) incidence giving the token span the document occupies
+    * WITHIN that window (`span_start` inclusive, `span_end`
+    * exclusive, both in window-local coordinates 0..ctxTokens). This
+    * is the document-boundary table modern pretraining actually
+    * consumes: document-masked attention (each window attends only
+    * within its own documents' spans — the Llama-3-style reset),
+    * per-example loss masking, and example→docs provenance all read
+    * exactly this (example_id, doc_id, span) relation; [[sequencePack]]
+    * alone answers doc→examples but not "what does window e contain".
+    *
+    * 100 TB posture: a pure map + bounded explode on top of the
+    * checkpoint-frozen prefix sum — no new shuffle. The explode factor
+    * is `n_examples` per doc, so output size is
+    * O(#docs + total_tokens / ctxTokens): the size of the training
+    * metadata itself, linear in the corpus.
+    */
+  def exampleSpans(df: DataFrame, idCol: String, tokensCol: Column,
+      ctxTokens: Long): DataFrame = {
+    sequencePackWithOffsets(df, idCol, tokensCol, ctxTokens)
+      .withColumn("example_id",
+        explode(sequence(col("first_example"), col("last_example"))))
+      .withColumn("span_start",
+        greatest(col("tok_start") - col("example_id") * ctxTokens, lit(0L)))
+      .withColumn("span_end",
+        least(col("tok_start") + col("n_tokens") - col("example_id") * ctxTokens,
+          lit(ctxTokens)))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+      .select(col(idCol), col("example_id"), col("span_start"),
+        col("span_end"), col("span_tokens"))
+  }
+
+  /** ORACLED exercise (q181): [[exampleSpans]] under q92's tokenizer
+    * and 512-token windows — DuckDB re-derives the global prefix sum,
+    * unnests each doc's window range (generate_series), and re-computes
+    * every window-local span boundary; every (window, doc, span) row
+    * hash-checked.
+    */
+  def q181ExampleSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    exampleSpans(docs, "doc_id", bpeishCount($"text"), 512L)
+      .orderBy($"doc_id", $"example_id")
+  }
+
   /** The DISTRIBUTED ordered prefix sum both packing and budget
     * truncation ride on: appends `cum_before` = the sum of `valueCol`
     * over every row strictly earlier in `sortKeys` order (globally,

@@ -371,6 +371,207 @@ object Quality {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** PER-LANGUAGE [[lmScore]] — the model CCNet actually deploys
+    * (Wenzek et al. 2020 §4.2 fit one KenLM PER LANGUAGE on that
+    * language's Wikipedia; q113/q120's single global model is the
+    * monolingual simplification): fit one add-one-smoothed char-bigram
+    * model per language over the reference's rows OF THAT LANGUAGE and
+    * score every candidate under ITS OWN language's model. A global
+    * model systematically mis-scores the smaller languages (their
+    * transitions look out-of-distribution next to the majority
+    * language); per-language models are why CCNet's buckets are
+    * comparable across languages at all.
+    *
+    * Semantics are [[lmScore]]'s with `lang` added to every model key:
+    * P(b|a,ℓ) = (cnt₂(ℓ,ab)+1)/(cnt₁(ℓ,a)+V(ℓ)). Candidates whose
+    * language has NO reference rows are DROPPED (inner join on the
+    * per-language vocabulary) — CCNet scores only languages it has
+    * models for; an unmodeled language has no meaningful perplexity.
+    *
+    * 100 TB posture: the model tables stay broadcast-bounded — at most
+    * #languages × |Σ_ℓ|² bigram rows (languages partition the alphabet
+    * in practice, so the union is barely larger than the global
+    * table); scoring is the same one-explode + broadcast-join +
+    * per-doc-aggregate map stage as [[lmScore]], ONE keyed shuffle end
+    * to end, per-language only in the join keys.
+    */
+  def lmScoreByLang(candidates: DataFrame, reference: DataFrame): DataFrame = {
+    import candidates.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
+    // ONE reference explode; cnt₁/V derive from the checkpointed
+    // (lang, bigram) table exactly as lmScore's derive from (bigram) —
+    // the eager checkpoint keeps the derived aggregates from
+    // re-executing the corpus subtree.
+    val cnt2 = reference.filter(length($"text") >= 2)
+      .select($"lang",
+        explode(charBigramStream(lower($"text"))).as("bigram"))
+      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val cnt1 = cnt2.groupBy($"lang", substring($"bigram", 1, 1).as("ctx"))
+      .agg(sum($"c2").as("c1"))
+    val vocab = cnt2.groupBy($"lang")
+      .agg(countDistinct(substring($"bigram", 2, 1)).as("v"))
+    candidates.filter(length($"text") >= 2)
+      .select($"doc_id", $"lang",
+        explode(charBigramStream(lower($"text"))).as("bigram"))
+      .join(broadcast(cnt2), Seq("lang", "bigram"), "left")
+      .withColumn("ctx", substring($"bigram", 1, 1))
+      .join(broadcast(cnt1), Seq("lang", "ctx"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("logp",
+        log((coalesce($"c2", lit(0L)) + lit(1.0)) /
+          (coalesce($"c1", lit(0L)) + $"v")))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_transitions"),
+        round(-avg($"logp") / log(lit(2.0)), 6).as("bits_per_transition"))
+  }
+
+  /** PER-LANGUAGE [[ccnetBuckets]] — CCNet's published deployment
+    * (Wenzek et al. 2020 §4.3 compute the head/middle/tail cutoffs
+    * "for each language": a tercile is only meaningful within one
+    * model's score distribution). Scores come from [[lmScoreByLang]];
+    * cutoffs are ONE grouped percentile aggregate (exact arm for the
+    * oracle; Greenwald–Khanna `approx_percentile` arm for production —
+    * GK state is constant-size PER GROUP and #languages is bounded, so
+    * the grouped sketch is still one broadcast-bounded aggregate);
+    * assignment is a broadcast-join map stage against the
+    * 2-longs-per-language cutoff frame. Same tie-proofing as the
+    * global arm: terciles over micro-unit INTEGERS interpolate on
+    * thirds, never landing on a .5 boundary, so floor(x+0.5) agrees
+    * across engines.
+    */
+  def ccnetBucketsByLang(candidates: DataFrame, reference: DataFrame,
+      exactCutoffs: Boolean = true, sketchAccuracy: Int = 10000): DataFrame = {
+    import candidates.sparkSession.implicits._
+    val lm = lmScoreByLang(candidates, reference)
+      .select($"doc_id", $"lang",
+        floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
+    val cuts =
+      if (exactCutoffs) lm.groupBy($"lang").agg(
+        floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
+        floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+      else lm.groupBy($"lang").agg(expr(
+          s"approx_percentile(bits_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), $sketchAccuracy)")
+          .as("gk"))
+        .select($"lang", element_at($"gk", 1).as("c1"),
+          element_at($"gk", 2).as("c2"))
+    lm.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when($"bits_micro" <= $"c1", "head")
+          .when($"bits_micro" <= $"c2", "middle")
+          .otherwise("tail"))
+      .select($"doc_id", $"lang", $"bits_micro", $"bucket")
+  }
+
+  /** The per-language models and cutoffs as DRIVER VALUES — the
+    * deployment fit for
+    * [[graft.ops.Streaming.ccnetBucketStreamByLang]]: the batch job
+    * fits one [[CharLm]] and one (c1, c2) pair per language, the
+    * ingest stream scores and buckets each arriving document under its
+    * own language's constants. One collect of the (lang, bigram) count
+    * table (broadcast-bounded by the [[lmScoreByLang]] argument) and
+    * one of the #languages-row cutoff frame.
+    */
+  def ccnetLangModels(candidates: DataFrame, reference: DataFrame)
+      : Map[String, (CharLm, Long, Long)] = {
+    import candidates.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
+    // ONE reference pass fits every language's model (collect the
+    // lang-keyed bigram table, split driver-side — NOT a per-language
+    // driver loop of corpus scans); ONE candidate pass fits every
+    // language's cutoffs (the grouped percentile from
+    // ccnetBucketsByLang, collected at #languages rows).
+    val byLang = reference.filter(length($"text") >= 2)
+      .select($"lang",
+        explode(charBigramStream(lower($"text"))).as("bigram"))
+      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+    val models = byLang.map { case (l, rows) =>
+      val big = rows.map { case (_, b, c) =>
+          val a = b.codePointAt(0)
+          ((a.toLong << 32) | b.codePointAt(Character.charCount(a)), c)
+        }.sortBy(_._1)
+      val ctx = big.groupBy(e => (e._1 >>> 32).toInt).view
+        .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
+      val v = big.map(_._1 & 0xffffffffL).distinct.length.toLong
+      l -> CharLm(big.map(_._1), big.map(_._2), ctx.map(_._1),
+        ctx.map(_._2), v)
+    }
+    val lm = lmScoreByLang(candidates, reference)
+      .select($"lang",
+        floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
+    val fitted = lm.groupBy($"lang").agg(
+        floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
+        floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, c1, c2) => l -> (c1, c2) }.toMap
+    models.collect { case (l, m) if fitted.contains(l) =>
+      l -> (m, fitted(l)._1, fitted(l)._2)
+    }.toMap
+  }
+
+  /** ORACLED exercise (q180): [[ccnetBucketsByLang]] on q113's split —
+    * DuckDB re-derives every language's bigram model (the lmCtes chain
+    * with `lang` in every group/join key), every doc's micro-unit bits
+    * under its own language's model, the per-language quantile_cont
+    * terciles, and every head/middle/tail assignment.
+    */
+  def q180CcnetLangBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Sources.documents(spark, dir)
+    ccnetBucketsByLang(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style TEXT NORMALIZATION (Wenzek et al. 2020 §4.2 normalize
+    * text before LM scoring — lowercase, digit folding, punctuation
+    * normalization — so surface variation doesn't register as
+    * perplexity): lowercase → curly quotes/dashes/nbsp to their ASCII
+    * forms → every digit folded to '0' (dates, prices, and phone
+    * numbers stop looking out-of-distribution) → whitespace runs
+    * collapsed to one space → trim. The chain is pure codegen'd
+    * expressions (translate + regexp_replace — no lookaround, no
+    * backreference, so Java regex and RE2/DuckDB agree; the
+    * cross-engine contract from q177/q178) and is deliberately
+    * restricted to transforms both engines define identically —
+    * Unicode-table operations (accent stripping, NFKC) are out of the
+    * oracle-able subset and out of scope.
+    *
+    * 100 TB posture: a per-row map stage, fused into whatever scan
+    * feeds it.
+    */
+  def ccnetNormalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(c),
+          "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0",
+          "''\"\"-- "),
+        "[0-9]", "0"),
+      "\\s+", " "))
+
+  /** ORACLED exercise (q182): [[ccnetBuckets]] over
+    * [[ccnetNormalize]]d text — the composition CCNet actually runs
+    * (normalize, then score, then bucket), with the normalized bytes
+    * themselves in the output so DuckDB hash-checks the normalization
+    * chain byte-for-byte AND the buckets it induces. Digit folding is
+    * the load-bearing difference vs q120: numeric spans collapse to
+    * '0' runs in BOTH the model and the candidates, so digit-heavy
+    * documents stop being penalized for which digits they contain.
+    */
+  def q182CcnetNormBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val norm = docs.select($"doc_id", ccnetNormalize($"text").as("text"))
+    ccnetBuckets(
+        norm.filter($"doc_id" % 3 =!= 0),
+        norm.filter($"doc_id" % 3 === 0))
+      .join(norm.withColumnRenamed("text", "norm_text"), Seq("doc_id"))
+      .select($"doc_id", $"norm_text", $"bits_micro", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** ORACLED exercise (q120): [[ccnetBuckets]] on q113's split — every
     * doc's micro-unit bits AND its head/middle/tail assignment
     * hash-checked (DuckDB re-derives the model, the scores, and the
@@ -1570,6 +1771,113 @@ object Quality {
     */
   def q147ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
     dedupParagraphs(c4Plant(Sources.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** SITE-BOILERPLATE line removal — the DOMAIN-SCOPED complement of
+    * q147's global paragraph dedup: a line is site boilerplate when it
+    * recurs across ≥ `minDocs` DISTINCT documents of the SAME source
+    * (nav menus, cookie banners, footers — the per-site template that
+    * survives global dedup whenever each site words it differently).
+    * CCNet removes paragraphs by cross-document hash frequency (Wenzek
+    * et al. §4.1) and the RefinedWeb/Dolma pipelines run the same
+    * gate per site; unlike q147 (keep FIRST occurrence) boilerplate
+    * here is removed from EVERY document — a nav menu has no
+    * meaningful first owner. BLANK lines are never counted as
+    * boilerplate (they are document structure, and their df is
+    * meaninglessly high everywhere).
+    *
+    * Input needs (doc_id, source, lines); output is total — every doc
+    * ships a row even when every line was removed.
+    *
+    * 100 TB posture: one explode; one (source, line)-keyed aggregate
+    * with map-side combine (count DISTINCT doc_id is exact — the
+    * boilerplate decision is a threshold, so a sketch would flip
+    * borderline lines); one keyed LEFT ANTI join against the
+    * boilerplate set (corpus-scale on a template-heavy crawl, so NOT
+    * forced broadcast — the keepSurvivors rule, AQE decides); one
+    * per-doc reassembly aggregate. q147's exact plan class plus the
+    * df threshold.
+    */
+  def siteBoilerplateClean(docs: DataFrame, minDocs: Long = 3L): DataFrame =
+    removeBoilerplateLines(docs, siteBoilerplateSet(docs, minDocs))
+
+  /** The FIT half of [[siteBoilerplateClean]] — the (source, line)
+    * boilerplate set at the `minDocs` distinct-document threshold.
+    * Persistable/refreshable offline state: the deployment fits this
+    * periodically over the accumulated crawl and the ingest stream
+    * applies it ([[graft.ops.Streaming.siteBoilerplateStream]]).
+    */
+  def siteBoilerplateSet(docs: DataFrame, minDocs: Long = 3L): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"source",
+        explode($"lines").as("line"))
+      .filter(trim($"line") =!= "")
+      .groupBy($"source", $"line")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= minDocs)
+      .select($"source", $"line")
+  }
+
+  /** The APPLY half of [[siteBoilerplateClean]]: remove every
+    * (source, line) in `boilerplate` from every document and
+    * reassemble — a keyed LEFT ANTI join (the set is corpus-scale on a
+    * template-heavy crawl, so never forced broadcast — AQE decides)
+    * plus one per-doc reassembly aggregate. Output is total.
+    */
+  def removeBoilerplateLines(docs: DataFrame, boilerplate: DataFrame)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    val ex = docs.select($"doc_id", $"source",
+      posexplode($"lines").as(Seq("idx", "line")))
+    val kept = ex.join(boilerplate, Seq("source", "line"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct($"idx", $"line"))),
+          s => s("line")), "\n").as("cleaned_text"))
+    docs.select($"doc_id", size($"lines").cast("long").as("n_raw"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_raw",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"cleaned_text", lit("")).as("cleaned_text"))
+  }
+
+  /** Deterministic per-site template corpus for [[q184SiteBoilerplate]]
+    * (the [[c4Plant]] technique, source-keyed): every doc of a source
+    * carries that source's nav and footer lines (df = #docs(source) ≥
+    * minDocs → removed), a blank structural line (kept by the
+    * blank-line contract), its own unique content lines (df = 1 →
+    * kept), and docs with doc_id % 97 == 0 a rare promo line (df
+    * under the threshold at fixture scale → kept) — the threshold
+    * fires both ways.
+    */
+  private[graft] def sitePlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = split($"text", " ")
+    val content = transform(sequence(lit(0),
+        ceil(least(size(w), lit(24)).cast("double") / 12).cast("int") - 1),
+      i => array_join(slice(w, i * lit(12) + 1, lit(12)), " "))
+    val emptyArr = array().cast("array<string>")
+    docs.select($"doc_id", $"source",
+      concat(
+        array(concat(lit("home | products | about \u2014 "), $"source")),
+        content,
+        array(lit("")),
+        when($"doc_id" % 97 === 0,
+          array(concat(lit("subscribe to the "), $"source",
+            lit(" newsletter")))).otherwise(emptyArr),
+        array(concat(lit("copyright "), $"source",
+          lit(" all rights reserved")))).as("lines"))
+  }
+
+  /** ORACLED exercise (q184): [[siteBoilerplateClean]] over the
+    * [[sitePlant]]ed corpus — DuckDB re-builds every planted line,
+    * re-counts per-(source, line) document frequency, re-applies the
+    * threshold and the blank-line exemption, and re-assembles every
+    * cleaned document byte-for-byte.
+    */
+  def q184SiteBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    siteBoilerplateClean(sitePlant(Sources.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
   /** L6 at PARAGRAPH granularity — per-LINE LM quality scoring: CCNet

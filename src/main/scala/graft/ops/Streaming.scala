@@ -366,6 +366,52 @@ object Streaming {
       .select($"doc_id", $"bits_micro", $"bucket")
   }
 
+  /** STREAMING PER-LANGUAGE CCNET BUCKETS — the per-row twin of
+    * [[Quality.ccnetBucketsByLang]] (q180), CCNet's actual published
+    * deployment (one model and one cutoff pair PER LANGUAGE, Wenzek et
+    * al. 2020 §4.2-4.3): each arriving document is scored under ITS
+    * language's broadcast [[Quality.CharLm]] and bucketed against that
+    * language's (c1, c2), all fit once by the batch job
+    * ([[Quality.ccnetLangModels]] — one reference pass for every
+    * model, one candidate pass for every cutoff). State is
+    * #languages × (alphabet-bounded model + two longs) in ONE
+    * broadcast — stateless map, no watermark, no state store.
+    * Documents whose language has no fitted model are DROPPED, the
+    * batch arm's inner-vocabulary-join semantics; sub-2-code-point
+    * documents are dropped as carrying no transition evidence. Same
+    * ±1-micro boundary caveat as [[ccnetBucketStream]]: the kernel's
+    * sequential log-prob sum vs the batch avg() can differ on the last
+    * micro unit, so parity at a doc sitting exactly on its language's
+    * cutoff is bucket-approximate (the spec skips those docs' bucket
+    * assertion).
+    */
+  def ccnetBucketStreamByLang(docs: DataFrame,
+      models: Map[String, (Quality.CharLm, Long, Long)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bm = docs.sparkSession.sparkContext.broadcast(models)
+    val micro = udf { (lang: String, text: String) =>
+      bm.value.get(lang) match {
+        case Some((lm, _, _)) if text != null &&
+            text.codePointCount(0, text.length) >= 2 =>
+          val r6 = BigDecimal(lm.bits(text))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(math.floor(r6 * 1e6 + 0.5).toLong)
+        case _ => None
+      }
+    }
+    val bucketOf = udf { (lang: String, bitsMicro: Long) =>
+      val (_, c1, c2) = bm.value(lang)
+      if (bitsMicro <= c1) "head"
+      else if (bitsMicro <= c2) "middle"
+      else "tail"
+    }
+    docs
+      .withColumn("bits_micro", micro($"lang", $"text"))
+      .filter($"bits_micro".isNotNull)
+      .withColumn("bucket", bucketOf($"lang", $"bits_micro"))
+      .select($"doc_id", $"lang", $"bits_micro", $"bucket")
+  }
+
   /** STREAMING SOFT-DEDUP REWEIGHTING — the per-row twin of
     * [[Similarity.softDedupWeights]] (q162): each arriving document is
     * assigned its 1/|cluster| micro-weight and deterministic Bernoulli
@@ -456,6 +502,32 @@ object Streaming {
           finally org.apache.spark.sql.graftshim.GraftColumns
             .checkpointRdd(out).foreach(_.unpersist(false))
         }
+      }
+      .start()
+
+  /** STREAMING SITE-BOILERPLATE REMOVAL — the ingest twin of
+    * [[Quality.siteBoilerplateClean]] (q184), in the fit-offline /
+    * apply-on-ingest shape: a periodic batch job fits the (source,
+    * line) boilerplate set ([[Quality.siteBoilerplateSet]] — df
+    * thresholds need the accumulated corpus, so the FIT cannot
+    * stream), and each arriving micro-batch of whole documents is
+    * cleaned against that static state via the UNCHANGED batch apply
+    * ([[Quality.removeBoilerplateLines]] — parity by construction).
+    * foreachBatch because the apply is whole-batch relational algebra
+    * (explode → keyed anti join → per-doc reassembly), the
+    * [[perceptualDedupStream]] contract; the boilerplate set is
+    * corpus-scale on a template-heavy crawl, so it stays a joinable
+    * frame, never a forced broadcast (the keepSurvivors rule).
+    */
+  def siteBoilerplateStream(docs: DataFrame, boilerplate: DataFrame,
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(Quality.removeBoilerplateLines(
+            batch.select(col("doc_id"), col("source"), col("lines")),
+            boilerplate))
       }
       .start()
 

@@ -754,4 +754,66 @@ object Text {
         $"is_survivor")
       .orderBy($"doc_id")
   }
+
+  /** CRAWL OPT-OUT gate — honor `<meta name="robots">` `noindex`/`none`
+    * (the Robots Exclusion Protocol's page-level directive; the
+    * C4/RefinedWeb-class pipelines drop opted-out pages BEFORE
+    * extraction, both for compliance and because opted-out pages skew
+    * boilerplate). True = the page opted out. Case-insensitive and
+    * attribute-order-insensitive (name-then-content OR
+    * content-then-name), lookaround-free (the Java ∩ RE2 contract).
+    * Matching is SUBSTRING over the content value (a `noindex`
+    * anywhere in the directive list opts out) — conservative by
+    * design: over-dropping respects more opt-outs, never fewer.
+    */
+  def metaRobotsOptOut(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    html.rlike("(?i)<meta[^>]*name\\s*=\\s*\"robots\"[^>]*content\\s*=\\s*\"[^\"]*(noindex|none)") ||
+      html.rlike("(?i)<meta[^>]*content\\s*=\\s*\"[^\"]*(noindex|none)[^\"]*\"[^>]*name\\s*=\\s*\"robots\"")
+
+  /** Deterministic meta-robots corpus for [[q183RobotsGate]] — four
+    * page classes expression-only from doc_id, firing the gate BOTH
+    * ways and through BOTH attribute orders plus the case-insensitive
+    * arm: %4==0 name-first noindex (uppercase when %8==0), %4==1
+    * content-first `none`, %4==2 a robots meta WITHOUT an opt-out
+    * token (`nofollow` only — must be KEPT), %4==3 a non-robots meta
+    * (viewport — must be KEPT).
+    */
+  private[graft] def robotsPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val meta =
+      when($"doc_id" % 8 === 0,
+        lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, FOLLOW\">"))
+        .when($"doc_id" % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when($"doc_id" % 4 === 1,
+          lit("<meta content=\"none\" name=\"robots\">"))
+        .when($"doc_id" % 4 === 2,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .otherwise(
+          lit("<meta name=\"viewport\" content=\"width=device-width\">"))
+    docs.select($"doc_id", concat(
+      lit("<html><head>"), meta, lit("<title>t</title></head><body><p>"),
+      substring($"text", 1, 40),
+      lit("</p></body></html>")).as("html"))
+  }
+
+  /** ORACLED exercise (q183) — the opt-out gate composed with
+    * extraction over the [[robotsPlant]]ed corpus: every page's
+    * `opted_out` flag hash-checked through both attribute orders and
+    * the uppercase arm, and the [[stripHtml]] extraction runs ONLY on
+    * compliant pages (opted-out pages carry NULL — the bytes never
+    * enter the pipeline, which is the point of the gate).
+    *
+    * 100 TB posture: two rlike probes + the extraction chain, all
+    * expression-only map work fused into the scan — zero shuffle.
+    */
+  def q183RobotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    robotsPlant(Sources.documents(spark, dir))
+      .withColumn("opted_out", metaRobotsOptOut($"html"))
+      .withColumn("extracted",
+        when(!$"opted_out", stripHtml($"html")))
+      .select($"doc_id", $"opted_out", $"extracted")
+      .orderBy($"doc_id")
+  }
 }

@@ -51,6 +51,48 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("exampleSpans: windows tile exactly, per-doc spans sum to its " +
+      "tokens, and the incidence set matches sequencePackWithOffsets") {
+    val df = docs(300, 7L)
+    val tokens = size(split($"text", " ", -1)).cast("long")
+    val ctx = 16L
+    val spans = Packing.exampleSpans(df, "doc_id", tokens, ctx)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val packed = Packing.sequencePackWithOffsets(df, "doc_id", tokens, ctx)
+      .select($"doc_id", $"n_tokens", $"first_example", $"last_example",
+        $"tok_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every span inside its window, non-empty, window-local
+    spans.foreach { case (id, e, s, t, n) =>
+      assert(s >= 0 && s < t && t <= ctx && n === t - s,
+        s"doc $id window $e span [$s,$t)")
+    }
+    // incidence set == the packed doc->window ranges
+    val expectedPairs = packed.flatMap { case (id, _, f, l, _) =>
+      (f to l).map(e => (id, e)) }.toSet
+    assert(spans.map(r => (r._1, r._2)).toSet === expectedPairs)
+    // per-doc span totals give back the doc's token count
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    packed.foreach { case (id, n, _, _, _) =>
+      assert(perDoc(id) === n, s"doc $id span sum") }
+    // every window is tiled end to end: spans abut from 0 to ctx
+    // (the last window ends at the tape's end instead)
+    val total = packed.map(_._2).sum
+    val lastExample = (total - 1) / ctx
+    spans.groupBy(_._2).foreach { case (e, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"window $e must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._4, s"window $e gap at ${a._4}")
+        case _ => ()
+      }
+      val end = sorted.last._4
+      if (e < lastExample) assert(end === ctx, s"window $e underfilled")
+      else assert(end === total - e * ctx, s"last window $e end $end")
+    }
+  }
+
   test("sequencePack is invariant to the shuffle partition count") {
     val df = docs(200, 2L)
     val tokens = size(split($"text", " ", -1)).cast("long")

@@ -224,6 +224,137 @@ class QualitySpec extends SparkTestBase {
       s"${disagree.length} of $n flipped — more than boundary noise")
   }
 
+  test("lmScoreByLang equals lmScore run on each language's slice; " +
+      "unmodeled languages are dropped") {
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en"),
+      (101L, "the lazy dog sleeps while the quick fox runs", "en"),
+      (102L, "der schnelle braune fuchs springt ueber den hund", "de"),
+      (103L, "der faule hund schlaeft den ganzen langen tag", "de"))
+      .toDF("doc_id", "text", "lang")
+    val cand = Seq(
+      (1L, "the quick dog jumps over the fox", "en"),
+      (2L, "der braune hund springt ueber den fuchs", "de"),
+      (3L, "texto de otro idioma sin modelo entrenado", "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = ops.Quality.lmScoreByLang(cand, ref)
+      .select($"doc_id", $"lang", $"bits_per_transition")
+      .as[(Long, String, Double)].collect()
+    assert(got.map(_._1).toSet === Set(1L, 2L),
+      "the es candidate has no reference model and must be dropped")
+    val gotBits = got.map(r => r._1 -> r._3).toMap
+    for (l <- Seq("en", "de")) {
+      val single = ops.Quality.lmScore(
+          cand.filter($"lang" === l), ref.filter($"lang" === l))
+        .select($"doc_id", $"bits_per_transition")
+        .as[(Long, Double)].collect().toMap
+      single.foreach { case (id, bits) =>
+        assert(math.abs(gotBits(id) - bits) < 1e-9,
+          s"lang $l doc $id: per-lang score must equal the single-language fit")
+      }
+    }
+  }
+
+  test("ccnetBucketsByLang equals ccnetBuckets applied to each language's " +
+      "slice; GK arm callable (real fixture)") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val cand = docs.filter($"doc_id" % 3 =!= 0)
+    val ref = docs.filter($"doc_id" % 3 === 0)
+    val byLang = ops.Quality.ccnetBucketsByLang(cand, ref)
+      .as[(Long, String, Long, String)].collect()
+    assert(byLang.nonEmpty)
+    val langs = byLang.map(_._2).distinct
+    assert(langs.length > 1, "fixture must be multilingual")
+    for (l <- langs) {
+      val expected = ops.Quality.ccnetBuckets(
+          cand.filter($"lang" === l), ref.filter($"lang" === l))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotL = byLang.filter(_._2 == l)
+      assert(gotL.length === expected.size, s"lang $l row count")
+      gotL.foreach { case (id, _, bits, bucket) =>
+        assert(expected(id) === ((bits, bucket)),
+          s"lang $l doc $id: grouped fit must equal the single-language fit")
+      }
+      // within a language the terciles are balanced to within 2
+      val sizes = gotL.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set("head", "middle", "tail")))
+      assert(sizes.values.max - sizes.values.min <= 2,
+        s"lang $l terciles unbalanced: $sizes")
+    }
+    val sketch = ops.Quality.ccnetBucketsByLang(cand, ref,
+      exactCutoffs = false)
+    assert(sketch.count() === byLang.length.toLong,
+      "GK arm must score the same population")
+  }
+
+  test("ccnetNormalize: digit folding, punctuation mapping, whitespace " +
+      "collapse, trim") {
+    val rows = Seq(
+      (1L, "  Call 555-1234 “now”—or wait\t till  2026! "),
+      (2L, "‘quoted’ – dash"),
+      (3L, "no change needed"))
+      .toDF("doc_id", "text")
+    val got = rows
+      .select($"doc_id", ops.Quality.ccnetNormalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "call 000-0000 \"now\"-or wait till 0000!")
+    assert(got(2L) === "'quoted' - dash")
+    assert(got(3L) === "no change needed")
+  }
+
+  test("q182: normalized text keeps no digit but 0, no whitespace runs, " +
+      "and buckets every scored doc") {
+    val out = ops.Quality.q182CcnetNormBuckets(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, t, _, b) =>
+      assert(!t.exists(c => c >= '1' && c <= '9'), s"doc $id keeps a digit")
+      assert(!t.contains("  ") && !t.contains("\t") && !t.contains("\n"),
+        s"doc $id keeps a whitespace run")
+      assert(t == t.trim, s"doc $id not trimmed")
+      assert(Set("head", "middle", "tail")(b))
+    }
+  }
+
+  test("siteBoilerplateClean: source-scoped df threshold, blank-line " +
+      "exemption, removal from every doc, total output") {
+    val docs = Seq(
+      (1L, "a", Seq("NAV", "one unique", "", "shared line")),
+      (2L, "a", Seq("NAV", "two unique", "shared line")),
+      (3L, "a", Seq("NAV", "three unique")),
+      (4L, "b", Seq("NAV", "b unique")), // same bytes, df=1 in source b
+      (5L, "a", Seq("NAV", "")),         // boilerplate + blank only
+      (6L, "a", Seq("NAV")))             // all lines removed
+      .toDF("doc_id", "source", "lines")
+    val got = ops.Quality.siteBoilerplateClean(docs, minDocs = 3L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 6, "output must be total")
+    // NAV df=5 in source a (removed from EVERY doc); df=1 in b (kept);
+    // "shared line" df=2 < 3 (kept); blanks never count as boilerplate
+    assert(got(1L) === ((1L, 4L, 3L, "one unique\n\nshared line")))
+    assert(got(2L) === ((2L, 3L, 2L, "two unique\nshared line")))
+    assert(got(3L) === ((3L, 2L, 1L, "three unique")))
+    assert(got(4L) === ((4L, 2L, 2L, "NAV\nb unique")))
+    assert(got(5L) === ((5L, 2L, 1L, "")))
+    assert(got(6L) === ((6L, 1L, 0L, "")))
+  }
+
+  test("q184: every fixture doc loses exactly its nav and footer; promo " +
+      "and content lines survive the threshold") {
+    val out = ops.Quality.q184SiteBoilerplate(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, raw, kept, text) =>
+      assert(raw - kept === 2L, s"doc $id must lose nav + footer only")
+      assert(!text.contains("home | products"), s"doc $id keeps nav")
+      assert(!text.contains("copyright"), s"doc $id keeps footer")
+    }
+    assert(out.exists(_._4.contains("subscribe to the")),
+      "a rare promo line must survive the df threshold")
+  }
+
   test("q170 releases its persists (CacheManager empty after the budgeted " +
       "capstone)") {
     spark.catalog.clearCache()

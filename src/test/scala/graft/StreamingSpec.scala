@@ -18,6 +18,12 @@ case class NDoc(doc_id: Long, simhash: Long, ts: Timestamp)
 /** Raw-text document for the text-level near-dup entry point. */
 case class TDoc(doc_id: Long, text: String, ts: Timestamp)
 
+/** Language-tagged document for the per-language CCNet bucket stream. */
+case class LDoc(doc_id: Long, lang: String, text: String, ts: Timestamp)
+
+/** Source-tagged lines document for the site-boilerplate stream. */
+case class SDoc(doc_id: Long, source: String, lines: Seq[String], ts: Timestamp)
+
 /** Embedded document for the streaming semantic near-dup tests. */
 case class EDoc(doc_id: Long, embedding: Seq[Double], ts: Timestamp)
 
@@ -1003,6 +1009,69 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("per-language ccnet bucket stream matches the q180 batch assignment " +
+      "per document (real fixture)") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val cands = docs.filter($"doc_id" % 3 =!= 0)
+    val ref = docs.filter($"doc_id" % 3 === 0)
+    val batch = ops.Quality.q180CcnetLangBuckets(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(batch.values.map(_._2).toSet.size > 1, "fixture must be multilingual")
+    val models = ops.Quality.ccnetLangModels(cands, ref)
+    assert(models.keySet === batch.values.map(_._2).toSet,
+      "one fitted model per language the batch arm scored")
+    val rows = cands.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    val input = MemoryStream[LDoc]
+    val q = ops.Streaming.ccnetBucketStreamByLang(input.toDF(), models)
+      .writeStream.format("memory").queryName("ccnet_lang_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(rows.toIndexedSeq.map { case (id, l, t) =>
+        LDoc(id, l, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+      q.processAllAvailable()
+      val out = spark.table("ccnet_lang_stream")
+        .as[(Long, String, Long, String)].collect()
+      assert(out.length === batch.size, "stream must bucket every doc")
+      out.foreach { case (id, lang, micro, bucket) =>
+        val (_, bLang, bMicro, bBucket) = batch(id)
+        assert(lang === bLang, s"lang doc $id")
+        assert(math.abs(micro - bMicro) <= 1L, s"bits_micro doc $id")
+        // same boundary caveat as the global twin: a 1-micro
+        // kernel/batch rounding delta can only flip the bucket when
+        // the doc sits exactly on its language's cutoff
+        val (_, c1, c2) = models(lang)
+        if (micro != c1 && micro != c2 && bMicro != c1 && bMicro != c2)
+          assert(bucket === bBucket,
+            s"bucket doc $id (micro $micro vs $bMicro, lang $lang)")
+      }
+    }
+  }
+
+  test("per-language ccnet bucket stream drops unmodeled-language docs " +
+      "(batch inner-join contract)") {
+    implicit val sql = spark.sqlContext
+    val models = Map("en" ->
+      ((ops.Quality.charLm(Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")),
+        1500000L, 3000000L)))
+    val input = MemoryStream[LDoc]
+    val q = ops.Streaming.ccnetBucketStreamByLang(input.toDF(), models)
+      .writeStream.format("memory").queryName("ccnet_lang_drop_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      input.addData(
+        LDoc(1L, "en", "the cat sat", new Timestamp(1700000000000L)),
+        LDoc(2L, "xx", "unmodeled language text", new Timestamp(1700000001000L)),
+        LDoc(3L, "en", "x", new Timestamp(1700000002000L))) // < 2 code points
+      q.processAllAvailable()
+      val out = spark.table("ccnet_lang_drop_stream")
+        .as[(Long, String, Long, String)].collect()
+      assert(out.map(_._1).toSet === Set(1L),
+        "unmodeled-language and sub-2-codepoint docs must be dropped")
+    }
+  }
+
   test("soft-dedup stream matches the q162 batch weights per document " +
       "(real fixture)") {
     implicit val sql = spark.sqlContext
@@ -1034,6 +1103,41 @@ class StreamingSpec extends SparkTestBase {
         assert(r === batch(r._1), s"doc ${r._1} diverges from batch")
       }
     }
+  }
+
+  test("site-boilerplate stream matches the batch apply per micro-batch " +
+      "against a static fitted set") {
+    implicit val sql = spark.sqlContext
+    val fitCorpus = ops.Quality.sitePlant(
+      ops.Sources.documents(spark, "/root/testdata/sf0.001"))
+    val bp = ops.Quality.siteBoilerplateSet(fitCorpus, minDocs = 3L)
+      .persist()
+    assert(bp.count() > 0, "fixture must fit a non-empty boilerplate set")
+    val rows = fitCorpus.as[(Long, String, Seq[String])].collect()
+    val (batch1, batch2) = rows.sortBy(_._1).splitAt(rows.length / 2)
+    val got = scala.collection.mutable.ArrayBuffer[Array[
+      (Long, Long, Long, String)]]()
+    val input = MemoryStream[SDoc]
+    val q = ops.Streaming.siteBoilerplateStream(input.toDF(), bp,
+      out => got.synchronized {
+        got += out.as[(Long, Long, Long, String)].collect()
+      })
+    withQuery(q) {
+      Seq(batch1, batch2).foreach { b =>
+        input.addData(b.toIndexedSeq.map { case (id, s, ls) =>
+          SDoc(id, s, ls, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+        q.processAllAvailable()
+      }
+    }
+    assert(got.length === 2, "one sink call per micro-batch")
+    Seq(batch1, batch2).zip(got).foreach { case (b, out) =>
+      val expect = ops.Quality.removeBoilerplateLines(
+          b.toSeq.toDF("doc_id", "source", "lines"), bp)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(out.sortBy(_._1) === expect,
+        "micro-batch diverges from the batch apply")
+    }
+    bp.unpersist()
   }
 
   test("perceptual image dedup stream matches the batch delta arm per " +

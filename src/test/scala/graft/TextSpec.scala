@@ -301,6 +301,44 @@ class TextSpec extends SparkTestBase {
     assert(!got.contains("var x") && !got.contains("color"))
   }
 
+  test("meta-robots opt-out: both attribute orders, case-insensitive, " +
+      "noindex/none only — nofollow and non-robots metas stay in") {
+    val cases = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex\">", true),
+      (2L, "<meta name=\"robots\" content=\"nofollow, noindex\">", true),
+      (3L, "<meta content=\"none\" name=\"robots\">", true),
+      (4L, "<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\">", true),
+      (5L, "<meta name=\"robots\" content=\"nofollow\">", false),
+      (6L, "<meta name=\"viewport\" content=\"width=device-width\">", false),
+      (7L, "<meta name=\"description\" content=\"noindex mentioned\">", false),
+      (8L, "no meta tag at all", false))
+      .map { case (id, m, e) =>
+        (id, s"<html><head>$m</head><body><p>x</p></body></html>", e) }
+    val got = cases.map(c => (c._1, c._2)).toDF("doc_id", "html")
+      .select($"doc_id", ops.Text.metaRobotsOptOut($"html").as("o"))
+      .as[(Long, Boolean)].collect().toMap
+    cases.foreach { case (id, _, expected) =>
+      assert(got(id) === expected, s"case $id") }
+  }
+
+  test("q183: opted-out pages carry NULL extraction, compliant pages " +
+      "extract through the q178 chain") {
+    val out = ops.Text.q183RobotsGate(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val opted = r.getBoolean(1)
+      assert(opted === (id % 4 == 0 || id % 4 == 1), s"gate doc $id")
+      if (opted) assert(r.isNullAt(2), s"doc $id: opted-out must not extract")
+      else {
+        val t = r.getString(2)
+        assert(t.startsWith("t\n"), s"doc $id: title line first, got '$t'")
+        assert(!t.contains("<"), s"doc $id: tags must be gone")
+      }
+    }
+  }
+
   test("q179 == q144 row for row: HTML wrap + extraction round-trips " +
       "exactly what the C4 line battery consumes") {
     val dir = "/root/testdata/sf0.001"
