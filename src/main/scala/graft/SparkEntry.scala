@@ -202,6 +202,7 @@ object SparkEntry {
     "q182_ccnet_norm_buckets" -> (Quality.q182CcnetNormBuckets _),
     "q183_robots_gate" -> (Text.q183RobotsGate _),
     "q184_site_boilerplate" -> (Quality.q184SiteBoilerplate _),
+    "q185_crawl_head" -> (Text.q185CrawlHead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4036,25 +4037,54 @@ object SparkEntry {
     // kept-pages-only stripHtml chain all re-derived; opted-out pages
     // carry NULL extraction in both engines
     "q183_robots_gate" ->
-      ("""WITH rp AS (
+      (s"""WITH rp AS (
         |  SELECT doc_id,
-        |    '<html><head>' ||
-        |    CASE WHEN doc_id % 8 = 0 THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, FOLLOW">'
-        |         WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="noindex, follow">'
-        |         WHEN doc_id % 4 = 1 THEN '<meta content="none" name="robots">'
-        |         WHEN doc_id % 4 = 2 THEN '<meta name="robots" content="nofollow">'
-        |         ELSE '<meta name="viewport" content="width=device-width">' END ||
+        |    '<html><head>' || $robotsMetaCaseSql ||
         |    '<title>t</title></head><body><p>' || substr(text, 1, 40) || '</p></body></html>' AS html
         |  FROM documents),
         |og AS (
-        |  SELECT doc_id, html,
-        |    regexp_matches(html, '(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*(noindex|none)')
-        |    OR regexp_matches(html, '(?i)<meta[^>]*content\s*=\s*"[^"]*(noindex|none)[^"]*"[^>]*name\s*=\s*"robots"')
-        |    AS opted_out
+        |  SELECT doc_id, html, $robotsOptOutPredSql AS opted_out
         |  FROM rp)""".stripMargin + ",\n" + htmlChainCtesSql("og") + "\n" +
         """SELECT og.doc_id, og.opted_out,
         |  CASE WHEN og.opted_out THEN NULL ELSE s8.extracted END AS extracted
         |FROM og JOIN s8 USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // the crawl head END TO END: c4Plant + per-source template wrapped in
+    // real HTML with the q183 meta classes -> robots gate -> q178
+    // extraction -> q184 site-boilerplate fit+apply (over the compliant
+    // extraction itself) -> q144 battery — five green fragments stitched;
+    // boilerplate removal upstream RESCUES pages the battery would kill
+    "q185_crawl_head" ->
+      ("WITH " + c4PlantCtesSql + ",\n" +
+        s"""sl AS (
+        |  SELECT pl.doc_id, d.source,
+        |    ['home | products | about ' || chr(8212) || ' ' || d.source]
+        |    || pl.lines
+        |    || ['copyright ' || d.source || ' all rights reserved'] AS lines
+        |  FROM pl JOIN documents d USING (doc_id)),
+        |hw AS (
+        |  SELECT doc_id, source,
+        |    '<html><head>' || $robotsMetaCaseSql ||
+        |    '<style>p { color: red; }</style></head><body><p>' ||
+        |    array_to_string(lines, '</p><p>') ||
+        |    '</p><script>var x = 1;</script></body></html>' AS html
+        |  FROM sl),
+        |cg AS (
+        |  SELECT doc_id, source, html FROM hw
+        |  WHERE NOT ($robotsOptOutPredSql))""".stripMargin + ",\n" +
+        htmlChainCtesSql("cg") + ",\n" +
+        """ex2 AS (
+        |  SELECT t.doc_id, cg.source, i AS idx, t.ln[i] AS line
+        |  FROM (SELECT doc_id, string_split(extracted, chr(10)) AS ln FROM s8) t
+        |  JOIN cg USING (doc_id), unnest(generate_series(1, len(t.ln))) AS u(i)),
+        |bp2 AS (SELECT source, line FROM ex2 WHERE trim(line) <> ''
+        |        GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3),
+        |kept2 AS (SELECT ex2.* FROM ex2 WHERE NOT EXISTS
+        |          (SELECT 1 FROM bp2 WHERE bp2.source = ex2.source AND bp2.line = ex2.line)),
+        |res2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct
+        |         FROM kept2 GROUP BY doc_id),
+        |pl3 AS (SELECT s8.doc_id, string_split(COALESCE(res2.ct, ''), chr(10)) AS lines
+        |        FROM s8 LEFT JOIN res2 USING (doc_id))""".stripMargin + ",\n" +
+        c4BatteryTailSql("pl3")),
     // site-boilerplate removal: the source-keyed plant, the per-(source,
     // line) distinct-doc frequency, the >= 3 threshold, the blank-line
     // exemption, and every reassembled document re-derived byte-for-byte
@@ -4084,6 +4114,24 @@ object SparkEntry {
         |  COALESCE(res.cleaned_text, '') AS cleaned_text
         |FROM sp LEFT JOIN res USING (doc_id) ORDER BY sp.doc_id""".stripMargin,
   )
+
+  /** [[graft.ops.Text.robotsMetaExpr]]'s DuckDB mirror — the planted
+    * meta tag by doc_id class, shared by q183 and q185 so the two
+    * oracles cannot desynchronize.
+    */
+  private val robotsMetaCaseSql: String =
+    """CASE WHEN doc_id % 8 = 0 THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, FOLLOW">'
+      |         WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="noindex, follow">'
+      |         WHEN doc_id % 4 = 1 THEN '<meta content="none" name="robots">'
+      |         WHEN doc_id % 4 = 2 THEN '<meta name="robots" content="nofollow">'
+      |         ELSE '<meta name="viewport" content="width=device-width">' END""".stripMargin
+
+  /** [[graft.ops.Text.metaRobotsOptOut]]'s DuckDB mirror over an `html`
+    * column — both attribute orders, (?i), RE2-safe (shared q183/q185).
+    */
+  private val robotsOptOutPredSql: String =
+    """regexp_matches(html, '(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*(noindex|none)')
+      |    OR regexp_matches(html, '(?i)<meta[^>]*content\s*=\s*"[^"]*(noindex|none)[^"]*"[^>]*name\s*=\s*"robots"')""".stripMargin
 
   /** [[graft.ops.Quality.ccnetNormalize]]'s DuckDB mirror over a `text`
     * column — chr()-composed so no quote-escaping ambiguity; 'g' flags

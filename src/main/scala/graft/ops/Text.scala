@@ -778,21 +778,29 @@ object Text {
     * token (`nofollow` only — must be KEPT), %4==3 a non-robots meta
     * (viewport — must be KEPT).
     */
+  /** The planted meta tag by doc_id class — shared by [[robotsPlant]]
+    * and the q185 crawl-head capstone so the two oracles cannot
+    * desynchronize: %8==0 uppercase name-first noindex, %4==0
+    * name-first noindex, %4==1 content-first `none`, %4==2 robots
+    * without an opt-out token (kept), else a non-robots meta (kept).
+    */
+  private[graft] def robotsMetaExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id % 8 === 0,
+      lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, FOLLOW\">"))
+      .when(id % 4 === 0,
+        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(id % 4 === 1,
+        lit("<meta content=\"none\" name=\"robots\">"))
+      .when(id % 4 === 2,
+        lit("<meta name=\"robots\" content=\"nofollow\">"))
+      .otherwise(
+        lit("<meta name=\"viewport\" content=\"width=device-width\">"))
+
   private[graft] def robotsPlant(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val meta =
-      when($"doc_id" % 8 === 0,
-        lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, FOLLOW\">"))
-        .when($"doc_id" % 4 === 0,
-          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
-        .when($"doc_id" % 4 === 1,
-          lit("<meta content=\"none\" name=\"robots\">"))
-        .when($"doc_id" % 4 === 2,
-          lit("<meta name=\"robots\" content=\"nofollow\">"))
-        .otherwise(
-          lit("<meta name=\"viewport\" content=\"width=device-width\">"))
     docs.select($"doc_id", concat(
-      lit("<html><head>"), meta, lit("<title>t</title></head><body><p>"),
+      lit("<html><head>"), robotsMetaExpr($"doc_id"),
+      lit("<title>t</title></head><body><p>"),
       substring($"text", 1, 40),
       lit("</p></body></html>")).as("html"))
   }
@@ -815,5 +823,59 @@ object Text {
         when(!$"opted_out", stripHtml($"html")))
       .select($"doc_id", $"opted_out", $"extracted")
       .orderBy($"doc_id")
+  }
+
+  /** ORACLED capstone (q185) — the COMPLETE crawl head in production
+    * order over ONE planted page corpus: the c4Plant lines plus each
+    * source's nav/footer template wrapped in real HTML (with a robots
+    * meta by the q183 class rule, a style body carrying '{', and a
+    * script), then
+    *
+    *   1. robots opt-out gate (q183 — opted-out pages never extracted),
+    *   2. HTML → text linearization (q178's chain),
+    *   3. site-boilerplate line removal (q184 — fit on the compliant
+    *      extraction itself),
+    *   4. the C4 line/page battery (q144).
+    *
+    * Every stage interacts: the gate shrinks the df counts the
+    * boilerplate fit sees; the template removal happens BEFORE the
+    * battery, so at fixture scale the cross-site "lorem ipsum" /
+    * "javascript" injections are stripped as per-source boilerplate
+    * and pages the battery would have killed are RESCUED (q150's
+    * ordering rationale, here at the site level). DuckDB re-derives
+    * the plant, the wrap, both gate probes, the extraction chain, the
+    * df fit, the reassembly, and the battery — one stitched oracle
+    * from five green fragments.
+    *
+    * 100 TB posture: gate + extraction fuse into the scan; the
+    * boilerplate fit/apply is q184's one-explode + keyed-aggregate +
+    * anti-join; the battery is pure map — ONE new shuffle class total
+    * (the (source, line) aggregate).
+    */
+  def q185CrawlHead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val sited = Quality.c4Plant(docs)
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"doc_id", $"source",
+        concat(
+          array(concat(lit("home | products | about \u2014 "), $"source")),
+          $"lines",
+          array(concat(lit("copyright "), $"source",
+            lit(" all rights reserved")))).as("lines"))
+    val pages = sited.select($"doc_id", $"source", concat(
+      lit("<html><head>"), robotsMetaExpr($"doc_id"),
+      lit("<style>p { color: red; }</style></head><body><p>"),
+      array_join($"lines", "</p><p>"),
+      lit("</p><script>var x = 1;</script></body></html>")).as("html"))
+    val extracted = pages
+      .filter(!metaRobotsOptOut($"html"))
+      .select($"doc_id", $"source",
+        split(stripHtml($"html"), "\n").as("lines"))
+    val cleaned = Quality.removeBoilerplateLines(extracted,
+        Quality.siteBoilerplateSet(extracted, minDocs = 3L))
+      .select($"doc_id",
+        split(coalesce($"cleaned_text", lit("")), "\n").as("lines"))
+    Quality.c4LineFilter(cleaned).orderBy($"doc_id")
   }
 }

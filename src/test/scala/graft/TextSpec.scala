@@ -339,6 +339,28 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("q185 crawl head: only compliant pages survive, site templates " +
+      "are stripped, and per-source boilerplate removal rescues pages " +
+      "the battery alone would kill") {
+    val out = ops.Text.q185CrawlHead(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 4 == 2 || id % 4 == 3, s"opted-out doc $id leaked through")
+      val ct = if (r.isNullAt(6)) "" else r.getString(6)
+      assert(!ct.contains("home | products"), s"doc $id keeps the nav")
+      assert(!ct.contains("copyright"), s"doc $id keeps the footer")
+    }
+    // the ordering rationale: the lorem injection recurs across every
+    // %11 doc, so in sources with >= 3 compliant carriers it is
+    // removed as SITE boilerplate before the battery — has_lorem
+    // false for those docs even though the raw page carries the line
+    val lorem = out.filter(r => r.getLong(0) % 11 == 0)
+    assert(lorem.nonEmpty)
+    assert(lorem.exists(r => !r.getBoolean(3)),
+      "expected at least one doc rescued from the lorem page kill")
+  }
+
   test("q179 == q144 row for row: HTML wrap + extraction round-trips " +
       "exactly what the C4 line battery consumes") {
     val dir = "/root/testdata/sf0.001"
