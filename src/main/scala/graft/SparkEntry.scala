@@ -203,6 +203,7 @@ object SparkEntry {
     "q183_robots_gate" -> (Text.q183RobotsGate _),
     "q184_site_boilerplate" -> (Quality.q184SiteBoilerplate _),
     "q185_crawl_head" -> (Text.q185CrawlHead _),
+    "q186_ccnet_lang_delta" -> (Quality.q186CcnetLangDeltaApply _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3953,40 +3954,18 @@ object SparkEntry {
     // language's model counts, every doc's micro bits, and every
     // cutoff hash-checked. The lvoc INNER join drops candidates whose
     // language has no reference model (the batch arm's contract).
-    "q180_ccnet_lang_buckets" ->
-      """WITH lrb AS (
-        |  SELECT lang, unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM (SELECT * FROM documents WHERE doc_id % 3 = 0) lref_src
-        |  WHERE length(text) >= 2),
-        |lcnt2 AS (SELECT lang, bigram, count(*) AS c2 FROM lrb GROUP BY lang, bigram),
-        |lcnt1 AS (SELECT lang, bigram[1:1] AS ctx, count(*) AS c1 FROM lrb GROUP BY lang, ctx),
-        |lvoc AS (SELECT lang, count(DISTINCT bigram[2:2]) AS v FROM lrb GROUP BY lang),
-        |lcb AS (
-        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1),
-        |    i -> lower(text)[i:i+1])) AS bigram
-        |  FROM (SELECT * FROM documents WHERE doc_id % 3 <> 0) lcand_src
-        |  WHERE length(text) >= 2),
-        |lj AS (
-        |  SELECT lcb.doc_id, lcb.lang,
-        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
-        |  FROM lcb
-        |  LEFT JOIN lcnt2 USING (lang, bigram)
-        |  LEFT JOIN lcnt1 ON lcnt1.lang = lcb.lang AND lcnt1.ctx = lcb.bigram[1:1]
-        |  JOIN lvoc ON lvoc.lang = lcb.lang),
-        |llm AS (SELECT doc_id, lang, round(-avg(logp) / ln(2), 6) AS lm_bits
-        |        FROM lj GROUP BY doc_id, lang),
-        |m AS (SELECT doc_id, lang,
-        |        CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro FROM llm),
-        |c AS (SELECT lang,
-        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
-        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
-        |  FROM m GROUP BY lang)
-        |SELECT doc_id, m.lang, bits_micro,
-        |  CASE WHEN bits_micro <= c.c1 THEN 'head'
-        |       WHEN bits_micro <= c.c2 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM m JOIN c USING (lang) ORDER BY doc_id""".stripMargin,
+    "q180_ccnet_lang_buckets" -> ccnetLangOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+      "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+      "(SELECT * FROM documents WHERE doc_id % 3 <> 0)"),
+    // persisted per-language CCNet delta apply: models + cutoffs fit on
+    // the EVEN split, the ODD docs bucketed under the loaded state —
+    // DuckDB re-derives fit and apply directly, so the CurationIndex
+    // round trip must be byte-invisible (the q175 pattern)
+    "q186_ccnet_lang_delta" -> ccnetLangOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0)",
+      "(SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0)",
+      "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked
@@ -4114,6 +4093,59 @@ object SparkEntry {
         |  COALESCE(res.cleaned_text, '') AS cleaned_text
         |FROM sp LEFT JOIN res USING (doc_id) ORDER BY sp.doc_id""".stripMargin,
   )
+
+  /** The per-language CCNet chain, parameterized: models fit from
+    * `refRel` (lang-keyed count/context/vocab tables), tercile cutoffs
+    * from `fitRel` scored under those models, bucket assignment of
+    * `applyRel` — ONE builder shared by q180 (fit == apply) and q186
+    * (the persisted delta apply: fit even split, apply odd). When the
+    * fit and apply relations coincide the apply scoring reuses the fit
+    * scores instead of re-deriving them.
+    */
+  private def ccnetLangOracleSql(refRel: String, fitRel: String,
+      applyRel: String): String = {
+    def score(p: String, rel: String): String =
+      s"""${p}cb AS (
+        |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM $rel ${p}cand_src
+        |  WHERE length(text) >= 2),
+        |${p}j AS (
+        |  SELECT ${p}cb.doc_id, ${p}cb.lang,
+        |    ln((COALESCE(c2, 0) + 1.0) / (COALESCE(c1, 0) + v)) AS logp
+        |  FROM ${p}cb
+        |  LEFT JOIN lcnt2 USING (lang, bigram)
+        |  LEFT JOIN lcnt1 ON lcnt1.lang = ${p}cb.lang AND lcnt1.ctx = ${p}cb.bigram[1:1]
+        |  JOIN lvoc ON lvoc.lang = ${p}cb.lang),
+        |${p}lm AS (SELECT doc_id, lang, round(-avg(logp) / ln(2), 6) AS lm_bits
+        |        FROM ${p}j GROUP BY doc_id, lang),
+        |${p}m AS (SELECT doc_id, lang,
+        |        CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro FROM ${p}lm)""".stripMargin
+    val head =
+      s"""WITH lrb AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> lower(text)[i:i+1])) AS bigram
+        |  FROM $refRel lref_src
+        |  WHERE length(text) >= 2),
+        |lcnt2 AS (SELECT lang, bigram, count(*) AS c2 FROM lrb GROUP BY lang, bigram),
+        |lcnt1 AS (SELECT lang, bigram[1:1] AS ctx, count(*) AS c1 FROM lrb GROUP BY lang, ctx),
+        |lvoc AS (SELECT lang, count(DISTINCT bigram[2:2]) AS v FROM lrb GROUP BY lang)""".stripMargin
+    val cuts =
+      """c AS (SELECT lang,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
+        |  FROM fm GROUP BY lang)""".stripMargin
+    val apply =
+      if (applyRel == fitRel) "am AS (SELECT * FROM fm)"
+      else score("a", applyRel)
+    val tail =
+      """SELECT doc_id, am.lang, bits_micro,
+        |  CASE WHEN bits_micro <= c.c1 THEN 'head'
+        |       WHEN bits_micro <= c.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM am JOIN c USING (lang) ORDER BY doc_id""".stripMargin
+    Seq(head, score("f", fitRel), cuts, apply).mkString(",\n") + "\n" + tail
+  }
 
   /** [[graft.ops.Text.robotsMetaExpr]]'s DuckDB mirror — the planted
     * meta tag by doc_id class, shared by q183 and q185 so the two

@@ -248,6 +248,61 @@ object CurationIndex {
     * refitting. m·k rows of subDim doubles — kilobytes, the
     * bounded-collect class.
     */
+  /** Persist the per-language CCNet deployment state — the
+    * [[Quality.ccnetLangState]] pair: the (lang, bigram, c2) model
+    * count table (everything the models ARE; cnt₁/V derive from it)
+    * and the (lang, c1, c2) cutoff table — as
+    * `path/ccnet_lang_bigrams` plus a format-marked
+    * `path/ccnet_lang_cuts`. Both frames are broadcast-bounded
+    * (#languages × alphabet² and #languages × 2 longs), so the
+    * coalesce(1) is safe by construction. Completes the L61
+    * fit-once/apply-many contract for the L64 family: a later session
+    * [[loadCcnetLangState]]s and buckets NEW batches through the
+    * unchanged [[Quality.ccnetBucketsByLangFrom]] with zero refit.
+    */
+  def writeCcnetLang(spark: SparkSession, path: String,
+      cnt2: DataFrame, cuts: DataFrame): Unit = {
+    cnt2.select(col("lang"), col("bigram"), col("c2").cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/ccnet_lang_bigrams")
+    cuts.select(col("lang"), col("c1").cast("long"), col("c2").cast("long"))
+      .withColumn("format", lit(FormatVersion))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/ccnet_lang_cuts")
+  }
+
+  /** Load a state pair written by [[writeCcnetLang]], enforcing the
+    * format marker and that every cutoff language has model rows (a
+    * cutoff whose language lost its counts would silently score
+    * nothing — fail loudly instead). Languages with models but no
+    * cutoffs stay loadable: the apply join drops them, the documented
+    * unmodeled-language contract.
+    */
+  def loadCcnetLangState(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cutsRaw = spark.read.parquet(s"$path/ccnet_lang_cuts")
+    require(cutsRaw.columns.contains("format"),
+      s"CurationIndex.loadCcnetLangState($path): ccnet_lang_cuts " +
+        "carries no format marker")
+    val fmts = cutsRaw.select(col("format").cast("long"))
+      .distinct().as[Long].collect()
+    require(fmts.sameElements(Array(FormatVersion)),
+      s"CurationIndex.loadCcnetLangState($path): format " +
+        s"${fmts.mkString(",")} != $FormatVersion — rebuild with this " +
+        "build's writeCcnetLang")
+    val bigrams = spark.read.parquet(s"$path/ccnet_lang_bigrams")
+    val cuts = cutsRaw.drop("format")
+    val orphaned = cuts.select("lang").distinct()
+      .join(bigrams.select("lang").distinct(), Seq("lang"), "left_anti")
+      .as[String].collect()
+    require(orphaned.isEmpty,
+      s"CurationIndex.loadCcnetLangState($path): cutoffs for " +
+        s"languages with no model rows: ${orphaned.mkString(",")} — " +
+        "corrupt state")
+    (bigrams, cuts)
+  }
+
   def writePq(spark: SparkSession, path: String,
       idx: Similarity.PqIndex): Unit = {
     import spark.implicits._

@@ -395,18 +395,34 @@ object Quality {
     * per-doc-aggregate map stage as [[lmScore]], ONE keyed shuffle end
     * to end, per-language only in the join keys.
     */
-  def lmScoreByLang(candidates: DataFrame, reference: DataFrame): DataFrame = {
-    import candidates.sparkSession.implicits._
+  def lmScoreByLang(candidates: DataFrame, reference: DataFrame): DataFrame =
+    lmScoreByLangFromCounts(candidates, langBigramCounts(reference))
+
+  /** The FIT half of [[lmScoreByLang]]: the per-language bigram count
+    * table (lang, bigram, c2) — everything the model IS (cnt₁ and V
+    * derive from it). ONE reference explode, eagerly checkpointed
+    * (bounded: #languages × |Σ|²; the derived aggregates must not
+    * re-execute the corpus subtree). Persist with
+    * [[CurationIndex.writeCcnetLang]] for fit-once/apply-many.
+    */
+  def langBigramCounts(reference: DataFrame): DataFrame = {
+    import reference.sparkSession.implicits._
     import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
-    // ONE reference explode; cnt₁/V derive from the checkpointed
-    // (lang, bigram) table exactly as lmScore's derive from (bigram) —
-    // the eager checkpoint keeps the derived aggregates from
-    // re-executing the corpus subtree.
-    val cnt2 = reference.filter(length($"text") >= 2)
+    reference.filter(length($"text") >= 2)
       .select($"lang",
         explode(charBigramStream(lower($"text"))).as("bigram"))
       .groupBy($"lang", $"bigram").agg(count(lit(1)).as("c2"))
       .localCheckpoint(true)
+  }
+
+  /** The APPLY half of [[lmScoreByLang]]: score candidates under an
+    * EXPLICIT count table (freshly fit, or loaded from a persisted
+    * index — a later session scores NEW batches with zero refit).
+    */
+  def lmScoreByLangFromCounts(candidates: DataFrame, cnt2: DataFrame)
+      : DataFrame = {
+    import candidates.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
     val cnt1 = cnt2.groupBy($"lang", substring($"bigram", 1, 1).as("ctx"))
       .agg(sum($"c2").as("c1"))
     val vocab = cnt2.groupBy($"lang")
@@ -442,19 +458,59 @@ object Quality {
     */
   def ccnetBucketsByLang(candidates: DataFrame, reference: DataFrame,
       exactCutoffs: Boolean = true, sketchAccuracy: Int = 10000): DataFrame = {
+    val lm = langMicroScores(candidates, langBigramCounts(reference))
+    assignLangBuckets(lm, langCutsFromScores(lm, exactCutoffs, sketchAccuracy))
+  }
+
+  /** [[ccnetBucketsByLang]] under EXPLICIT model state — the apply half
+    * for fit-once/apply-many: `cnt2` and `cuts` come from
+    * [[ccnetLangState]] (or [[CurationIndex.loadCcnetLangState]]) and a
+    * NEW batch is scored and bucketed with zero refit. Scoring is the
+    * relational broadcast-join path, so the apply is hash-exact (the
+    * per-row kernel twin carries the ±1-micro caveat; this one does
+    * not).
+    */
+  def ccnetBucketsByLangFrom(candidates: DataFrame, cnt2: DataFrame,
+      cuts: DataFrame): DataFrame =
+    assignLangBuckets(langMicroScores(candidates, cnt2), cuts)
+
+  /** The full per-language deployment STATE from one fit pass: the
+    * model count table and the per-language cutoffs — everything
+    * [[ccnetBucketsByLangFrom]] needs, both broadcast-bounded frames,
+    * persistable via [[CurationIndex.writeCcnetLang]].
+    */
+  def ccnetLangState(candidates: DataFrame, reference: DataFrame,
+      exactCutoffs: Boolean = true, sketchAccuracy: Int = 10000)
+      : (DataFrame, DataFrame) = {
+    val cnt2 = langBigramCounts(reference)
+    (cnt2,
+      langCutsFromScores(langMicroScores(candidates, cnt2),
+        exactCutoffs, sketchAccuracy))
+  }
+
+  private def langMicroScores(candidates: DataFrame, cnt2: DataFrame)
+      : DataFrame = {
     import candidates.sparkSession.implicits._
-    val lm = lmScoreByLang(candidates, reference)
+    lmScoreByLangFromCounts(candidates, cnt2)
       .select($"doc_id", $"lang",
         floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
-    val cuts =
-      if (exactCutoffs) lm.groupBy($"lang").agg(
-        floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
-        floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
-      else lm.groupBy($"lang").agg(expr(
-          s"approx_percentile(bits_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), $sketchAccuracy)")
-          .as("gk"))
-        .select($"lang", element_at($"gk", 1).as("c1"),
-          element_at($"gk", 2).as("c2"))
+  }
+
+  private def langCutsFromScores(lm: DataFrame, exactCutoffs: Boolean,
+      sketchAccuracy: Int): DataFrame = {
+    import lm.sparkSession.implicits._
+    if (exactCutoffs) lm.groupBy($"lang").agg(
+      floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
+      floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+    else lm.groupBy($"lang").agg(expr(
+        s"approx_percentile(bits_micro, array(CAST(1.0/3 AS DOUBLE), CAST(2.0/3 AS DOUBLE)), $sketchAccuracy)")
+        .as("gk"))
+      .select($"lang", element_at($"gk", 1).as("c1"),
+        element_at($"gk", 2).as("c2"))
+  }
+
+  private def assignLangBuckets(lm: DataFrame, cuts: DataFrame): DataFrame = {
+    import lm.sparkSession.implicits._
     lm.join(broadcast(cuts), Seq("lang"))
       .withColumn("bucket",
         when($"bits_micro" <= $"c1", "head")
@@ -474,41 +530,49 @@ object Quality {
     */
   def ccnetLangModels(candidates: DataFrame, reference: DataFrame)
       : Map[String, (CharLm, Long, Long)] = {
-    import candidates.sparkSession.implicits._
-    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
-    // ONE reference pass fits every language's model (collect the
-    // lang-keyed bigram table, split driver-side — NOT a per-language
-    // driver loop of corpus scans); ONE candidate pass fits every
-    // language's cutoffs (the grouped percentile from
-    // ccnetBucketsByLang, collected at #languages rows).
-    val byLang = reference.filter(length($"text") >= 2)
-      .select($"lang",
-        explode(charBigramStream(lower($"text"))).as("bigram"))
-      .groupBy($"lang", $"bigram").agg(count(lit(1)).as("c"))
+    // ONE reference pass fits every language's model and ONE candidate
+    // pass every language's cutoffs (NOT a per-language driver loop of
+    // corpus scans) — the same state ccnetLangState persists, here
+    // collected into driver form for the streaming kernel.
+    val (cnt2, cuts) = ccnetLangState(candidates, reference)
+    ccnetModelsFromState(cnt2, cuts)
+  }
+
+  /** Collect a (cnt2, cuts) state pair — freshly fit or
+    * [[CurationIndex.loadCcnetLangState]]-loaded — into the driver
+    * Map the streaming kernel broadcasts. Languages with no fitted
+    * cutoffs (absent from the fit candidates) are dropped.
+    */
+  def ccnetModelsFromState(cnt2: DataFrame, cuts: DataFrame)
+      : Map[String, (CharLm, Long, Long)] = {
+    import cnt2.sparkSession.implicits._
+    val models = cnt2.select($"lang", $"bigram", $"c2")
       .as[(String, String, Long)].collect()
       .groupBy(_._1)
-    val models = byLang.map { case (l, rows) =>
-      val big = rows.map { case (_, b, c) =>
-          val a = b.codePointAt(0)
-          ((a.toLong << 32) | b.codePointAt(Character.charCount(a)), c)
-        }.sortBy(_._1)
-      val ctx = big.groupBy(e => (e._1 >>> 32).toInt).view
-        .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
-      val v = big.map(_._1 & 0xffffffffL).distinct.length.toLong
-      l -> CharLm(big.map(_._1), big.map(_._2), ctx.map(_._1),
-        ctx.map(_._2), v)
-    }
-    val lm = lmScoreByLang(candidates, reference)
-      .select($"lang",
-        floor($"bits_per_transition" * 1e6 + 0.5).cast("long").as("bits_micro"))
-    val fitted = lm.groupBy($"lang").agg(
-        floor(percentile($"bits_micro", lit(1.0 / 3)) + 0.5).cast("long").as("c1"),
-        floor(percentile($"bits_micro", lit(2.0 / 3)) + 0.5).cast("long").as("c2"))
+      .map { case (l, rows) =>
+        l -> charLmFromStringCounts(rows.map(r => (r._2, r._3))) }
+    val fitted = cuts.select($"lang", $"c1", $"c2")
       .as[(String, Long, Long)].collect()
-      .map { case (l, c1, c2) => l -> (c1, c2) }.toMap
+      .map { case (l, c1, c2) => l -> ((c1, c2)) }.toMap
     models.collect { case (l, m) if fitted.contains(l) =>
-      l -> (m, fitted(l)._1, fitted(l)._2)
+      l -> ((m, fitted(l)._1, fitted(l)._2))
     }.toMap
+  }
+
+  /** Pack a (bigram string, count) table into a [[CharLm]] — cnt₁ and
+    * V derived exactly as [[charLm]] derives them (code-point pair
+    * packed into a 64-bit key; astral-safe).
+    */
+  private[graft] def charLmFromStringCounts(rows: Seq[(String, Long)])
+      : CharLm = {
+    val big = rows.map { case (b, c) =>
+        val a = b.codePointAt(0)
+        ((a.toLong << 32) | b.codePointAt(Character.charCount(a)), c)
+      }.sortBy(_._1).toArray
+    val ctx = big.groupBy(e => (e._1 >>> 32).toInt).view
+      .mapValues(_.map(_._2).sum).toArray.sortBy(_._1)
+    val v = big.map(_._1 & 0xffffffffL).distinct.length.toLong
+    CharLm(big.map(_._1), big.map(_._2), ctx.map(_._1), ctx.map(_._2), v)
   }
 
   /** ORACLED exercise (q180): [[ccnetBucketsByLang]] on q113's split —
@@ -523,6 +587,34 @@ object Quality {
         docs.filter(col("doc_id") % 3 =!= 0),
         docs.filter(col("doc_id") % 3 === 0))
       .orderBy(col("doc_id"))
+  }
+
+  /** ORACLED exercise (q186): the per-language CCNet state's
+    * fit-once/apply-many round trip — models + cutoffs fit on the EVEN
+    * doc_ids ([[ccnetLangState]]: reference = even ∧ %3==0, cutoff
+    * candidates = even ∧ %3≠0), persisted via
+    * [[CurationIndex.writeCcnetLang]], reloaded, and the ODD docs
+    * bucketed under the LOADED state with zero refit
+    * ([[ccnetBucketsByLangFrom]] — the relational apply, hash-exact).
+    * DuckDB re-derives the even-split fit and the odd-split apply
+    * directly, so the persisted round trip must be byte-invisible in
+    * the output — the q175 pattern for the L64 family.
+    */
+  def q186CcnetLangDeltaApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val (cnt2, cuts) = ccnetLangState(
+      even.filter($"doc_id" % 3 =!= 0),
+      even.filter($"doc_id" % 3 === 0))
+    // fixed per-session path + overwrite, NOT createTempDirectory (the
+    // q175 rule: Bench re-runs each query and fresh dirs accumulate)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q186-ccnet-" +
+      spark.sparkContext.applicationId
+    CurationIndex.writeCcnetLang(spark, idx, cnt2, cuts)
+    val (lcnt2, lcuts) = CurationIndex.loadCcnetLangState(spark, idx)
+    ccnetBucketsByLangFrom(docs.filter($"doc_id" % 2 === 1), lcnt2, lcuts)
+      .orderBy($"doc_id")
   }
 
   /** CCNet-style TEXT NORMALIZATION (Wenzek et al. 2020 §4.2 normalize
@@ -1225,23 +1317,32 @@ object Quality {
     */
   private[ops] def c4Plant(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = split($"text", " ")
+    docs.select($"doc_id", c4PlantLinesExpr($"doc_id", $"text").as("lines"))
+  }
+
+  /** [[c4Plant]]'s line construction as a pure expression factory, so a
+    * composition that needs EXTRA carried columns (q185 keeps `source`
+    * for the site-boilerplate stage) plants in ONE select instead of
+    * joining the planted frame back to `documents` — a corpus
+    * self-join saved.
+    */
+  private[graft] def c4PlantLinesExpr(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = split(text, " ")
     val nl = ceil(least(size(w), lit(48)).cast("double") / 12).cast("int")
     val deco = transform(sequence(lit(0), nl - 1), i => {
       val line = array_join(slice(w, i * lit(12) + 1, lit(12)), " ")
-      when((($"doc_id" + i) % 4) === 0, line)
+      when(((docId + i) % 4) === 0, line)
         .otherwise(concat(line, lit(".")))
     })
     val emptyArr = array().cast("array<string>")
     def inj(m: Int, line: String) =
-      when($"doc_id" % m === 0, array(lit(line))).otherwise(emptyArr)
-    docs.select($"doc_id",
-      concat(deco,
-        inj(5, "please enable javascript and cookies to continue."),
-        inj(7, "read more."),
-        inj(11, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
-        inj(13, "var config = { mode: production };"))
-        .as("lines"))
+      when(docId % m === 0, array(lit(line))).otherwise(emptyArr)
+    concat(deco,
+      inj(5, "please enable javascript and cookies to continue."),
+      inj(7, "read more."),
+      inj(11, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+      inj(13, "var config = { mode: production };"))
   }
 
   /** Deterministic duplicate-line corpus for [[q166DupLines]] (the

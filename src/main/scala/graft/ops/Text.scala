@@ -855,14 +855,14 @@ object Text {
   def q185CrawlHead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Sources.documents(spark, dir)
-    val sited = Quality.c4Plant(docs)
-      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
-      .select($"doc_id", $"source",
-        concat(
-          array(concat(lit("home | products | about \u2014 "), $"source")),
-          $"lines",
-          array(concat(lit("copyright "), $"source",
-            lit(" all rights reserved")))).as("lines"))
+    // plant in ONE select (c4 lines + site template, source carried) \u2014
+    // no plant-to-documents self-join in the head of the plan
+    val sited = docs.select($"doc_id", $"source",
+      concat(
+        array(concat(lit("home | products | about \u2014 "), $"source")),
+        Quality.c4PlantLinesExpr($"doc_id", $"text"),
+        array(concat(lit("copyright "), $"source",
+          lit(" all rights reserved")))).as("lines"))
     val pages = sited.select($"doc_id", $"source", concat(
       lit("<html><head>"), robotsMetaExpr($"doc_id"),
       lit("<style>p { color: red; }</style></head><body><p>"),

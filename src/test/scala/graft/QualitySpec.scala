@@ -317,6 +317,46 @@ class QualitySpec extends SparkTestBase {
     }
   }
 
+  test("ccnet lang state round trip: persisted fit buckets a new batch " +
+      "exactly like the in-session fit; corrupt state fails loudly") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val (cnt2, cuts) = ops.Quality.ccnetLangState(
+      even.filter($"doc_id" % 3 =!= 0), even.filter($"doc_id" % 3 === 0))
+    val direct = ops.Quality.ccnetBucketsByLangFrom(odd, cnt2, cuts)
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+    assert(direct.nonEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ccnet-lang").toString
+    ops.CurationIndex.writeCcnetLang(spark, dir, cnt2, cuts)
+    val (lcnt2, lcuts) = ops.CurationIndex.loadCcnetLangState(spark, dir)
+    val viaIndex = ops.Quality.ccnetBucketsByLangFrom(odd, lcnt2, lcuts)
+      .as[(Long, String, Long, String)].collect().sortBy(_._1)
+    assert(viaIndex.toSeq === direct.toSeq,
+      "the persisted round trip must be invisible in the output")
+    // the driver Map built from loaded state matches the fresh fit
+    val fresh = ops.Quality.ccnetModelsFromState(cnt2, cuts)
+    val loaded = ops.Quality.ccnetModelsFromState(lcnt2, lcuts)
+    assert(loaded.keySet === fresh.keySet)
+    loaded.foreach { case (l, (lm, c1, c2)) =>
+      val (flm, fc1, fc2) = fresh(l)
+      assert((c1, c2) === ((fc1, fc2)), s"lang $l cutoffs")
+      assert(lm.bigramKeys.toSeq === flm.bigramKeys.toSeq &&
+        lm.bigramCounts.toSeq === flm.bigramCounts.toSeq &&
+        lm.vocab === flm.vocab, s"lang $l model")
+    }
+    // marker-less directory fails loudly
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft-ccnet-bad").toString
+    cnt2.write.mode("overwrite").parquet(s"$bad/ccnet_lang_bigrams")
+    cuts.write.mode("overwrite").parquet(s"$bad/ccnet_lang_cuts")
+    val err = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadCcnetLangState(spark, bad)
+    }
+    assert(err.getMessage.contains("format marker"))
+  }
+
   test("siteBoilerplateClean: source-scoped df threshold, blank-line " +
       "exemption, removal from every doc, total output") {
     val docs = Seq(
