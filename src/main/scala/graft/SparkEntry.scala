@@ -204,6 +204,7 @@ object SparkEntry {
     "q184_site_boilerplate" -> (Quality.q184SiteBoilerplate _),
     "q185_crawl_head" -> (Text.q185CrawlHead _),
     "q186_ccnet_lang_delta" -> (Quality.q186CcnetLangDeltaApply _),
+    "q187_bm25_topk" -> (Similarity.q187Bm25TopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3966,6 +3967,46 @@ object SparkEntry {
       "(SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0)",
       "(SELECT * FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0)",
       "(SELECT * FROM documents WHERE doc_id % 2 = 1)"),
+    // Okapi BM25 top-5: tf/dl/df/idf tables, exactly-representable
+    // k1=1.25 b=0.75 constants, per-(query, doc, term) micro-unit
+    // contributions summed as LONGS (no double-accumulation order),
+    // rank ties on doc_id — every rank and score hash-checked
+    "q187_bm25_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    unnest(string_split(lower(text), ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |qsrc AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS text
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t.term FROM qsrc,
+        |    unnest(string_split(lower(text), ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |      ((tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + (0.75 * dl.dl) /
+        |        (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+        |      * 1e6 + 0.5) AS BIGINT) AS c
+        |  FROM qt JOIN tf USING (term)
+        |  JOIN dfq USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        |      FROM agg)
+        |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked

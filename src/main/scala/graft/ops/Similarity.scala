@@ -1756,6 +1756,94 @@ object Similarity {
     * hash-checked against DuckDB's full re-derivation of buckets,
     * idf, norms, and dot products.
     */
+  /** L3 (LEXICAL retrieval) — Okapi BM25 top-k search (Robertson &
+    * Zaragoza 2009, "The Probabilistic Relevance Framework" — public;
+    * the Lucene-positive idf variant ln((N−df+0.5)/(df+0.5)+1)): the
+    * term-match complement of the embedding ANN family, and what
+    * curation pipelines actually run for decontamination retrieval and
+    * dedup candidate mining when no encoder is in the loop.
+    *
+    * Determinism: each (query, doc, term) contribution is rounded to
+    * the integer micro grid (floor(x·1e6+0.5) of an IEEE double both
+    * engines compute identically) and the per-doc score is a sum of
+    * LONGS — no double-accumulation order anywhere, so scores and
+    * ranks are exact across engines (rank ties break on doc_id). The
+    * k1/b defaults are EXACTLY representable doubles (1.25, 0.75) so
+    * every constant in the algebra round-trips between engines
+    * bit-for-bit; avgdl is the one derived double (exact long sum /
+    * exact long count, the same division both sides).
+    *
+    * 100 TB posture: ONE corpus explode into the (doc, term) tf table
+    * (map-side combine); doc lengths, df, and the 1-row corpus stats
+    * re-aggregate it. Query terms broadcast into the posting join
+    * (queries are a bounded probe set — the q22/kNN discipline), so
+    * the candidate mass is Σ matched-posting sizes. `dfCap` bounds
+    * the worst posting list (the q39 stop-shingle posture as a
+    * production knob: a df-100k term contributes near-zero idf at
+    * corpus scale but costs a 100k-row join — dropping it trades
+    * nothing for the bound; default keeps every term, textbook BM25).
+    * Top-k is a per-query window over the aggregated candidates.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      k1: Double = 1.25, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    def words(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+          explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= "")
+    // ONE corpus pass: tf is frozen, dl/df/stats re-aggregate it
+    val tf = words(corpus, "doc_id")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val dfTbl = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val qt = words(queries, "query_id").distinct()
+    val avgdl = $"sum_dl".cast("double") / $"n_docs"
+    val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+    val contrib = idf *
+      (($"tf" * lit(k1 + 1.0)) /
+        ($"tf" + lit(k1) * (lit(1.0 - b) + (lit(b) * $"dl") / avgdl)))
+    val out = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(dfTbl, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .filter($"df" <= dfCap)
+      .select($"query_id", $"doc_id",
+        floor(contrib * 1e6 + 0.5).cast("long").as("c"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"c").as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"score_micro".desc, $"doc_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"score_micro")
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
+  }
+
+  /** ORACLED exercise (q187): [[bm25TopK]] with every 53rd document's
+    * first 8 words as the query set over the full corpus — DuckDB
+    * re-derives the tf table, document lengths, document frequencies,
+    * the stopword drop, every micro-unit contribution, and every
+    * rank. Self-retrieval (the query's source doc in its own top-5)
+    * is the spec-level sanity arm.
+    */
+  def q187Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    bm25TopK(docs, queries, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   def q132TfidfDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Sources.documents(spark, dir)

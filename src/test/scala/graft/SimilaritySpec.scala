@@ -799,6 +799,39 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("bm25: rare-term queries rank their doc first, common terms score " +
+      "low, dfCap drops hot postings, ties break on doc_id") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma zebra"),
+      (2L, "alpha beta gamma quokka quokka"),
+      (3L, "alpha beta gamma wombat"),
+      (4L, "alpha beta gamma"),
+      (5L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      (101L, "zebra"),
+      (102L, "quokka alpha"))
+      .toDF("query_id", "text")
+    val got = ops.Similarity.bm25TopK(corpus, queries, k = 3)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // the rare term dominates: its doc is rank 1 with a positive score
+    assert(got(101L).head._3 === 1L && got(101L).head._4 > 0L)
+    assert(got(102L).head._3 === 2L, "quokka (tf 2) doc must lead")
+    // every corpus doc matches 'alpha', so query 102 fills k=3; the
+    // non-quokka candidates tie on the alpha contribution alone and
+    // must break upward on doc_id
+    val rest = got(102L).drop(1)
+    assert(rest.map(_._3) === rest.map(_._3).sorted,
+      "tied candidates must order by doc_id")
+    // dfCap = 2 drops the df-5 common terms: query 102 keeps only the
+    // quokka doc, query 101 only the zebra doc
+    val capped = ops.Similarity.bm25TopK(corpus, queries, k = 3, dfCap = 2L)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(capped.map(r => (r._1, r._3)).toSet === Set((101L, 1L), (102L, 2L)),
+      s"dfCap must drop the common-term candidates: ${capped.mkString(",")}")
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
