@@ -205,6 +205,7 @@ object SparkEntry {
     "q185_crawl_head" -> (Text.q185CrawlHead _),
     "q186_ccnet_lang_delta" -> (Quality.q186CcnetLangDeltaApply _),
     "q187_bm25_topk" -> (Similarity.q187Bm25TopK _),
+    "q188_bm25_delta_query" -> (Similarity.q188Bm25DeltaQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3971,42 +3972,11 @@ object SparkEntry {
     // k1=1.25 b=0.75 constants, per-(query, doc, term) micro-unit
     // contributions summed as LONGS (no double-accumulation order),
     // rank ties on doc_id — every rank and score hash-checked
-    "q187_bm25_topk" ->
-      """WITH w AS (
-        |  SELECT doc_id, t.term FROM documents,
-        |    unnest(string_split(lower(text), ' ')) AS t(term)
-        |  WHERE t.term <> ''),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |qsrc AS (
-        |  SELECT doc_id AS query_id,
-        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS text
-        |  FROM documents WHERE doc_id % 53 = 0),
-        |qt AS (
-        |  SELECT DISTINCT query_id, t.term FROM qsrc,
-        |    unnest(string_split(lower(text), ' ')) AS t(term)
-        |  WHERE t.term <> ''),
-        |sc AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(floor(
-        |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
-        |      ((tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + (0.75 * dl.dl) /
-        |        (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
-        |      * 1e6 + 0.5) AS BIGINT) AS c
-        |  FROM qt JOIN tf USING (term)
-        |  JOIN dfq USING (term)
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN st),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
-        |        FROM sc GROUP BY query_id, doc_id),
-        |r AS (SELECT query_id, doc_id, score_micro,
-        |        CAST(row_number() OVER (PARTITION BY query_id
-        |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
-        |      FROM agg)
-        |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q187_bm25_topk" -> bm25OracleSql(53, 8),
+    // the persisted-index delta query: a fresh probe set served off the
+    // reloaded index — DuckDB re-derives index and ranks directly, so
+    // the CurationIndex round trip must be byte-invisible
+    "q188_bm25_delta_query" -> bm25OracleSql(71, 6),
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked
@@ -4187,6 +4157,50 @@ object SparkEntry {
         |FROM am JOIN c USING (lang) ORDER BY doc_id""".stripMargin
     Seq(head, score("f", fitRel), cuts, apply).mkString(",\n") + "\n" + tail
   }
+
+  /** The BM25 chain, parameterized by the probe-set rule (every
+    * `qMod`-th doc's first `qWords` words): tf/dl/df/stats tables,
+    * exactly-representable k1=1.25/b=0.75 constants, micro-unit
+    * contributions summed as LONGS, rank ties on doc_id — shared by
+    * q187 and q188 (the persisted delta query) so the two oracles
+    * cannot desynchronize.
+    */
+  private def bm25OracleSql(qMod: Int, qWords: Int): String =
+    s"""WITH w AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    unnest(string_split(lower(text), ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |qsrc AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:$qWords], ' ') AS text
+        |  FROM documents WHERE doc_id % $qMod = 0),
+        |qt AS (
+        |  SELECT DISTINCT query_id, t.term FROM qsrc,
+        |    unnest(string_split(lower(text), ' ')) AS t(term)
+        |  WHERE t.term <> ''),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |      ((tf.tf * 2.25) / (tf.tf + 1.25 * (0.25 + (0.75 * dl.dl) /
+        |        (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+        |      * 1e6 + 0.5) AS BIGINT) AS c
+        |  FROM qt JOIN tf USING (term)
+        |  JOIN dfq USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |        FROM sc GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        |      FROM agg)
+        |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
 
   /** [[graft.ops.Text.robotsMetaExpr]]'s DuckDB mirror — the planted
     * meta tag by doc_id class, shared by q183 and q185 so the two

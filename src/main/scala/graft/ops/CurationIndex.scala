@@ -303,6 +303,48 @@ object CurationIndex {
     (bigrams, cuts)
   }
 
+  /** Persist a BM25 inverted index ([[Similarity.bm25TermFreqs]]'s
+    * (doc_id, term, tf) table) as `path/bm25_tf` plus a format-marked
+    * meta carrying the doc count for a load-time completeness check.
+    * The index is CORPUS-SIZED (the phash-index class, not the
+    * alphabet-bounded LM class) — written at its natural
+    * parallelism, NO coalesce. Build once, serve query batches
+    * forever through the unchanged [[Similarity.bm25TopKFrom]].
+    */
+  def writeBm25(spark: SparkSession, path: String, tf: DataFrame): Unit = {
+    import spark.implicits._
+    tf.select(col("doc_id").cast("long"), col("term"),
+        col("tf").cast("long"))
+      .write.mode("overwrite").parquet(s"$path/bm25_tf")
+    val nDocs = tf.select(countDistinct(col("doc_id"))).as[Long].head()
+    Seq((nDocs, FormatVersion)).toDF("n_docs", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bm25_meta")
+  }
+
+  /** Load an index written by [[writeBm25]], enforcing the format
+    * marker and that the doc count matches the meta (a partially
+    * written tf table would silently deflate every df and idf — fail
+    * loudly instead).
+    */
+  def loadBm25(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/bm25_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.loadBm25($path): bm25_meta carries no format marker")
+    val rows = meta.select(col("n_docs").cast("long"),
+      col("format").cast("long")).as[(Long, Long)].collect()
+    require(rows.length == 1 && rows.head._2 == FormatVersion,
+      s"CurationIndex.loadBm25($path): bad meta " +
+        s"${rows.mkString("[", ",", "]")} — rebuild with this build's " +
+        "writeBm25")
+    val tf = spark.read.parquet(s"$path/bm25_tf")
+    val nDocs = tf.select(countDistinct(col("doc_id"))).as[Long].head()
+    require(nDocs == rows.head._1,
+      s"CurationIndex.loadBm25($path): tf table covers $nDocs docs, " +
+        s"meta says ${rows.head._1} — truncated index")
+    tf
+  }
+
   def writePq(spark: SparkSession, path: String,
       idx: Similarity.PqIndex): Unit = {
     import spark.implicits._

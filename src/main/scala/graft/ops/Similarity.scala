@@ -1787,27 +1787,58 @@ object Similarity {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       k1: Double = 1.25, b: Double = 0.75,
       dfCap: Long = Long.MaxValue): DataFrame = {
+    val tf = bm25TermFreqs(corpus)
+    // freeze the result BEFORE releasing the index blocks — a
+    // truncated-lineage checkpoint cannot recompute once unpersisted
+    val out = bm25TopKFrom(tf, queries, k, k1, b, dfCap)
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    out
+  }
+
+  /** The BUILD half of [[bm25TopK]]: the (doc_id, term, tf) inverted
+    * index — everything the scorer needs (dl, df, and the corpus
+    * stats all re-aggregate it). ONE corpus explode with map-side
+    * combine, eagerly checkpointed so the derived aggregates read the
+    * frozen table instead of re-running the corpus scan. CORPUS-SIZED
+    * (unlike the alphabet-bounded LM state): persist with
+    * [[CurationIndex.writeBm25]] — build once, serve queries forever,
+    * the search-index deployment shape.
+    */
+  def bm25TermFreqs(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1, s"k must be >= 1: $k")
-    def words(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol),
-          explode(split(lower($"text"), " ")).as("term"))
-        .filter($"term" =!= "")
-    // ONE corpus pass: tf is frozen, dl/df/stats re-aggregate it
-    val tf = words(corpus, "doc_id")
+    corpus.select($"doc_id",
+        explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= "")
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+  }
+
+  /** The QUERY half of [[bm25TopK]]: score `queries` against an
+    * EXPLICIT tf index (freshly built, or
+    * [[CurationIndex.loadBm25]]-loaded — new query batches never
+    * re-index the corpus). The caller owns the index frame's
+    * lifecycle.
+    */
+  def bm25TopKFrom(tf: DataFrame, queries: DataFrame, k: Int = 5,
+      k1: Double = 1.25, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    import tf.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
     val dfTbl = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val qt = words(queries, "query_id").distinct()
+    val qt = queries
+      .select($"query_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term" =!= "").distinct()
     val avgdl = $"sum_dl".cast("double") / $"n_docs"
     val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
     val contrib = idf *
       (($"tf" * lit(k1 + 1.0)) /
         ($"tf" + lit(k1) * (lit(1.0 - b) + (lit(b) * $"dl") / avgdl)))
-    val out = tf
+    tf
       .join(broadcast(qt), Seq("term"))
       .join(dfTbl, Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -1822,9 +1853,6 @@ object Similarity {
           .orderBy($"score_micro".desc, $"doc_id")))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"doc_id", $"score_micro")
-      .localCheckpoint(true)
-    tf.unpersist(false)
-    out
   }
 
   /** ORACLED exercise (q187): [[bm25TopK]] with every 53rd document's
@@ -1841,6 +1869,32 @@ object Similarity {
       .select($"doc_id".as("query_id"),
         array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
     bm25TopK(docs, queries, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** ORACLED exercise (q188): the BM25 index's build-once/serve-many
+    * round trip — index the full corpus, persist via
+    * [[CurationIndex.writeBm25]], reload, and serve a FRESH query
+    * batch (every 71st doc's first 6 words — disjoint from q187's
+    * probe set) through the unchanged [[bm25TopKFrom]] with zero
+    * re-indexing. DuckDB re-derives index and ranks directly, so the
+    * persisted round trip must be byte-invisible (the q175/q186
+    * pattern, completing the L61 contract for lexical retrieval).
+    */
+  def q188Bm25DeltaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val tf = bm25TermFreqs(docs)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q188-bm25-" +
+      spark.sparkContext.applicationId
+    CurationIndex.writeBm25(spark, idx, tf)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    val loaded = CurationIndex.loadBm25(spark, idx)
+    val queries = docs.filter($"doc_id" % 71 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 6), " ").as("text"))
+    bm25TopKFrom(loaded, queries, k = 5)
       .orderBy($"query_id", $"rank")
   }
 

@@ -531,6 +531,31 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING BM25 QUERY SERVING — the search-serving twin of
+    * [[Similarity.bm25TopKFrom]] (q187/q188): query batches arrive as
+    * a stream and each micro-batch is scored against the STATIC
+    * persisted index ([[CurationIndex.loadBm25]]) through the
+    * UNCHANGED batch scorer — parity by construction, the
+    * build-once/serve-forever deployment. foreachBatch because top-k
+    * needs a per-query window over the batch's full candidate set
+    * (the [[perceptualDedupStream]] contract for whole-batch
+    * relational algebra); the index is corpus-sized and stays a
+    * joinable frame, never a forced broadcast (the keepSurvivors
+    * rule — only the batch's own query TERMS broadcast).
+    */
+  def bm25QueryStream(queries: DataFrame, tf: DataFrame,
+      sink: DataFrame => Unit, k: Int = 5,
+      dfCap: Long = Long.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(Similarity.bm25TopKFrom(tf,
+            batch.select(col("query_id"), col("text")), k = k,
+            dfCap = dfCap))
+      }
+      .start()
+
   /** STREAMING URL CURATION (T5 + L62) — q177's ingest twin: arriving
     * `(doc_id, url, ts)` rows canonicalize and blocklist-gate through
     * the EXACT batch expressions ([[Text.canonicalizeUrl]]/

@@ -832,6 +832,37 @@ class SimilaritySpec extends SparkTestBase {
       s"dfCap must drop the common-term candidates: ${capped.mkString(",")}")
   }
 
+  test("bm25 index round trip: persisted index serves queries exactly " +
+      "like the fresh build; truncated index fails loudly") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val queries = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 5), " ").as("text"))
+    val tf = ops.Similarity.bm25TermFreqs(docs)
+    val direct = ops.Similarity.bm25TopKFrom(tf, queries, k = 4)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(direct.nonEmpty)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString
+    ops.CurationIndex.writeBm25(spark, dir, tf)
+    val loaded = ops.CurationIndex.loadBm25(spark, dir)
+    val viaIndex = ops.Similarity.bm25TopKFrom(loaded, queries, k = 4)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(viaIndex.toSeq === direct.toSeq,
+      "the persisted round trip must be invisible in the ranks")
+    // truncated tf table (doc count below the meta's) fails loudly;
+    // collect BEFORE overwriting — writing a frame into the path it is
+    // being read from races the scan against the delete
+    val truncated = loaded.filter($"doc_id" % 2 === 0)
+      .as[(Long, String, Long)].collect()
+    truncated.toSeq.toDF("doc_id", "term", "tf")
+      .write.mode("overwrite").parquet(s"$dir/bm25_tf")
+    val err = intercept[IllegalArgumentException] {
+      ops.CurationIndex.loadBm25(spark, dir)
+    }
+    assert(err.getMessage.contains("truncated index"))
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")

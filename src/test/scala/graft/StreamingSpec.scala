@@ -24,6 +24,9 @@ case class LDoc(doc_id: Long, lang: String, text: String, ts: Timestamp)
 /** Source-tagged lines document for the site-boilerplate stream. */
 case class SDoc(doc_id: Long, source: String, lines: Seq[String], ts: Timestamp)
 
+/** Search query row for the BM25 serving stream. */
+case class QRow(query_id: Long, text: String, ts: Timestamp)
+
 /** Embedded document for the streaming semantic near-dup tests. */
 case class EDoc(doc_id: Long, embedding: Seq[Double], ts: Timestamp)
 
@@ -1103,6 +1106,48 @@ class StreamingSpec extends SparkTestBase {
         assert(r === batch(r._1), s"doc ${r._1} diverges from batch")
       }
     }
+  }
+
+  test("bm25 query stream matches the batch scorer per micro-batch " +
+      "against a persisted index") {
+    implicit val sql = spark.sqlContext
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val tf = ops.Similarity.bm25TermFreqs(docs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stream").toString
+    ops.CurationIndex.writeBm25(spark, dir, tf)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    val index = ops.CurationIndex.loadBm25(spark, dir).persist()
+    val qrows = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", array_join(slice(split($"text", " "), 1, 5), " "))
+      .as[(Long, String)].collect()
+    assert(qrows.length >= 4, "fixture must supply several queries")
+    val (b1, b2) = qrows.splitAt(qrows.length / 2)
+    val got = scala.collection.mutable.ArrayBuffer[Array[
+      (Long, Int, Long, Long)]]()
+    val input = MemoryStream[QRow]
+    val q = ops.Streaming.bm25QueryStream(input.toDF(), index,
+      out => got.synchronized {
+        got += out.as[(Long, Int, Long, Long)].collect()
+      }, k = 3)
+    withQuery(q) {
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toIndexedSeq.map { case (id, t) =>
+          QRow(id, t, new Timestamp(1700000000000L + id * 1000L)) }: _*)
+        q.processAllAvailable()
+      }
+    }
+    assert(got.length === 2, "one sink call per micro-batch")
+    Seq(b1, b2).zip(got).foreach { case (b, out) =>
+      val expect = ops.Similarity.bm25TopKFrom(index,
+          b.toSeq.toDF("query_id", "text"), k = 3)
+        .as[(Long, Int, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2))
+      assert(out.sortBy(r => (r._1, r._2)) === expect,
+        "micro-batch diverges from the batch scorer")
+    }
+    index.unpersist()
   }
 
   test("site-boilerplate stream matches the batch apply per micro-batch " +
