@@ -206,6 +206,7 @@ object SparkEntry {
     "q186_ccnet_lang_delta" -> (Quality.q186CcnetLangDeltaApply _),
     "q187_bm25_topk" -> (Similarity.q187Bm25TopK _),
     "q188_bm25_delta_query" -> (Similarity.q188Bm25DeltaQuery _),
+    "q189_bm25_append" -> (Similarity.q189Bm25Append _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3977,6 +3978,9 @@ object SparkEntry {
     // reloaded index — DuckDB re-derives index and ranks directly, so
     // the CurationIndex round trip must be byte-invisible
     "q188_bm25_delta_query" -> bm25OracleSql(71, 6),
+    // incremental append: q187's oracle VERBATIM — the appended index
+    // must serve the same probe set byte-identically to a fresh build
+    "q189_bm25_append" -> bm25OracleSql(53, 8),
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked

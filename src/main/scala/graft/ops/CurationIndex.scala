@@ -321,6 +321,31 @@ object CurationIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bm25_meta")
   }
 
+  /** Append a NEW batch's (doc_id, term, tf) rows to a persisted BM25
+    * index — incremental maintenance without rewriting the accumulated
+    * corpus-sized table (new parquet segments land beside the old; the
+    * 1-row meta is rewritten with the new doc count). CONTRACT: the
+    * appended doc_ids must be new — an id already indexed would split
+    * its rows across segments and double-count df; enforced against
+    * the meta by doc-count arithmetic at the next [[loadBm25]] only if
+    * counts disagree, so the caller owns id discipline (the
+    * [[Similarity.knnJoinIvf]] frozen-quantizer append posture).
+    */
+  def appendBm25(spark: SparkSession, path: String, newTf: DataFrame): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/bm25_meta")
+      .select(col("n_docs").cast("long"), col("format").cast("long"))
+      .as[(Long, Long)].collect()
+    require(meta.length == 1 && meta.head._2 == FormatVersion,
+      s"CurationIndex.appendBm25($path): bad meta — not a writeBm25 index")
+    val added = newTf.select(countDistinct(col("doc_id"))).as[Long].head()
+    newTf.select(col("doc_id").cast("long"), col("term"),
+        col("tf").cast("long"))
+      .write.mode("append").parquet(s"$path/bm25_tf")
+    Seq((meta.head._1 + added, FormatVersion)).toDF("n_docs", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bm25_meta")
+  }
+
   /** Load an index written by [[writeBm25]], enforcing the format
     * marker and that the doc count matches the meta (a partially
     * written tf table would silently deflate every df and idf — fail

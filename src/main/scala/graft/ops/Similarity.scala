@@ -1881,6 +1881,42 @@ object Similarity {
     * persisted round trip must be byte-invisible (the q175/q186
     * pattern, completing the L61 contract for lexical retrieval).
     */
+  /** ORACLED exercise (q189): INCREMENTAL index maintenance — index
+    * the even doc_ids, [[CurationIndex.appendBm25]] the odd batch as
+    * new segments (no rewrite of the accumulated table), and serve
+    * q187's probe set off the appended index. DuckDB re-derives the
+    * FULL-corpus index and ranks directly, so the append must be
+    * byte-equivalent to a fresh build over everything — the
+    * incremental path can never drift from the batch path.
+    */
+  def q189Bm25Append(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val tfEven = bm25TermFreqs(docs.filter($"doc_id" % 2 === 0))
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q189-bm25-" +
+      spark.sparkContext.applicationId
+    // Bench re-runs queries in one session: wipe the fixed per-session
+    // path so the append is not applied twice onto the prior run's
+    // segments (append is the one CurationIndex op that is not
+    // idempotent under overwrite mode)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    CurationIndex.writeBm25(spark, idx, tfEven)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tfEven).foreach(_.unpersist(false))
+    val tfOdd = bm25TermFreqs(docs.filter($"doc_id" % 2 === 1))
+    CurationIndex.appendBm25(spark, idx, tfOdd)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tfOdd).foreach(_.unpersist(false))
+    val loaded = CurationIndex.loadBm25(spark, idx)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    bm25TopKFrom(loaded, queries, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   def q188Bm25DeltaQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Sources.documents(spark, dir)

@@ -863,6 +863,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(err.getMessage.contains("truncated index"))
   }
 
+  test("bm25 append: incrementally appended index serves queries exactly " +
+      "like a fresh full build, and meta doc counts accumulate") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val queries = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 5), " ").as("text"))
+    val full = ops.Similarity.bm25TopKFrom(
+        ops.Similarity.bm25TermFreqs(docs), queries, k = 4)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-append").toString
+    ops.CurationIndex.writeBm25(spark, dir,
+      ops.Similarity.bm25TermFreqs(docs.filter($"doc_id" % 2 === 0)))
+    ops.CurationIndex.appendBm25(spark, dir,
+      ops.Similarity.bm25TermFreqs(docs.filter($"doc_id" % 2 === 1)))
+    val loaded = ops.CurationIndex.loadBm25(spark, dir)
+    val appended = ops.Similarity.bm25TopKFrom(loaded, queries, k = 4)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(appended.toSeq === full.toSeq,
+      "the incremental path must never drift from the batch path")
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
