@@ -207,6 +207,7 @@ object SparkEntry {
     "q187_bm25_topk" -> (Similarity.q187Bm25TopK _),
     "q188_bm25_delta_query" -> (Similarity.q188Bm25DeltaQuery _),
     "q189_bm25_append" -> (Similarity.q189Bm25Append _),
+    "q190_hybrid_rrf" -> (Similarity.q190HybridRrf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3981,6 +3982,35 @@ object SparkEntry {
     // incremental append: q187's oracle VERBATIM — the appended index
     // must serve the same probe set byte-identically to a fresh build
     "q189_bm25_append" -> bm25OracleSql(53, 8),
+    // hybrid RRF: the shared BM25 rank chain + the q22 cosine algebra,
+    // full-outer fused as 1/(60+rank) micro terms — every fused rank
+    // hash-checked; RRF needs no score calibration, only ranks
+    "q190_hybrid_rrf" ->
+      ("WITH " + bm25CtesSql(53, 8) + ",\n" +
+        """lext AS (SELECT query_id, doc_id, rank AS lex_rank FROM r WHERE rank <= 10),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id % 53 = 0),
+        |sem0 AS (
+        |  SELECT qv.query_id, e.vec_id AS doc_id,
+        |    list_dot_product(e.vec, qv.qvec) /
+        |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cos
+        |  FROM emb e, qv),
+        |semr AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+        |  FROM sem0),
+        |semt AS (SELECT * FROM semr WHERE sem_rank <= 10),
+        |fused AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(floor((COALESCE(1.0 / (60 + lex_rank), 0) +
+        |                COALESCE(1.0 / (60 + sem_rank), 0)) * 1e6 + 0.5) AS BIGINT) AS rrf_micro,
+        |    lex_rank, sem_rank
+        |  FROM lext FULL JOIN semt USING (query_id, doc_id)),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, lex_rank, sem_rank,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+        |  FROM fused)
+        |SELECT query_id, rank, doc_id, rrf_micro, lex_rank, sem_rank
+        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked
@@ -4170,7 +4200,15 @@ object SparkEntry {
     * cannot desynchronize.
     */
   private def bm25OracleSql(qMod: Int, qWords: Int): String =
-    s"""WITH w AS (
+    "WITH " + bm25CtesSql(qMod, qWords) + "\n" +
+      """SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+
+  /** The BM25 chain up to the unfiltered ranked table `r` — shared by
+    * the q187/q188/q189 final selects and the q190 hybrid fusion.
+    */
+  private def bm25CtesSql(qMod: Int, qWords: Int): String =
+    s"""w AS (
         |  SELECT doc_id, t.term FROM documents,
         |    unnest(string_split(lower(text), ' ')) AS t(term)
         |  WHERE t.term <> ''),
@@ -4202,9 +4240,7 @@ object SparkEntry {
         |r AS (SELECT query_id, doc_id, score_micro,
         |        CAST(row_number() OVER (PARTITION BY query_id
         |          ORDER BY score_micro DESC, doc_id) AS INT) AS rank
-        |      FROM agg)
-        |SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |      FROM agg)""".stripMargin
 
   /** [[graft.ops.Text.robotsMetaExpr]]'s DuckDB mirror — the planted
     * meta tag by doc_id class, shared by q183 and q185 so the two

@@ -1881,6 +1881,84 @@ object Similarity {
     * persisted round trip must be byte-invisible (the q175/q186
     * pattern, completing the L61 contract for lexical retrieval).
     */
+  /** HYBRID retrieval — Reciprocal Rank Fusion of the BM25 lexical
+    * ranking and the embedding cosine ranking (Cormack, Clarke &
+    * Buettcher 2009, "Reciprocal Rank Fusion outperforms Condorcet..."
+    * — public; the standard hybrid-search combiner because it needs no
+    * score calibration between the two signal families, only RANKS):
+    * RRF(d) = Σ_source 1/(rrfK + rank_source(d)) over each source's
+    * top-`poolK`. Documents found by only one arm keep that arm's term
+    * (the full-outer semantics); the fused score rides the micro grid
+    * (each term is 1/(k+rank) of an exact integer — both engines
+    * compute the identical double — and the fusion SUM is over at most
+    * two such terms in one expression, never an unordered aggregate),
+    * so ranks are exact across engines with doc_id tie-break.
+    *
+    * 100 TB posture: the lexical arm is [[bm25TopKFrom]]'s (broadcast
+    * query terms into the posting join); the semantic arm here is the
+    * BRUTE-FORCE cosine baseline (the q22 stance — substitute
+    * [[knnJoinIvf]] for the production path, the fusion is
+    * rank-source-agnostic); the fusion itself joins two
+    * poolK-bounded-per-query rank tables — negligible beside either
+    * arm.
+    */
+  def hybridRrfTopK(tf: DataFrame, queries: DataFrame,
+      embeddings: DataFrame, queryVecs: DataFrame, k: Int = 5,
+      poolK: Int = 10, rrfK: Long = 60L): DataFrame = {
+    import tf.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val lex = bm25TopKFrom(tf, queries, k = poolK)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val sem = embeddings
+      .select($"vec_id".as("doc_id"),
+        transform($"embedding", _.cast("double")).as("vec"))
+      .crossJoin(broadcast(queryVecs))
+      .select($"query_id", $"doc_id",
+        cosineSimilarity($"vec", $"qvec").as("cos"))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")))
+      .filter($"sem_rank" <= poolK)
+      .select($"query_id", $"doc_id", $"sem_rank")
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", floor(
+        (coalesce(lit(1.0) / (lit(rrfK) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + $"sem_rank"), lit(0.0)))
+          * 1e6 + 0.5).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"rrf_micro".desc, $"doc_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"doc_id", $"rrf_micro",
+        $"lex_rank", $"sem_rank")
+  }
+
+  /** ORACLED exercise (q190): [[hybridRrfTopK]] over q187's probe set
+    * — the text side queries with each probe doc's first 8 words, the
+    * vector side with its embedding (vec_id aligns with doc_id in the
+    * fixture); DuckDB re-derives the BM25 rank table (the shared green
+    * chain), the cosine rank table (the q22 algebra), the full-outer
+    * fusion, every micro RRF score, and every fused rank.
+    */
+  def q190HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    val emb = Sources.embeddings(spark, dir)
+    val queryVecs = emb.filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("query_id"),
+        transform($"embedding", _.cast("double")).as("qvec"))
+    val tf = bm25TermFreqs(docs)
+    val out = hybridRrfTopK(tf, queries, emb, queryVecs, k = 5)
+      .orderBy($"query_id", $"rank")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    out
+  }
+
   /** ORACLED exercise (q189): INCREMENTAL index maintenance — index
     * the even doc_ids, [[CurationIndex.appendBm25]] the odd batch as
     * new segments (no rewrite of the accumulated table), and serve

@@ -885,6 +885,35 @@ class SimilaritySpec extends SparkTestBase {
       "the incremental path must never drift from the batch path")
   }
 
+  test("hybrid rrf: fused score recomputes from the arm ranks, both-arm " +
+      "docs dominate, single-arm docs survive with one term") {
+    val out = ops.Similarity.q190HybridRrf(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    def micro(l: Option[Int], s: Option[Int]): Long = {
+      val v = l.map(r => 1.0 / (60L + r)).getOrElse(0.0) +
+        s.map(r => 1.0 / (60L + r)).getOrElse(0.0)
+      math.floor(v * 1e6 + 0.5).toLong
+    }
+    var sawLexOnly = false
+    var sawSemOnly = false
+    out.foreach { r =>
+      val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val sem = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(lex.isDefined || sem.isDefined)
+      if (lex.isEmpty) sawSemOnly = true
+      if (sem.isEmpty) sawLexOnly = true
+      assert(r.getLong(3) === micro(lex, sem),
+        s"query ${r.getLong(0)} doc ${r.getLong(2)}: rrf_micro mismatch")
+    }
+    assert(sawLexOnly && sawSemOnly,
+      "the fixture must exercise both single-arm fusion paths")
+    // a doc ranked 1 by BOTH arms can never lose the fused rank 1
+    out.filter(r => !r.isNullAt(4) && !r.isNullAt(5) &&
+        r.getInt(4) == 1 && r.getInt(5) == 1)
+      .foreach(r => assert(r.getInt(1) === 1))
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
