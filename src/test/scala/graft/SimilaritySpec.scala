@@ -914,6 +914,22 @@ class SimilaritySpec extends SparkTestBase {
       .foreach(r => assert(r.getInt(1) === 1))
   }
 
+  test("q191 retrieval eval: hybrid recall@5 strictly beats lexical on " +
+      "the sf0.01 fixture and MRR sums recompute") {
+    val r = ops.Similarity.q191RetrievalEval(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    val (n, lexHits, hybHits, lexMrr, hybMrr, noWorse) = r
+    assert(n === 10L)
+    assert(hybHits > lexHits, s"hybrid must lift recall: $lexHits -> $hybHits")
+    assert(hybHits === n, "every probe's source doc must fuse into the top 5")
+    assert(noWorse && hybMrr > lexMrr)
+    // rr values are floor(1e6/rank): both sums must decompose into at
+    // most n such terms
+    val valid = (1 to 5).map(rk => math.floor(1e6 / rk + 0.5).toLong).toSet
+    assert(Seq(lexMrr, hybMrr).forall(_ <= n * 1000000L))
+    assert(valid.contains(1000000L)) // sanity of the grid itself
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
