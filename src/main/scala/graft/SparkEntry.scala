@@ -209,6 +209,7 @@ object SparkEntry {
     "q189_bm25_append" -> (Similarity.q189Bm25Append _),
     "q190_hybrid_rrf" -> (Similarity.q190HybridRrf _),
     "q191_retrieval_eval" -> (Similarity.q191RetrievalEval _),
+    "q192_hybrid_ivf_recall" -> (Similarity.q192HybridIvfRecall _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4013,6 +4014,15 @@ object SparkEntry {
         |  CAST(sum(hyb_rr) AS BIGINT) AS hyb_mrr_sum_micro,
         |  sum(hyb_rr) >= sum(lex_rr) AS hybrid_no_worse
         |FROM per""".stripMargin),
+    // IVF-hybrid recall bounds: the production semantic arm (q88's
+    // IVF config) against the exact hybrid under identical lexical
+    // ranks and fusion — IVF ranks are engine-specific, so the oracle
+    // pins the probe count and the contract booleans (the q89/q119
+    // bounds pattern; the exact arm is fully hash-checked by q190/q191)
+    "q192_hybrid_ivf_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  TRUE AS mean_overlap_ok, TRUE AS every_probe_overlaps
+        |FROM documents WHERE doc_id % 53 = 0""".stripMargin,
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked

@@ -1920,6 +1920,19 @@ object Similarity {
         Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")))
       .filter($"sem_rank" <= poolK)
       .select($"query_id", $"doc_id", $"sem_rank")
+    rrfFuseRanks(lex, sem, k, rrfK)
+  }
+
+  /** The RRF fusion CORE over two explicit rank tables
+    * (`lex`: (query_id, doc_id, lex_rank); `sem`: (query_id, doc_id,
+    * sem_rank)) — rank-source-agnostic, so the semantic arm can be the
+    * brute-force baseline ([[hybridRrfTopK]]) or the IVF production
+    * arm ([[q192HybridIvfRecall]]) without touching the fusion.
+    */
+  def rrfFuseRanks(lex: DataFrame, sem: DataFrame, k: Int,
+      rrfK: Long = 60L): DataFrame = {
+    import lex.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_micro", floor(
         (coalesce(lit(1.0) / (lit(rrfK) + $"lex_rank"), lit(0.0)) +
@@ -1956,6 +1969,76 @@ object Similarity {
       .localCheckpoint(true)
     org.apache.spark.sql.graftshim.GraftColumns
       .checkpointRdd(tf).foreach(_.unpersist(false))
+    out
+  }
+
+  /** ORACLED bounds check (q192): the hybrid's PRODUCTION semantic arm
+    * — [[hybridRrfTopK]]'s scaladoc names [[knnJoinIvf]] as the scale
+    * substitution; this query makes the claim measurable. Both hybrids
+    * share the SAME lexical ranks and the SAME fusion
+    * ([[rrfFuseRanks]]); the semantic arm is either the brute-force
+    * cosine ranking or the IVF-blocked top-k (nLists=8, nProbe=2 — the
+    * q88 configuration), BOTH self-excluded so the arms differ only in
+    * the ANN approximation. Per probe, the top-5 overlap between the
+    * two fused rankings is measured; the summary row pins the floors
+    * (mean overlap ≥ 0.5, every probe overlapping somewhere) — the
+    * recall contract a production deployment relies on. IVF ranks are
+    * engine-specific, so the oracle pins the probe count and the
+    * contract booleans (the q89/q119 bounds-check pattern; the exact
+    * arm itself is fully hash-checked by q190/q191).
+    */
+  def q192HybridIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val docs = Sources.documents(spark, dir)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    val emb = Sources.embeddings(spark, dir)
+    val queryVecs = emb.filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("query_id"),
+        transform($"embedding", _.cast("double")).as("qvec"))
+    val tf = bm25TermFreqs(docs)
+    val lex = bm25TopKFrom(tf, queries, k = 10)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    val semExact = emb
+      .select($"vec_id".as("doc_id"),
+        transform($"embedding", _.cast("double")).as("vec"))
+      .crossJoin(broadcast(queryVecs))
+      .filter($"doc_id" =!= $"query_id")
+      .select($"query_id", $"doc_id",
+        cosineSimilarity($"vec", $"qvec").as("cos"))
+      .withColumn("sem_rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"doc_id")))
+      .filter($"sem_rank" <= 10)
+      .select($"query_id", $"doc_id", $"sem_rank")
+    val semIvf = knnJoinIvf(emb, k = 10, nLists = 8, nProbe = 2,
+        cacheKey = Some("q192_ivf"))
+      .filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("query_id"), $"neighbor_id".as("doc_id"),
+        $"rank".as("sem_rank"))
+    val exactTop = rrfFuseRanks(lex, semExact, k = 5)
+      .select($"query_id", $"doc_id")
+    val ivfTop = rrfFuseRanks(lex, semIvf, k = 5)
+      .select($"query_id", $"doc_id")
+    val overlap = exactTop.join(ivfTop, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_common"))
+    val out = queries.select($"query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select(coalesce($"n_common", lit(0L)).as("n_common"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum($"n_common").as("sum_common"),
+        min($"n_common").as("min_common"))
+      .select($"n_queries",
+        ($"sum_common" * 2L >= $"n_queries" * 5L).as("mean_overlap_ok"),
+        ($"min_common" >= 1L).as("every_probe_overlaps"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(lex).foreach(_.unpersist(false))
     out
   }
 

@@ -930,6 +930,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(valid.contains(1000000L)) // sanity of the grid itself
   }
 
+  test("q192: IVF-hybrid overlaps the exact hybrid within the oracled " +
+      "floors on the fixture") {
+    val r = ops.Similarity.q192HybridIvfRecall(spark, "/root/testdata/sf0.01")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(r._1 === 10L)
+    assert(r._2, "mean top-5 overlap must clear the 0.5 floor")
+    assert(r._3, "every probe must share at least one fused result")
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
