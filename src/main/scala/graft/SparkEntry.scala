@@ -210,6 +210,7 @@ object SparkEntry {
     "q190_hybrid_rrf" -> (Similarity.q190HybridRrf _),
     "q191_retrieval_eval" -> (Similarity.q191RetrievalEval _),
     "q192_hybrid_ivf_recall" -> (Similarity.q192HybridIvfRecall _),
+    "q193_trigram_bm25" -> (Similarity.q193TrigramBm25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4023,6 +4024,50 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  TRUE AS mean_overlap_ok, TRUE AS every_probe_overlaps
         |FROM documents WHERE doc_id % 53 = 0""".stripMargin,
+    // typo-robust trigram BM25: the full fuzzy chain — gram stream,
+    // df/idf, micro contributions, ranks — re-derived over the PLANTED
+    // typo probe set (second char of every word >= 4 deleted); fully
+    // hash-checked, no approximation anywhere
+    "q193_trigram_bm25" ->
+      """WITH gsrc AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3),
+        |gw AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(t) - 2),
+        |    i -> t[i:i+2])) AS term
+        |  FROM gsrc),
+        |gtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM gw GROUP BY doc_id, term),
+        |gdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM gtf GROUP BY doc_id),
+        |gst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM gdl),
+        |gdfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM gtf GROUP BY term),
+        |qsrc AS (
+        |  SELECT doc_id AS query_id,
+        |    array_to_string(list_transform(string_split(text, ' ')[1:8],
+        |      w -> CASE WHEN length(w) >= 4 THEN substr(w, 1, 1) || substr(w, 3) ELSE w END),
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |gq AS (SELECT query_id, lower(text) AS t FROM qsrc WHERE length(text) >= 3),
+        |gqt AS (
+        |  SELECT DISTINCT query_id, unnest(list_transform(generate_series(1, length(t) - 2),
+        |    i -> t[i:i+2])) AS term
+        |  FROM gq),
+        |gsc AS (
+        |  SELECT gqt.query_id, gtf.doc_id,
+        |    CAST(floor(
+        |      ln((gst.n_docs - gdfq.df + 0.5) / (gdfq.df + 0.5) + 1.0) *
+        |      ((gtf.tf * 2.25) / (gtf.tf + 1.25 * (0.25 + (0.75 * gdl.dl) /
+        |        (CAST(gst.sum_dl AS DOUBLE) / gst.n_docs))))
+        |      * 1e6 + 0.5) AS BIGINT) AS c
+        |  FROM gqt JOIN gtf USING (term)
+        |  JOIN gdfq USING (term)
+        |  JOIN gdl ON gdl.doc_id = gtf.doc_id
+        |  CROSS JOIN gst),
+        |gagg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |         FROM gsc GROUP BY query_id, doc_id),
+        |gr AS (SELECT query_id, doc_id, score_micro,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        |       FROM gagg)
+        |SELECT query_id, rank, doc_id, score_micro FROM gr WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked

@@ -1825,14 +1825,28 @@ object Similarity {
       k1: Double = 1.25, b: Double = 0.75,
       dfCap: Long = Long.MaxValue): DataFrame = {
     import tf.sparkSession.implicits._
+    bm25TopKFromTerms(tf,
+      queries.select($"query_id",
+          explode(split(lower($"text"), " ")).as("term"))
+        .filter($"term" =!= ""),
+      k, k1, b, dfCap)
+  }
+
+  /** [[bm25TopKFrom]] under an EXPLICIT query-term table — the
+    * tokenizer-agnostic core: the index and the query just have to
+    * agree on what a term is (whitespace words for [[bm25TopKFrom]],
+    * character n-grams for [[q193TrigramBm25]]'s fuzzy arm).
+    */
+  def bm25TopKFromTerms(tf: DataFrame, queryTerms: DataFrame, k: Int = 5,
+      k1: Double = 1.25, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    import tf.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
     val dfTbl = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val qt = queries
-      .select($"query_id", explode(split(lower($"text"), " ")).as("term"))
-      .filter($"term" =!= "").distinct()
+    val qt = queryTerms.select($"query_id", $"term").distinct()
     val avgdl = $"sum_dl".cast("double") / $"n_docs"
     val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
     val contrib = idf *
@@ -1970,6 +1984,73 @@ object Similarity {
     org.apache.spark.sql.graftshim.GraftColumns
       .checkpointRdd(tf).foreach(_.unpersist(false))
     out
+  }
+
+  /** Character n-gram term stream of a text column — sliding
+    * stride-1 windows over the LOWERED text (spaces included, so
+    * matching crosses word boundaries — the standard char-ngram
+    * retrieval construction). Texts shorter than `n` emit nothing.
+    */
+  private def charGramTerms(df: DataFrame, idCol: String, n: Int)
+      : DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol), lower($"text").as("t"))
+      .filter(length($"t") >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length($"t") - (n - 1)),
+        i => $"t".substr(i, lit(n)))).as("term"))
+  }
+
+  /** The trigram BM25 index — [[bm25TermFreqs]] with character
+    * 3-grams as terms. The gram stream is the corpus's own character
+    * count (the q100 span-dedup explode class: one scan, map-side
+    * combine, never outlives its stage).
+    */
+  def bm25TrigramTermFreqs(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    charGramTerms(corpus, "doc_id", 3)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+  }
+
+  /** ORACLED exercise (q193): TYPO-ROBUST fuzzy lexical retrieval —
+    * BM25 over character TRIGRAMS instead of words (the classic fuzzy
+    * arm: a single-character edit perturbs only ~3 of a query's grams,
+    * while it destroys the whole word token). The probe set is q187's
+    * with a PLANTED TYPO in every word of length ≥ 4 (second character
+    * deleted, expression-only so DuckDB replays it): word-level BM25
+    * cannot match a typo'd token at all, the trigram arm still shares
+    * most of its grams with the source document. Every gram, df, idf,
+    * micro contribution and rank hash-checked (no approximation
+    * anywhere — this is the fully-oracled fuzzy complement to q84/q85's
+    * edit-distance joins); the word-vs-trigram recall comparison rides
+    * the spec.
+    */
+  def q193TrigramBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val typoQueries = typoProbe(docs)
+    val tf = bm25TrigramTermFreqs(docs)
+    val out = bm25TopKFromTerms(tf,
+        charGramTerms(typoQueries, "query_id", 3), k = 5)
+      .orderBy($"query_id", $"rank")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    out
+  }
+
+  /** q187's probe set with every word of length ≥ 4 typo'd (second
+    * character deleted) — expression-only from the fixture text.
+    */
+  private[graft] def typoProbe(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(transform(slice(split($"text", " "), 1, 8),
+          w => when(length(w) >= 4,
+            concat(w.substr(lit(1), lit(1)), w.substr(lit(3), length(w))))
+            .otherwise(w)), " ").as("text"))
   }
 
   /** ORACLED bounds check (q192): the hybrid's PRODUCTION semantic arm

@@ -939,6 +939,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(r._3, "every probe must share at least one fused result")
   }
 
+  test("q193: trigram BM25 recovers typo'd probes the word arm loses") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.01")
+    val typo = ops.Similarity.typoProbe(docs)
+    // word arm on the SAME typo'd probe set
+    val wordTf = ops.Similarity.bm25TermFreqs(docs)
+    val wordHits = ops.Similarity.bm25TopKFrom(wordTf, typo, k = 5)
+      .filter($"doc_id" === $"query_id").count()
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(wordTf).foreach(_.unpersist(false))
+    val triHits = ops.Similarity.q193TrigramBm25(spark, "/root/testdata/sf0.01")
+      .filter($"doc_id" === $"query_id").count()
+    val n = typo.count()
+    assert(n === 10L)
+    assert(triHits === n,
+      s"trigram arm must recover every typo'd probe, got $triHits/$n")
+    assert(triHits > wordHits,
+      s"fuzzy lift must be real: word $wordHits vs trigram $triHits")
+  }
+
   test("q161: blocked-vs-exact recovery parity holds on the driver fixture") {
     val out = ops.Similarity
       .q161BitextBlockedParity(spark, "/root/testdata/sf0.001")
