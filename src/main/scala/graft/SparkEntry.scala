@@ -211,6 +211,7 @@ object SparkEntry {
     "q191_retrieval_eval" -> (Similarity.q191RetrievalEval _),
     "q192_hybrid_ivf_recall" -> (Similarity.q192HybridIvfRecall _),
     "q193_trigram_bm25" -> (Similarity.q193TrigramBm25 _),
+    "q194_shard_integrity" -> (Packing.q194ShardIntegrity _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4068,6 +4069,38 @@ object SparkEntry {
         |       FROM gagg)
         |SELECT query_id, rank, doc_id, score_micro FROM gr WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // shard integrity: q92's packing, per-member md5-derived hashes,
+    // order-independent bit_xor digests for sent vs received (doc 97's
+    // slices lost in flight) — every digest and verdict hash-checked
+    "q194_shard_integrity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t WHERE n_tokens > 0),
+        |m AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(CAST(cum_before // 512 AS BIGINT),
+        |      CAST((cum_before + n_tokens - 1) // 512 AS BIGINT))) AS example_id
+        |  FROM c),
+        |mh AS (
+        |  SELECT doc_id, example_id, example_id % 8 AS shard_id,
+        |    CAST(CAST(concat('0x', substr(md5(doc_id || ':' || example_id), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM m),
+        |sent AS (
+        |  SELECT shard_id, CAST(count(DISTINCT example_id) AS BIGINT) AS n_examples,
+        |    CAST(count(*) AS BIGINT) AS n_doc_slices, bit_xor(h) AS digest
+        |  FROM mh GROUP BY shard_id),
+        |recv AS (
+        |  SELECT shard_id, bit_xor(h) AS received_digest
+        |  FROM mh WHERE doc_id <> 97 GROUP BY shard_id)
+        |SELECT s.shard_id, s.n_examples, s.n_doc_slices, s.digest,
+        |  r.received_digest, s.digest = r.received_digest AS ok
+        |FROM sent s JOIN recv r USING (shard_id) ORDER BY s.shard_id""".stripMargin,
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked

@@ -310,6 +310,78 @@ object Packing {
         max(col("example_id")).as("last_example"))
   }
 
+  /** SHARD INTEGRITY manifest — [[shardManifest]] extended with a
+    * per-shard content DIGEST so a consumer can verify every shard
+    * after transport (the WebDataset/export-manifest checksum
+    * discipline). The digest is ORDER-INDEPENDENT by construction —
+    * bit_xor of per-member md5-derived 60-bit hashes — because a
+    * distributed producer cannot canonicalize member order cheaply,
+    * and XOR over a set needs no sort, no overflow semantics, and
+    * merges across partitions exactly (the mergeable-summary
+    * discipline); a missing, duplicated, or substituted (doc, window)
+    * member flips the digest.
+    */
+  def shardIntegrityManifest(packed: DataFrame, nShards: Int): DataFrame =
+    shardMembers(packed, nShards)
+      .groupBy(col("shard_id"))
+      .agg(count_distinct(col("example_id")).as("n_examples"),
+        count(lit(1)).as("n_doc_slices"),
+        expr("bit_xor(h)").as("digest"))
+
+  /** Consumer-side verification: recompute the digest over the
+    * RECEIVED packing and compare per shard. A shard missing entirely
+    * verifies false (null-safe compare), matching the manifest's
+    * contract that silence is corruption.
+    */
+  def verifyShards(manifest: DataFrame, packedReceived: DataFrame,
+      nShards: Int): DataFrame =
+    manifest.join(
+        shardMembers(packedReceived, nShards).groupBy(col("shard_id"))
+          .agg(expr("bit_xor(h)").as("received_digest")),
+        Seq("shard_id"), "left")
+      .withColumn("ok", col("digest") <=> col("received_digest"))
+
+  private def shardMembers(packed: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    packed
+      .select(col("doc_id"),
+        explode(sequence(col("first_example"), col("last_example")))
+          .as("example_id"))
+      .withColumn("shard_id", pmod(col("example_id"), lit(nShards.toLong)))
+      .withColumn("h", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":"),
+          col("example_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+  }
+
+  /** ORACLED exercise (q194): [[shardIntegrityManifest]] +
+    * [[verifyShards]] with a PLANTED transport corruption — the
+    * received member table loses every slice of doc 97 (row loss in
+    * flight, the q151 deletion theme at the transport layer) — so
+    * exactly the shards carrying doc 97 flag false and every other
+    * shard verifies. DuckDB re-derives the packing, every member
+    * hash, both xor digests, and every verdict.
+    */
+  def q194ShardIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val packed = sequencePack(Sources.documents(spark, dir), "doc_id",
+      bpeishCount($"text"), 512L)
+    val m = shardMembers(packed, 8).localCheckpoint(true)
+    val sent = m.groupBy($"shard_id")
+      .agg(count_distinct($"example_id").as("n_examples"),
+        count(lit(1)).as("n_doc_slices"),
+        expr("bit_xor(h)").as("digest"))
+    val recv = m.filter($"doc_id" =!= 97)
+      .groupBy($"shard_id").agg(expr("bit_xor(h)").as("received_digest"))
+    val out = sent.join(recv, Seq("shard_id"))
+      .withColumn("ok", $"digest" === $"received_digest")
+      .orderBy($"shard_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(m).foreach(_.unpersist(false))
+    out
+  }
+
   /** ORACLED (q133) — [[shardManifest]] over q92's 512-token packing
     * of `documents`, 8 shards: every shard's example count, doc-slice
     * count, and example-id range hash-checked against DuckDB's

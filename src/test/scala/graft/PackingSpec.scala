@@ -93,6 +93,38 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("shard integrity: digests are order-independent, verify flags " +
+      "exactly the tampered shards, and a lost shard reads as corrupt") {
+    val df = docs(200, 11L)
+    val tokens = size(split($"text", " ", -1)).cast("long")
+    val packed = Packing.sequencePack(df, "doc_id", tokens, 16L)
+    val manifest = Packing.shardIntegrityManifest(packed, 4)
+    // clean round trip verifies everywhere
+    val clean = Packing.verifyShards(manifest, packed, 4)
+      .select($"shard_id", $"ok").as[(Long, Boolean)].collect().toMap
+    assert(clean.size === 4 && clean.values.forall(identity))
+    // tampering: drop one doc from the received packing — the packing
+    // FRAME is tampered (not repacked), the transport-corruption model
+    val tampered = packed.filter($"doc_id" =!= 7L)
+    val flagged = Packing.verifyShards(manifest, tampered, 4)
+      .select($"shard_id", $"ok").as[(Long, Boolean)].collect().toMap
+    val doc7Shards = packed.filter($"doc_id" === 7L)
+      .select(explode(sequence($"first_example", $"last_example")).as("e"))
+      .select($"e" % 4)
+      .as[Long].collect().toSet
+    assert(doc7Shards.nonEmpty)
+    flagged.foreach { case (sid, ok) =>
+      assert(ok === !doc7Shards.contains(sid),
+        s"shard $sid: expected flagged=${doc7Shards.contains(sid)}")
+    }
+    // a shard missing entirely verifies false, not null/true
+    val lost = Packing.verifyShards(manifest,
+        Packing.sequencePack(df.filter($"doc_id" % 4 =!= 0), "doc_id",
+          tokens, 16L).filter(lit(false)), 4)
+      .select($"ok").as[Boolean].collect()
+    assert(lost.length === 4 && lost.forall(_ == false))
+  }
+
   test("sequencePack is invariant to the shuffle partition count") {
     val df = docs(200, 2L)
     val tokens = size(split($"text", " ", -1)).cast("long")
