@@ -212,6 +212,7 @@ object SparkEntry {
     "q192_hybrid_ivf_recall" -> (Similarity.q192HybridIvfRecall _),
     "q193_trigram_bm25" -> (Similarity.q193TrigramBm25 _),
     "q194_shard_integrity" -> (Packing.q194ShardIntegrity _),
+    "q195_pack_by_lang" -> (Packing.q195PackByLang _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4101,6 +4102,24 @@ object SparkEntry {
         |SELECT s.shard_id, s.n_examples, s.n_doc_slices, s.digest,
         |  r.received_digest, s.digest = r.received_digest AS ok
         |FROM sent s JOIN recv r USING (shard_id) ORDER BY s.shard_id""".stripMargin,
+    // per-language packing: one independent tape per language — the
+    // global-pass base-subtraction must equal DuckDB's lang-partitioned
+    // window prefix sum on every boundary
+    "q195_pack_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_cum
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT lang, doc_id, n_tokens,
+        |  CAST(g_cum // 512 AS BIGINT) AS first_example,
+        |  CAST((g_cum + n_tokens - 1) // 512 AS BIGINT) AS last_example,
+        |  CAST((g_cum + n_tokens - 1) // 512 - g_cum // 512 + 1 AS BIGINT) AS n_examples
+        |FROM c ORDER BY doc_id""".stripMargin,
     // per-example composition manifest: q92's prefix sum, each doc's
     // window range unnested (generate_series), window-local span
     // arithmetic — every (window, doc, span) boundary hash-checked

@@ -149,6 +149,53 @@ object Packing {
       .orderBy($"doc_id", $"example_id")
   }
 
+  /** PER-GROUP concat-and-chunk packing — one independent tape per
+    * group (the per-LANGUAGE training shards multilingual pretraining
+    * actually ships: languages are sampled independently, so their
+    * windows must not share a tape). Rides the SAME checkpoint-frozen
+    * global prefix sum as [[sequencePack]], ordered by (group, id):
+    * within that order every row between a group's first row and a
+    * member is same-group, so the member's WITHIN-GROUP offset is just
+    * `cum_before − min(cum_before) over the group` — one
+    * #groups-row aggregate and a broadcast join recover every group's
+    * tape from ONE global pass, instead of one range shuffle per
+    * group (or a single-partition-per-group window).
+    */
+  def sequencePackByGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: Column, ctxTokens: Long): DataFrame = {
+    require(ctxTokens >= 1, s"ctxTokens must be >= 1, got $ctxTokens")
+    val toks = df.select(col(groupCol), col(idCol),
+        tokensCol.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val cum = orderedCumBefore(toks, Seq(col(groupCol), col(idCol)),
+      "n_tokens")
+    val base = cum.groupBy(col(groupCol))
+      .agg(min(col("cum_before")).as("g_base"))
+    cum.join(broadcast(base), Seq(groupCol))
+      .withColumn("g_cum", col("cum_before") - col("g_base"))
+      .withColumn("first_example", expr(s"g_cum div $ctxTokens"))
+      .withColumn("last_example",
+        expr(s"(g_cum + n_tokens - 1) div $ctxTokens"))
+      .withColumn("n_examples",
+        col("last_example") - col("first_example") + lit(1L))
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        col("first_example"), col("last_example"), col("n_examples"))
+  }
+
+  /** ORACLED exercise (q195): [[sequencePackByGroup]] by language
+    * under q92's tokenizer and 512-token windows — every language's
+    * independent tape (window boundaries and counts) hash-checked
+    * against DuckDB's lang-partitioned window cumulative sum; the
+    * base-subtraction trick must be indistinguishable from a per-group
+    * prefix sum.
+    */
+  def q195PackByLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sequencePackByGroup(Sources.documents(spark, dir), "lang", "doc_id",
+        bpeishCount($"text"), 512L)
+      .orderBy($"doc_id")
+  }
+
   /** The DISTRIBUTED ordered prefix sum both packing and budget
     * truncation ride on: appends `cum_before` = the sum of `valueCol`
     * over every row strictly earlier in `sortKeys` order (globally,

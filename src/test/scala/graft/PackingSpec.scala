@@ -125,6 +125,31 @@ class PackingSpec extends SparkTestBase {
     assert(lost.length === 4 && lost.forall(_ == false))
   }
 
+  test("sequencePackByGroup equals sequencePack run on each group's " +
+      "slice — the base-subtraction recovers every per-group tape") {
+    val df = docs(300, 13L)
+      .withColumn("grp", concat(lit("g"), (col("doc_id") % 4).cast("string")))
+    val tokens = size(split($"text", " ", -1)).cast("long")
+    val grouped = Packing.sequencePackByGroup(df, "grp", "doc_id", tokens, 16L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(grouped.nonEmpty && grouped.map(_._1).distinct.length === 4)
+    grouped.groupBy(_._1).foreach { case (g, rows) =>
+      val expected = Packing.sequencePack(df.filter($"grp" === g),
+          "doc_id", tokens, 16L)
+        .select($"doc_id", $"n_tokens", $"first_example", $"last_example",
+          $"n_examples")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(rows.length === expected.size, s"group $g row count")
+      rows.foreach { case (_, id, n, f, l, ne) =>
+        assert(expected(id) === ((id, n, f, l, ne)),
+          s"group $g doc $id: grouped tape must equal the single-group pack")
+      }
+      // each group's tape starts at window 0
+      assert(rows.map(_._4).min === 0L, s"group $g must start at example 0")
+    }
+  }
+
   test("sequencePack is invariant to the shuffle partition count") {
     val df = docs(200, 2L)
     val tokens = size(split($"text", " ", -1)).cast("long")
