@@ -213,6 +213,7 @@ object SparkEntry {
     "q193_trigram_bm25" -> (Similarity.q193TrigramBm25 _),
     "q194_shard_integrity" -> (Packing.q194ShardIntegrity _),
     "q195_pack_by_lang" -> (Packing.q195PackByLang _),
+    "q196_contamination_shards" -> (Packing.q196ContaminationShards _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2213,6 +2214,44 @@ object SparkEntry {
         |  CAST((cum_before + n_tokens - 1) // 512
         |       - cum_before // 512 + 1 AS BIGINT) AS n_examples
         |FROM c ORDER BY doc_id""".stripMargin,
+    // shard-level contamination blast radius: q112's containment hits ->
+    // q92's packing over the training split -> q133's shard map; every
+    // taint count and re-ship verdict hash-checked from shared fragments
+    "q196_contamination_shards" ->
+      (s"$trainBenchSplitSql,\n" + containmentHitCtesSql("tr") + ",\n" +
+        """td AS (SELECT DISTINCT doc_id FROM hits),
+        |t2 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM tr),
+        |c2 AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t2 WHERE n_tokens > 0),
+        |ms AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(CAST(cum_before // 512 AS BIGINT),
+        |      CAST((cum_before + n_tokens - 1) // 512 AS BIGINT))) AS example_id
+        |  FROM c2),
+        |mt AS (SELECT doc_id, example_id, example_id % 8 AS shard_id,
+        |         doc_id IN (SELECT doc_id FROM td) AS tainted
+        |       FROM ms),
+        |bye AS (
+        |  SELECT shard_id, example_id, max(tainted) AS ex_tainted
+        |  FROM mt GROUP BY shard_id, example_id),
+        |pe AS (
+        |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_examples,
+        |    CAST(sum(CASE WHEN ex_tainted THEN 1 ELSE 0 END) AS BIGINT) AS n_tainted_examples
+        |  FROM bye GROUP BY shard_id),
+        |pd AS (
+        |  SELECT shard_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_tainted_docs
+        |  FROM mt WHERE tainted GROUP BY shard_id)
+        |SELECT pe.shard_id, pe.n_examples,
+        |  COALESCE(pd.n_tainted_docs, 0) AS n_tainted_docs,
+        |  pe.n_tainted_examples,
+        |  pe.n_tainted_examples > 0 AS must_reship
+        |FROM pe LEFT JOIN pd USING (shard_id) ORDER BY pe.shard_id""".stripMargin),
     // deterministic hash split: DuckDB reproduces the md5-hex bucket
     // (first 8 hex chars as an integer, mod 1000) bit-for-bit, so the
     // FULL per-doc assignment is checked, not just the split sizes

@@ -429,6 +429,54 @@ object Packing {
     out
   }
 
+  /** ORACLED capstone (q196): CONTAMINATION BLAST RADIUS AT THE SHARD
+    * LEVEL — the deployment question after q112 finds benchmark
+    * contamination post-ship: which of the ALREADY-SHIPPED training
+    * shards must be invalidated and re-shipped? (q151's deletion blast
+    * radius with the decontamination gate as the trigger, rolled up to
+    * the unit consumers actually re-download.) Composes three green
+    * bodies: q112's containment hits name the tainted docs, q92's
+    * packing places their slices in windows, q133's mod-shard map
+    * names the shards; per shard the output reports example count,
+    * tainted-doc and tainted-window counts, and the re-ship verdict.
+    * Two simple aggregates instead of one triple-countDistinct (the
+    * q142 Expand lesson: each extra countDistinct in one aggregate
+    * multiplies the stream).
+    */
+  def q196ContaminationShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val tr = docs.filter($"doc_id" % 97 =!= 0)
+    val tainted = SpanDedup.decontaminate(tr,
+        docs.filter($"doc_id" % 97 === 0), gramLen = 24)
+      .select($"doc_id", lit(true).as("tainted"))
+    val m = sequencePack(tr, "doc_id", bpeishCount($"text"), 512L)
+      .select($"doc_id",
+        explode(sequence($"first_example", $"last_example")).as("example_id"))
+      .withColumn("shard_id", pmod($"example_id", lit(8L)))
+      .join(tainted, Seq("doc_id"), "left")
+      .withColumn("tainted", coalesce($"tainted", lit(false)))
+      .localCheckpoint(true)
+    val perExample = m.groupBy($"shard_id", $"example_id")
+      .agg(max($"tainted").as("ex_tainted"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_examples"),
+        sum(when($"ex_tainted", 1L).otherwise(0L)).as("n_tainted_examples"))
+    val perDoc = m.filter($"tainted")
+      .select($"shard_id", $"doc_id").distinct()
+      .groupBy($"shard_id").agg(count(lit(1)).as("n_tainted_docs"))
+    val out = perExample.join(perDoc, Seq("shard_id"), "left")
+      .select($"shard_id", $"n_examples",
+        coalesce($"n_tainted_docs", lit(0L)).as("n_tainted_docs"),
+        $"n_tainted_examples",
+        ($"n_tainted_examples" > 0L).as("must_reship"))
+      .orderBy($"shard_id")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(m).foreach(_.unpersist(false))
+    out
+  }
+
   /** ORACLED (q133) — [[shardManifest]] over q92's 512-token packing
     * of `documents`, 8 shards: every shard's example count, doc-slice
     * count, and example-id range hash-checked against DuckDB's

@@ -150,6 +150,26 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("q196: re-ship verdicts fire both ways and shard taint traces " +
+      "back to q112's contaminated docs") {
+    val out = ops.Packing
+      .q196ContaminationShards(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(out.length === 8)
+    assert(out.exists(_._5) && out.exists(!_._5),
+      "the fixture must ship both clean and tainted shards")
+    out.foreach { case (sid, nEx, nTd, nTe, reship) =>
+      assert(reship === (nTe > 0), s"shard $sid verdict")
+      assert(nTe <= nEx && (nTd == 0) == (nTe == 0), s"shard $sid counts")
+    }
+    // every contaminated doc lands in >= 1 shard: summed per-shard doc
+    // counts bound the distinct q112 doc list from above
+    val contaminated = ops.SpanDedup
+      .q112Decontaminate(spark, "/root/testdata/sf0.01").count()
+    assert(out.map(_._3).sum >= contaminated,
+      "shard rollup must cover every contaminated doc")
+  }
+
   test("sequencePack is invariant to the shuffle partition count") {
     val df = docs(200, 2L)
     val tokens = size(split($"text", " ", -1)).cast("long")
