@@ -113,7 +113,19 @@ object Bench {
         // lets Catalyst prune projections and sorts, under-measuring
         // expression-heavy queries.
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        // OFF-TIMER deterministic block release: operators freeze their
+        // results with localCheckpoint(true) and cannot release them
+        // (only the consumer knows when they're consumed — that's here).
+        // Relying on the async ContextCleaner instead let ~190 queries'
+        // result blocks pile up across the round-18 driver session and
+        // inflated the late-alphabet gram-stream queries 2-3x (q142
+        // 29.7 s vs 10.1 s clean median). Pinned index-cache entries
+        // (IVF, gram classes) survive the sweep by design.
+        val released = graft.util.BlockHygiene.sweep(spark)
+        if (released > 8) System.err.println(
+          s"[bench] $name leaked $released persisted RDDs (swept)")
+        secs
       }
       val secs =
         try {

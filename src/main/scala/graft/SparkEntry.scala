@@ -214,6 +214,8 @@ object SparkEntry {
     "q194_shard_integrity" -> (Packing.q194ShardIntegrity _),
     "q195_pack_by_lang" -> (Packing.q195PackByLang _),
     "q196_contamination_shards" -> (Packing.q196ContaminationShards _),
+    "q197_accent_fold_buckets" -> (Quality.q197AccentFoldBuckets _),
+    "q198_goss_efb_gbt" -> (graft.ml.HistGbt.q198GossEfbGbt _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2252,6 +2254,34 @@ object SparkEntry {
         |  pe.n_tainted_examples,
         |  pe.n_tainted_examples > 0 AS must_reship
         |FROM pe LEFT JOIN pd USING (shard_id) ORDER BY pe.shard_id""".stripMargin),
+    // accent-folded CCNet normalization -> buckets: the fold itself is
+    // hash-checked byte-for-byte through DuckDB's strip_accents (probed
+    // char-for-char equal to the NFD -> strip-Mn/Mc/Me -> NFC kernel)
+    // over the 3-class accent plant, alongside the buckets it induces
+    // (q182's LM tail verbatim over the folded relation)
+    "q197_accent_fold_buckets" ->
+      (s"""WITH pl AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'Caf'||chr(233)||' d'||chr(233)||'j'||chr(224)||' '
+        |       WHEN doc_id % 4 = 1 THEN 'nai'||chr(776)||'ve fac'||chr(807)||'ade '
+        |       WHEN doc_id % 4 = 2 THEN chr(321)||'ukasz '||chr(216)||'re '||chr(198)||'r'||chr(248)||' '
+        |       ELSE '' END || text AS text FROM documents),
+        |nrm AS (SELECT doc_id, ${ccnetNormSqlOver("strip_accents(text)")} AS text FROM pl),
+        |""".stripMargin +
+        lmCtesPrefixedSql("", "(SELECT * FROM nrm WHERE doc_id % 3 = 0)",
+          "(SELECT * FROM nrm WHERE doc_id % 3 <> 0)") + ",\n" +
+        lmAggCteSql + ",\n" +
+        """m AS (SELECT doc_id,
+        |         CAST(floor(lm_bits * 1e6 + 0.5) AS BIGINT) AS bits_micro
+        |       FROM lm),
+        |c AS (SELECT
+        |  CAST(floor(quantile_cont(bits_micro, CAST(1 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c1,
+        |  CAST(floor(quantile_cont(bits_micro, CAST(2 AS DOUBLE)/3) + 0.5) AS BIGINT) AS c2
+        |  FROM m)
+        |SELECT m.doc_id, nrm.text AS norm_text, bits_micro,
+        |  CASE WHEN bits_micro <= c1 THEN 'head'
+        |       WHEN bits_micro <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM m JOIN nrm USING (doc_id), c ORDER BY doc_id""".stripMargin),
     // deterministic hash split: DuckDB reproduces the md5-hex bucket
     // (first 8 hex chars as an integer, mod 1000) bit-for-bit, so the
     // FULL per-doc assignment is checked, not just the split sizes
@@ -2342,6 +2372,16 @@ object SparkEntry {
       """SELECT 'hist_gbt_noisy' AS model, CAST(10 AS INT) AS n_classes,
         |  TRUE AS acc_ok, TRUE AS non_separable, TRUE AS beats_priors,
         |  TRUE AS deviance_monotone""".stripMargin,
+    // q198: q111 under GOSS(0.2, 0.1) + EFB(0.05) — the gate is that
+    // one-side sampling REPRODUCES full-data quality (accuracy stays
+    // inside the non-separable band), boosting still learns (deviance
+    // falls end to end; per-round monotonicity deliberately not
+    // asserted under a 30% sample), and EFB genuinely bundled the
+    // fixture's structural zeros (fewer tree features than dims)
+    "q198_goss_efb_gbt" ->
+      """SELECT 'hist_gbt_goss_efb' AS model, CAST(10 AS INT) AS n_classes,
+        |  TRUE AS acc_ok, TRUE AS non_separable, TRUE AS beats_priors,
+        |  TRUE AS deviance_falls, TRUE AS efb_bundled""".stripMargin,
     // the per-document curation DECISION: q21 survivor + q100 span
     // coverage + q23 per-doc stats + q49 predicted language, stitched
     // from those queries' own already-green CTE fragments — the whole
@@ -4424,7 +4464,8 @@ object SparkEntry {
     */
   private val robotsMetaCaseSql: String =
     """CASE WHEN doc_id % 8 = 0 THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, FOLLOW">'
-      |         WHEN doc_id % 4 = 0 THEN '<meta name="robots" content="noindex, follow">'
+      |         WHEN doc_id % 8 = 4 THEN '<meta name=robots content=noindex>'
+      |         WHEN doc_id % 8 = 1 THEN '<meta name=''robots'' content=''noindex, follow''>'
       |         WHEN doc_id % 4 = 1 THEN '<meta content="none" name="robots">'
       |         WHEN doc_id % 4 = 2 THEN '<meta name="robots" content="nofollow">'
       |         ELSE '<meta name="viewport" content="width=device-width">' END""".stripMargin
@@ -4433,15 +4474,21 @@ object SparkEntry {
     * column — both attribute orders, (?i), RE2-safe (shared q183/q185).
     */
   private val robotsOptOutPredSql: String =
-    """regexp_matches(html, '(?i)<meta[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*(noindex|none)')
-      |    OR regexp_matches(html, '(?i)<meta[^>]*content\s*=\s*"[^"]*(noindex|none)[^"]*"[^>]*name\s*=\s*"robots"')""".stripMargin
+    """regexp_matches(html, '(?i)<meta[^>]*name\s*=\s*["'']?robots["''\s/>][^>]*content\s*=\s*("[^"]*(noindex|none)|''[^'']*(noindex|none)|[^\s"''>]*(noindex|none))')
+      |    OR regexp_matches(html, '(?i)<meta[^>]*content\s*=\s*("[^"]*(noindex|none)[^"]*"|''[^'']*(noindex|none)[^'']*''|[^\s"''>]*(noindex|none)[^\s"''>]*)[^>]*name\s*=\s*["'']?robots["''\s/>]')""".stripMargin
 
   /** [[graft.ops.Quality.ccnetNormalize]]'s DuckDB mirror over a `text`
     * column — chr()-composed so no quote-escaping ambiguity; 'g' flags
     * per the cross-engine regexp_replace contract (q177/q178).
     */
-  private val ccnetNormSql: String =
-    "trim(regexp_replace(regexp_replace(translate(lower(text), " +
+  private val ccnetNormSql: String = ccnetNormSqlOver("text")
+
+  /** [[ccnetNormSql]] over an arbitrary inner expression — q197 feeds
+    * it `strip_accents(text)` (the accent-fold composes INSIDE the
+    * chain, before `lower`, exactly like the Spark column).
+    */
+  private def ccnetNormSqlOver(inner: String): String =
+    s"trim(regexp_replace(regexp_replace(translate(lower($inner), " +
       "chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160), " +
       "chr(39)||chr(39)||'\"\"--'||' '), '[0-9]', '0', 'g'), '\\s+', ' ', 'g'))"
 

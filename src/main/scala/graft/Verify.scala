@@ -43,6 +43,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Deterministic release of result checkpoints the query could not
+      // release itself — across ~200 queries the ContextCleaner's async
+      // path does not keep up (see BlockHygiene scaladoc).
+      graft.util.BlockHygiene.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -38,6 +38,19 @@ import org.apache.spark.storage.StorageLevel
   *     gain splits next, under a `maxLeaves` budget and a `maxDepth`
   *     guard — LightGBM's `num_leaves` discipline, vs MLlib's
   *     level-wise expansion.
+  *   - **GOSS** (gradient-based one-side sampling, Ke et al. 2017 §3):
+  *     per round, the top-a fraction of rows by gradient magnitude is
+  *     kept exactly and the low-gradient rest is sampled at b/(1−a)
+  *     with (1−a)/b amplification — tree fits see a·n + b·n rows with
+  *     unbiased histogram sums. Off by default
+  *     (`gossTopRate`/`gossOtherRate`); the piece that matters at
+  *     100× training scale.
+  *   - **EFB** (exclusive feature bundling, Ke et al. 2017 §4):
+  *     rarely-co-nonzero features merge into shared byte code spaces
+  *     (greedy conflict-budgeted packing over the bin-mapper sample),
+  *     shrinking histogram width toward the true feature density —
+  *     the sparse/one-hot economics. Off by default
+  *     (`efbMaxConflictRate`).
   *
   * Scale posture (100 TB, `tree_learner='data'` exactly): the binned
   * matrix is built in one distributed pass (bin edges from a bounded
@@ -83,21 +96,20 @@ object HistGbt {
     * + the bin edges needed to route RAW feature vectors (edges(d) are
     * ascending upper-inclusive cut points; value v lands in the first
     * bin with v <= edge, last bin otherwise — same rule as binning).
+    * When the model was fit with EFB, `bundles` carries the feature
+    * bundling (tree feature i = bundle i); `None` = identity (one
+    * feature per tree feature, the pre-EFB encoding, bit-compatible
+    * with models persisted before the field existed).
     */
   final case class Model(priors: Array[Double],
       rounds: Vector[Array[Tree]], learningRate: Double,
-      binEdges: Array[Array[Double]]) {
+      binEdges: Array[Array[Double]],
+      bundles: Option[Array[Array[Int]]] = None) {
 
     def numClasses: Int = priors.length
 
-    private[ml] def binRaw(f: MlVector): Array[Byte] = {
-      val out = new Array[Byte](binEdges.length)
-      var d = 0
-      while (d < binEdges.length) {
-        out(d) = binOf(f(d), binEdges(d)).toByte; d += 1
-      }
-      out
-    }
+    private[ml] def binRaw(f: MlVector): Array[Byte] =
+      encode(f, binEdges, bundles)
 
     def rawScores(f: MlVector): Array[Double] = {
       val b = binRaw(f)
@@ -141,6 +153,116 @@ object HistGbt {
     lo
   }
 
+  /** Raw feature vector → byte codes, one per TREE feature. Without
+    * bundles: the plain per-feature bin. With bundles (EFB): a
+    * singleton bundle keeps the plain bin (bit-compatible with the
+    * unbundled encoding); a multi-member bundle merges its mutually
+    * exclusive members into one code space — code 0 = every member
+    * raw-zero, member j active (raw ≠ 0) = 1 + Σ_{i<j} bins_i +
+    * bin_j(v) (LightGBM's offset-merge, Ke et al. 2017 §4 Alg. 4).
+    * On the rare conflicting row (two members nonzero — bounded by the
+    * fit-time conflict budget) the FIRST active member in bundle order
+    * wins, matching what the fit itself encoded.
+    */
+  private[ml] def encode(f: MlVector, edges: Array[Array[Double]],
+      bundles: Option[Array[Array[Int]]]): Array[Byte] = bundles match {
+    case None =>
+      val out = new Array[Byte](edges.length)
+      var d = 0
+      while (d < edges.length) {
+        out(d) = binOf(f(d), edges(d)).toByte; d += 1
+      }
+      out
+    case Some(bs) =>
+      val out = new Array[Byte](bs.length)
+      var i = 0
+      while (i < bs.length) {
+        val members = bs(i)
+        if (members.length == 1) {
+          val d = members(0)
+          out(i) = binOf(f(d), edges(d)).toByte
+        } else {
+          var code = 0
+          var off = 1
+          var j = 0
+          while (code == 0 && j < members.length) {
+            val d = members(j)
+            val v = f(d)
+            if (v != 0.0) code = off + binOf(v, edges(d))
+            else off += edges(d).length + 1
+            j += 1
+          }
+          out(i) = code.toByte
+        }
+        i += 1
+      }
+      out
+  }
+
+  /** Greedy EFB bundle construction (Ke et al. 2017 §4 Alg. 3) over the
+    * SAME bounded sample the bin mapper uses: features ordered by
+    * nonzero count (desc), each assigned to the first bundle whose
+    * added CONFLICTS (sample rows where the feature and the bundle are
+    * both nonzero) stay within `maxConflictRate · n_sample` and whose
+    * merged code space still fits a byte; otherwise it opens a new
+    * bundle. Activity is tracked as per-feature bitsets over the
+    * sample, so conflict counting is a popcount — dims × bundles
+    * word-ANDs, driver-side, bounded by the sample. Deterministic
+    * (ties break on feature index; bundles sorted by first member), so
+    * the fit stays partition-invariant. Returns every feature exactly
+    * once; all-singleton output = nothing bundles (dense data).
+    */
+  private[ml] def buildBundles(sample: Array[MlVector], dims: Int,
+      binsPer: Array[Int], maxConflictRate: Double,
+      maxCodes: Int = 256): Array[Array[Int]] = {
+    val n = sample.length
+    val budget = (maxConflictRate * n).toLong
+    val words = (n + 63) >>> 6
+    val act = Array.ofDim[Long](dims, words)
+    var r = 0
+    while (r < n) {
+      val v = sample(r)
+      var d = 0
+      while (d < dims) {
+        if (v(d) != 0.0) act(d)(r >>> 6) |= 1L << (r & 63)
+        d += 1
+      }
+      r += 1
+    }
+    def popcnt(ws: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < ws.length) { s += java.lang.Long.bitCount(ws(i)); i += 1 }
+      s
+    }
+    def conflicts(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
+      s
+    }
+    val activeCnt = act.map(popcnt)
+    val order = (0 until dims).sortBy(d => (-activeCnt(d), d))
+    final class Bundle(first: Int) {
+      val members = scala.collection.mutable.ArrayBuffer[Int](first)
+      val bits: Array[Long] = act(first).clone()
+      var width: Int = 1 + binsPer(first)
+    }
+    val bundles = scala.collection.mutable.ArrayBuffer[Bundle]()
+    order.foreach { d =>
+      val home = bundles.find(b =>
+        b.width + binsPer(d) <= maxCodes &&
+          conflicts(act(d), b.bits) <= budget)
+      home match {
+        case Some(b) =>
+          b.members += d
+          b.width += binsPer(d)
+          var i = 0
+          while (i < words) { b.bits(i) |= act(d)(i); i += 1 }
+        case None => bundles += new Bundle(d)
+      }
+    }
+    bundles.map(_.members.toArray).sortBy(_.head).toArray
+  }
+
   /** Quantile bin edges per feature from a bounded deterministic sample
     * (row-hash filter, ~`sampleTarget` rows) — LightGBM builds its bin
     * mappers from a sample too (`bin_construct_sample_cnt`). Returns
@@ -148,7 +270,15 @@ object HistGbt {
     * constant feature gets an empty array (single bin, never split).
     */
   private[ml] def quantileEdges(rows: RDD[MlVector], dims: Int,
-      maxBins: Int, sampleTarget: Int): Array[Array[Double]] = {
+      maxBins: Int, sampleTarget: Int): Array[Array[Double]] =
+    edgesFromSample(boundedSample(rows, sampleTarget), dims, maxBins)
+
+  /** The bounded deterministic sample behind [[quantileEdges]] — shared
+    * with the EFB conflict graph so bin mapper and bundling see the
+    * same rows (one collect, not two).
+    */
+  private[ml] def boundedSample(rows: RDD[MlVector],
+      sampleTarget: Int): Array[MlVector] = {
     val n = rows.sparkContext.longAccumulator
     val frac = {
       rows.foreach(_ => n.add(1L)) // count; rows is cached by caller
@@ -174,6 +304,11 @@ object HistGbt {
         ((h >>> 11).toDouble / (1L << 53).toDouble) < frac
       }.collect()
     require(sample.nonEmpty, "empty training set")
+    sample
+  }
+
+  private[ml] def edgesFromSample(sample: Array[MlVector], dims: Int,
+      maxBins: Int): Array[Array[Double]] =
     Array.tabulate(dims) { d =>
       val vals = sample.map(_(d)).sorted
       val cuts = (1 until maxBins).map { b =>
@@ -183,7 +318,6 @@ object HistGbt {
       // last bin empty rather than the edge list shorter
       if (cuts.nonEmpty && cuts.last >= vals.last) cuts.dropRight(1) else cuts
     }
-  }
 
   // --- single-tree learner ------------------------------------------------
 
@@ -428,10 +562,19 @@ object HistGbt {
       sampleTarget: Int = 20000, treeParallelism: Int = 8,
       validation: Option[DataFrame] = None,
       earlyStoppingRounds: Int = 0,
-      trackTrainingDeviance: Boolean = false): FitResult = {
+      trackTrainingDeviance: Boolean = false,
+      gossTopRate: Double = 0.0, gossOtherRate: Double = 0.0,
+      efbMaxConflictRate: Double = -1.0): FitResult = {
     require(maxIter >= 1 && numClasses >= 2 && maxBins >= 2 && maxBins <= 256)
     require(earlyStoppingRounds == 0 || validation.isDefined,
       "earlyStoppingRounds needs a validation frame")
+    require(gossTopRate >= 0.0 && gossTopRate < 1.0 &&
+      gossOtherRate >= 0.0 && gossTopRate + gossOtherRate <= 1.0,
+      s"GOSS rates (a=$gossTopRate, b=$gossOtherRate) must satisfy " +
+        "0 <= a < 1, b >= 0, a + b <= 1")
+    require(gossTopRate == 0.0 || gossOtherRate > 0.0,
+      "GOSS with a top fraction needs gossOtherRate > 0 — the " +
+        "amplification factor (1-a)/b is undefined at b = 0")
     val spark = train.sparkSession
     val sc = spark.sparkContext
 
@@ -440,10 +583,27 @@ object HistGbt {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dims = raw.first()._1.size
 
-    // 1. bin mapper from a bounded sample, broadcast once
-    val edges = quantileEdges(raw.map(_._1), dims, maxBins, sampleTarget)
-    val bins = maxBins // bin ids always < maxBins by construction
+    // 1. bin mapper from a bounded sample, broadcast once; the SAME
+    //    sample feeds the EFB conflict graph when bundling is on
+    val sample = boundedSample(raw.map(_._1), sampleTarget)
+    val edges = edgesFromSample(sample, dims, maxBins)
+    val bundles: Option[Array[Array[Int]]] =
+      if (efbMaxConflictRate >= 0.0)
+        Some(buildBundles(sample, dims, edges.map(_.length + 1),
+          efbMaxConflictRate))
+      else None
+    // tree-side feature count and histogram width: with EFB a merged
+    // bundle's code space is 1 + Σ member bins (≤ 256 by construction)
+    val treeDims = bundles.map(_.length).getOrElse(dims)
+    val bins = bundles match {
+      case None => maxBins // bin ids always < maxBins by construction
+      case Some(bs) => bs.map { ms =>
+        if (ms.length == 1) edges(ms(0)).length + 1
+        else 1 + ms.map(d => edges(d).length + 1).sum
+      }.max
+    }
     val bEdges: Broadcast[Array[Array[Double]]] = sc.broadcast(edges)
+    val bBundles: Broadcast[Option[Array[Array[Int]]]] = sc.broadcast(bundles)
 
     // 2. binned matrix + label, built once; scores start at log priors
     val counts = raw.map(_._2).countByValue()
@@ -455,11 +615,7 @@ object HistGbt {
     def binned(rows: RDD[(MlVector, Int)]):
         RDD[(Array[Byte], Int, Array[Double])] = {
       val out = rows.map { case (f, y) =>
-        val e = bEdges.value
-        val b = new Array[Byte](e.length)
-        var d = 0
-        while (d < e.length) { b(d) = binOf(f(d), e(d)).toByte; d += 1 }
-        (b, y, bPriors.value.clone())
+        (encode(f, bEdges.value, bBundles.value), y, bPriors.value.clone())
       }.persist(StorageLevel.MEMORY_AND_DISK)
       out.localCheckpoint()
       out.count()
@@ -544,19 +700,82 @@ object HistGbt {
             }
             (b, g, h)
           }.persist(StorageLevel.MEMORY_AND_DISK)
+        // GOSS (Ke et al. 2017 §3): keep the top-a fraction of rows by
+        // gradient magnitude Σ_k |g_k| exactly, sample the rest at rate
+        // b/(1−a), and amplify the sampled rows' (g, h) by (1−a)/b so
+        // histogram statistics stay unbiased estimates of the full-data
+        // sums. The top threshold comes from a fixed 8192-bin histogram
+        // of the norms (one treeAggregate — counts commute, so the
+        // threshold is partition-invariant; norms are bounded by 2 for
+        // softmax: Σ|g| = 2(1−p_y)): the top SET is "norm ≥ bin edge",
+        // which can admit up to one bin's overflow beyond a·n — the
+        // deterministic trade vs LightGBM's exact per-worker sort. The
+        // rest-sampling coin is content-keyed (bin bytes, label, round)
+        // like the bin-mapper sample, so the fit stays identical under
+        // any partitioning.
+        val goss = gossOtherRate > 0.0
+        val fitBase = if (!goss) withGH else {
+          val NB = 8192
+          val normOf = (g: Array[Double]) => {
+            var s = 0.0; var k = 0
+            while (k < g.length) { s += math.abs(g(k)); k += 1 }
+            s
+          }
+          val hist = withGH.treeAggregate(new Array[Long](NB))(
+            (acc, row) => {
+              val idx = math.min(NB - 1, (normOf(row._2) * (NB / 2.0)).toInt)
+              acc(idx) += 1L; acc
+            },
+            (a, b) => { var i = 0; while (i < NB) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          val nTot = hist.sum
+          val topTarget = (gossTopRate * nTot).toLong
+          var t = NB; var acc = 0L
+          while (t > 0 && acc < topTarget) { t -= 1; acc += hist(t) }
+          val thr = t * (2.0 / NB)
+          val keepP = gossOtherRate / (1.0 - gossTopRate)
+          val amp = (1.0 - gossTopRate) / gossOtherRate
+          val roundSalt = 0x100000001B3L * (m + 1)
+          withGH.flatMap { case (b, g, h) =>
+            if (normOf(g) >= thr) Some((b, g, h))
+            else {
+              // coin keyed on (bins, gradients, round): the gradient
+              // vector distinguishes labels that share a bin row, so
+              // one-hot-ish data doesn't sample whole label groups
+              // together; truly identical rows still coin together
+              // (harmless — their contributions are interchangeable)
+              var hsh = 0x9E3779B97F4A7C15L ^ roundSalt
+              var i = 0
+              while (i < b.length) { hsh = (hsh ^ b(i)) * 0x100000001B3L; i += 1 }
+              var k = 0
+              while (k < g.length) {
+                hsh = (hsh ^ java.lang.Double.doubleToLongBits(g(k))) *
+                  0x100000001B3L
+                k += 1
+              }
+              if ((hsh >>> 11).toDouble / (1L << 53).toDouble < keepP)
+                Some((b, g.map(_ * amp), h.map(_ * amp)))
+              else None
+            }
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+        }
         // unpersist in a finally: a tree-fit failure mid-round must not
         // pin the materialized (bins, grad, hess) blocks for the rest
         // of the process (the round-3 leaked-persist class)
         val trees = try {
-          withGH.count() // materialize once; K tree fits share it
+          fitBase.count() // materialize once; K tree fits share it
           val fits = (0 until numClasses).map { k =>
             Future {
-              fitTree(withGH.map { case (b, g, h) => (b, g(k), h(k)) },
-                dims, bins, maxLeaves, maxDepth, lambda, gamma, minChildHess)
+              fitTree(fitBase.map { case (b, g, h) => (b, g(k), h(k)) },
+                treeDims, bins, maxLeaves, maxDepth, lambda, gamma,
+                minChildHess)
             }
           }
           Await.result(Future.sequence(fits), Duration.Inf).toArray
-        } finally withGH.unpersist(false)
+        } finally {
+          if (fitBase ne withGH) fitBase.unpersist(false)
+          withGH.unpersist(false)
+        }
         rounds += trees
 
         // one broadcast-trees map stage updates all K scores (train and,
@@ -608,7 +827,8 @@ object HistGbt {
       val all = rounds.result()
       val truncate = earlyStoppingRounds > 0
       val kept = if (truncate) all.take(bestIter) else all
-      FitResult(Model(priors, kept, learningRate, edges), valDevs.result(),
+      FitResult(Model(priors, kept, learningRate, edges, bundles),
+        valDevs.result(),
         if (scoredVal.isDefined) bestIter else all.length,
         trainDevs.result())
     } finally {
@@ -632,7 +852,11 @@ object HistGbt {
     */
   def featureImportances(model: Model,
       normalize: Boolean = true): Array[Double] = {
-    val imp = new Array[Double](model.binEdges.length)
+    // under EFB, tree features are BUNDLES — importances come back at
+    // bundle granularity (index i = model.bundles.get(i)), matching
+    // LightGBM's own behavior when bundling merges features
+    val imp = new Array[Double](
+      model.bundles.map(_.length).getOrElse(model.binEdges.length))
     model.rounds.foreach(_.foreach { t =>
       var n = 0
       while (n < t.feature.length) {
@@ -668,6 +892,14 @@ object HistGbt {
       .write.mode("overwrite").parquet(s"$path/edges")
     Seq((model.priors, model.learningRate)).toDF("priors", "lr")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // EFB bundling, when present — without it routing would misread
+    // bundle codes as per-feature bins (table absent = identity, which
+    // is also how pre-EFB artifacts load)
+    model.bundles.foreach { bs =>
+      bs.zipWithIndex.map { case (ms, i) => (i, ms.toSeq) }.toSeq
+        .toDF("bundle", "members")
+        .write.mode("overwrite").parquet(s"$path/bundles")
+    }
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
@@ -697,7 +929,13 @@ object HistGbt {
       ts.sortBy(_._2).map(t => Tree(t._3.toArray, t._4.toArray,
         t._5.toArray, t._6.toArray, t._7.toArray, t._8.toArray)).toArray
     }.toVector
-    Model(priors, rounds, lr, edges)
+    // bundles table exists only for EFB fits; absent = identity
+    val bundles = scala.util.Try {
+      val bs = spark.read.parquet(s"$path/bundles")
+        .select($"bundle", $"members").as[(Int, Seq[Int])].collect()
+      bs.sortBy(_._1).map(_._2.toArray)
+    }.toOption.filter(_.nonEmpty)
+    Model(priors, rounds, lr, edges, bundles)
   }
 
   /** Mean multinomial deviance of `model` truncated to `m` rounds on
@@ -785,5 +1023,47 @@ object HistGbt {
       devs.zip(devs.tail).forall { case (a, b) => b < a }))
       .toDF("model", "n_classes", "acc_ok", "non_separable",
         "beats_priors", "deviance_monotone")
+  }
+
+  /** ORACLED exercise (q198): q111's noisy-fixture run under the two
+    * LightGBM sampling/bundling mechanics — GOSS at the paper's
+    * canonical a=0.2/b=0.1 (each tree fits on ~30% of the rows with
+    * amplified low-gradient statistics) and EFB at a 5% conflict
+    * budget over the 80%-zeros fixture. The pinned invariants: the
+    * subsampled model's holdout accuracy stays INSIDE q111's
+    * non-separable band (GOSS reproduces full-data quality — Ke et
+    * al.'s Table 2 claim, here as a gate), it beats the priors-only
+    * predictor, full-data training deviance still falls end to end
+    * (per-round monotonicity is deliberately NOT asserted — a 30%
+    * sample can wobble a round), and EFB actually engaged (fewer tree
+    * features than raw dims — the fixture's structural zeros make
+    * genuine exclusive bundles). Everything is seeded and
+    * content-hashed (GOSS threshold from a commutative histogram, the
+    * rest-coin keyed on row content), so the booleans are stable
+    * across partitionings.
+    */
+  def q198GossEfbGbt(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val data = EmnistFixture.noisyTenClassFrame(spark).cache()
+    val (train, test) = graft.util.Sampling.split8515(data, 42L)
+    val res = fitValidated(train, numClasses = 10, maxIter = 5,
+      maxLeaves = 8, maxDepth = 3, maxBins = 32, sampleTarget = 5000,
+      trackTrainingDeviance = true,
+      gossTopRate = 0.2, gossOtherRate = 0.1, efbMaxConflictRate = 0.05)
+    val model = res.model
+    val nTest = test.count().toDouble
+    val acc = model.transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / nTest
+    val accPriors = model.copy(rounds = Vector.empty).transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / nTest
+    val devs = res.trainDeviance
+    val bundled = model.bundles.exists(_.length < model.binEdges.length)
+    data.unpersist(false)
+    Seq((
+      "hist_gbt_goss_efb", 10, acc >= 0.75, acc <= 0.90, acc > accPriors,
+      devs.last < devs.head, bundled))
+      .toDF("model", "n_classes", "acc_ok", "non_separable",
+        "beats_priors", "deviance_falls", "efb_bundled")
   }
 }

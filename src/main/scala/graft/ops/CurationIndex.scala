@@ -312,11 +312,20 @@ object CurationIndex {
     * forever through the unchanged [[Similarity.bm25TopKFrom]].
     */
   def writeBm25(spark: SparkSession, path: String, tf: DataFrame): Unit = {
-    import spark.implicits._
     tf.select(col("doc_id").cast("long"), col("term"),
         col("tf").cast("long"))
       .write.mode("overwrite").parquet(s"$path/bm25_tf")
-    val nDocs = tf.select(countDistinct(col("doc_id"))).as[Long].head()
+    // meta doc count from the JUST-WRITTEN table, not the input plan:
+    // re-executing `tf` here would run the whole corpus explode a
+    // second time when the caller hands a lazy build (the round-18
+    // advice); the written parquet is a one-column scan of the index
+    writeBm25MetaFromDisk(spark, path)
+  }
+
+  private def writeBm25MetaFromDisk(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val nDocs = spark.read.parquet(s"$path/bm25_tf")
+      .select(countDistinct(col("doc_id"))).as[Long].head()
     Seq((nDocs, FormatVersion)).toDF("n_docs", "format")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bm25_meta")
   }
@@ -338,6 +347,12 @@ object CurationIndex {
       .as[(Long, Long)].collect()
     require(meta.length == 1 && meta.head._2 == FormatVersion,
       s"CurationIndex.appendBm25($path): bad meta — not a writeBm25 index")
+    // the batch count is taken from newTf (BATCH-sized, not the corpus
+    // recount loadBm25's verify pays) and ADDED arithmetically: if a
+    // caller violates the new-ids contract, meta (which counted the
+    // duplicate twice) disagrees with the on-disk distinct count and
+    // the next verifying load fails loudly — recounting from disk here
+    // would paper over exactly that corruption
     val added = newTf.select(countDistinct(col("doc_id"))).as[Long].head()
     newTf.select(col("doc_id").cast("long"), col("term"),
         col("tf").cast("long"))
@@ -347,11 +362,20 @@ object CurationIndex {
   }
 
   /** Load an index written by [[writeBm25]], enforcing the format
-    * marker and that the doc count matches the meta (a partially
-    * written tf table would silently deflate every df and idf — fail
-    * loudly instead).
+    * marker and — under `verify = true` — that the doc count matches
+    * the meta (a partially written tf table would silently deflate
+    * every df and idf — fail loudly instead).
+    *
+    * `verify = false` skips the completeness recount, making the load
+    * O(metadata): at the claimed scale the recount is a full
+    * countDistinct scan of a corpus-sized table on EVERY load, which
+    * contradicts the build-once/serve-forever posture (the round-18
+    * advice). Production serving loads pass false and rely on the
+    * format marker plus storage-layer integrity; verification remains
+    * the default so ad-hoc loads stay loud about truncation.
     */
-  def loadBm25(spark: SparkSession, path: String): DataFrame = {
+  def loadBm25(spark: SparkSession, path: String,
+      verify: Boolean = true): DataFrame = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/bm25_meta")
     require(meta.columns.contains("format"),
@@ -363,10 +387,12 @@ object CurationIndex {
         s"${rows.mkString("[", ",", "]")} — rebuild with this build's " +
         "writeBm25")
     val tf = spark.read.parquet(s"$path/bm25_tf")
-    val nDocs = tf.select(countDistinct(col("doc_id"))).as[Long].head()
-    require(nDocs == rows.head._1,
-      s"CurationIndex.loadBm25($path): tf table covers $nDocs docs, " +
-        s"meta says ${rows.head._1} — truncated index")
+    if (verify) {
+      val nDocs = tf.select(countDistinct(col("doc_id"))).as[Long].head()
+      require(nDocs == rows.head._1,
+        s"CurationIndex.loadBm25($path): tf table covers $nDocs docs, " +
+          s"meta says ${rows.head._1} — truncated index")
+    }
     tf
   }
 

@@ -375,18 +375,29 @@ object Packing {
         count(lit(1)).as("n_doc_slices"),
         expr("bit_xor(h)").as("digest"))
 
-  /** Consumer-side verification: recompute the digest over the
-    * RECEIVED packing and compare per shard. A shard missing entirely
-    * verifies false (null-safe compare), matching the manifest's
-    * contract that silence is corruption.
+  /** Consumer-side verification: recompute the digest AND the member
+    * counts over the RECEIVED packing and compare per shard. A shard
+    * missing entirely verifies false (null-safe compare), matching the
+    * manifest's contract that silence is corruption. The counts are
+    * not redundant with the digest: XOR cancels under even-multiplicity
+    * corruption (a member present 3x contributes h^h^h = h, leaving
+    * the digest intact while the shard is corrupt — the round-18
+    * advice hole), so the verdict is digest ∧ n_examples ∧
+    * n_doc_slices; a duplication that survives the XOR fails the
+    * slice count, and a count-preserving substitution fails the
+    * digest — the two checks cover each other's blind spots.
     */
   def verifyShards(manifest: DataFrame, packedReceived: DataFrame,
       nShards: Int): DataFrame =
     manifest.join(
         shardMembers(packedReceived, nShards).groupBy(col("shard_id"))
-          .agg(expr("bit_xor(h)").as("received_digest")),
+          .agg(expr("bit_xor(h)").as("received_digest"),
+            count_distinct(col("example_id")).as("received_n_examples"),
+            count(lit(1)).as("received_n_doc_slices")),
         Seq("shard_id"), "left")
-      .withColumn("ok", col("digest") <=> col("received_digest"))
+      .withColumn("ok", col("digest") <=> col("received_digest") &&
+        col("n_examples") <=> col("received_n_examples") &&
+        col("n_doc_slices") <=> col("received_n_doc_slices"))
 
   private def shardMembers(packed: DataFrame, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")

@@ -404,6 +404,16 @@ object Quality {
     * (bounded: #languages × |Σ|²; the derived aggregates must not
     * re-execute the corpus subtree). Persist with
     * [[CurationIndex.writeCcnetLang]] for fit-once/apply-many.
+    *
+    * BLOCK LIFECYCLE: the checkpoint is INTENTIONALLY retained — the
+    * composing call paths ([[lmScoreByLang]], [[ccnetBucketsByLang]])
+    * splice it into a lazy corpus-sized plan, so releasing it eagerly
+    * would require freezing THAT plan first, trading an
+    * alphabet-bounded block (#langs × |Σ|² rows, a few MB) for a
+    * corpus-sized checkpoint write — the wrong trade at every scale.
+    * Sessions that fit many models reclaim the blocks at their batch
+    * boundaries via [[graft.util.BlockHygiene.sweep]] (the Bench /
+    * Verify harnesses already do).
     */
   def langBigramCounts(reference: DataFrame): DataFrame = {
     import reference.sparkSession.implicits._
@@ -656,6 +666,57 @@ object Quality {
     import spark.implicits._
     val docs = Sources.documents(spark, dir)
     val norm = docs.select($"doc_id", ccnetNormalize($"text").as("text"))
+    ccnetBuckets(
+        norm.filter($"doc_id" % 3 =!= 0),
+        norm.filter($"doc_id" % 3 === 0))
+      .join(norm.withColumnRenamed("text", "norm_text"), Seq("doc_id"))
+      .select($"doc_id", $"norm_text", $"bits_micro", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic ACCENT PLANT for q197 — a per-class accented prefix
+    * spliced onto every document so the fold sees (0) precomposed
+    * Latin accents, (1) COMBINING-mark sequences (NFD-form input — the
+    * fold must strip the marks, not just recompose), (2) letters whose
+    * diacritic is NOT a combining mark (Ł Ø Æ ø — must survive
+    * untouched in BOTH engines), (3) a no-plant control. Every
+    * non-ASCII byte is spelled `\uXXXX` here and `chr(N)` in the SQL
+    * mirror (the cross-engine unicode-literal rule).
+    */
+  private[graft] def accentPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", concat(
+      when($"doc_id" % 4 === 0, lit("Caf\u00e9 d\u00e9j\u00e0 "))
+        .when($"doc_id" % 4 === 1, lit("nai\u0308ve fac\u0327ade "))
+        .when($"doc_id" % 4 === 2,
+          lit("\u0141ukasz \u00d8re \u00c6r\u00f8 "))
+        .otherwise(lit("")),
+      $"text").as("text"))
+  }
+
+  /** ORACLED exercise (q197): ACCENT-FOLDED CCNet normalization →
+    * buckets — [[q182CcnetNormBuckets]] with the
+    * [[org.apache.spark.sql.graftshim.GraftColumns.accentFold]] pass
+    * CCNet actually runs upstream of its LM (Wenzek et al. 2020 §4.2
+    * strip accents before scoring; without it every accented-language
+    * document scores as out-of-distribution surface noise). The
+    * [[accentPlant]] drives precomposed, combining-mark, and
+    * non-folding classes through the fold; the folded-and-normalized
+    * BYTES ride in the output so DuckDB (whose `strip_accents` was
+    * probed char-for-char equal to the NFD → strip-Mn/Mc/Me → NFC
+    * fold) hash-checks the fold itself AND the buckets it induces.
+    * The NFKC compatibility arm stays spec-only — DuckDB has no NFKC.
+    *
+    * 100 TB posture: the fold is one codegen'd map expression with an
+    * ASCII fast path (no allocation on the dominant case), fused into
+    * the scan like the rest of the normalization chain.
+    */
+  def q197AccentFoldBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.accentFold
+    val docs = accentPlant(Sources.documents(spark, dir))
+    val norm = docs.select($"doc_id",
+      ccnetNormalize(accentFold($"text")).as("text"))
     ccnetBuckets(
         norm.filter($"doc_id" % 3 =!= 0),
         norm.filter($"doc_id" % 3 === 0))

@@ -101,7 +101,9 @@ object Similarity {
       if (fresh(c)) c
       else {
         val (vecs, model) = unitQuantized(emb, nLists)
-        val frozen = vecs.localCheckpoint(true)
+        // pinned: BlockHygiene.sweep must never release a cached
+        // lineage-truncated checkpoint — it cannot be recomputed
+        val frozen = graft.util.BlockHygiene.pin(vecs.localCheckpoint(true))
         vecs.unpersist(false)
         (frozen, model)
       })
@@ -1772,6 +1774,18 @@ object Similarity {
     * every constant in the algebra round-trips between engines
     * bit-for-bit; avgdl is the one derived double (exact long sum /
     * exact long count, the same division both sides).
+    *
+    * NOTE the k1 default therefore DIFFERS from the Okapi/Lucene
+    * standard k1 = 1.2 that the cited idf variant usually ships with:
+    * on tf-sensitive ties the two defaults can rank differently, so
+    * scores are not drop-in comparable to a Lucene index. Callers
+    * wanting canonical behavior can pass k1 = 1.2 — but 1.2 is NOT
+    * exactly representable in binary64 (it is 1.1999999999999999556…),
+    * so the micro-grid rounding of a contribution landing within
+    * ~1e-16 of a .5 micro boundary is no longer guaranteed to agree
+    * with an engine computing in a different intermediate precision;
+    * the deterministic cross-engine contract holds only for exactly
+    * representable params.
     *
     * 100 TB posture: ONE corpus explode into the (doc, term) tf table
     * (map-side combine); doc lengths, df, and the 1-row corpus stats

@@ -186,7 +186,10 @@ object SuffixDedup {
     val cur = gramClassCache.get(key)
     if (fresh(cur)) cur
     else gramClassCache.compute(key, (_, c) =>
-      if (fresh(c)) c else gramClasses(docs, gramLen))
+      // pinned: the memo'd frame is a lineage-truncated checkpoint —
+      // BlockHygiene.sweep must never release it (unrecoverable)
+      if (fresh(c)) c
+      else graft.util.BlockHygiene.pin(gramClasses(docs, gramLen)))
   }
 
   /** [[gramClasses]] plus the persisted intermediate level tables the

@@ -765,10 +765,23 @@ object Text {
     * Matching is SUBSTRING over the content value (a `noindex`
     * anywhere in the directive list opts out) — conservative by
     * design: over-dropping respects more opt-outs, never fewer.
+    *
+    * ALL THREE legal HTML attribute quotings are honored — double-
+    * quoted, single-quoted, and unquoted (`name=robots`,
+    * `content=noindex`): real crawls carry every variant, and a
+    * double-quote-only gate silently under-drops the others (the
+    * round-18 advice hole). Backreference-free, so each content arm is
+    * spelled per quote style: a quoted value may span spaces up to its
+    * own closing quote; an unquoted value ends at whitespace/quote/`>`.
+    * The name value is followed by a delimiter class (quote,
+    * whitespace, `/`, `>`), so `name=robotsx` can never match.
     */
   def metaRobotsOptOut(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    html.rlike("(?i)<meta[^>]*name\\s*=\\s*\"robots\"[^>]*content\\s*=\\s*\"[^\"]*(noindex|none)") ||
-      html.rlike("(?i)<meta[^>]*content\\s*=\\s*\"[^\"]*(noindex|none)[^\"]*\"[^>]*name\\s*=\\s*\"robots\"")
+    html.rlike("(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>][^>]*content\\s*=\\s*" +
+        "(\"[^\"]*(noindex|none)|'[^']*(noindex|none)|[^\\s\"'>]*(noindex|none))") ||
+      html.rlike("(?i)<meta[^>]*content\\s*=\\s*" +
+        "(\"[^\"]*(noindex|none)[^\"]*\"|'[^']*(noindex|none)[^']*'|[^\\s\"'>]*(noindex|none)[^\\s\"'>]*)" +
+        "[^>]*name\\s*=\\s*[\"']?robots[\"'\\s/>]")
 
   /** Deterministic meta-robots corpus for [[q183RobotsGate]] — four
     * page classes expression-only from doc_id, firing the gate BOTH
@@ -780,15 +793,21 @@ object Text {
     */
   /** The planted meta tag by doc_id class — shared by [[robotsPlant]]
     * and the q185 crawl-head capstone so the two oracles cannot
-    * desynchronize: %8==0 uppercase name-first noindex, %4==0
-    * name-first noindex, %4==1 content-first `none`, %4==2 robots
-    * without an opt-out token (kept), else a non-robots meta (kept).
+    * desynchronize: %8==0 uppercase name-first noindex, %8==4 UNQUOTED
+    * attributes, %8==1 SINGLE-QUOTED attributes, %8==5 content-first
+    * `none`, %4==2 robots without an opt-out token (kept), else a
+    * non-robots meta (kept). The quoting split keeps every id's
+    * opted-out VERDICT identical to the double-quote-only plant
+    * (ids ≡ 0,1 mod 4 opt out) while firing all three attribute
+    * quotings the gate honors.
     */
   private[graft] def robotsMetaExpr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(id % 8 === 0,
       lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, FOLLOW\">"))
-      .when(id % 4 === 0,
-        lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(id % 8 === 4,
+        lit("<meta name=robots content=noindex>"))
+      .when(id % 8 === 1,
+        lit("<meta name='robots' content='noindex, follow'>"))
       .when(id % 4 === 1,
         lit("<meta content=\"none\" name=\"robots\">"))
       .when(id % 4 === 2,

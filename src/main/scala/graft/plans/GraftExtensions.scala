@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharBigrams, CosineSimilarity, DHash56, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CosineSimilarity, DHash56, InterleaveBits, SimHash64, UnicodeFold, WinnowedGramMins, WinnowFingerprints}
 
 /** Session extensions for the graft engine — the standard third-party
   * integration point (`spark.sql.extensions=graft.plans.GraftExtensions`):
@@ -92,6 +92,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "interleave_bits(x, y) takes 2 arguments")
         InterleaveBits(args(0), args(1))
+      }),
+    (FunctionIdentifier("accent_fold"),
+      new ExpressionInfo(classOf[UnicodeFold].getName, "accent_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "accent_fold(text) takes 1 argument")
+        UnicodeFold(args(0), nfkc = false)
+      }),
+    (FunctionIdentifier("nfkc_fold"),
+      new ExpressionInfo(classOf[UnicodeFold].getName, "nfkc_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfkc_fold(text) takes 1 argument")
+        UnicodeFold(args(0), nfkc = true)
       }))
 
   /** Dynamically apply the graft surface to a live session. */

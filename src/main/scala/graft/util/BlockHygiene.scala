@@ -1,0 +1,61 @@
+package graft.util
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic between-queries release of leaked storage blocks.
+  *
+  * Many graft operators freeze their RESULT with an eager
+  * `localCheckpoint(true)` — required so the result survives the
+  * synchronous unpersist of its upstream intermediates (the marginMine
+  * discipline). The operator cannot release that final checkpoint
+  * itself: only the caller knows when the frame has been consumed.
+  * Inside one query that is fine; across a 196-query benchmark session
+  * it is not — the blocks are reclaimed only when the ContextCleaner's
+  * weak references get collected AND its async queue drains, and its
+  * periodic-GC backstop (`spark.cleaner.periodicGC.interval`) defaults
+  * to 30 min, roughly ONCE per full-suite run. The round-18 driver run
+  * showed the result: gram-stream queries late in the alphabet (q142,
+  * q154, q170) ran 2–3x their clean-session medians purely from
+  * accumulated storage pressure.
+  *
+  * [[sweep]] makes the release deterministic: unpersist every RDD still
+  * registered with the SparkContext, EXCEPT ids [[pin]]ned by the
+  * process-lifetime index caches (the IVF index cache and the dedup
+  * gram-class memo — bounded, intentionally immortal, and — being
+  * lineage-truncated checkpoints — UNRECOVERABLE if swept). Harnesses
+  * (Bench, Verify) call it between queries, off-timer; library users
+  * with long sessions can call it at their own batch boundaries.
+  *
+  * Safety: by the end of a query every surviving unpinned entry is
+  * either a leaked result checkpoint (fully consumed — nothing will
+  * re-execute it) or a CacheManager-backed Dataset persist whose
+  * lineage is intact (re-materializes on next use; the operator suite
+  * releases these synchronously anyway, see `cacheIsEmpty` probes).
+  * Do NOT call mid-query or while a streaming query is active.
+  */
+object BlockHygiene {
+
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Mark a localCheckpoint'd frame as process-lifetime index state:
+    * [[sweep]] will never unpersist its backing RDD. Returns the frame
+    * for call-site chaining. No-op for frames that are not
+    * checkpoint-backed.
+    */
+  def pin(df: Dataset[_]): df.type = {
+    org.apache.spark.sql.graftshim.GraftColumns.checkpointRdd(df)
+      .foreach(r => pinned.add(r.id))
+    df
+  }
+
+  /** Unpersist every registered-but-unpinned RDD (non-blocking block
+    * removal). Returns the number of RDDs released — harnesses log it
+    * so a regression back to leaking is visible in the bench stderr.
+    */
+  def sweep(spark: SparkSession): Int = {
+    val doomed = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => pinned.contains(id) }
+    doomed.valuesIterator.foreach(_.unpersist(blocking = false))
+    doomed.size
+  }
+}

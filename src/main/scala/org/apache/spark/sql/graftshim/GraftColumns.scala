@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, DHash56, EmnistFeatures, InterleaveBits, SimHash64, WinnowedGramMins, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, DHash56, EmnistFeatures, InterleaveBits, SimHash64, UnicodeFold, WinnowedGramMins, WinnowFingerprints}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -58,6 +58,20 @@ object GraftColumns {
     */
   def dHash56(c: Column): Column =
     ExpressionUtils.column(DHash56(ExpressionUtils.expression(c)))
+
+  /** Unicode accent fold — NFD → strip combining marks (Mn/Mc/Me, the
+    * utf8proc STRIPMARK set) → NFC; matches DuckDB `strip_accents` on
+    * canonical text (see [[graft.expressions.UnicodeFold]]).
+    */
+  def accentFold(c: Column): Column =
+    ExpressionUtils.column(UnicodeFold(ExpressionUtils.expression(c), nfkc = false))
+
+  /** [[accentFold]] with an NFKC compatibility pass first (ﬁ → fi,
+    * ① → 1, full-width → ASCII) — the full pipeline normalization; not
+    * oracle-able (DuckDB has no NFKC), spec-tested.
+    */
+  def nfkcFold(c: Column): Column =
+    ExpressionUtils.column(UnicodeFold(ExpressionUtils.expression(c), nfkc = true))
 
   /** Morton (Z-order) interleave of two long bucket-rank columns into a
     * 64-bit sort key (see [[graft.expressions.InterleaveBits]]).

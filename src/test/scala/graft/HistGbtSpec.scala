@@ -235,4 +235,113 @@ class HistGbtSpec extends graft.SparkTestBase {
       val p = r.getDouble(0); p >= 0.0 && p <= 9.0 && p == math.floor(p)
     })
   }
+
+  // --- GOSS + EFB (Ke et al. 2017 §3-4) -----------------------------------
+
+  test("encode: bundle offset algebra — zero code, member offsets, " +
+      "first-active-wins, singleton passthrough") {
+    import org.apache.spark.ml.linalg.Vectors
+    // feature 0: edges [1,3] (3 bins); feature 1: edges [5] (2 bins);
+    // feature 2: edges [2,4,6] (4 bins, stays singleton)
+    val edges = Array(Array(1.0, 3.0), Array(5.0), Array(2.0, 4.0, 6.0))
+    val bundles = Some(Array(Array(0, 1), Array(2)))
+    def enc(v: Double*) =
+      HistGbt.encode(Vectors.dense(v.toArray), edges, bundles).map(_ & 0xff)
+    assert(enc(0.0, 0.0, 5.0).toSeq === Seq(0, 2))      // all-zero -> 0
+    assert(enc(0.5, 0.0, 0.0).toSeq === Seq(1 + 0, 0))  // f0 bin0 -> 1
+    assert(enc(9.0, 0.0, 9.0).toSeq === Seq(1 + 2, 3))  // f0 overflow -> 3
+    assert(enc(0.0, 4.0, 0.0).toSeq === Seq(1 + 3 + 0, 0)) // f1 bin0 -> 4
+    assert(enc(0.0, 6.0, 0.0).toSeq === Seq(1 + 3 + 1, 0)) // f1 bin1 -> 5
+    assert(enc(2.0, 6.0, 0.0).toSeq === Seq(1 + 1, 0))  // conflict: f0 wins
+    // identity (None) matches the plain per-feature binning
+    val plain = HistGbt.encode(Vectors.dense(2.0, 6.0, 5.0), edges, None)
+    assert(plain.map(_ & 0xff).toSeq === Seq(1, 1, 2))
+  }
+
+  test("buildBundles: exclusive features merge, conflicting features " +
+      "stay apart under a zero budget, byte capacity is honored") {
+    import org.apache.spark.ml.linalg.Vectors
+    // f0 and f1 perfectly exclusive (one-hot pair), f2 overlaps both
+    val sample = (0 until 100).map { i =>
+      val f0 = if (i % 2 == 0) 1.0 else 0.0
+      val f1 = if (i % 2 == 1) 1.0 else 0.0
+      Vectors.dense(f0, f1, 1.0)
+    }.toArray
+    val binsPer = Array(2, 2, 2)
+    val zero = HistGbt.buildBundles(sample, 3, binsPer,
+      maxConflictRate = 0.0)
+    assert(zero.map(_.toSeq).toSet === Set(Seq(0, 1), Seq(2)),
+      s"exclusive pair must bundle, overlapping f2 must not: " +
+        zero.map(_.mkString("[", ",", "]")).mkString(" "))
+    // every feature appears exactly once
+    assert(zero.flatten.sorted.toSeq === Seq(0, 1, 2))
+    // capacity: members stop joining once the merged code space would
+    // exceed a byte
+    val wide = HistGbt.buildBundles(
+      (0 until 64).map(_ => Vectors.dense(new Array[Double](8))).toArray,
+      8, Array.fill(8)(64), maxConflictRate = 1.0, maxCodes = 256)
+    wide.foreach { ms =>
+      assert(1 + ms.map(_ => 64).sum <= 256 || ms.length == 1,
+        s"bundle ${ms.mkString(",")} exceeds the byte code space")
+    }
+  }
+
+  test("GOSS at a=0.2/b=0.1 reproduces the full-data fit within an " +
+      "accuracy band, deterministically under repartitioning") {
+    val (train, test) = graft.util.Sampling.split8515(tenClass, 42L)
+    def fitAcc(df: org.apache.spark.sql.DataFrame,
+        goss: Boolean): Double = {
+      val res = HistGbt.fitValidated(df, numClasses = 10, maxIter = 3,
+        maxLeaves = 8, maxDepth = 3, maxBins = 32, sampleTarget = 5000,
+        gossTopRate = if (goss) 0.2 else 0.0,
+        gossOtherRate = if (goss) 0.1 else 0.0)
+      val n = test.count().toDouble
+      res.model.transform(test)
+        .filter(col("prediction") === col("label_idx")).count() / n
+    }
+    val full = fitAcc(train, goss = false)
+    val goss = fitAcc(train, goss = true)
+    // Ke et al. Table 2: one-side sampling tracks the full fit; the
+    // clean fixture separates, so both should be high and close
+    assert(goss >= full - 0.08,
+      s"GOSS acc $goss fell more than 0.08 below full-data acc $full")
+    // same-input determinism is EXACT: the coin is content-hashed and
+    // the threshold histogram commutative, so a repeat fit is identical
+    val repeat = fitAcc(train, goss = true)
+    assert(repeat === goss, "GOSS repeat fit must be bit-identical")
+    // under REPARTITIONING no row's sampling fate changes, but FP
+    // summation order inside histogram aggregation can flip a near-tie
+    // split and cascade (the same caveat every fit here carries) — a
+    // loose band, not exactness, is the honest assertion
+    val repartitioned = fitAcc(train.repartition(17), goss = true)
+    assert(math.abs(repartitioned - goss) <= 0.05,
+      s"GOSS under repartitioning moved $goss -> $repartitioned")
+  }
+
+  test("EFB bundles the fixture's structural zeros and the bundled " +
+      "model round-trips through parquet (including bundles)") {
+    val (train, test) = graft.util.Sampling.split8515(tenClass, 42L)
+    val res = HistGbt.fitValidated(train, numClasses = 10, maxIter = 2,
+      maxLeaves = 6, maxDepth = 3, maxBins = 16, sampleTarget = 5000,
+      efbMaxConflictRate = 0.05)
+    val model = res.model
+    val bs = model.bundles.get
+    assert(bs.flatten.sorted.toSeq === (0 until 64).toSeq,
+      "every feature exactly once across bundles")
+    assert(bs.length < 64, "80%-zeros features must actually bundle")
+    assert(bs.exists(_.length >= 2))
+    // quality survives bundling on the separable fixture
+    val n = test.count().toDouble
+    val acc = model.transform(test)
+      .filter(col("prediction") === col("label_idx")).count() / n
+    assert(acc >= 0.9, s"bundled model accuracy $acc")
+    // persistence carries the bundling; predictions identical on reload
+    val dir = java.nio.file.Files.createTempDirectory("histgbt-efb").toString
+    HistGbt.save(model, spark, dir)
+    val loaded = HistGbt.load(spark, dir)
+    assert(loaded.bundles.get.map(_.toSeq).toSeq === bs.map(_.toSeq).toSeq)
+    val a = model.transform(test).select("prediction").collect().toSeq
+    val b = loaded.transform(test).select("prediction").collect().toSeq
+    assert(a === b)
+  }
 }

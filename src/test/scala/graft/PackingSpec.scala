@@ -123,6 +123,21 @@ class PackingSpec extends SparkTestBase {
           tokens, 16L).filter(lit(false)), 4)
       .select($"ok").as[Boolean].collect()
     assert(lost.length === 4 && lost.forall(_ == false))
+    // XOR-cancelling corruption (round-18 advice): a member present 3x
+    // contributes h^h^h = h — the digest alone verifies ok; the member
+    // COUNTS must catch it. Triplicate doc 7's packing rows and assert
+    // exactly its shards flag false (and digest equality alone would
+    // have passed — asserted via the received_digest column).
+    val doc7 = packed.filter($"doc_id" === 7L)
+    val tripled = packed.union(doc7).union(doc7)
+    val xorCancelled = Packing.verifyShards(manifest, tripled, 4)
+      .select($"shard_id", $"ok", $"digest" <=> $"received_digest")
+      .as[(Long, Boolean, Boolean)].collect()
+    xorCancelled.foreach { case (sid, ok, digestOk) =>
+      assert(digestOk, s"shard $sid: XOR digest must cancel under 3x")
+      assert(ok === !doc7Shards.contains(sid),
+        s"shard $sid: counts must flag the triplication")
+    }
   }
 
   test("sequencePackByGroup equals sequencePack run on each group's " +

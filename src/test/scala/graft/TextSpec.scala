@@ -311,7 +311,22 @@ class TextSpec extends SparkTestBase {
       (5L, "<meta name=\"robots\" content=\"nofollow\">", false),
       (6L, "<meta name=\"viewport\" content=\"width=device-width\">", false),
       (7L, "<meta name=\"description\" content=\"noindex mentioned\">", false),
-      (8L, "no meta tag at all", false))
+      (8L, "no meta tag at all", false),
+      // legal quoting variants beyond double quotes (round-18 advice):
+      // single-quoted and unquoted attribute values must fire the gate
+      (9L, "<meta name='robots' content='noindex, follow'>", true),
+      (10L, "<meta content='none' name='robots'>", true),
+      (11L, "<meta name=robots content=noindex>", true),
+      (12L, "<meta content=noindex name=robots>", true),
+      (13L, "<meta name='robots' content='nofollow'>", false),
+      (14L, "<meta name=robots content=nofollow>", false),
+      // name token must be exactly 'robots' under every quoting: an
+      // unquoted prefix-extended name must NOT match
+      (15L, "<meta name=robotsx content=noindex>", false),
+      // unquoted content value ends at whitespace — a noindex in a
+      // LATER attribute's value must not leak into the content match
+      (16L, "<meta name=robots content=ok data-x=noindex>", false),
+      (17L, "<meta name=viewport content=ok data-x=noindex>", false))
       .map { case (id, m, e) =>
         (id, s"<html><head>$m</head><body><p>x</p></body></html>", e) }
     val got = cases.map(c => (c._1, c._2)).toDF("doc_id", "html")
