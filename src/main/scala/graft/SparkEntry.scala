@@ -216,6 +216,9 @@ object SparkEntry {
     "q196_contamination_shards" -> (Packing.q196ContaminationShards _),
     "q197_accent_fold_buckets" -> (Quality.q197AccentFoldBuckets _),
     "q198_goss_efb_gbt" -> (graft.ml.HistGbt.q198GossEfbGbt _),
+    "q199_hybrid_ivf_serve" -> (Similarity.q199HybridIvfServe _),
+    "q200_watermark_audit" -> (Streaming.q200WatermarkAudit _),
+    "q201_bm25_compact" -> (Similarity.q201Bm25Compact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4066,6 +4069,10 @@ object SparkEntry {
     // incremental append: q187's oracle VERBATIM — the appended index
     // must serve the same probe set byte-identically to a fresh build
     "q189_bm25_append" -> bm25OracleSql(53, 8),
+    // segment compaction is serve-invisible: build + append + compact,
+    // then the same fresh-build oracle — layout maintenance can never
+    // drift a score or a rank
+    "q201_bm25_compact" -> bm25OracleSql(53, 8),
     // hybrid RRF: the shared BM25 rank chain + the q22 cosine algebra,
     // full-outer fused as 1/(60+rank) micro terms — every fused rank
     // hash-checked; RRF needs no score calibration, only ranks
@@ -4105,6 +4112,31 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  TRUE AS mean_overlap_ok, TRUE AS every_probe_overlaps
         |FROM documents WHERE doc_id % 53 = 0""".stripMargin,
+    // the SHIPPED hybrid (IVF semantic arm, q88/q192's config) served
+    // and hash-checked: the engine-specific IVF ranks enter the oracle
+    // as data (VALUES handoff from the run itself); DuckDB re-derives
+    // the lexical chain, the full-outer fusion, every micro RRF score,
+    // and every fused rank on top of them
+    "q199_hybrid_ivf_serve" -> ivfHybridOracleSql,
+    // T4's late-data acceptance boundary, batch-oracled: md5 arrival
+    // jitter, 1-hour micro-batches, the ms-truncated watermark rule and
+    // the strict microsecond compare (both edges pinned to streaming
+    // behavior by MemoryStream probes in StreamingSpec) — every batch
+    // id, watermark, and accept/drop verdict re-derived
+    "q200_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 3600000000 AS BIGINT) - 1800000000 AS arrival_us
+        |  FROM events),
+        |m AS (SELECT min(arrival_us) AS a0 FROM e),
+        |b AS (SELECT event_id, ts_us, (arrival_us - a0) // 3600000000 AS batch_id FROM e, m),
+        |bm AS (SELECT batch_id, max(ts_us) AS b_max FROM b GROUP BY batch_id),
+        |wm AS (SELECT batch_id,
+        |    (max(b_max) OVER (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000 - 600000) * 1000 AS watermark_us
+        |  FROM bm)
+        |SELECT b.event_id, b.batch_id, b.ts_us, wm.watermark_us,
+        |  (wm.watermark_us IS NULL OR b.ts_us > wm.watermark_us) AS accepted
+        |FROM b JOIN wm USING (batch_id) ORDER BY b.event_id""".stripMargin,
     // typo-robust trigram BM25: the full fuzzy chain — gram stream,
     // df/idf, micro contributions, ranks — re-derived over the PLANTED
     // typo probe set (second char of every word >= 4 deleted); fully
@@ -4396,20 +4428,13 @@ object SparkEntry {
     * fusion) up to the fused ranked table `fr`, downstream of
     * [[bm25CtesSql]]'s `r` — shared by q190 and the q191 eval.
     */
-  private val hybridFusionCtesSql: String =
-    """lext AS (SELECT query_id, doc_id, rank AS lex_rank FROM r WHERE rank <= 10),
-      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-      |qv AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id % 53 = 0),
-      |sem0 AS (
-      |  SELECT qv.query_id, e.vec_id AS doc_id,
-      |    list_dot_product(e.vec, qv.qvec) /
-      |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cos
-      |  FROM emb e, qv),
-      |semr AS (SELECT query_id, doc_id,
-      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
-      |  FROM sem0),
-      |semt AS (SELECT * FROM semr WHERE sem_rank <= 10),
-      |fused AS (
+  /** The RRF fusion tail over `lext(query_id, doc_id, lex_rank)` and
+    * `semt(query_id, doc_id, sem_rank)` → fused ranked `fr` — the
+    * source-agnostic half of the hybrid chain, shared by q190/q191
+    * (brute-force semt) and q199 (IVF semt injected as VALUES).
+    */
+  private val rrfFusionTailSql: String =
+    """fused AS (
       |  SELECT query_id, doc_id,
       |    CAST(floor((COALESCE(1.0 / (60 + lex_rank), 0) +
       |                COALESCE(1.0 / (60 + sem_rank), 0)) * 1e6 + 0.5) AS BIGINT) AS rrf_micro,
@@ -4419,6 +4444,46 @@ object SparkEntry {
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
       |  FROM fused)""".stripMargin
+
+  private val lextCteSql: String =
+    "lext AS (SELECT query_id, doc_id, rank AS lex_rank FROM r WHERE rank <= 10)"
+
+  private val hybridFusionCtesSql: String =
+    lextCteSql + ",\n" +
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |qv AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id % 53 = 0),
+      |sem0 AS (
+      |  SELECT qv.query_id, e.vec_id AS doc_id,
+      |    list_dot_product(e.vec, qv.qvec) /
+      |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(qv.qvec, qv.qvec))) AS cos
+      |  FROM emb e, qv),
+      |semr AS (SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+      |  FROM sem0),
+      |semt AS (SELECT * FROM semr WHERE sem_rank <= 10)""".stripMargin +
+    ",\n" + rrfFusionTailSql
+
+  /** q199's oracle: the q190 lexical chain + fusion tail, with the
+    * PRODUCTION IVF arm's ranks injected as literal VALUES from the
+    * run itself (the Unigram.lastEmVocab fitted-table handoff —
+    * Verify dumps oracleSql AFTER queries run). Fail closed if the
+    * query never ran: the dumped SQL must error loudly in DuckDB, not
+    * succeed against a decoy.
+    */
+  private def ivfHybridOracleSql: String =
+    graft.ops.Similarity.lastIvfSemRanks.map { rows =>
+      val values = rows
+        .map { case (q, d, r) => s"($q, $d, $r)" }
+        .mkString(", ")
+      "WITH " + bm25CtesSql(53, 8) + ",\n" + lextCteSql + ",\n" +
+        "semt AS (SELECT CAST(c1 AS BIGINT) AS query_id, " +
+        "CAST(c2 AS BIGINT) AS doc_id, CAST(c3 AS INT) AS sem_rank " +
+        s"FROM (VALUES $values) AS v(c1, c2, c3)),\n" +
+        rrfFusionTailSql + "\n" +
+        """SELECT query_id, rank, doc_id, rrf_micro, lex_rank, sem_rank
+        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }.getOrElse(
+      "SELECT error('q199 query did not run before oracleSql was dumped')")
 
   /** The BM25 chain up to the unfiltered ranked table `r` — shared by
     * the q187/q188/q189 final selects and the q190 hybrid fusion.

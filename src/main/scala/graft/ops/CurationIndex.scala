@@ -361,6 +361,58 @@ object CurationIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/bm25_meta")
   }
 
+  /** SEGMENT COMPACTION for an appended BM25 index: [[appendBm25]]
+    * accumulates parquet segments forever (every batch adds files —
+    * the classic LSM/Lucene small-segment problem: posting scans pay
+    * per-file open/footer costs that grow with append count, not data
+    * size). Compaction rewrites the accumulated table into
+    * ~`targetFileBytes` files, hash-clustered and sorted by (term,
+    * doc_id) — posting lists become contiguous runs, which both
+    * compresses better and serves term-probe scans from fewer pages.
+    * CONTENT-invisible by contract: same rows, same meta (the doc
+    * count is layout-independent and deliberately untouched, so a
+    * prior new-ids-contract violation still trips the verifying load
+    * after compaction rather than being laundered by a recount). q201
+    * proves serve-equivalence against the fresh-build oracle; the
+    * spec pins the file-count drop and the row multiset.
+    *
+    * Swap discipline: the rewrite lands in `bm25_tf_compacting`, then
+    * two renames swap it in (`bm25_tf` → `bm25_tf_old` → deleted) —
+    * the read plan is fully materialized by the write action before
+    * the source moves (the FAILED_READ_FILE rule), and a crash
+    * between renames leaves `bm25_tf_old` on disk for manual
+    * recovery. File budget comes from the O(metadata) segment-size
+    * listing, not a data pass.
+    */
+  def compactBm25(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val meta = spark.read.parquet(s"$path/bm25_meta")
+    require(meta.columns.contains("format"),
+      s"CurationIndex.compactBm25($path): bm25_meta carries no format marker")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tfPath = new org.apache.hadoop.fs.Path(s"$path/bm25_tf")
+    val totalBytes = fs.listStatus(tfPath).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/bm25_tf_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/bm25_tf_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(tfPath.toString)
+      .repartition(nFiles, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.parquet(tmp.toString)
+    require(fs.rename(tfPath, old),
+      s"compactBm25: could not stage $tfPath aside")
+    require(fs.rename(tmp, tfPath),
+      s"compactBm25: could not swap compacted table into $tfPath " +
+        s"(previous table preserved at $old)")
+    fs.delete(old, true)
+  }
+
   /** Load an index written by [[writeBm25]], enforcing the format
     * marker and — under `verify = true` — that the doc count matches
     * the meta (a partially written tf table would silently deflate

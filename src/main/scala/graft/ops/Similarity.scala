@@ -2137,6 +2137,68 @@ object Similarity {
     out
   }
 
+  /** The IVF semantic ranks the q199 run produced, for literal VALUES
+    * injection into its own oracle (the [[graft.ops.Unigram.lastEmVocab]]
+    * fitted-table handoff: `oracleSql` is a def and Verify dumps it
+    * AFTER queries run). Bounded: (#corpus / 53) probes × k rows.
+    */
+  @volatile private[graft] var lastIvfSemRanks:
+      Option[Array[(Long, Long, Int)]] = None
+
+  /** ORACLED exercise (q199): the SHIPPED hybrid configuration served
+    * end to end and hash-checked — [[bm25TopKFrom]] lexical ranks
+    * fused ([[rrfFuseRanks]]) with the PRODUCTION IVF semantic arm
+    * ([[knnJoinIvf]], q88/q192's nLists=8/nProbe=2), not the
+    * brute-force baseline q190 checks. The KMeans cell assignment is
+    * the one engine-specific piece, so it enters the oracle AS DATA:
+    * the run hands its own IVF rank table to DuckDB as a literal
+    * VALUES CTE ([[lastIvfSemRanks]]), and DuckDB re-derives the whole
+    * lexical chain, the full-outer fusion, every micro RRF score, and
+    * every fused rank on top of it. Completes the q190/q192 ladder:
+    * q190 hash-checks the exact fusion, q192 bounds the IVF arm's
+    * recall against it, q199 hash-checks the fusion arithmetic of the
+    * configuration that actually ships. (If the fusion — not the ANN
+    * approximation — ever drifted, the handed ranks would fuse
+    * differently in DuckDB and the hash would fail; IVF recall itself
+    * is q88/q192's contract, not this one's.)
+    *
+    * 100 TB posture: both arms are the production shapes (posting
+    * join with broadcast query terms; cell-blocked kNN under the
+    * process-lifetime index cache); the fusion joins two
+    * poolK-bounded-per-query rank tables. The handoff collect is
+    * O(#probes × k) — probe sets are bounded by construction.
+    */
+  def q199HybridIvfServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    val emb = Sources.embeddings(spark, dir)
+    val tf = bm25TermFreqs(docs)
+    val lex = bm25TopKFrom(tf, queries, k = 10)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tf).foreach(_.unpersist(false))
+    val semIvf = knnJoinIvf(emb, k = 10, nLists = 8, nProbe = 2,
+        cacheKey = Some("q192_ivf"))
+      .filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("query_id"), $"neighbor_id".as("doc_id"),
+        $"rank".as("sem_rank"))
+      .localCheckpoint(true)
+    lastIvfSemRanks = Some(semIvf.as[(Long, Long, Int)].collect()
+      .sortBy(r => (r._1, r._3)))
+    val out = rrfFuseRanks(lex, semIvf, k = 5)
+      .orderBy($"query_id", $"rank")
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(lex).foreach(_.unpersist(false))
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(semIvf).foreach(_.unpersist(false))
+    out
+  }
+
   /** ORACLED exercise (q191): RETRIEVAL EVALUATION — MRR@5 and
     * recall@5 of the lexical arm vs the hybrid over q187's probe set,
     * with the probe's SOURCE document as the relevance label (the
@@ -2214,6 +2276,43 @@ object Similarity {
     CurationIndex.appendBm25(spark, idx, tfOdd)
     org.apache.spark.sql.graftshim.GraftColumns
       .checkpointRdd(tfOdd).foreach(_.unpersist(false))
+    val loaded = CurationIndex.loadBm25(spark, idx)
+    val queries = docs.filter($"doc_id" % 53 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("text"))
+    bm25TopKFrom(loaded, queries, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** ORACLED exercise (q201): SEGMENT COMPACTION is serve-invisible —
+    * q189's build-even/append-odd index (two generations of segments)
+    * is [[CurationIndex.compactBm25]]ed into term-clustered files,
+    * then q187's probe set is served off the compacted index. DuckDB
+    * re-derives the FULL-corpus index and ranks directly (the same
+    * fresh-build oracle as q189), so compaction must be byte-invisible
+    * to every score and rank — layout maintenance can never drift the
+    * content. File-count shrinkage and meta preservation ride the
+    * spec (`CurationIndexSpec`-style arms in `SimilaritySpec`).
+    */
+  def q201Bm25Compact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Sources.documents(spark, dir)
+    val tfEven = bm25TermFreqs(docs.filter($"doc_id" % 2 === 0))
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q201-bm25-" +
+      spark.sparkContext.applicationId
+    // fixed per-session path + wipe (the q189 discipline: append is
+    // not idempotent under Bench's re-runs)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    CurationIndex.writeBm25(spark, idx, tfEven)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tfEven).foreach(_.unpersist(false))
+    val tfOdd = bm25TermFreqs(docs.filter($"doc_id" % 2 === 1))
+    CurationIndex.appendBm25(spark, idx, tfOdd)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(tfOdd).foreach(_.unpersist(false))
+    CurationIndex.compactBm25(spark, idx)
     val loaded = CurationIndex.loadBm25(spark, idx)
     val queries = docs.filter($"doc_id" % 53 === 0)
       .select($"doc_id".as("query_id"),

@@ -997,6 +997,86 @@ object Streaming {
       .orderBy($"user_id", $"sess_start_us")
   }
 
+  /** T4 batch-oracle core — the watermark late-data ACCEPTANCE rule,
+    * replayed relationally over an explicit arrival assignment
+    * `arr(event_id, ts_us, arrival_us)`. Micro-batch b =
+    * (arrival_us − min arrival) div `batchSpanUs` (micro-batch = a
+    * wall-clock interval of arrivals); per batch the watermark is the
+    * EXACT rule Spark's MicroBatchExecution applies, pinned by
+    * MemoryStream probe (StreamingSpec) at the edges:
+    *
+    *   watermark_us(b) = (floor(max_{b' < b}(ts_us) / 1000) − delayMs) · 1000
+    *   accepted  ⇔  no prior batch  ∨  ts_us > watermark_us   (STRICT)
+    *
+    * i.e. the batch max is truncated to MILLISECONDS before the delay
+    * subtraction (EventTimeStats tracks ms), but the late-row compare
+    * is at full MICROSECOND precision and a row exactly AT the
+    * watermark is DROPPED — both edges probe-verified, both the kind
+    * of boundary a re-implementation silently gets wrong.
+    *
+    * Shape: one per-batch max aggregate, one running max over the
+    * BATCH table (bounded: arrival span / batchSpan rows — the window
+    * sort never sees event rows), one broadcast join back. Scales.
+    */
+  def watermarkAcceptanceFromArrival(arr: DataFrame, delayMs: Long,
+      batchSpanUs: Long): DataFrame = {
+    import arr.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val a0 = arr.agg(min($"arrival_us").as("a0"))
+    val withBatch = arr.crossJoin(broadcast(a0))
+      .withColumn("batch_id",
+        expr(s"(arrival_us - a0) div ${batchSpanUs}L"))
+    val wm = withBatch.groupBy($"batch_id").agg(max($"ts_us").as("b_max"))
+      .withColumn("prior_max", max($"b_max").over(
+        Window.orderBy($"batch_id")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"batch_id",
+        when($"prior_max".isNotNull,
+          (expr("prior_max div 1000") - delayMs) * 1000).as("watermark_us"))
+    withBatch.join(broadcast(wm), Seq("batch_id"))
+      .withColumn("accepted",
+        $"watermark_us".isNull || $"ts_us" > $"watermark_us")
+      .select($"event_id", $"batch_id", $"ts_us", $"watermark_us",
+        $"accepted")
+  }
+
+  /** [[watermarkAcceptanceFromArrival]] with a realistic deterministic
+    * arrival: event time plus a content-keyed jitter (the q93
+    * md5-derived cross-engine hash), so most rows arrive near-in-order
+    * and a tail arrives up to `jitterUs` late — the operational
+    * question this audits is "at this watermark delay, which events
+    * would the pipeline have dropped, and what delay keeps the loss
+    * acceptable".
+    */
+  def watermarkAcceptanceAudit(events: DataFrame, delayMs: Long,
+      batchSpanUs: Long, jitterUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    val jitter = conv(substring(md5($"event_id".cast("string")), 1, 8),
+      16, 10).cast("long") % (2L * jitterUs) - jitterUs
+    watermarkAcceptanceFromArrival(
+      events.select($"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("arrival_us", $"ts_us" + jitter),
+      delayMs, batchSpanUs)
+  }
+
+  /** ORACLED exercise (q200): the T4 watermark acceptance rule over
+    * the events fixture — 10-minute delay, 1-hour micro-batches,
+    * ±30-minute arrival jitter — every batch id, per-batch watermark,
+    * and per-event accept/drop verdict re-derived by DuckDB through
+    * the identical md5 arrival, div-truncation, and strict-compare
+    * algebra. Closes the session/watermark family's last test-only
+    * edge: T1–T3 had batch oracles (q29/q41/q30); the late-data
+    * acceptance boundary now has one too, with the streaming parity
+    * side pinned by the MemoryStream arm in StreamingSpec.
+    */
+  def q200WatermarkAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    watermarkAcceptanceAudit(Sources.events(spark, dir),
+        delayMs = 600000L, batchSpanUs = 3600L * 1000000L,
+        jitterUs = 1800L * 1000000L)
+      .orderBy($"event_id")
+  }
+
   /** One banded fingerprint row for [[nearDupPairsStream]] — `ts` is
     * carried through the band explosion so the watermark attribute
     * survives into the stateful operator.

@@ -885,6 +885,50 @@ class SimilaritySpec extends SparkTestBase {
       "the incremental path must never drift from the batch path")
   }
 
+  test("bm25 compaction: segment files shrink, rows/meta/ranks are " +
+      "untouched, and the verifying load still passes") {
+    val docs = ops.Sources.documents(spark, "/root/testdata/sf0.001")
+    val queries = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", " "), 1, 5), " ").as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-compact").toString
+    // disjoint id slices (the append contract: ids must be NEW):
+    // base %8==0, then three appended generations of two residues each
+    ops.CurationIndex.writeBm25(spark, dir,
+      ops.Similarity.bm25TermFreqs(docs.filter($"doc_id" % 8 === 0)))
+    (1 to 3).foreach { g =>
+      ops.CurationIndex.appendBm25(spark, dir,
+        ops.Similarity.bm25TermFreqs(docs.filter($"doc_id" % 8 === g * 2 - 1
+          || $"doc_id" % 8 === g * 2)))
+    }
+    def files(): Int = new java.io.File(s"$dir/bm25_tf")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    def rows(): Seq[(Long, String, Long)] =
+      spark.read.parquet(s"$dir/bm25_tf")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+    def meta(): (Long, Long) = spark.read.parquet(s"$dir/bm25_meta")
+      .select($"n_docs".cast("long"), $"format".cast("long"))
+      .as[(Long, Long)].head()
+    val (filesBefore, rowsBefore, metaBefore) = (files(), rows(), meta())
+    val ranksBefore = ops.Similarity.bm25TopKFrom(
+        ops.CurationIndex.loadBm25(spark, dir), queries, k = 4)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    ops.CurationIndex.compactBm25(spark, dir)
+    assert(files() < filesBefore,
+      s"compaction must shrink the segment count (was $filesBefore, " +
+        s"now ${files()})")
+    assert(rows() === rowsBefore, "row multiset must be untouched")
+    assert(meta() === metaBefore, "meta must be untouched")
+    assert(!new java.io.File(s"$dir/bm25_tf_old").exists(),
+      "the staged-aside table must be cleaned up")
+    val ranksAfter = ops.Similarity.bm25TopKFrom(
+        ops.CurationIndex.loadBm25(spark, dir), queries, k = 4)
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(ranksAfter.toSeq === ranksBefore.toSeq,
+      "compaction must be serve-invisible")
+  }
+
   test("hybrid rrf: fused score recomputes from the arm ranks, both-arm " +
       "docs dominate, single-arm docs survive with one term") {
     val out = ops.Similarity.q190HybridRrf(spark, "/root/testdata/sf0.001")

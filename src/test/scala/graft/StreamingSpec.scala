@@ -1514,4 +1514,65 @@ class StreamingSpec extends SparkTestBase {
       assert(!streamByDoc.contains(3L), "pure-boilerplate doc emits nothing")
     }
   }
+
+  test("T4 edge: watermarkAcceptanceFromArrival reproduces the streaming " +
+      "accept/drop verdict at the exact watermark boundary (ms-truncated " +
+      "max, strict microsecond compare)") {
+    implicit val sql = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 0: max ts 10:00:00.000700 -> watermark for batch 1 is the
+    // MS-TRUNCATED max minus 10 min = 09:50:00.000000 exactly. Batch 1
+    // then straddles every edge: exactly AT the watermark (drop), 1 us
+    // below (drop), 1 ms below (drop), 500 us above (accept — proves
+    // the compare is NOT ms-truncated), 1 ms above (accept).
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00.000700"), 0L),
+      (2L, t("2024-01-01 09:50:00.0"), 1L),        // == watermark
+      (3L, t("2024-01-01 09:49:59.999999"), 1L),   // 1 us late
+      (4L, t("2024-01-01 09:49:59.999"), 1L),      // 1 ms late
+      (5L, t("2024-01-01 09:50:00.000500"), 1L),   // 500 us inside
+      (6L, t("2024-01-01 09:50:00.001"), 1L))      // 1 ms inside
+    // streaming ground truth: feed the two batches through
+    // dropDuplicatesWithinWatermark (all ids distinct, so the output
+    // set IS the accepted set)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("wm_edge")
+      .outputMode("append").start()
+    val accepted = withQuery(q) {
+      input.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      input.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      spark.table("wm_edge").select($"event_id").as[Long].collect().toSet
+    }
+    assert(accepted === Set(1L, 5L, 6L),
+      s"streaming truth moved: $accepted — the pinned rule is stale")
+    // the batch audit, given the same arrival batching, must agree
+    // row for row (arrival_us spaces the two batches one span apart)
+    val arr = rows.toDF("event_id", "ts", "b")
+      .select($"event_id", unix_micros($"ts").as("ts_us"),
+        ($"b" * 1000000L).as("arrival_us"))
+    val audit = ops.Streaming
+      .watermarkAcceptanceFromArrival(arr, delayMs = 600000L,
+        batchSpanUs = 1000000L)
+      .select($"event_id", $"accepted").as[(Long, Boolean)]
+      .collect().toMap
+    rows.foreach { case (id, _, _) =>
+      assert(audit(id) === accepted.contains(id), s"event $id") }
+    // and the audit's watermark column carries the exact pinned value:
+    // event 2 sits AT the watermark by construction, so batch 1's
+    // watermark must equal its event time to the microsecond
+    val audit1 = ops.Streaming
+      .watermarkAcceptanceFromArrival(arr, 600000L, 1000000L)
+      .filter($"batch_id" === 1L)
+      .select($"event_id", $"ts_us", $"watermark_us")
+      .as[(Long, Long, Long)].collect()
+    val wm = audit1.head._3
+    assert(audit1.forall(_._3 == wm), "one watermark per batch")
+    assert(wm === audit1.find(_._1 == 2L).get._2,
+      "batch-1 watermark must equal event 2's timestamp exactly")
+  }
 }
