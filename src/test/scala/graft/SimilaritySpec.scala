@@ -861,6 +861,19 @@ class SimilaritySpec extends SparkTestBase {
       ops.CurationIndex.loadBm25(spark, dir)
     }
     assert(err.getMessage.contains("truncated index"))
+    // verify=false skips the corpus-sized completeness recount (the
+    // O(metadata) production-serving load) — the documented trade is
+    // that the SAME truncation now loads silently; the format marker
+    // still gates
+    val unverified = ops.CurationIndex.loadBm25(spark, dir, verify = false)
+    assert(unverified.count() === truncated.length.toLong)
+    val err2 = intercept[IllegalArgumentException] {
+      spark.range(1).selectExpr("CAST(0 AS BIGINT) AS n_docs",
+          "CAST(-1 AS BIGINT) AS format")
+        .write.mode("overwrite").parquet(s"$dir/bm25_meta")
+      ops.CurationIndex.loadBm25(spark, dir, verify = false)
+    }
+    assert(err2.getMessage.contains("rebuild"))
   }
 
   test("bm25 append: incrementally appended index serves queries exactly " +
