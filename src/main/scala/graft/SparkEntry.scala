@@ -219,6 +219,7 @@ object SparkEntry {
     "q199_hybrid_ivf_serve" -> (Similarity.q199HybridIvfServe _),
     "q200_watermark_audit" -> (Streaming.q200WatermarkAudit _),
     "q201_bm25_compact" -> (Similarity.q201Bm25Compact _),
+    "q202_d4_prune" -> (Similarity.q202D4Prune _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4073,6 +4074,10 @@ object SparkEntry {
     // then the same fresh-build oracle — layout maintenance can never
     // drift a score or a rank
     "q201_bm25_compact" -> bm25OracleSql(53, 8),
+    // D4 (SemDeDup + de-prototyping): the KMeans centroids enter the
+    // oracle as data (VALUES handoff); plant, assignments, epsilon-ball
+    // verdicts, prototype ranks, and kept flags all re-derived
+    "q202_d4_prune" -> d4OracleSql,
     // hybrid RRF: the shared BM25 rank chain + the q22 cosine algebra,
     // full-outer fused as 1/(60+rank) micro terms — every fused rank
     // hash-checked; RRF needs no score calibration, only ranks
@@ -4484,6 +4489,60 @@ object SparkEntry {
         |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     }.getOrElse(
       "SELECT error('q199 query did not run before oracleSql was dumped')")
+
+  /** q202's oracle: D4 selection replayed end to end under the run's
+    * own KMeans centroids (VALUES handoff, the q199 technique) —
+    * DuckDB re-derives the scalar-scaled plant, every micro-cosine
+    * assignment, every epsilon-ball verdict, every prototype rank,
+    * and every kept flag. Fail closed if the query never ran.
+    */
+  private def d4OracleSql: String =
+    graft.ops.Similarity.lastD4Centroids.map { cents =>
+      val centVals = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, CAST([${c.map(java.lang.Double.toString).mkString(",")}] AS DOUBLE[]))"
+      }.mkString(",\n    ")
+      s"""WITH cent AS (SELECT c1 AS cluster, c2 AS cvec FROM (VALUES
+        |    $centVals) v(c1, c2)),
+        |""".stripMargin +
+        """pl AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    CAST(CAST(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(x * (1.0 + CAST(CAST(CAST(concat('0x', substr(md5(CAST(vec_id + 1000000 AS VARCHAR)), 1, 8)) AS UBIGINT) % 7 AS BIGINT) - 3 AS DOUBLE) * 0.001) AS REAL))
+        |      AS REAL[]) AS DOUBLE[]) AS vec
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |a0 AS (
+        |  SELECT pl.vec_id, pl.vec, cent.cluster,
+        |    CAST(floor(list_dot_product(pl.vec, cent.cvec) /
+        |      (sqrt(list_dot_product(pl.vec, pl.vec)) * sqrt(list_dot_product(cent.cvec, cent.cvec))) * 1e6 + 0.5) AS BIGINT) AS cm
+        |  FROM pl, cent),
+        |asn AS (
+        |  SELECT vec_id, vec, cluster, cm AS cent_cos_micro
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, cluster) AS ark FROM a0)
+        |  WHERE ark = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.vec_id FROM asn a JOIN asn b
+        |    ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+        |  WHERE CAST(floor(list_dot_product(a.vec, b.vec) /
+        |      (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) * 1e6 + 0.5) AS BIGINT) >= 999000),
+        |flagged AS (
+        |  SELECT asn.vec_id, asn.cluster, asn.cent_cos_micro,
+        |    (dropped.vec_id IS NOT NULL) AS semdedup_drop
+        |  FROM asn LEFT JOIN dropped USING (vec_id)),
+        |surv AS (SELECT * FROM flagged WHERE NOT semdedup_drop),
+        |cnts AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM surv GROUP BY cluster),
+        |proto AS (
+        |  SELECT vec_id, (prk <= (n * 1) // 4) AS proto_drop
+        |  FROM (SELECT vec_id, cluster,
+        |          row_number() OVER (PARTITION BY cluster ORDER BY cent_cos_micro DESC, vec_id) AS prk
+        |        FROM surv) r JOIN cnts USING (cluster))
+        |SELECT f.vec_id, f.cluster, f.cent_cos_micro, f.semdedup_drop,
+        |  COALESCE(p.proto_drop, FALSE) AS proto_drop,
+        |  (NOT f.semdedup_drop AND NOT COALESCE(p.proto_drop, FALSE)) AS kept
+        |FROM flagged f LEFT JOIN proto p USING (vec_id) ORDER BY f.vec_id""".stripMargin
+    }.getOrElse(
+      "SELECT error('q202 query did not run before oracleSql was dumped')")
 
   /** The BM25 chain up to the unfiltered ranked table `r` — shared by
     * the q187/q188/q189 final selects and the q190 hybrid fusion.

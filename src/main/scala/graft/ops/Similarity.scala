@@ -1042,6 +1042,144 @@ object Similarity {
     counts.crossJoin(missing)
   }
 
+  /** The fitted cluster centroids the q202 run produced, for literal
+    * VALUES injection into its own oracle (the q199/lastEmVocab
+    * fitted-table handoff). Bounded: nClusters × dim doubles.
+    */
+  @volatile private[graft] var lastD4Centroids:
+      Option[Array[Array[Double]]] = None
+
+  /** D4 data selection (Tirumala et al. 2023, "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification" —
+    * public): cluster the embedding space, SEMDEDUP within each
+    * cluster (Abbas et al. 2023: near-duplicate pruning pays pairwise
+    * cost only within a cluster, never across the corpus), then
+    * DE-PROTOTYPE — drop the most prototypical fraction of each
+    * cluster's survivors (the items closest to their centroid carry
+    * the least marginal information; diversity, not just dedup, is
+    * the selection signal).
+    *
+    * Determinism & cross-engine exactness: `centroids` are INPUT
+    * (KMeans-fit or loaded — the one engine-specific piece, which
+    * q202 hands to its oracle as VALUES); everything downstream is
+    * relational on the integer micro grid. Assignment = argmax
+    * micro-rounded cosine to each centroid, ties to the smaller
+    * cluster id. SemDeDup drop rule: a vector is dropped iff ANY
+    * smaller-id cluster-mate sits at cosine ≥ `dedupCosMicro` —
+    * single-pass, independent of the mate's own fate, exactly
+    * SQL-replayable (the CC-transitive variant is [[embDedupCorpus]]/
+    * q89; this is SemDeDup's epsilon-ball one-survivor semantics
+    * without chain merging). De-prototyping: per cluster, rank
+    * survivors by centroid cosine DESC (most prototypical first, ties
+    * to the smaller vec_id) and drop rank ≤ n·num div den.
+    *
+    * 100 TB posture: the corpus never self-joins globally — the pair
+    * stage is cluster-keyed (Σ cluster_size², the SemDeDup economics;
+    * nClusters scales with the corpus exactly like the IVF cell
+    * count), assignment is a broadcast of nClusters centroids, and
+    * the prototype ranking is a per-cluster window over survivors.
+    */
+  def d4Prune(emb: DataFrame, centroids: Array[Array[Double]],
+      dedupCosMicro: Long, protoNum: Int, protoDen: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    require(protoNum >= 0 && protoDen >= 1 && protoNum < protoDen)
+    val centDf = emb.sparkSession.createDataset(
+        centroids.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cluster", "cvec")
+    val vecs = emb.select($"vec_id",
+      transform($"embedding", _.cast("double")).as("vec"))
+    val assigned = vecs.crossJoin(broadcast(centDf))
+      .select($"vec_id", $"vec", $"cluster",
+        floor(cosineSimilarity($"vec", $"cvec") * 1e6 + 0.5)
+          .cast("long").as("cent_cos_micro"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy($"vec_id")
+          .orderBy($"cent_cos_micro".desc, $"cluster")))
+      .filter($"ark" === 1).drop("ark")
+      .localCheckpoint(true)
+    // dropped iff a smaller-id cluster-mate is within the epsilon ball
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") > col("b.vec_id"))
+      .filter(floor(cosineSimilarity(col("a.vec"), col("b.vec")) * 1e6 + 0.5)
+        .cast("long") >= dedupCosMicro)
+      .select(col("a.vec_id")).distinct()
+      .withColumn("semdedup_drop", lit(true))
+    val flagged = assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("semdedup_drop", coalesce($"semdedup_drop", lit(false)))
+    val surv = flagged.filter(!$"semdedup_drop")
+    val counts = surv.groupBy($"cluster").agg(count(lit(1)).as("n"))
+    val proto = surv
+      .withColumn("prk", row_number().over(
+        Window.partitionBy($"cluster")
+          .orderBy($"cent_cos_micro".desc, $"vec_id")))
+      .join(broadcast(counts), Seq("cluster"))
+      .withColumn("proto_drop",
+        $"prk" <= expr(s"(n * $protoNum) div $protoDen"))
+      .select($"vec_id", $"proto_drop")
+    val out = flagged
+      .join(proto, Seq("vec_id"), "left")
+      .withColumn("proto_drop", coalesce($"proto_drop", lit(false)))
+      .select($"vec_id", $"cluster", $"cent_cos_micro",
+        $"semdedup_drop", $"proto_drop",
+        (!$"semdedup_drop" && !$"proto_drop").as("kept"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftColumns
+      .checkpointRdd(assigned).foreach(_.unpersist(false))
+    out
+  }
+
+  /** q202's PLANT: every 10th vector rejoins the corpus under a
+    * shifted id, SCALED by a deterministic per-copy factor in
+    * [0.997, 1.003] (md5-derived — the cross-engine q93 idiom). A
+    * scalar scale leaves the DIRECTION untouched, so each copy sits
+    * at cosine exactly 1 to its source — the epsilon-ball member
+    * SemDeDup must drop — while proving the whole chain is
+    * magnitude-invariant. Cast back to float to stay schema-faithful.
+    */
+  private[graft] def d4Plant(emb: DataFrame, offset: Long): DataFrame = {
+    import emb.sparkSession.implicits._
+    val factor = lit(1.0) +
+      (conv(substring(md5(($"vec_id" + offset).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 7L - 3L).cast("double") * 0.001
+    emb.unionByName(
+      emb.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + offset).as("vec_id"),
+          $"label",
+          transform($"embedding", x => (x * factor).cast("float"))
+            .as("embedding")))
+  }
+
+  /** ORACLED exercise (q202): [[d4Prune]] end to end over the planted
+    * corpus — KMeans supplies the centroids (engine-specific → handed
+    * to the oracle as VALUES, the q199 technique), and DuckDB
+    * re-derives the plant, every assignment, every epsilon-ball
+    * verdict, every prototype rank, and every kept flag. Every planted
+    * copy must fall (its source is a smaller-id cluster-mate at
+    * cosine 1) and each cluster loses exactly n div 4 of its
+    * survivors to de-prototyping — both facts land in the hash, not
+    * just in the spec.
+    */
+  def q202D4Prune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val offset = 1000000L
+    val planted = d4Plant(Sources.embeddings(spark, dir), offset)
+    // fit ONCE per process (the ivfCache discipline): the clustering is
+    // index state shared by every D4 run over the same planted corpus
+    val (_, model) = unitQuantizedCached(planted, s"$dir/q202planted",
+      nLists = 8)
+    val centroids = model.clusterCenters.map(_.toArray)
+    lastD4Centroids = Some(centroids)
+    d4Prune(planted, centroids, dedupCosMicro = 999000L,
+        protoNum = 1, protoDen = 4)
+      .orderBy($"vec_id")
+  }
+
   /** L3 (memory-scale path) — PRODUCT QUANTIZATION (Jégou, Douze,
     * Schmid, "Product Quantization for Nearest Neighbor Search",
     * TPAMI 2011): compress each unit vector to `m` one-byte codes by

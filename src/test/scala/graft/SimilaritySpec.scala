@@ -942,6 +942,47 @@ class SimilaritySpec extends SparkTestBase {
       "compaction must be serve-invisible")
   }
 
+  test("d4: planted copies fall to semdedup, each cluster sheds exactly " +
+      "n div 4 survivors to de-prototyping, flags compose into kept") {
+    val out = ops.Similarity.q202D4Prune(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Long, Boolean, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r._1 -> r).toMap
+    val offset = 1000000L
+    val copies = out.filter(_._1 >= offset)
+    assert(copies.nonEmpty)
+    copies.foreach { c =>
+      // a scalar-scaled copy sits at cosine exactly 1 to its source:
+      // same cluster, copy (larger id) dropped, source NOT dropped by
+      // the copy (the smaller-id-wins rule is one-directional)
+      val src = byId(c._1 - offset)
+      assert(c._2 === src._2, s"copy ${c._1} changed cluster")
+      assert(c._4, s"copy ${c._1} must be semdedup-dropped")
+    }
+    // de-prototyping drops exactly (n * 1) div 4 per cluster, the MOST
+    // prototypical (highest centroid cosine) survivors first
+    out.filter(!_._4).groupBy(_._2).foreach { case (cl, rows) =>
+      val dropped = rows.filter(_._5)
+      assert(dropped.length === rows.length / 4, s"cluster $cl")
+      if (dropped.nonEmpty) {
+        val minDroppedCos = dropped.map(_._3).min
+        val maxKeptCos = rows.filter(r => !r._5).map(_._3)
+          .foldLeft(Long.MinValue)(math.max)
+        assert(minDroppedCos >= maxKeptCos,
+          s"cluster $cl: a kept survivor is more prototypical than a dropped one")
+      }
+    }
+    // flags compose; nothing semdedup-dropped is also proto-ranked
+    out.foreach { r =>
+      assert(r._6 === (!r._4 && !r._5), s"vec ${r._1}")
+      if (r._4) assert(!r._5, s"vec ${r._1}: dropped rows are not proto-ranked")
+    }
+    // deterministic end to end (fixed seed, content-keyed plant)
+    val again = ops.Similarity.q202D4Prune(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Long, Boolean, Boolean, Boolean)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
   test("hybrid rrf: fused score recomputes from the arm ranks, both-arm " +
       "docs dominate, single-arm docs survive with one term") {
     val out = ops.Similarity.q190HybridRrf(spark, "/root/testdata/sf0.001")
