@@ -220,6 +220,7 @@ object SparkEntry {
     "q200_watermark_audit" -> (Streaming.q200WatermarkAudit _),
     "q201_bm25_compact" -> (Similarity.q201Bm25Compact _),
     "q202_d4_prune" -> (Similarity.q202D4Prune _),
+    "q203_script_profile" -> (Text.q203ScriptProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4078,6 +4079,43 @@ object SparkEntry {
     // oracle as data (VALUES handoff); plant, assignments, epsilon-ball
     // verdicts, prototype ranks, and kept flags all re-derived
     "q202_d4_prune" -> d4OracleSql,
+    // writing-system detection: every per-script codepoint-range count,
+    // the priority-ordered dominant verdict, and the integer micro
+    // fraction re-derived over the multi-script plant (ranges spelled
+    // as literal codepoint classes in both engines — no property names)
+    "q203_script_profile" ->
+      ("""WITH pl AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN repeat(chr(1084)||chr(1080)||chr(1088)||' ', 6)
+        |       WHEN doc_id % 5 = 1 THEN repeat(chr(20013)||chr(25991)||chr(22788)||chr(29702), 6)
+        |       WHEN doc_id % 5 = 2 THEN repeat(chr(1606)||chr(1589)||' ', 6)
+        |       WHEN doc_id % 5 = 3 THEN repeat(chr(955)||chr(972)||chr(947)||chr(959)||chr(962)||' ', 6)
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 4 THEN text ELSE substr(text, 1, 8) END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari,
+        |  CAST(length(t) - length(regexp_replace(t, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_hangul
+        |  FROM pl),
+        |d AS (SELECT *,
+        |  n_latin + n_cyrillic + n_greek + n_cjk + n_arabic + n_devanagari + n_hangul AS n_scripted,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_cjk AND n_latin >= n_arabic AND n_latin >= n_devanagari AND n_latin >= n_hangul THEN 'latin'
+        |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic AND n_cyrillic >= n_devanagari AND n_cyrillic >= n_hangul THEN 'cyrillic'
+        |       WHEN n_greek >= n_cjk AND n_greek >= n_arabic AND n_greek >= n_devanagari AND n_greek >= n_hangul THEN 'greek'
+        |       WHEN n_cjk >= n_arabic AND n_cjk >= n_devanagari AND n_cjk >= n_hangul THEN 'cjk'
+        |       WHEN n_arabic >= n_devanagari AND n_arabic >= n_hangul THEN 'arabic'
+        |       WHEN n_devanagari >= n_hangul THEN 'devanagari'
+        |       ELSE 'hangul' END AS dominant_script
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_devanagari, n_hangul,
+        |  dominant_script,
+        |  CAST(CASE WHEN n_scripted = 0 THEN 0 ELSE
+        |    (greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_devanagari, n_hangul) * 1000000) // n_scripted END AS BIGINT) AS dominant_micro
+        |FROM d ORDER BY doc_id""".stripMargin),
     // hybrid RRF: the shared BM25 rank chain + the q22 cosine algebra,
     // full-outer fused as 1/(60+rank) micro terms — every fused rank
     // hash-checked; RRF needs no score calibration, only ranks

@@ -897,4 +897,102 @@ object Text {
         split(coalesce($"cleaned_text", lit("")), "\n").as("lines"))
     Quality.c4LineFilter(cleaned).orderBy($"doc_id")
   }
+
+  /** WRITING-SYSTEM (script) detection — the gate multilingual
+    * curation runs BEFORE language ID (fastText/CCNet-class pipelines
+    * bucket by script first: a char-n-gram language model is only
+    * meaningful within one writing system, and mixed-script documents
+    * are their own quality signal). Seven major script classes counted
+    * per document by explicit BMP codepoint ranges (Latin incl. the
+    * Latin-1/Extended-A/B letters, Cyrillic, Greek, CJK unified,
+    * Arabic, Devanagari, Hangul syllables) — each count is one
+    * length-difference over a codegen'd regexp_replace, all fused into
+    * the scan (zero shuffle); `dominant_script` breaks exact ties in
+    * the fixed priority order of the CASE chain, and the dominant
+    * fraction rides the integer micro grid over the SCRIPTED total
+    * (unscripted digits/punctuation don't dilute the verdict).
+    * Ranges are spelled as literal `\uXXXX` character classes in both
+    * engines (BMP-only, so Spark's and DuckDB's code-point `length`
+    * agree; no property names, whose vocabularies differ between Java
+    * regex and RE2).
+    */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def cnt(range: String) =
+      (length($"text") - length(regexp_replace($"text", s"[$range]", "")))
+        .cast("long")
+    val profiled = docs.select($"doc_id",
+      cnt("A-Za-z\u00C0-\u024F").as("n_latin"),
+      cnt("\u0400-\u04FF").as("n_cyrillic"),
+      cnt("\u0370-\u03FF").as("n_greek"),
+      cnt("\u4E00-\u9FFF").as("n_cjk"),
+      cnt("\u0600-\u06FF").as("n_arabic"),
+      cnt("\u0900-\u097F").as("n_devanagari"),
+      cnt("\uAC00-\uD7AF").as("n_hangul"))
+    val scripted = $"n_latin" + $"n_cyrillic" + $"n_greek" + $"n_cjk" +
+      $"n_arabic" + $"n_devanagari" + $"n_hangul"
+    profiled
+      .withColumn("n_scripted", scripted)
+      .withColumn("dominant_script",
+        when($"n_latin" >= $"n_cyrillic" && $"n_latin" >= $"n_greek" &&
+            $"n_latin" >= $"n_cjk" && $"n_latin" >= $"n_arabic" &&
+            $"n_latin" >= $"n_devanagari" && $"n_latin" >= $"n_hangul",
+          "latin")
+          .when($"n_cyrillic" >= $"n_greek" && $"n_cyrillic" >= $"n_cjk" &&
+            $"n_cyrillic" >= $"n_arabic" && $"n_cyrillic" >= $"n_devanagari" &&
+            $"n_cyrillic" >= $"n_hangul", "cyrillic")
+          .when($"n_greek" >= $"n_cjk" && $"n_greek" >= $"n_arabic" &&
+            $"n_greek" >= $"n_devanagari" && $"n_greek" >= $"n_hangul",
+            "greek")
+          .when($"n_cjk" >= $"n_arabic" && $"n_cjk" >= $"n_devanagari" &&
+            $"n_cjk" >= $"n_hangul", "cjk")
+          .when($"n_arabic" >= $"n_devanagari" && $"n_arabic" >= $"n_hangul",
+            "arabic")
+          .when($"n_devanagari" >= $"n_hangul", "devanagari")
+          .otherwise("hangul"))
+      .withColumn("dominant_micro",
+        when($"n_scripted" === 0L, 0L)
+          .otherwise(expr(
+            """(greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic,
+              |n_devanagari, n_hangul) * 1000000L) div n_scripted""".stripMargin)))
+      .drop("n_scripted")
+  }
+
+  /** q203's PLANT: four of five doc classes swap most of their Latin
+    * text for a repeated non-Latin token (six copies dominate the
+    * 8-char Latin remnant), the fifth rides unchanged — so the CASE
+    * chain, every range counter, and the micro fraction all fire on
+    * real variety. Every non-ASCII byte is `\uXXXX` here and `chr(N)`
+    * in the SQL mirror (the cross-engine unicode-literal rule).
+    */
+  private[graft] def scriptPlant(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cyr = "\u043C\u0438\u0440 "            // Cyrillic word + space
+    val cjk = "\u4E2D\u6587\u5904\u7406"      // four CJK ideographs
+    val ara = "\u0646\u0635 "                   // Arabic word + space
+    val grk = "\u03BB\u03CC\u03B3\u03BF\u03C2 " // Greek word + space
+    docs.select($"doc_id", concat(
+      when($"doc_id" % 5 === 0, lit(cyr * 6))
+        .when($"doc_id" % 5 === 1, lit(cjk * 6))
+        .when($"doc_id" % 5 === 2, lit(ara * 6))
+        .when($"doc_id" % 5 === 3, lit(grk * 6))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 4, $"text")
+        .otherwise(substring($"text", 1, 8))).as("text"))
+  }
+
+  /** ORACLED exercise (q203): [[scriptProfile]] over the
+    * [[scriptPlant]]ed corpus — every per-script count, dominant
+    * verdict, and micro fraction re-derived by DuckDB through the
+    * identical literal codepoint ranges and integer arithmetic.
+    *
+    * 100 TB posture: seven regexp_replace length-differences and a
+    * CASE chain, all expression-only map work fused into the scan —
+    * the q144 zero-shuffle class.
+    */
+  def q203ScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scriptProfile(scriptPlant(Sources.documents(spark, dir)))
+      .orderBy($"doc_id")
+  }
 }

@@ -429,4 +429,34 @@ class TextSpec extends SparkTestBase {
     assert(!flags("https://bad.com.evil.org/x"),
       "a blocked name as a non-registrable prefix is not a hit")
   }
+
+  test("script profile: range counts, priority tie-break, zero-scripted " +
+      "docs, digits/punct excluded, and a map-only plan") {
+    val rows = Seq(
+      (1L, "hello world"),                       // pure latin
+      (2L, "\u043C\u0438\u0440 \u0442\u0440\u0443\u0434"), // pure cyrillic
+      (3L, "abc \u4E2D\u6587\u5904\u7406\u4E2D"),  // 3 latin vs 5 cjk
+      (4L, "ab \u043C\u0438"),                  // EXACT tie latin=cyrillic=2 -> latin (priority)
+      (5L, "12345 !!! ..."),                      // no scripted chars at all
+      (6L, "caf\u00E9 \u03BB\u03CC\u03B3\u03BF\u03C2")) // accented latin counts as latin; 4 vs 5 greek
+      .toDF("doc_id", "text")
+    val got = ops.Text.scriptProfile(rows)
+      .select($"doc_id", $"n_latin", $"n_cyrillic", $"n_cjk",
+        $"dominant_script", $"dominant_micro")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5)))
+      .toMap
+    assert(got(1L) === ((10L, 0L, 0L, "latin", 1000000L)))
+    assert(got(2L)._4 === "cyrillic")
+    assert(got(2L)._5 === 1000000L)
+    assert(got(3L) === ((3L, 0L, 5L, "cjk", 625000L)))   // 5 of 8 scripted
+    assert(got(4L)._1 === 2L && got(4L)._2 === 2L &&
+      got(4L)._4 === "latin", "exact ties resolve in priority order")
+    assert(got(5L) === ((0L, 0L, 0L, "latin", 0L)),
+      "a scriptless doc reads latin-by-default at fraction 0")
+    assert(got(6L)._4 === "greek", "accented latin (4) < greek (5)")
+    // expression-only: no shuffle anywhere below the profile projection
+    val plan = ops.Text.scriptProfile(rows).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"script profile must not shuffle:\n$plan")
+  }
 }
