@@ -518,10 +518,14 @@ object HistGbt {
       labelCol: String = "label_idx", maxIter: Int = 10, maxLeaves: Int = 15,
       maxDepth: Int = 8, maxBins: Int = 64, learningRate: Double = 0.3,
       lambda: Double = 1.0, gamma: Double = 0.0, minChildHess: Double = 1e-3,
-      sampleTarget: Int = 20000, treeParallelism: Int = 8): Model =
+      sampleTarget: Int = 20000, treeParallelism: Int = 8,
+      gossTopRate: Double = 0.0, gossOtherRate: Double = 0.0,
+      efbMaxConflictRate: Double = -1.0): Model =
     fitValidated(train, numClasses, featuresCol, labelCol, maxIter, maxLeaves,
       maxDepth, maxBins, learningRate, lambda, gamma, minChildHess,
-      sampleTarget, treeParallelism).model
+      sampleTarget, treeParallelism,
+      gossTopRate = gossTopRate, gossOtherRate = gossOtherRate,
+      efbMaxConflictRate = efbMaxConflictRate).model
 
   /** [[fitValidated]]'s result: the (possibly truncated) model, the
     * validation deviance after each round (index 0 = priors-only —
