@@ -163,33 +163,14 @@ object Bench {
       if (secs > 2.0) { Thread.sleep(150); System.gc() }
       name -> secs
     }
-    // 2-decimal (10 ms) precision: the driver captures only the last 2000
-    // chars of stdout, and 9-decimal seconds across 76 queries pushed the
-    // JSON line past that window (BENCH_r08.json arrived truncated,
-    // unparseable). 2 decimals keeps the full 76-query line ~1.8k chars
-    // with headroom for more queries; BASELINE.md carries run medians.
-    //
-    // SHORT per-query keys (round 13): at 101 queries even 2-decimal
-    // full names pushed the line to ~2.2k chars and the round-12 driver
-    // capture arrived unparseable again ("parsed": null — the head of
-    // the line, including "metric"/"value", fell outside the 2000-char
-    // window). Keys are truncated to the qNN prefix ("q45_ann_ivf" →
-    // "q45" — matching the contract's own {"q1":sec,…} example), which
-    // caps the line at ~1.3k chars through ~150 queries. The qNN ↔ full
-    // name mapping is SparkEntry.queries (prefixes are unique by
-    // construction); BASELINE.md §bench carries both forms.
-    val qs = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failures are flagged IN the JSON: a broken query otherwise records
     // its fast failure time and makes the bench look better, with the
     // only evidence on stderr where the JSON consumer never looks
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    // Full-name, full-precision copy for the repo's own records
-    // (BASELINE.md medians) — stdout carries only the size-constrained
-    // driver line above.
+    // Full-name, full-precision record FIRST: the complete per-query map
+    // no longer fits the driver's stdout capture at all (see below), so
+    // this file is the authoritative per-query record each round.
     try {
       val fullQs = results.map { case (k, v) => s"\"$k\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -200,6 +181,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-precision dump skipped: ${e.getMessage}")
     }
+    // STDOUT BUDGET (round 20): the driver keeps only the LAST 2000 chars
+    // of stdout and parses the JSON it finds there. The full 203-query
+    // 2-decimal short-key map is ~2.5k chars, so BENCH_r18/r19 arrived
+    // head-truncated ("parsed": null — "metric"/"value" and ~40 query
+    // entries fell outside the window). The line below is built to a hard
+    // character budget instead: per-query entries are added SLOWEST-FIRST
+    // until the budget is reached, so the entries that carry the
+    // performance signal always survive and the dropped tail is the
+    // sub-second queries. "nq" counts all measured queries and
+    // "queries_full" points at the complete map written above — every
+    // key stays recoverable. The line is printed LAST so the tail
+    // capture always contains its entirety.
+    val budget = 1550 // chars for the queries map; total line stays <1.8k
+    val byCost = results.sortBy { case (k, v) => (-v, k) }.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
+    val picked = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    for (e <- byCost if used + e.length + 1 <= budget) {
+      picked += e; used += e.length + 1
+    }
+    val qs = picked.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","nq":${results.size},"queries":$qs,"queries_full":"target/bench_full.json","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

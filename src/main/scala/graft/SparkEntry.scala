@@ -221,6 +221,7 @@ object SparkEntry {
     "q201_bm25_compact" -> (Similarity.q201Bm25Compact _),
     "q202_d4_prune" -> (Similarity.q202D4Prune _),
     "q203_script_profile" -> (Text.q203ScriptProfile _),
+    "q204_nfkc_fold" -> (Quality.q204NfkcFoldSubset _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4093,7 +4094,7 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 4 THEN text ELSE substr(text, 1, 8) END AS t
         |  FROM documents),
         |c AS (SELECT doc_id,
-        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
         |  CAST(length(t) - length(regexp_replace(t, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
         |  CAST(length(t) - length(regexp_replace(t, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
         |  CAST(length(t) - length(regexp_replace(t, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
@@ -4116,6 +4117,28 @@ object SparkEntry {
         |  CAST(CASE WHEN n_scripted = 0 THEN 0 ELSE
         |    (greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_devanagari, n_hangul) * 1000000) // n_scripted END AS BIGINT) AS dominant_micro
         |FROM d ORDER BY doc_id""".stripMargin),
+    // table-expressible NFKC subset: the engine's real NFKC fold vs an
+    // EXPLICIT literal mapping (translate for 1:1 width/digit folds,
+    // replace for 1:many ligatures) + strip_accents — agreement is
+    // byte-for-byte because the plant controls every non-ASCII byte
+    // (general NFKC stays spec-only: DuckDB has no NFKC transform)
+    "q204_nfkc_fold" ->
+      ("""WITH pl AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(65319)||chr(65362)||chr(65345)||chr(65350)||chr(65364)||chr(12288)||chr(65300)||chr(65298)||chr(65281)||' '
+        |       WHEN doc_id % 5 = 1 THEN chr(64257)||'ne '||chr(64258)||'ow o'||chr(64256)||' '||chr(64259)||'x '||chr(64261)||'op '
+        |       WHEN doc_id % 5 = 2 THEN chr(9312)||chr(9313)||chr(9320)||' x'||chr(178)||' H'||chr(8322)||'O '
+        |       WHEN doc_id % 5 = 3 THEN chr(65313)||chr(769)||' '||chr(64257)||'anc'||chr(233)||' '
+        |       ELSE '' END || text AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  strip_accents(replace(replace(replace(replace(replace(
+        |    translate(t,
+        |      chr(65319)||chr(65362)||chr(65345)||chr(65350)||chr(65364)||chr(12288)||chr(65300)||chr(65298)||chr(65281)||chr(9312)||chr(9313)||chr(9320)||chr(178)||chr(8322)||chr(65313),
+        |      'Graft 42!12922A'),
+        |    chr(64257),'fi'), chr(64258),'fl'), chr(64256),'ff'), chr(64259),'ffi'), chr(64261),'st')) AS folded
+        |  FROM pl)
+        |SELECT doc_id, folded, CAST(length(folded) AS BIGINT) AS n_chars
+        |FROM f ORDER BY doc_id""".stripMargin),
     // hybrid RRF: the shared BM25 rank chain + the q22 cosine algebra,
     // full-outer fused as 1/(60+rank) micro terms — every fused rank
     // hash-checked; RRF needs no score calibration, only ranks

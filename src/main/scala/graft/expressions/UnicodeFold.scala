@@ -23,8 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * strip — the full normalization a multilingual LM-data pipeline
   * runs ahead of language ID and LM scoring (the accent removal CCNet
   * — Wenzek et al. 2020 §4.2 — applies before perplexity bucketing).
-  * The NFKC arm is deliberately OUTSIDE the oracled subset (DuckDB
-  * exposes no NFKC transform) — spec-tested instead.
+  * GENERAL NFKC is outside the oracled subset (DuckDB exposes no NFKC
+  * transform) — spec-tested instead; the TABLE-EXPRESSIBLE subset
+  * (full-width ASCII, common ligatures, enclosed/super/sub digits,
+  * and the fold-before-strip ordering) IS oracled by q204 against an
+  * explicit literal mapping both engines state identically.
   *
   * Fast path: pure-ASCII input (the overwhelmingly common case in a
   * Latin-dominated corpus — checked with one byte scan on the RAW

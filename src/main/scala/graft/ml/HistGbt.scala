@@ -245,14 +245,24 @@ object HistGbt {
       val members = scala.collection.mutable.ArrayBuffer[Int](first)
       val bits: Array[Long] = act(first).clone()
       var width: Int = 1 + binsPer(first)
+      // Accumulated conflicts across ALL members so far — Ke et al.
+      // 2017 Alg. 3 budgets the bundle's TOTAL conflict count, not each
+      // addition independently (advisor round 19: per-addition testing
+      // lets a bundle reach (members−1)×budget total conflicts and
+      // exceed the advertised efbMaxConflictRate on dense-ish data).
+      var conflictCnt: Long = 0L
     }
     val bundles = scala.collection.mutable.ArrayBuffer[Bundle]()
     order.foreach { d =>
-      val home = bundles.find(b =>
-        b.width + binsPer(d) <= maxCodes &&
-          conflicts(act(d), b.bits) <= budget)
+      val home = bundles.find { b =>
+        b.width + binsPer(d) <= maxCodes && {
+          val c = conflicts(act(d), b.bits)
+          b.conflictCnt + c <= budget
+        }
+      }
       home match {
         case Some(b) =>
+          b.conflictCnt += conflicts(act(d), b.bits)
           b.members += d
           b.width += binsPer(d)
           var i = 0
@@ -898,11 +908,20 @@ object HistGbt {
       .write.mode("overwrite").parquet(s"$path/meta")
     // EFB bundling, when present — without it routing would misread
     // bundle codes as per-feature bins (table absent = identity, which
-    // is also how pre-EFB artifacts load)
-    model.bundles.foreach { bs =>
-      bs.zipWithIndex.map { case (ms, i) => (i, ms.toSeq) }.toSeq
-        .toDF("bundle", "members")
-        .write.mode("overwrite").parquet(s"$path/bundles")
+    // is also how pre-EFB artifacts load). The bundles dir is ALWAYS
+    // reconciled (advisor round 19): overwriting a previously-saved EFB
+    // model with a bundle-free model at the same path must not leave
+    // the stale table behind, or load() would silently attach the old
+    // bundling to the new trees and corrupt every prediction.
+    model.bundles match {
+      case Some(bs) =>
+        bs.zipWithIndex.map { case (ms, i) => (i, ms.toSeq) }.toSeq
+          .toDF("bundle", "members")
+          .write.mode("overwrite").parquet(s"$path/bundles")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/bundles")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
     }
   }
 

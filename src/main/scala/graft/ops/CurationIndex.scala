@@ -383,15 +383,23 @@ object CurationIndex {
     * between renames leaves `bm25_tf_old` on disk for manual
     * recovery. File budget comes from the O(metadata) segment-size
     * listing, not a data pass.
+    *
+    * ATOMICITY ASSUMPTION: the rename swap is atomic on HDFS and local
+    * filesystems only. Object stores (s3a://) implement rename as
+    * copy+delete — run compaction against such an index only behind an
+    * external serving lock, or compact a copy and re-point consumers.
     */
   def compactBm25(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val meta = spark.read.parquet(s"$path/bm25_meta")
     require(meta.columns.contains("format"),
       s"CurationIndex.compactBm25($path): bm25_meta carries no format marker")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val tfPath = new org.apache.hadoop.fs.Path(s"$path/bm25_tf")
+    // Resolve the FS from the index path itself, NOT FileSystem.get
+    // (advisor round 19): the latter returns the DEFAULT filesystem, so
+    // an index on s3a:// (or file:// under an HDFS default) would have
+    // its listStatus/renames issued against the wrong tree.
+    val fs = tfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.listStatus(tfPath).iterator
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum

@@ -921,8 +921,12 @@ object Text {
     def cnt(range: String) =
       (length($"text") - length(regexp_replace($"text", s"[$range]", "")))
         .cast("long")
+    // Latin-1 range split around U+00D7 (\u00D7) and U+00F7 (\u00F7) \u2014 the two
+    // non-letter symbols embedded in the letters block (advisor round
+    // 19: counting them as Latin skews dominant_script on math-heavy
+    // text). Mirrored verbatim in the DuckDB oracle.
     val profiled = docs.select($"doc_id",
-      cnt("A-Za-z\u00C0-\u024F").as("n_latin"),
+      cnt("A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u024F").as("n_latin"),
       cnt("\u0400-\u04FF").as("n_cyrillic"),
       cnt("\u0370-\u03FF").as("n_greek"),
       cnt("\u4E00-\u9FFF").as("n_cjk"),

@@ -35,16 +35,32 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object BlockHygiene {
 
-  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // Pins are keyed by (applicationId, rddId), not rddId alone (advisor
+  // round 19): RDD ids restart from 0 per SparkContext, so a bare-id pin
+  // from a stopped session would shield an unrelated RDD that happens to
+  // get the same id in a later session in the same JVM.
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** Mark a localCheckpoint'd frame as process-lifetime index state:
     * [[sweep]] will never unpersist its backing RDD. Returns the frame
-    * for call-site chaining. No-op for frames that are not
-    * checkpoint-backed.
+    * for call-site chaining.
+    *
+    * FAILS LOUDLY when the frame carries no checkpoint RDD (advisor
+    * round 19): every current call site pins the direct result of
+    * `localCheckpoint(true)`, so a miss means a future cache site
+    * returned a plan wrapping the checkpoint (e.g. a projection over
+    * it) — silently not pinning there would let [[sweep]] destroy a
+    * lineage-truncated checkpoint, which is unrecoverable. Pin the
+    * checkpointed frame itself, then derive from it.
     */
   def pin(df: Dataset[_]): df.type = {
-    org.apache.spark.sql.graftshim.GraftColumns.checkpointRdd(df)
-      .foreach(r => pinned.add(r.id))
+    val rdd = org.apache.spark.sql.graftshim.GraftColumns.checkpointRdd(df)
+    require(rdd.nonEmpty,
+      "BlockHygiene.pin: frame has no checkpoint RDD in its plan — pin " +
+        "the localCheckpoint(true) result directly, then derive from it " +
+        "(an unpinned checkpoint would be unrecoverably swept)")
+    rdd.foreach(r => pinned.add((r.sparkContext.applicationId, r.id)))
     df
   }
 
@@ -53,8 +69,9 @@ object BlockHygiene {
     * so a regression back to leaking is visible in the bench stderr.
     */
   def sweep(spark: SparkSession): Int = {
+    val app = spark.sparkContext.applicationId
     val doomed = spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => pinned.contains(id) }
+      .filterNot { case (id, _) => pinned.contains((app, id)) }
     doomed.valuesIterator.foreach(_.unpersist(blocking = false))
     doomed.size
   }

@@ -343,5 +343,14 @@ class HistGbtSpec extends graft.SparkTestBase {
     val a = model.transform(test).select("prediction").collect().toSeq
     val b = loaded.transform(test).select("prediction").collect().toSeq
     assert(a === b)
+    // save() RECONCILES the bundles dir (advisor round 19): overwriting
+    // the EFB model with a bundle-free model at the SAME path must not
+    // leave the stale bundles table for load() to silently attach to
+    // the new trees — that would corrupt every routed prediction.
+    val plain = model.copy(bundles = None)
+    HistGbt.save(plain, spark, dir)
+    val reloaded = HistGbt.load(spark, dir)
+    assert(reloaded.bundles.isEmpty,
+      "stale bundles table survived an overwrite by a bundle-free model")
   }
 }

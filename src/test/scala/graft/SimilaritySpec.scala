@@ -768,6 +768,34 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("blocked bitext mining: a cacheKey'd repeat serves the quantizer " +
+      "from the process cache (no refit) and returns identical rows") {
+    val rnd = new scala.util.Random(47)
+    val src = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("sid", "sv")
+    val tgt = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("tid", "tv")
+    def run() = ops.Similarity
+      .marginMineBlocked(src, tgt, nLists = 4, nProbe = 2,
+        cacheKey = Some("spec_margin_cache"))
+      .select($"sid", $"mined_tid", $"cosine", $"margin", $"accepted")
+      .as[(Long, Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    val before = ops.Similarity.marginKmFitCount.get()
+    val first = run()
+    val afterFirst = ops.Similarity.marginKmFitCount.get()
+    assert(afterFirst === before + 1,
+      "first cacheKey'd invocation must fit the quantizer exactly once")
+    val second = run()
+    assert(ops.Similarity.marginKmFitCount.get() === afterFirst,
+      "repeat invocation under the same cacheKey must not refit")
+    assert(first.toSeq === second.toSeq,
+      "cached quantizer must yield bit-identical mining output")
+    // and the un-keyed path still refits every time (opt-in contract)
+    ops.Similarity.marginMineBlocked(src, tgt, nLists = 4, nProbe = 2)
+      .collect()
+    assert(ops.Similarity.marginKmFitCount.get() === afterFirst + 1)
+  }
+
   test("soft dedup: weights are 1/|cluster| in exact micro-units, " +
       "singletons keep full weight, cluster mass conserved") {
     // three copies of one doc, two of another, one unique — shingle
