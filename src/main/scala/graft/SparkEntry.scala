@@ -222,6 +222,7 @@ object SparkEntry {
     "q202_d4_prune" -> (Similarity.q202D4Prune _),
     "q203_script_profile" -> (Text.q203ScriptProfile _),
     "q204_nfkc_fold" -> (Quality.q204NfkcFoldSubset _),
+    "q205_session_audit" -> (Streaming.q205SessionAudit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4139,6 +4140,46 @@ object SparkEntry {
         |  FROM pl)
         |SELECT doc_id, folded, CAST(length(folded) AS BIGINT) AS n_chars
         |FROM f ORDER BY doc_id""".stripMargin),
+    // session-window lifecycle audit: END-based strict acceptance,
+    // gap-island merge, non-strict emission, and the stale/exactness
+    // flags — all re-derived through the identical md5 arrival,
+    // per-batch watermark, and island algebra (edges pinned by the
+    // MemoryStream specs; see sessionAcceptanceFromArrival)
+    "q205_session_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) + CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 3600000000 AS BIGINT) - 1800000000 AS arrival_us
+        |  FROM events),
+        |m AS (SELECT min(arrival_us) AS a0 FROM e),
+        |b AS (SELECT event_id, user_id, ts_us, (arrival_us - a0) // 3600000000 AS batch_id FROM e, m),
+        |bm AS (SELECT batch_id, max(ts_us) AS b_max FROM b GROUP BY batch_id),
+        |wm AS (SELECT batch_id,
+        |    (max(b_max) OVER (ORDER BY batch_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000 - 600000) * 1000 AS watermark_us
+        |  FROM bm),
+        |fw AS (SELECT (max(ts_us) // 1000 - 600000) * 1000 AS final_wm_us FROM b),
+        |ev AS (SELECT b.*, wm.watermark_us,
+        |    (wm.watermark_us IS NULL OR b.ts_us + 1800000000 > wm.watermark_us) AS accepted,
+        |    (wm.watermark_us IS NOT NULL AND b.ts_us + 1800000000 > wm.watermark_us AND b.ts_us <= wm.watermark_us) AS stale
+        |  FROM b JOIN wm USING (batch_id)),
+        |acc AS (SELECT *,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WHERE accepted
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |si AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM acc),
+        |sess AS (SELECT user_id, sess_seq, min(ts_us) AS sess_start_us,
+        |    max(ts_us) + 1800000000 AS sess_end_us,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    (sum(CASE WHEN stale THEN 1 ELSE 0 END) = 0) AS sess_exact
+        |  FROM si GROUP BY user_id, sess_seq)
+        |SELECT si.event_id, si.user_id, si.batch_id, si.ts_us, si.accepted, si.stale,
+        |  s.sess_start_us, s.sess_end_us, s.n_events,
+        |  (s.sess_end_us <= fw.final_wm_us) AS emitted, s.sess_exact
+        |FROM si JOIN sess s USING (user_id, sess_seq), fw
+        |UNION ALL
+        |SELECT event_id, user_id, batch_id, ts_us, accepted, stale,
+        |  NULL, NULL, NULL, NULL, NULL
+        |FROM ev WHERE NOT accepted
+        |ORDER BY event_id""".stripMargin,
     // hybrid RRF: the shared BM25 rank chain + the q22 cosine algebra,
     // full-outer fused as 1/(60+rank) micro terms — every fused rank
     // hash-checked; RRF needs no score calibration, only ranks

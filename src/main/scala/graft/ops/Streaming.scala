@@ -1077,6 +1077,129 @@ object Streaming {
       .orderBy($"event_id")
   }
 
+  /** T3/T4 batch-oracle core — SESSION-WINDOW acceptance, merge, and
+    * emission under a watermark, replayed relationally over an
+    * explicit arrival assignment `arr(event_id, user_id, ts_us,
+    * arrival_us)`. Three rules, each pinned by MemoryStream probe
+    * (`StreamingSpec`), each a boundary a re-implementation silently
+    * gets wrong:
+    *
+    *   1. ACCEPTANCE is END-based and STRICT — a late row survives iff
+    *      `ts_us + gap > watermark_us(b)` (the row's initial
+    *      [ts, ts+gap) window must still be open; a window ending
+    *      exactly AT the watermark is dropped). This differs from the
+    *      raw-row rule q200 audits (`ts > wm`): session state is keyed
+    *      by windows, so rows up to `gap` OLDER than the watermark are
+    *      still accepted.
+    *   2. MERGE is gap-chaining with a half-open window: consecutive
+    *      accepted events of one key belong to one session iff their
+    *      gap is STRICTLY under `gap` (an event exactly `gap` after
+    *      the previous one starts a new session — the q30 batch rule).
+    *   3. EMISSION is NON-strict: a session (end = last ts + gap) is
+    *      emitted by the first batch whose post-batch watermark
+    *      reaches `end` (`end <= wm`); sessions the final watermark
+    *      never reaches are still in state at shutdown (`emitted` =
+    *      false).
+    *
+    * REPLAY EXACTNESS: the island model above equals the streaming
+    * result for every session containing no STALE event (stale =
+    * accepted with `ts_us <= watermark_us` — possible only because
+    * rule 1 is end-based). A stale event CAN land inside a session the
+    * stream already emitted, and the stream then opens a fresh
+    * overlapping session (probe-pinned) where the island model merges
+    * — `sess_exact` flags exactly the sessions where that divergence
+    * is possible, so the per-session claim stays honest. Stale-free ⇒
+    * exact: emission by batch b−1 needs `end <= wm(b)`, so any
+    * non-stale accepted event (`ts > wm(b)`) lies strictly past every
+    * previously-emitted end and can never have merged with it.
+    *
+    * Shape: the q200 scaffolding (per-batch max, bounded running-max
+    * window, broadcast join back) plus one per-key island window and
+    * one per-session aggregate — the only event-wide shuffle classes
+    * are the per-key window and the session groupBy. Scales.
+    */
+  def sessionAcceptanceFromArrival(arr: DataFrame, gapMs: Long,
+      delayMs: Long, batchSpanUs: Long): DataFrame = {
+    import arr.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMs * 1000L
+    val a0 = arr.agg(min($"arrival_us").as("a0"))
+    val withBatch = arr.crossJoin(broadcast(a0))
+      .withColumn("batch_id",
+        expr(s"(arrival_us - a0) div ${batchSpanUs}L"))
+    val wm = withBatch.groupBy($"batch_id").agg(max($"ts_us").as("b_max"))
+      .withColumn("prior_max", max($"b_max").over(
+        Window.orderBy($"batch_id")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select($"batch_id",
+        when($"prior_max".isNotNull,
+          (expr("prior_max div 1000") - delayMs) * 1000).as("watermark_us"))
+    // watermark at shutdown: every batch processed, so the global max
+    // is in — sessions it has not reached stay un-emitted in state
+    val finalWm = arr.agg(max($"ts_us").as("g_max"))
+      .select(((expr("g_max div 1000") - delayMs) * 1000).as("final_wm_us"))
+    val evs = withBatch.join(broadcast(wm), Seq("batch_id"))
+      .withColumn("accepted",
+        $"watermark_us".isNull || $"ts_us" + gapUs > $"watermark_us")
+      .withColumn("stale",
+        $"accepted" && $"watermark_us".isNotNull &&
+          $"ts_us" <= $"watermark_us")
+    val byKey = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val acc = evs.filter($"accepted")
+      .withColumn("new_sess",
+        when(lag($"ts_us", 1).over(byKey).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(byKey) >= gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_seq", sum($"new_sess").over(
+        byKey.rowsBetween(Window.unboundedPreceding, 0)))
+    val sess = acc.groupBy($"user_id", $"sess_seq").agg(
+      min($"ts_us").as("sess_start_us"),
+      (max($"ts_us") + gapUs).as("sess_end_us"),
+      count(lit(1)).as("n_events"),
+      (sum($"stale".cast("long")) === 0L).as("sess_exact"))
+    val accepted = acc.join(sess, Seq("user_id", "sess_seq"))
+      .crossJoin(broadcast(finalWm))
+      .select($"event_id", $"user_id", $"batch_id", $"ts_us",
+        $"accepted", $"stale", $"sess_start_us", $"sess_end_us",
+        $"n_events", ($"sess_end_us" <= $"final_wm_us").as("emitted"),
+        $"sess_exact")
+    val dropped = evs.filter(!$"accepted")
+      .select($"event_id", $"user_id", $"batch_id", $"ts_us",
+        $"accepted", $"stale", lit(null).cast("long").as("sess_start_us"),
+        lit(null).cast("long").as("sess_end_us"),
+        lit(null).cast("long").as("n_events"),
+        lit(null).cast("boolean").as("emitted"),
+        lit(null).cast("boolean").as("sess_exact"))
+    accepted.unionByName(dropped)
+  }
+
+  /** ORACLED exercise (q205): the session-window acceptance/merge/
+    * emission audit over the events fixture — 30-minute gap (the q30
+    * session convention), 10-minute watermark delay, 1-hour
+    * micro-batches, the q200 ±30-minute md5 arrival jitter — every
+    * verdict, session span, event count, emission flag, and exactness
+    * flag re-derived by DuckDB through the identical algebra. Closes
+    * the last streaming-semantics row carried by tests alone (the
+    * round-19 verdict's item 8): T1/T2/T4 had batch oracles
+    * (q29/q41/q200), T3's merge rule had q30 — the
+    * watermark-INTERACTING session lifecycle now has one too, with
+    * the streaming side pinned by the MemoryStream edge specs.
+    */
+  def q205SessionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val jitterUs = 1800L * 1000000L
+    val events = Sources.events(spark, dir)
+    val jitter = conv(substring(md5($"event_id".cast("string")), 1, 8),
+      16, 10).cast("long") % (2L * jitterUs) - jitterUs
+    sessionAcceptanceFromArrival(
+        events.select($"event_id", $"user_id",
+            unix_micros($"ts").as("ts_us"))
+          .withColumn("arrival_us", $"ts_us" + jitter),
+        gapMs = 1800000L, delayMs = 600000L,
+        batchSpanUs = 3600L * 1000000L)
+      .orderBy($"event_id")
+  }
+
   /** One banded fingerprint row for [[nearDupPairsStream]] — `ts` is
     * carried through the band explosion so the watermark attribute
     * survives into the stateful operator.

@@ -156,6 +156,105 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("T3/T4 session-window lifecycle (q205 replay): end-based strict " +
+      "acceptance, non-strict emission, and the stale-divergence flag, " +
+      "pinned against MemoryStream") {
+    implicit val sql = spark.sqlContext
+    def us(time: String): Long = Timestamp.valueOf(time).getTime * 1000L
+
+    // streaming arm: 10-min session gap, 10-min watermark, append mode
+    def streamSessions(name: String, batches: Seq[Seq[Ev]])
+        : Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[Ev]
+      val q = input.toDF().withWatermark("ts", "10 minutes")
+        .groupBy(session_window($"ts", "10 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id", unix_micros($"session_window.start").as("s"),
+          unix_micros($"session_window.end").as("e"), $"n")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      withQuery(q) {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[(Long, Long, Long, Long)].collect().toSet
+      }
+    }
+    // replay arm: arrival_us = batch ordinal, batchSpanUs = 1 pins the
+    // replay's micro-batch assignment to the scripted addData batches
+    def replay(batches: Seq[Seq[Ev]]) = {
+      val arr = batches.zipWithIndex
+        .flatMap { case (b, i) => b.map(e => (e.event_id, e.user_id, e.ts, i.toLong)) }
+        .toDF("event_id", "user_id", "ts", "arrival_us")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+          $"arrival_us")
+      ops.Streaming.sessionAcceptanceFromArrival(arr,
+        gapMs = 600000L, delayMs = 600000L, batchSpanUs = 1L)
+    }
+    def emittedOf(replayed: org.apache.spark.sql.DataFrame) =
+      replayed.filter($"accepted" && $"emitted")
+        .select($"user_id", $"sess_start_us", $"sess_end_us", $"n_events")
+        .distinct().as[(Long, Long, Long, Long)].collect().toSet
+
+    // Scenario A — the acceptance edges. Batch 0 sets wm(b1) = 10:50:00
+    // (11:00 max, ms-truncated, minus 10 min). Batch 1 then lands four
+    // probes around it: u2 ts<wm but window end>wm (accepted: the
+    // end-based rule), u3 end<wm (dropped), u4 end==wm exactly
+    // (dropped: STRICT), u5 end 1 ms past (accepted).
+    val a = Seq(
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(900, "2024-01-01 11:00:00", user = 9L)),
+      Seq(ev(2, "2024-01-01 10:45:00", user = 2L),
+        ev(3, "2024-01-01 10:39:59.999", user = 3L),
+        ev(4, "2024-01-01 10:40:00", user = 4L),
+        ev(5, "2024-01-01 10:40:00.001", user = 5L)),
+      Seq(ev(901, "2024-01-01 15:00:00", user = 9L)),
+      Seq(ev(902, "2024-01-01 20:00:00", user = 9L)))
+    val repA = replay(a).cache()
+    val accA = repA.select($"event_id", $"accepted")
+      .as[(Long, Boolean)].collect().toMap
+    assert(accA(2L) && accA(5L), "end-based acceptance must keep u2/u5")
+    assert(!accA(3L) && !accA(4L),
+      "end<wm and end==wm must both drop (strict compare)")
+    // u2 is accepted with ts <= wm — STALE — but with no prior emitted
+    // session nearby the replay still matches the stream exactly; the
+    // conservative flag goes false without an actual divergence
+    assert(repA.filter($"event_id" === 2L).select($"stale")
+      .as[Boolean].head(), "u2 must be flagged stale")
+    // u9's 20:00 session: final wm 19:50 has not reached its end → in
+    // state at shutdown, not emitted, on BOTH arms
+    assert(streamSessions("sess_audit_a", a) === emittedOf(repA),
+      "replay emitted-session set must equal the streaming emission")
+    repA.unpersist()
+
+    // Scenario B — the documented divergence: u1's first session
+    // ([10:00,10:10)) is emitted by batch 1's watermark 10:10:00.001;
+    // the stale-accepted 10:05 event in batch 2 then opens a FRESH
+    // OVERLAPPING session in the stream, while the island replay
+    // merges — and must say so via sess_exact = false.
+    val b = Seq(
+      Seq(ev(1, "2024-01-01 10:00:00")),
+      Seq(ev(900, "2024-01-01 10:20:00.001", user = 9L)),
+      Seq(ev(2, "2024-01-01 10:05:00")),
+      Seq(ev(902, "2024-01-01 23:00:00", user = 9L)))
+    val streamB = streamSessions("sess_audit_b", b)
+    assert(streamB.filter(_._1 == 1L) === Set(
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 1L),
+      (1L, us("2024-01-01 10:05:00"), us("2024-01-01 10:15:00"), 1L)),
+      "stream must emit two OVERLAPPING u1 sessions in the stale edge")
+    val repB = replay(b).cache()
+    val u1 = repB.filter($"user_id" === 1L && $"accepted")
+      .select($"sess_start_us", $"sess_end_us", $"n_events", $"sess_exact")
+      .distinct().as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(u1 === Seq((us("2024-01-01 10:00:00"),
+      us("2024-01-01 10:15:00"), 2L, false)),
+      "replay must merge the stale edge into one island AND flag it")
+    // the exact (stale-free) sessions still agree stream-vs-replay
+    assert(streamB.filter(_._1 == 9L) ===
+      emittedOf(repB).filter(_._1 == 9L))
+    assert(repB.filter($"user_id" === 9L && $"accepted")
+      .select($"sess_exact").distinct().as[Boolean].collect().toSeq
+      === Seq(true))
+    repB.unpersist()
+  }
+
   test("T5 flatMapGroupsWithState accumulates per-user counts across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
