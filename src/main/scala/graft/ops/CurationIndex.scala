@@ -532,4 +532,139 @@ object CurationIndex {
         "the table is truncated or corrupt")
     Quality.DsirModel(rows.map(_._2))
   }
+
+  /** L82 — PERSISTED SHINGLE-DEDUP INDEX: the corpus-side state for
+    * dedup-AT-INGEST. A 100 TB pipeline admits new batches daily; the
+    * near-dup question each batch must answer — "is this document a
+    * near-copy of something ALREADY IN the corpus?" — must not rescan
+    * the corpus per batch. This index persists exactly the state the
+    * q39 posting-list Jaccard needs on the corpus side:
+    *
+    *   `$path/dedup_postings`  (s BIGINT, doc_id)  df-capped posting
+    *                           lists over xxhash64'd word n-gram
+    *                           shingles (hashes only cross the wire
+    *                           and the disk — intersection/union
+    *                           COUNTS are invariant under hashing, the
+    *                           q39 posture, so Jaccard is unchanged);
+    *   `$path/dedup_hot`       (s BIGINT) the shingles the df cap
+    *                           dropped — a new doc's size must exclude
+    *                           them too or its Jaccard denominators
+    *                           drift from the build-side convention;
+    *                           BOUNDED (only shingles with df > cap —
+    *                           boilerplate, by construction);
+    *   `$path/dedup_sizes`     (doc_id, n) capped set sizes;
+    *   `$path/dedup_meta`      (n, df_cap, n_docs, format).
+    *
+    * CONTRACT (stated, not hidden): the hot-shingle profile is FROZEN
+    * at build — the index answers "near-dup of the indexed corpus
+    * under the indexed corpus's boilerplate profile". Within-batch
+    * duplicates are the batch's own [[graft.ops.Text]] dedup pass;
+    * periodic full rebuilds refresh the profile (the CCNet/BM25
+    * persisted-model posture throughout this engine).
+    */
+  def writeDedupIndex(spark: SparkSession, path: String, docs: DataFrame,
+      n: Int = 3, dfCap: Int = 100): Unit = {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val sh0 = toks.select(col("doc_id"),
+        explode(array_distinct(transform(Quality.wordGrams(col("t"), n),
+          s => xxhash64(s)))).as("s"))
+      .persist()
+    val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    hot.write.mode("overwrite").parquet(s"$path/dedup_hot")
+    // re-read the written hot table rather than keeping the aggregate
+    // alive: the anti-join build side becomes a plain scan and sh0 is
+    // the only persisted frame to release
+    val postings = sh0.join(
+      spark.read.parquet(s"$path/dedup_hot"), Seq("s"), "left_anti")
+    postings.write.mode("overwrite").parquet(s"$path/dedup_postings")
+    val written = spark.read.parquet(s"$path/dedup_postings")
+    written.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/dedup_sizes")
+    val nDocs = spark.read.parquet(s"$path/dedup_sizes").count()
+    sh0.unpersist(false)
+    Seq((n.toLong, dfCap.toLong, nDocs, FormatVersion))
+      .toDF("n", "df_cap", "n_docs", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/dedup_meta")
+  }
+
+  /** Load + verify the [[writeDedupIndex]] meta; returns (n, dfCap). */
+  private[ops] def dedupIndexParams(spark: SparkSession,
+      path: String): (Int, Int) = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/dedup_meta")
+      .select(col("n").cast("long"), col("df_cap").cast("long"),
+        col("n_docs").cast("long"), col("format").cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    require(meta.length == 1 && meta.head._4 == FormatVersion,
+      s"CurationIndex.dedupIndexParams($path): bad meta — not a " +
+        "writeDedupIndex index")
+    (meta.head._1.toInt, meta.head._2.toInt)
+  }
+
+  /** DELTA DEDUP against a [[writeDedupIndex]] — the per-batch ingest
+    * manifest: for EVERY document of `newDocs`, its best-matching
+    * indexed document by capped-shingle Jaccard (rounded to 6
+    * decimals; ties to the smaller indexed id) and the `is_dup`
+    * verdict at `minJaccard` (compared on the RAW ratio, the q39
+    * threshold convention). Documents with no candidate (no shared
+    * non-hot shingle, too short to shingle, all-boilerplate) ride
+    * through with NULL match columns and is_dup = false — the
+    * manifest is the admission decision, so every batch row must
+    * appear in it.
+    *
+    * 100 TB posture: the corpus NEVER rescans — the batch side
+    * shingles only `newDocs`; the join against `dedup_postings` is
+    * bounded by the df cap (each batch shingle meets <= dfCap indexed
+    * postings); sizes/meta are O(corpus) scans of two narrow columns
+    * and a broadcast-sized hot list would be wrong to assume — the
+    * hot table joins as a normal anti-join and Catalyst broadcasts it
+    * when small. Per-batch cost is O(batch x dfCap), independent of
+    * corpus size.
+    */
+  def dedupDeltaAgainstIndex(spark: SparkSession, path: String,
+      newDocs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val (n, _) = dedupIndexParams(spark, path)
+    val postings = spark.read.parquet(s"$path/dedup_postings")
+      .select(col("s"), col("doc_id").as("old_id"))
+    val oldSizes = spark.read.parquet(s"$path/dedup_sizes")
+      .select(col("doc_id").as("old_id"), col("n").as("n_old"))
+    val hot = spark.read.parquet(s"$path/dedup_hot")
+    val base = newDocs.select(col("doc_id").cast("long").as("doc_id"))
+    val toks = newDocs.select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val shNew = toks.select(col("doc_id"),
+        explode(array_distinct(transform(Quality.wordGrams(col("t"), n),
+          s => xxhash64(s)))).as("s"))
+      .join(hot, Seq("s"), "left_anti")
+      .persist()
+    val newSizes = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val shared = shNew.join(postings, Seq("s"))
+      .groupBy(col("doc_id"), col("old_id")).agg(count(lit(1)).as("c"))
+    val scored = shared
+      .join(newSizes, Seq("doc_id"))
+      .join(oldSizes, Seq("old_id"))
+      .withColumn("jacc",
+        col("c").cast("double") / (col("n_new") + col("n_old") - col("c")))
+    import org.apache.spark.sql.expressions.Window
+    val best = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("jacc"), 6).desc, col("old_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("old_id").as("best_old_id"),
+        round(col("jacc"), 6).as("jaccard"),
+        (col("jacc") >= minJaccard).as("is_dup"))
+    val out = base.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_old_id"), col("jaccard"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    shNew.unpersist(false)
+    out
+  }
 }
