@@ -224,6 +224,7 @@ object SparkEntry {
     "q204_nfkc_fold" -> (Quality.q204NfkcFoldSubset _),
     "q205_session_audit" -> (Streaming.q205SessionAudit _),
     "q206_delta_dedup" -> (Similarity.q206DeltaDedup _),
+    "q207_ivf_serve_batch" -> (Similarity.q207IvfServeBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4082,6 +4083,10 @@ object SparkEntry {
     // oracle as data (VALUES handoff); plant, assignments, epsilon-ball
     // verdicts, prototype ranks, and kept flags all re-derived
     "q202_d4_prune" -> d4OracleSql,
+    // batch ANN serving off the persisted serve index: assignments,
+    // probe rankings, candidate pruning, cosines, and ranks all
+    // replayed from the run's own centroid VALUES (the q202 handoff)
+    "q207_ivf_serve_batch" -> ivfServeOracleSql,
     // writing-system detection: every per-script codepoint-range count,
     // the priority-ordered dominant verdict, and the integer micro
     // fraction re-derived over the multi-script plant (ranges spelled
@@ -4685,6 +4690,53 @@ object SparkEntry {
         |FROM flagged f LEFT JOIN proto p USING (vec_id) ORDER BY f.vec_id""".stripMargin
     }.getOrElse(
       "SELECT error('q202 query did not run before oracleSql was dumped')")
+
+  /** q207's oracle — the serve-index batch top-k replayed from the
+    * run's own centroids (VALUES handoff): assignments, probe
+    * rankings, the pruned candidate set, exact cosines and ranks.
+    */
+  private def ivfServeOracleSql: String =
+    graft.ops.Similarity.lastServeCentroids.map { cents =>
+      val centVals = cents.zipWithIndex.map { case (c, i) =>
+        s"($i, CAST([${c.map(java.lang.Double.toString).mkString(",")}] AS DOUBLE[]))"
+      }.mkString(",\n    ")
+      s"""WITH cent AS (SELECT c1 AS cell, c2 AS cvec FROM (VALUES
+        |    $centVals) v(c1, c2)),
+        |""".stripMargin +
+        """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |a0 AS (
+        |  SELECT e.vec_id, e.vec, c.cell,
+        |    CAST(floor(list_dot_product(e.vec, c.cvec) /
+        |      (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))) * 1e6 + 0.5) AS BIGINT) AS cm
+        |  FROM emb e, cent c),
+        |asn AS (
+        |  SELECT vec_id, vec, cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, cell) AS ark FROM a0)
+        |  WHERE ark = 1),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id % 53 = 0),
+        |p0 AS (
+        |  SELECT q.query_id, q.qvec, c.cell,
+        |    CAST(floor(list_dot_product(q.qvec, c.cvec) /
+        |      (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.cvec, c.cvec))) * 1e6 + 0.5) AS BIGINT) AS cm
+        |  FROM q, cent c),
+        |probes AS (
+        |  SELECT query_id, qvec, cell
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, cell) AS pk FROM p0)
+        |  WHERE pk <= 2),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    list_dot_product(p.qvec, a.vec) /
+        |      (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.vec, a.vec))) AS cos
+        |  FROM probes p JOIN asn a USING (cell)
+        |  WHERE a.vec_id <> p.query_id),
+        |top AS (
+        |  SELECT query_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+        |FROM top WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }.getOrElse(
+      "SELECT error('q207 query did not run before oracleSql was dumped')")
 
   /** The BM25 chain up to the unfiltered ranked table `r` — shared by
     * the q187/q188/q189 final selects and the q190 hybrid fusion.

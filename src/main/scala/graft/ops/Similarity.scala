@@ -367,6 +367,160 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** The fitted coarse centroids behind the LAST [[q207IvfServeBatch]]
+    * run, for literal VALUES injection into its own oracle (the
+    * q199/q202 fitted-table handoff). Bounded: nLists × dim doubles.
+    */
+  @volatile private[graft] var lastServeCentroids:
+      Option[Array[Array[Double]]] = None
+
+  /** L83 — SERVE-SHAPED IVF index with ORACLE-REPLAYABLE assignment:
+    * same on-disk layout as [[writeIvfIndex]] (cell-partitioned
+    * corpus + centroid table) but every vector is assigned by the
+    * q202 rule — argmax MICRO-ROUNDED cosine to each centroid, ties
+    * to the smaller cell — a pure integer-grid decision any engine
+    * can replay from the centroid table alone, where KMeansModel
+    * .transform's argmin-Euclidean is FP-path-specific. On unit
+    * geometry the two rules agree everywhere off the micro-tie
+    * boundary; making the tie rule explicit is what turns the whole
+    * serving path (assignment → probe ranking → pruned scan → exact
+    * cosine top-k) into one hash-checkable contract. Assignment is a
+    * PURE MAP (centroids ride as one literal array — the
+    * [[appendToIvfIndex]] shape); the only exchange is the
+    * partitioned write's own repartition.
+    */
+  def writeIvfServeIndex(emb: DataFrame, path: String, nLists: Int,
+      cacheKey: Option[String] = None): Array[Array[Double]] = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val (vecs, model) = cacheKey match {
+      case Some(key) => unitQuantizedCached(emb, key, nLists)
+      case None      => unitQuantized(emb, nLists)
+    }
+    val cents = model.clusterCenters.map(_.toArray)
+    val centsLit = typedlit(cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (c.toSeq, i) })
+    val best = array_max(transform(centsLit, ct => struct(
+      floor(cosineSimilarity($"vec", ct.getField("_1")) * 1e6 + 0.5)
+        .cast("long").as("score"),
+      (-ct.getField("_2")).as("negcell"))))
+    emb.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("vec"))
+      .withColumn("ivf_list", (-best.getField("negcell")).cast("int"))
+      .repartition(col("ivf_list"))
+      .write.partitionBy("ivf_list").mode("overwrite")
+      .parquet(s"$path/cells")
+    emb.sparkSession.createDataset(
+        cents.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq("graft-ivf-serve-v1").toDF("format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/serve_meta")
+    if (cacheKey.isEmpty) vecs.unpersist(false)
+    cents
+  }
+
+  /** L83 — BATCH ANN SERVING off a [[writeIvfServeIndex]]: exact
+    * cosine top-k for a BOUNDED query batch, reading ONLY the probed
+    * cells' directories. This is the serving-shaped consumer the 10×
+    * stress note called for: [[knnJoinIvf]] computes kNN for the
+    * WHOLE corpus (right for dedup/blast-radius), which is wasteful
+    * when the demand is a batch of queries — here the corpus-side
+    * work is a statically partition-pruned scan of ≤ (distinct probed
+    * cells) directories, the batch side is nProbe rows per query, and
+    * the candidate join + two-phase top-k follow the
+    * [[knnPairsQuantized]] discipline (per-(cell, query) pre-rank
+    * exchange-free on the join partitioning; the global window moves
+    * ≤ nProbe·k rows per query).
+    *
+    * Probe ranking uses the same micro-cosine rule as the index's
+    * assignment (desc micro, ties to the smaller cell), so the whole
+    * path — which cells a query reads, which vectors live there, and
+    * every output rank — is replayable from the centroid table (q207
+    * hash-checks all of it).
+    */
+  def ivfIndexTopKBatch(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.GraftColumns.cosineSimilarity
+    val meta = spark.read.parquet(s"$path/serve_meta")
+    require(meta.columns.contains("format") &&
+      meta.select($"format").as[String].collect().toSeq ==
+        Seq("graft-ivf-serve-v1"),
+      s"ivfIndexTopKBatch($path): not a writeIvfServeIndex index")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select($"cell".cast("int"), $"centroid").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    require(nProbe >= 1 && nProbe <= centroids.length && k >= 1,
+      s"need 1 <= nProbe <= ${centroids.length} and k >= 1")
+    val centsLit = typedlit(centroids.toIndexedSeq
+      .map { case (i, c) => (c, i) })
+    val cellRanks = transform(centsLit, ct => struct(
+      floor(cosineSimilarity($"qvec", ct.getField("_1")) * 1e6 + 0.5)
+        .cast("long").as("score"),
+      (-ct.getField("_2")).as("negcell")))
+    val probes = queries.select($"query_id", $"qvec",
+      explode(transform(slice(reverse(array_sort(cellRanks)), 1, nProbe),
+        s => (-s.getField("negcell")).cast("int"))).as("cell"))
+    // the batch's probe set is BOUNDED (≤ nLists): collect it and turn
+    // it into a static partition filter — Spark prunes every other
+    // cell's directory at planning time (the ivfIndexTopK contract,
+    // IvfLayoutSpec's files-touched proof applies unchanged)
+    val probedCells = probes.select($"cell").distinct()
+      .as[Int].collect().sorted.toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter($"ivf_list".isin(probedCells: _*))
+      .select($"vec_id".as("n_id"), $"vec".as("n_vec"),
+        $"ivf_list".cast("int").as("cell"))
+    val base = probes.join(cells.hint("shuffle_hash"), Seq("cell"))
+    val pairs = (if (excludeSelf) base.filter($"query_id" =!= $"n_id")
+                 else base)
+      .select($"cell", $"query_id", $"n_id",
+        cosineSimilarity($"qvec", $"n_vec").as("cos"))
+    pairs
+      .withColumn("cr", row_number().over(
+        Window.partitionBy($"cell", $"query_id")
+          .orderBy($"cos".desc, $"n_id")))
+      .filter($"cr" <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos".desc, $"n_id")))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"n_id".as("vec_id"),
+        round($"cos", 6).as("cosine"))
+  }
+
+  /** ORACLED exercise (q207): the SERVING path end to end — the
+    * corpus is written to the cell-partitioned serve index (fit via
+    * the process cache), every 53rd vector returns as a query batch,
+    * and the batch top-5 at nProbe=2 is served off the on-disk index.
+    * The centroids (the ONE engine-specific piece) enter the oracle
+    * as literal VALUES from the run itself; DuckDB re-derives every
+    * assignment, every probe ranking, the pruned candidate set, and
+    * every exact cosine and rank. Approximation lives ONLY in which
+    * cells are probed — and even that is hash-checked, because the
+    * probe rule is replayable.
+    */
+  def q207IvfServeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Sources.embeddings(spark, dir)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q207-ivfserve-" +
+      spark.sparkContext.applicationId
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(idxPath, true)
+    val cents = writeIvfServeIndex(emb, idx, nLists = 8,
+      cacheKey = Some(s"$dir/embeddings8"))
+    lastServeCentroids = Some(cents)
+    val queries = emb.filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("query_id"),
+        transform($"embedding", _.cast("double")).as("qvec"))
+    ivfIndexTopKBatch(spark, idx, queries, k = 5, nProbe = 2)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** L2 — near-duplicate candidate pairs via MinHashLSH over token
     * 5-shingles (HashingTF to a 2^18 binary space). Self-join touches
     * only colliding buckets; pairs deduped by (a<b). Rows-only (LSH

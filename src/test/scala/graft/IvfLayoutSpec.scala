@@ -76,6 +76,69 @@ class IvfLayoutSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("batch serving off the serve index: scan touches only the " +
+      "UNION of the batch's probed cells, ranks match per-query " +
+      "brute force over those cells, self excluded, meta guarded") {
+    val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
+    val base = Files.createTempDirectory("graft-ivf-serve").toString
+    ops.Similarity.writeIvfServeIndex(emb, base, nLists = 8)
+    val queries = emb.filter($"vec_id" % 31 === 0L)
+      .select($"vec_id".as("query_id"),
+        transform($"embedding", _.cast("double")).as("qvec"))
+    val out = ops.Similarity
+      .ivfIndexTopKBatch(spark, base, queries, k = 5, nProbe = 2)
+      .cache()
+    val got = out.select($"query_id", $"rank", $"vec_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(got.nonEmpty && got.values.forall(_.nonEmpty))
+    // no self-match anywhere
+    assert(got.forall { case (q, rs) => rs.forall(_._3 != q) })
+    // per-query brute force over that query's OWN probed cells — the
+    // replayable micro-cos probe rule, recomputed independently here
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select($"cell".cast("int"), $"centroid").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def microProbe(qv: Seq[Double], n: Int): Seq[Int] =
+      cents.map { case (i, c) =>
+        (math.floor(cos(qv, c) * 1e6 + 0.5).toLong, i)
+      }.sortBy { case (m, i) => (-m, i) }.take(n).map(_._2).toSeq
+    val all = spark.read.parquet(s"$base/cells")
+      .select($"vec_id", $"vec", $"ivf_list".cast("int").as("cell"))
+      .as[(Long, Seq[Double], Int)].collect()
+    val qvs = queries.as[(Long, Seq[Double])].collect()
+    qvs.foreach { case (qid, qv) =>
+      val probed = microProbe(qv, 2).toSet
+      val brute = all.filter(r => probed(r._3) && r._1 != qid)
+        .map(r => (r._1, cos(qv, r._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, c), i) => (i + 1, id,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toSeq
+      val o = got.getOrElse(qid, Seq.empty).map(r => (r._2, r._3, r._4))
+      assert(o === brute, s"query $qid: got $o vs brute $brute")
+    }
+    // files-touched: only the UNION of probed cells is ever read by
+    // the pruned scan the serve path issues
+    val union = qvs.flatMap { case (_, qv) => microProbe(qv, 2) }.toSet
+    val touched = spark.read.parquet(s"$base/cells")
+      .filter($"ivf_list".isin(union.toSeq: _*))
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    val allowed = union.map(c => s"/ivf_list=$c/")
+    assert(touched.forall(f => allowed.exists(f.contains)))
+    out.unpersist()
+    // a non-serve directory (no marker) is refused loudly
+    val plain = Files.createTempDirectory("graft-ivf-plain").toString
+    ops.Similarity.writeIvfIndex(emb, plain, 8)
+    intercept[Exception] {
+      ops.Similarity.ivfIndexTopKBatch(spark, plain, queries, 5, 2).collect()
+    }
+  }
+
   test("incremental append: new vectors land in the cell queries probe, " +
       "become findable without refit, and pruning is preserved") {
     val emb = ops.Sources.embeddings(spark, "/root/testdata/sf0.001")
