@@ -225,6 +225,7 @@ object SparkEntry {
     "q205_session_audit" -> (Streaming.q205SessionAudit _),
     "q206_delta_dedup" -> (Similarity.q206DeltaDedup _),
     "q207_ivf_serve_batch" -> (Similarity.q207IvfServeBatch _),
+    "q208_data_constrained" -> (Quality.q208DataConstrained _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4087,6 +4088,37 @@ object SparkEntry {
     // probe rankings, candidate pruning, cosines, and ranks all
     // replayed from the run's own centroid VALUES (the q202 handoff)
     "q207_ivf_serve_batch" -> ivfServeOracleSql,
+    // data-constrained repeat allocation: per-source token masses, the
+    // literal decay-power table, greedy cumulative admission, boundary
+    // fraction, and exact-decomposition token sums all re-derived
+    "q208_data_constrained" ->
+      """WITH ps AS (
+        |  SELECT * FROM (
+        |    SELECT source,
+        |      CAST(sum(len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS u
+        |    FROM documents GROUP BY source) WHERE u > 0),
+        |b AS (SELECT (sum(u) * 25) // 10 AS budget FROM ps),
+        |ep AS (SELECT * FROM (VALUES (1, 1, 1), (2, 3, 4), (3, 9, 16),
+        |  (4, 27, 64)) v(epoch, pn, pd)),
+        |pr AS (SELECT source, u, epoch,
+        |    (u * pn * 1000000) // pd AS marg FROM ps, ep),
+        |rk AS (SELECT *, COALESCE(sum(u) OVER (
+        |    ORDER BY marg DESC, source, epoch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+        |  FROM pr),
+        |fr AS (SELECT *,
+        |    CASE WHEN cum_prev >= budget THEN 0
+        |         WHEN cum_prev + u <= budget THEN 1000000
+        |         ELSE ((budget - cum_prev) * 1000000) // u END AS frac
+        |  FROM rk, b)
+        |SELECT source,
+        |  CAST(max(u) AS BIGINT) AS unique_tokens,
+        |  CAST(sum(CASE WHEN frac = 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs,
+        |  CAST(COALESCE(max(CASE WHEN frac > 0 AND frac < 1000000 THEN frac END), 0) AS BIGINT) AS partial_micro,
+        |  CAST(sum((u // 1000000) * frac + ((u % 1000000) * frac) // 1000000) AS BIGINT) AS alloc_tokens,
+        |  CAST(sum((marg // 1000000) * frac + ((marg % 1000000) * frac) // 1000000) AS BIGINT) AS eff_micro
+        |FROM fr GROUP BY source ORDER BY source""".stripMargin,
     // writing-system detection: every per-script codepoint-range count,
     // the priority-ordered dominant verdict, and the integer micro
     // fraction re-derived over the multi-script plant (ranges spelled

@@ -2876,6 +2876,94 @@ object Quality {
   def q137DoremiMixture(spark: SparkSession, dir: String): DataFrame =
     doremiMixture(Sources.documents(spark, dir))
 
+  /** L84 — DATA-CONSTRAINED REPEAT ALLOCATION (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models" — public): when
+    * the token budget EXCEEDS the unique corpus, the question is not
+    * which data to drop but how many EPOCHS of each source to repeat
+    * — the paper's finding is that early repeats retain most of their
+    * value (up to ~4 epochs are nearly as good as fresh data) and
+    * decay beyond. This allocator makes that decision deterministic
+    * and hash-checkable: the marginal value of source s's e-th epoch
+    * is U_s · (num/den)^(e−1), carried in token-micro with the powers
+    * as LITERAL integers (single floor per value — exact in both
+    * engines), and epochs are admitted GREEDILY by marginal value
+    * (ties: source asc, epoch asc; greedy is optimal because each
+    * source's value curve is concave) until the budget — a rational
+    * multiple of the corpus's unique tokens, so the query is
+    * scale-free — is spent; the boundary epoch is admitted at a
+    * pro-rata micro fraction.
+    *
+    * Exactness bounds, stated: marginal values need
+    * U·1e6·num^(maxEpochs−1) within a long (U ≤ ~3e11 at the
+    * defaults), and allocated/effective tokens use the exact
+    * a·b div 1e6 decomposition (floor((q·1e6+r)·f/1e6) = q·f +
+    * floor(r·f/1e6)), safe to U ≤ ~9e12 per source — shard the
+    * multiply when a single source passes that.
+    *
+    * 100 TB posture: ONE per-source token aggregate over the corpus
+    * (the only corpus-wide work — a map-side-combined sum); the
+    * allocation is a window over the BOUNDED (sources × maxEpochs)
+    * table, the q200 batch-table class, never the document stream.
+    */
+  def dataConstrainedRepeats(docs: DataFrame, budgetOfUniqueNum: Long = 25L,
+      budgetOfUniqueDen: Long = 10L, maxEpochs: Int = 4,
+      decayNum: Long = 3L, decayDen: Long = 4L): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(maxEpochs >= 1 && decayNum >= 0 && decayDen >= 1 &&
+      budgetOfUniqueNum >= 0 && budgetOfUniqueDen >= 1,
+      "dataConstrainedRepeats: bad parameters")
+    val perSource = docs
+      .select($"source", graft.ops.Packing.bpeishCount($"text").as("n_tok"))
+      .groupBy($"source").agg(sum($"n_tok").as("u"))
+      .filter($"u" > 0L)
+    val budget = perSource.agg(
+      expr(s"(sum(u) * ${budgetOfUniqueNum}L) div ${budgetOfUniqueDen}L")
+        .as("budget"))
+    // literal (epoch, num^(e-1), den^(e-1)) table — exact small powers
+    val epochs = docs.sparkSession.createDataset(
+        (1 to maxEpochs).map { e =>
+          (e, math.pow(decayNum.toDouble, e - 1).toLong,
+            math.pow(decayDen.toDouble, e - 1).toLong)
+        })
+      .toDF("epoch", "pn", "pd")
+    val pairs = perSource.crossJoin(broadcast(epochs))
+      .withColumn("marg_micro", expr("(u * pn * 1000000L) div pd"))
+    val ranked = pairs
+      .withColumn("cum_prev", coalesce(
+        sum($"u").over(Window
+          .orderBy($"marg_micro".desc, $"source", $"epoch")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .withColumn("frac_micro",
+        when($"cum_prev" >= $"budget", 0L)
+          .when($"cum_prev" + $"u" <= $"budget", 1000000L)
+          .otherwise(expr("((budget - cum_prev) * 1000000L) div u")))
+    ranked.groupBy($"source").agg(
+        max($"u").as("unique_tokens"),
+        sum(when($"frac_micro" === 1000000L, 1L).otherwise(0L))
+          .as("full_epochs"),
+        coalesce(max(when(
+          $"frac_micro" > 0L && $"frac_micro" < 1000000L, $"frac_micro")),
+          lit(0L)).as("partial_micro"),
+        sum(expr("(u div 1000000L) * frac_micro + " +
+          "((u % 1000000L) * frac_micro) div 1000000L")).as("alloc_tokens"),
+        sum(expr("(marg_micro div 1000000L) * frac_micro + " +
+          "((marg_micro % 1000000L) * frac_micro) div 1000000L"))
+          .as("eff_micro"))
+      .orderBy($"source")
+  }
+
+  /** ORACLED exercise (q208): [[dataConstrainedRepeats]] at its
+    * defaults — budget 2.5× the unique corpus, 4 epochs max, 3/4
+    * decay — DuckDB re-derives the per-source BPE-ish token masses,
+    * the literal power table, every marginal, the greedy cumulative
+    * admission, the boundary fraction, and the exact-decomposition
+    * allocated/effective sums; every column lands in the hash.
+    */
+  def q208DataConstrained(spark: SparkSession, dir: String): DataFrame =
+    dataConstrainedRepeats(graft.ops.Sources.documents(spark, dir))
+
   /** L10 — CORPUS DATASHEET: the per-(lang, source) data card a corpus
     * release ships with (Gebru et al. 2018, "Datasheets for Datasets";
     * Bender & Friedman 2018, "Data Statements for NLP" — public), with

@@ -1094,4 +1094,39 @@ class QualitySpec extends SparkTestBase {
         det.map(_._5).sum === l._5, s"subtotal mismatch for lang ${l._1}")
     }
   }
+
+  test("data-constrained repeats: greedy admission by decayed marginal, " +
+      "boundary fraction pro-rata, caps and exact token algebra by hand") {
+    // two sources: A has 10 'w' tokens per doc x 2 docs = 20 tokens,
+    // B has 10. Unique corpus = 30; budget 2.5x = 75 tokens.
+    // Marginals (x1e6, decay 3/4): A: 20, 15, 11.25, 8.4375 | B: 10, 7.5, 5.625, 4.21875
+    // Greedy order: A1(20) A2(15) A3(11.25) B1(10) A4(8.4375) B2(7.5) B3(5.625) B4(4.2)
+    // Cum cost:        20    40     60       70     90(cap75)...
+    // -> A: 3 full epochs + A4 partial (75-70)/20 = 0.25; B: 1 full (B1), rest 0.
+    val docs = Seq(
+      (1L, "A", Seq.fill(10)("w").mkString(" ")),
+      (2L, "A", Seq.fill(10)("w").mkString(" ")),
+      (3L, "B", Seq.fill(10)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = ops.Quality.dataConstrainedRepeats(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val a = out(0); val b = out(1)
+    assert(a._1 == "A" && a._2 === 20L)
+    assert(a._3 === 3L, s"A full epochs: $a")
+    assert(a._4 === 250000L, s"A boundary fraction: $a")
+    // alloc A = 3 * 20 + 20 * 0.25 = 65
+    assert(a._5 === 65L, s"A allocated: $a")
+    // eff A = 20 + 15 + 11.25 + 8.4375 * 0.25 = 48.359375 -> micro floor
+    // marg4 = (20e6 * 27) div 64 = 8437500; * 250000 div 1e6 = 2109375
+    assert(a._6 === 20000000L + 15000000L + 11250000L + 2109375L, s"A eff: $a")
+    assert(b._1 == "B" && b._2 === 10L && b._3 === 1L && b._4 === 0L &&
+      b._5 === 10L && b._6 === 10000000L, s"B: $b")
+    // degenerate: budget smaller than the first epoch -> single partial
+    val tiny = ops.Quality.dataConstrainedRepeats(docs,
+        budgetOfUniqueNum = 1L, budgetOfUniqueDen = 2L) // budget = 15
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // order: A1 (cost 20) boundary at 15/20 = 0.75; B gets nothing
+    assert(tiny(0)._3 === 0L && tiny(0)._4 === 750000L && tiny(0)._5 === 15L)
+    assert(tiny(1)._3 === 0L && tiny(1)._4 === 0L && tiny(1)._5 === 0L)
+  }
 }
