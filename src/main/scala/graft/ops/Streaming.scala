@@ -505,6 +505,35 @@ object Streaming {
       }
       .start()
 
+  /** STREAMING DELTA DEDUP — the ingest twin of
+    * [[CurationIndex.dedupDeltaAgainstIndex]] (q206): arriving
+    * micro-batches of documents are answered against the STATIC
+    * persisted shingle index through the UNCHANGED batch op — parity
+    * by construction, the build-once/gate-forever deployment (the
+    * corpus-side fit cannot stream: df caps and the hot profile need
+    * the accumulated corpus). foreachBatch because the manifest is
+    * whole-batch relational algebra (shingle explode → posting join →
+    * per-doc argmax window), the [[perceptualDedupStream]] contract;
+    * the delta arm returns an eagerly localCheckpoint'd frame, so its
+    * blocks release once the sink has consumed it — a long-lived
+    * ingest stream must not accumulate one checkpoint per batch.
+    */
+  def dedupDeltaStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame, sink: DataFrame => Unit,
+      minJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val out = CurationIndex.dedupDeltaAgainstIndex(spark, indexPath,
+            batch.select(col("doc_id"), col("text")), minJaccard)
+          try sink(out)
+          finally org.apache.spark.sql.graftshim.GraftColumns
+            .checkpointRdd(out).foreach(_.unpersist(false))
+        }
+      }
+      .start()
+
   /** STREAMING SITE-BOILERPLATE REMOVAL — the ingest twin of
     * [[Quality.siteBoilerplateClean]] (q184), in the fit-offline /
     * apply-on-ingest shape: a periodic batch job fits the (source,

@@ -255,6 +255,43 @@ class StreamingSpec extends SparkTestBase {
     repB.unpersist()
   }
 
+  test("streaming delta dedup: two arriving micro-batches gate against " +
+      "the persisted shingle index exactly like the batch op") {
+    implicit val sql = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("dedup-stream-idx").toString
+    val old = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "pack my box with five dozen liquor jugs right now please")
+    ).toDF("doc_id", "text")
+    ops.CurationIndex.writeDedupIndex(spark, idx, old, n = 3, dfCap = 10)
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "entirely unrelated material with no overlap at all"))
+    val b2 = Seq(
+      (5L, "pack my box with five dozen liquor jugs right now thanks"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Option[Long], Boolean)]()
+    val q = ops.Streaming.dedupDeltaStream(spark, idx,
+      input.toDF().toDF("doc_id", "text"),
+      out => got ++= out.select($"doc_id", $"best_old_id", $"is_dup")
+        .as[(Long, Option[Long], Boolean)].collect())
+    withQuery(q) {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    }
+    val byId = got.sortBy(_._1).toSeq
+    assert(byId.map(_._1) === Seq(1L, 3L, 5L))
+    assert(byId(0)._2 === Some(100L) && byId(0)._3)
+    assert(byId(1)._2.isEmpty && !byId(1)._3)
+    assert(byId(2)._2 === Some(102L) && byId(2)._3)
+    // batch parity: the union of streamed manifests == one batch call
+    val batchOut = ops.CurationIndex.dedupDeltaAgainstIndex(spark, idx,
+        (b1 ++ b2).toDF("doc_id", "text"))
+      .select($"doc_id", $"best_old_id", $"is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(byId === batchOut)
+  }
+
   test("T5 flatMapGroupsWithState accumulates per-user counts across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Ev]
