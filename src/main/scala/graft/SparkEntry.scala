@@ -226,6 +226,7 @@ object SparkEntry {
     "q206_delta_dedup" -> (Similarity.q206DeltaDedup _),
     "q207_ivf_serve_batch" -> (Similarity.q207IvfServeBatch _),
     "q208_data_constrained" -> (Quality.q208DataConstrained _),
+    "q209_dedup_index_append" -> (Similarity.q209DedupIndexAppend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4088,6 +4089,44 @@ object SparkEntry {
     // probe rankings, candidate pruning, cosines, and ranks all
     // replayed from the run's own centroid VALUES (the q202 handoff)
     "q207_ivf_serve_batch" -> ivfServeOracleSql,
+    // dedup-index append lifecycle: hot profile frozen at build (the
+    // %4==0 quarter), postings span both generations minus that set —
+    // append == frozen-profile rebuild lands in the hash
+    "q209_dedup_index_append" ->
+      """WITH pl AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.doc_id % 10 = 1 AND b.text IS NOT NULL
+        |         THEN b.text || ' xq extra glue' ELSE a.text END AS text
+        |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM pl
+        |        WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |   unnest(list_transform(generate_series(1, len(t) - 2),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok),
+        |hot AS (SELECT s FROM sh0 WHERE doc_id % 4 = 0 GROUP BY s HAVING count(*) > 100),
+        |post AS (SELECT doc_id AS old_id, s FROM sh0
+        |         WHERE doc_id % 4 IN (0, 2) AND s NOT IN (SELECT s FROM hot)),
+        |osz AS (SELECT old_id, count(*) AS n_old FROM post GROUP BY old_id),
+        |shn AS (SELECT doc_id, s FROM sh0
+        |        WHERE doc_id % 2 = 1 AND s NOT IN (SELECT s FROM hot)),
+        |nsz AS (SELECT doc_id, count(*) AS n_new FROM shn GROUP BY doc_id),
+        |shared AS (SELECT shn.doc_id, post.old_id, count(*) AS c
+        |           FROM shn JOIN post USING (s) GROUP BY 1, 2),
+        |scored AS (SELECT shared.doc_id, old_id,
+        |    CAST(c AS DOUBLE) / (n_new + n_old - c) AS jacc
+        |  FROM shared JOIN nsz USING (doc_id) JOIN osz USING (old_id)),
+        |best AS (SELECT doc_id, old_id AS best_old_id,
+        |    round(jacc, 6) AS jaccard, jacc >= 0.5 AS is_dup,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(jacc, 6) DESC, old_id) AS rk
+        |  FROM scored)
+        |SELECT b0.doc_id, b.best_old_id, b.jaccard,
+        |  COALESCE(b.is_dup, false) AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b0
+        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+        |ORDER BY b0.doc_id""".stripMargin,
     // data-constrained repeat allocation: per-source token masses, the
     // literal decay-power table, greedy cumulative admission, boundary
     // fraction, and exact-decomposition token sums all re-derived

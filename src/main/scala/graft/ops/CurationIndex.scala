@@ -591,8 +591,49 @@ object CurationIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/dedup_meta")
   }
 
+  /** Append a NEW batch's shingle state to a [[writeDedupIndex]] —
+    * incremental maintenance without rewriting the corpus-sized
+    * posting table (new parquet segments land beside the old; the
+    * 1-row meta is rewritten with the new doc count — the
+    * [[appendBm25]] discipline, including the new-ids contract).
+    *
+    * The HOT PROFILE STAYS FROZEN (the [[writeDedupIndex]] contract):
+    * appended docs' postings and sizes are computed against the
+    * build-time hot set, so an appended index is byte-equivalent to a
+    * rebuild THAT USES THE ORIGINAL PROFILE — not to a from-scratch
+    * rebuild whose df counts would shift with the new docs. q209
+    * hash-checks exactly that equivalence; periodic full rebuilds
+    * refresh the profile.
+    */
+  def appendDedupIndex(spark: SparkSession, path: String,
+      newDocs: DataFrame): Unit = {
+    import spark.implicits._
+    val (n, _) = dedupIndexParams(spark, path)
+    val hot = spark.read.parquet(s"$path/dedup_hot")
+    val toks = newDocs.select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= n)
+    val sh = toks.select(col("doc_id"),
+        explode(array_distinct(transform(Quality.wordGrams(col("t"), n),
+          s => xxhash64(s)))).as("s"))
+      .join(hot, Seq("s"), "left_anti")
+      .persist()
+    sh.write.mode("append").parquet(s"$path/dedup_postings")
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(s"$path/dedup_sizes")
+    val added = sh.select(countDistinct(col("doc_id"))).as[Long].head()
+    sh.unpersist(false)
+    val meta = spark.read.parquet(s"$path/dedup_meta")
+      .select(col("n").cast("long"), col("df_cap").cast("long"),
+        col("n_docs").cast("long"), col("format").cast("long"))
+      .as[(Long, Long, Long, Long)].head()
+    Seq((meta._1, meta._2, meta._3 + added, meta._4))
+      .toDF("n", "df_cap", "n_docs", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/dedup_meta")
+  }
+
   /** Load + verify the [[writeDedupIndex]] meta; returns (n, dfCap). */
-  private[ops] def dedupIndexParams(spark: SparkSession,
+  private[graft] def dedupIndexParams(spark: SparkSession,
       path: String): (Int, Int) = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$path/dedup_meta")

@@ -639,6 +639,37 @@ object Similarity {
       .orderBy($"doc_id")
   }
 
+  /** ORACLED exercise (q209): INCREMENTAL index maintenance is
+    * serve-invisible under the frozen-hot contract — the q189/q201
+    * lifecycle proof applied to the L82 dedup index. The index is
+    * built on a QUARTER of the [[deltaDupPlant]]ed corpus
+    * (doc_id % 4 == 0), a second generation (doc_id % 4 == 2) is
+    * [[CurationIndex.appendDedupIndex]]ed (postings and sizes
+    * computed against the BUILD-time hot profile), and the odd half
+    * then serves as the arriving batch. DuckDB re-derives the
+    * manifest with hot = the build quarter's df profile and postings
+    * over BOTH generations minus that frozen set — so the append
+    * path's byte-equivalence to a frozen-profile rebuild, the
+    * two-generation candidate set, and every verdict all land in the
+    * hash.
+    */
+  def q209DedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = deltaDupPlant(Sources.documents(spark, dir))
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-q209-dedup-" +
+      spark.sparkContext.applicationId
+    val idxPath = new org.apache.hadoop.fs.Path(idx)
+    idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(idxPath, true)
+    CurationIndex.writeDedupIndex(spark, idx,
+      docs.filter($"doc_id" % 4 === 0), n = 3, dfCap = 100)
+    CurationIndex.appendDedupIndex(spark, idx,
+      docs.filter($"doc_id" % 4 === 2))
+    CurationIndex.dedupDeltaAgainstIndex(spark, idx,
+        docs.filter($"doc_id" % 2 === 1), minJaccard = 0.5)
+      .orderBy($"doc_id")
+  }
+
   /** BOUNDS CHECK for the MinHash candidate path (ORACLED, q103 — the
     * q76/q88 contract shape): [[minhashNearDup]] is deterministic under
     * its fixed seed, so its recall against the EXACT 5-shingle Jaccard

@@ -820,6 +820,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("bad meta"))
   }
 
+  test("dedup-index append: appended generation serves equivalently to a " +
+      "rebuild, its docs are findable as dup sources, meta doc count " +
+      "accumulates") {
+    val oldA = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val oldB = Seq(
+      (12L, "pack my box with five dozen liquor jugs right now please"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "pack my box with five dozen liquor jugs right now thanks"),
+      (3L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    def manifest(path: String) = ops.CurationIndex
+      .dedupDeltaAgainstIndex(spark, path, batch)
+      .select($"doc_id", $"best_old_id", $"jaccard", $"is_dup")
+      .as[(Long, Option[Long], Option[Double], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // appended index (dfCap high → hot profile empty, so frozen-profile
+    // rebuild == plain rebuild and the equivalence is exact)
+    val app = java.nio.file.Files.createTempDirectory("dedup-app").toString
+    ops.CurationIndex.writeDedupIndex(spark, app, oldA, n = 3, dfCap = 100)
+    ops.CurationIndex.appendDedupIndex(spark, app, oldB)
+    // rebuilt-from-both index
+    val reb = java.nio.file.Files.createTempDirectory("dedup-reb").toString
+    ops.CurationIndex.writeDedupIndex(spark, reb, oldA.unionByName(oldB),
+      n = 3, dfCap = 100)
+    val m = manifest(app)
+    assert(m === manifest(reb),
+      "append must be serve-invisible vs the rebuild")
+    // the APPENDED doc (12) is the near-dup source for batch doc 1
+    assert(m.head._1 === 1L && m.head._2 === Some(12L) && m.head._4)
+    assert(m(1)._2 === Some(10L) && m(1)._4)
+    // meta accumulated both generations
+    assert(ops.CurationIndex.dedupIndexParams(spark, app) === ((3, 100)))
+    val nDocs = spark.read.parquet(s"$app/dedup_meta")
+      .select($"n_docs".cast("long")).as[Long].head()
+    assert(nDocs === 2L)
+  }
+
   test("blocked bitext mining: a cacheKey'd repeat serves the quantizer " +
       "from the process cache (no refit) and returns identical rows") {
     val rnd = new scala.util.Random(47)
