@@ -174,13 +174,22 @@ object SoftmaxGbt {
     val (train, test) = graft.util.Sampling.split8515(data, 42L)
     val model = fit(train, numClasses = 10, maxIter = 5, maxDepth = 3,
       seed = 42L)
-    val nTest = test.count().toDouble
-    val acc = model.transform(test)
-      .filter(col("prediction") === col("label_idx")).count() / nTest
-    val accPriors = model.copy(rounds = Vector.empty).transform(test)
-      .filter(col("prediction") === col("label_idx")).count() / nTest
-    val devs = (0 to model.rounds.length).map(m =>
-      deviance(model.copy(rounds = model.rounds.take(m)), train))
+    // ONE aggregate over the holdout computes nTest and both match
+    // counts (boosted model + priors-only predictor): the three
+    // separate count() actions each re-ran the split filter and the
+    // model UDF's job machinery. Same counts, one pass.
+    val accRow = test
+      .select(model.predictionCol(col("pca")).as("p"),
+        model.copy(rounds = Vector.empty).predictionCol(col("pca")).as("p0"),
+        col("label_idx"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("p") === col("label_idx"), lit(1))).as("hit"),
+        count(when(col("p0") === col("label_idx"), lit(1))).as("hit0"))
+      .head()
+    val nTest = accRow.getLong(0).toDouble
+    val acc = accRow.getLong(1) / nTest
+    val accPriors = accRow.getLong(2) / nTest
+    val devs = devianceByRound(model, train)
     data.unpersist(false)
     Seq((
       "softmax_gbt", 10, acc >= 0.9, acc > accPriors,
@@ -209,5 +218,51 @@ object SoftmaxGbt {
     }
     df.select(avg(nll(col(featuresCol), col(labelCol).cast("int"))))
       .head().getDouble(0)
+  }
+
+  /** Train-deviance trajectory [d₀ … d_rounds] (d_m = [[deviance]] of
+    * the model truncated to m rounds) in ONE pass: the per-row UDF
+    * accumulates raw scores round by round — the same priors-then-
+    * round-order accumulation the truncated-model sweep performs — and
+    * emits the NLL after every prefix, so each row applies each tree
+    * exactly once (the old 0..rounds sweep re-applied every accumulated
+    * tree per prefix: O(rounds²) tree applications and rounds+1 Spark
+    * jobs). Per-row values are bit-identical to the sweep's (identical
+    * accumulation order and NLL algebra); the per-prefix `avg`s
+    * aggregate the same rows under the same partitioning, so the
+    * trajectory — and q97's monotonicity boolean — is unchanged.
+    */
+  def devianceByRound(model: Model, df: DataFrame,
+      featuresCol: String = "pca",
+      labelCol: String = "label_idx"): Seq[Double] = {
+    val nRounds = model.rounds.length
+    val nlls = udf { (f: MlVector, y: Int) =>
+      val s = model.priors.clone()
+      val out = new Array[Double](nRounds + 1)
+      def nll(): Double = {
+        val mx = s.max
+        val z = s.map(v => math.exp(v - mx)).sum
+        -(s(y) - mx - math.log(z))
+      }
+      out(0) = nll()
+      var m = 0
+      while (m < nRounds) {
+        val trees = model.rounds(m)
+        var k = 0
+        while (k < s.length) {
+          s(k) += model.learningRate * trees(k).predict(f); k += 1
+        }
+        out(m + 1) = nll()
+        m += 1
+      }
+      out
+    }
+    val aggs = (0 to nRounds).map(m =>
+      avg(element_at(col("nll"), m + 1)).as(s"d$m"))
+    val row = df
+      .select(nlls(col(featuresCol), col(labelCol).cast("int")).as("nll"))
+      .agg(aggs.head, aggs.tail: _*)
+      .head()
+    (0 to nRounds).map(row.getDouble)
   }
 }

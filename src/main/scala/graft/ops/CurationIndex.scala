@@ -618,9 +618,17 @@ object CurationIndex {
           s => xxhash64(s)))).as("s"))
       .join(hot, Seq("s"), "left_anti")
       .persist()
-    sh.write.mode("append").parquet(s"$path/dedup_postings")
+    // CRASH ORDER (the compactBm25 atomicity discipline): sizes land
+    // BEFORE postings. A crash between the two appends then leaves at
+    // worst orphan sizes rows (harmless: no postings ever join to
+    // them); the reverse order would leave posting rows whose old_id
+    // has no sizes row, and dedupDeltaAgainstIndex's inner join to
+    // oldSizes would silently drop those candidates (missed dups).
+    // Neither order is atomic — a crashed append should be re-run
+    // after removing the partial segment files.
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .write.mode("append").parquet(s"$path/dedup_sizes")
+    sh.write.mode("append").parquet(s"$path/dedup_postings")
     val added = sh.select(countDistinct(col("doc_id"))).as[Long].head()
     sh.unpersist(false)
     val meta = spark.read.parquet(s"$path/dedup_meta")

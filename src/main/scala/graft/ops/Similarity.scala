@@ -462,9 +462,17 @@ object Similarity {
       floor(cosineSimilarity($"qvec", ct.getField("_1")) * 1e6 + 0.5)
         .cast("long").as("score"),
       (-ct.getField("_2")).as("negcell")))
+    // FROZEN before use: probedCells is collected from one evaluation
+    // of this frame and the candidate join consumes it again — without
+    // the eager checkpoint a non-deterministic `queries` could probe
+    // cells outside the collected static filter on the second
+    // evaluation and silently drop those candidates (the
+    // dedupDeltaAgainstIndex checkpoint discipline). Bounded: nProbe
+    // rows per query of an already-bounded batch.
     val probes = queries.select($"query_id", $"qvec",
       explode(transform(slice(reverse(array_sort(cellRanks)), 1, nProbe),
         s => (-s.getField("negcell")).cast("int"))).as("cell"))
+      .localCheckpoint(true)
     // the batch's probe set is BOUNDED (≤ nLists): collect it and turn
     // it into a static partition filter — Spark prunes every other
     // cell's directory at planning time (the ivfIndexTopK contract,
@@ -2527,7 +2535,7 @@ object Similarity {
       .filter($"sem_rank" <= 10)
       .select($"query_id", $"doc_id", $"sem_rank")
     val semIvf = knnJoinIvf(emb, k = 10, nLists = 8, nProbe = 2,
-        cacheKey = Some("q192_ivf"))
+        cacheKey = Some(s"$dir/q192_ivf"))
       .filter($"vec_id" % 53 === 0)
       .select($"vec_id".as("query_id"), $"neighbor_id".as("doc_id"),
         $"rank".as("sem_rank"))
@@ -2597,7 +2605,7 @@ object Similarity {
     org.apache.spark.sql.graftshim.GraftColumns
       .checkpointRdd(tf).foreach(_.unpersist(false))
     val semIvf = knnJoinIvf(emb, k = 10, nLists = 8, nProbe = 2,
-        cacheKey = Some("q192_ivf"))
+        cacheKey = Some(s"$dir/q192_ivf"))
       .filter($"vec_id" % 53 === 0)
       .select($"vec_id".as("query_id"), $"neighbor_id".as("doc_id"),
         $"rank".as("sem_rank"))
@@ -3538,7 +3546,11 @@ object Similarity {
     val exact = recovered(marginMine(src, tgt)).persist()
     val blocked = recovered(
       marginMineBlocked(src, tgt, nLists = 16, nProbe = 4,
-        cacheKey = Some("q161_bitext_thirds")))
+        // dir-keyed (the "$dir/embeddings8" convention): a bare name
+        // would reuse the first dataset's fitted quantizer when one
+        // session runs two sf dirs, silently changing the blocking
+        // geometry of the second.
+        cacheKey = Some(s"$dir/q161_bitext_thirds")))
     val hits = exact.join(blocked, Seq("sid"))
       .agg(count(lit(1)).as("hits"))
     val total = exact.agg(count(lit(1)).as("total"))

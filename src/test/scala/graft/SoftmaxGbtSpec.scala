@@ -46,6 +46,20 @@ class SoftmaxGbtSpec extends SparkTestBase {
       s"deviance not monotone: $devs")
   }
 
+  test("single-pass devianceByRound equals the truncated-model sweep") {
+    // q97's one-pass trajectory must reproduce the O(rounds²) sweep
+    // bit-for-bit: same priors-then-round-order score accumulation per
+    // row, same NLL algebra, same avg over the same rows.
+    val sweep = (0 to model.rounds.length).map { m =>
+      SoftmaxGbt.deviance(model.copy(rounds = model.rounds.take(m)), data)
+    }
+    val onePass = SoftmaxGbt.devianceByRound(model, data)
+    assert(onePass.size === sweep.size)
+    sweep.zip(onePass).zipWithIndex.foreach { case ((a, b), m) =>
+      assert(a === b, s"prefix $m: sweep $a vs one-pass $b")
+    }
+  }
+
   test("beats the priors-only model by a wide margin") {
     val priorsOnly = model.copy(rounds = Vector.empty)
     val accP = priorsOnly.transform(data)
