@@ -569,8 +569,7 @@ object CurationIndex {
         split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
     val sh0 = toks.select(col("doc_id"),
-        explode(array_distinct(transform(Quality.wordGrams(col("t"), n),
-          s => xxhash64(s)))).as("s"))
+        explode(array_distinct(Quality.wordGramHashes(col("t"), n))).as("s"))
       .persist()
     val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
@@ -614,8 +613,7 @@ object CurationIndex {
         split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
     val sh = toks.select(col("doc_id"),
-        explode(array_distinct(transform(Quality.wordGrams(col("t"), n),
-          s => xxhash64(s)))).as("s"))
+        explode(array_distinct(Quality.wordGramHashes(col("t"), n))).as("s"))
       .join(hot, Seq("s"), "left_anti")
       .persist()
     // CRASH ORDER (the compactBm25 atomicity discipline): sizes land
@@ -688,8 +686,7 @@ object CurationIndex {
         split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= n)
     val shNew = toks.select(col("doc_id"),
-        explode(array_distinct(transform(Quality.wordGrams(col("t"), n),
-          s => xxhash64(s)))).as("s"))
+        explode(array_distinct(Quality.wordGramHashes(col("t"), n))).as("s"))
       .join(hot, Seq("s"), "left_anti")
       .persist()
     val newSizes = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))

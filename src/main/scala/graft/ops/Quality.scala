@@ -20,9 +20,23 @@ object Quality {
   /** Word n-gram array of a token-array column: positions i..i+n-1
     * joined by single spaces (q39's shingle construction generalized).
     */
+  /** All word n-grams of a token array (codegen'd kernel; see
+    * [[graft.expressions.WordGrams]]). Byte-identical to the old
+    * interpreted `transform(sequence(0, size-n), concat_ws)` HOF on
+    * every guarded input, ~13× faster on the dsirWeights bigram
+    * stream (round-21 measurement). Inputs with size < n yield an
+    * EMPTY array (the HOF form emitted garbage from-the-end grams
+    * there) — every call site must keep its `size(t) >= n` guard.
+    */
   private[ops] def wordGrams(t: org.apache.spark.sql.Column, n: Int) =
-    transform(sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))
+    org.apache.spark.sql.graftshim.GraftColumns.wordGrams(t, n)
+
+  /** [[wordGrams]] fused with per-gram xxhash64 (seed 42) — one pass,
+    * no intermediate gram-string array; bit-identical to
+    * `transform(wordGrams(t, n), s => xxhash64(s))`.
+    */
+  private[ops] def wordGramHashes(t: org.apache.spark.sql.Column, n: Int) =
+    org.apache.spark.sql.graftshim.GraftColumns.wordGramHashes(t, n)
 
   /** Tie-proof 6-decimal ratio: floor(p·1e6/q + 0.5)/1e6 — both engines
     * floor the IDENTICAL IEEE double, so no round()-tie divergence.
@@ -1016,7 +1030,7 @@ object Quality {
   def q56Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def tagged(t: org.apache.spark.sql.Column, n: Int) =
-      transform(wordGrams(t, n), g => struct(lit(n).as("n"), xxhash64(g).as("g")))
+      transform(wordGramHashes(t, n), h => struct(lit(n).as("n"), h.as("g")))
     val grams = Sources.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
@@ -1121,7 +1135,7 @@ object Quality {
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
       .select($"doc_id",
-        explode(array_distinct(transform(wordGrams($"t", 3), s => xxhash64(s)))).as("s"))
+        explode(array_distinct(wordGramHashes($"t", 3))).as("s"))
       .persist()
     val df = sh.groupBy($"s").agg(count(lit(1)).as("df"))
     val out = sh.join(df, "s")

@@ -761,8 +761,7 @@ object Similarity {
     // of ~20 bytes of shingle text. Same posture as q21's
     // hash-the-body-before-the-shuffle dedup key.
     val allSh = toks.select($"doc_id",
-      explode(array_distinct(transform(Quality.wordGrams($"t", n),
-        s => xxhash64(s)))).as("s"))
+      explode(array_distinct(Quality.wordGramHashes($"t", n))).as("s"))
       .persist()
     val hot = allSh.groupBy($"s").agg(count(lit(1)).as("df"))
       .filter($"df" > dfCap).select($"s")
@@ -3264,8 +3263,7 @@ object Similarity {
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 3)
       .select($"doc_id", lit(side).as("side"),
-        explode(array_distinct(transform(Quality.wordGrams($"t", 3),
-          s => xxhash64(s)))).as("s"))
+        explode(array_distinct(Quality.wordGramHashes($"t", 3))).as("s"))
     // exact dups never reach the shingle arm — their verdict is settled
     val exactFresh = newDocs.join(
       exactMatch.filter($"exact_id".isNotNull).select($"doc_id"),

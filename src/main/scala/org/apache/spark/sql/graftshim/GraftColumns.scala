@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftshim
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.classic.ExpressionUtils
 
-import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, DHash56, EmnistFeatures, InterleaveBits, SimHash64, UnicodeFold, WinnowedGramMins, WinnowFingerprints}
+import graft.expressions.{CharBigrams, CharBigramStream, CosineSimilarity, DHash56, EmnistFeatures, InterleaveBits, SimHash64, UnicodeFold, WinnowedGramMins, WinnowFingerprints, WordGramHashes, WordGrams}
 
 /** Column wrappers for graft's custom Catalyst expressions.
   *
@@ -72,6 +72,22 @@ object GraftColumns {
     */
   def nfkcFold(c: Column): Column =
     ExpressionUtils.column(UnicodeFold(ExpressionUtils.expression(c), nfkc = true))
+
+  /** All space-joined word n-grams of a token array, in order, with
+    * multiplicity — the codegen'd single-pass form of the interpreted
+    * `transform(sequence(...), concat_ws)` HOF (see
+    * [[graft.expressions.WordGrams]]). Inputs shorter than n yield an
+    * empty array; guard call sites with `size(t) >= n` exactly as the
+    * HOF form required.
+    */
+  def wordGrams(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordGrams(ExpressionUtils.expression(c), n))
+
+  /** [[wordGrams]] fused with per-gram xxhash64(seed 42) — the shingle
+    * stream as one pass (see [[graft.expressions.WordGramHashes]]).
+    */
+  def wordGramHashes(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordGramHashes(ExpressionUtils.expression(c), n))
 
   /** Morton (Z-order) interleave of two long bucket-rank columns into a
     * 64-bit sort key (see [[graft.expressions.InterleaveBits]]).
