@@ -631,14 +631,27 @@ object Packing {
     * assert its split hygiene before training, not after.
     *
     * 100 TB posture: the gram stream is the q100/q112 Lee-et-al shape
-    * — one explode, keyed shuffles on the gram, distinct-key joins; at
-    * production scale the join key becomes xxhash64(gram) to thin the
-    * shuffle (the q136 trade — literal strings here keep the oracle
-    * exact). The audit runs both schemes off ONE shared gram stream.
+    * — one explode, keyed shuffles on the gram, distinct-key joins.
+    * The gram key is xxhash64(gram) (round 21): every exchange, both
+    * distinct aggregates, and the semi join carry 8-byte longs instead
+    * of `gramLen`-char strings — the q100/q21 hash-the-key-before-the-
+    * shuffle trade (distinct counts are invariant under injective
+    * hashing; the ~n²/2⁶⁵ collision odds are the same accepted trade,
+    * and the DuckDB oracle — which re-derives the counts from literal
+    * grams — still hash-matches, i.e. zero collisions on the fixture
+    * at every SF). The audit runs both schemes off ONE shared gram
+    * stream.
     */
   def splitLeakageAudit(docs: DataFrame, gramLen: Int = 24): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = SpanDedup.grams(docs, gramLen).select($"doc_id", $"gram")
+    // NOT persisted, deliberately (round-21 A/B, after r20's): the
+    // gram stream is re-derived per consumer, but it is a cheap fused
+    // map stage (explode+substr+hash) and persisting it measured EQUAL
+    // (9.6 vs 9.3 s); the clustered assignment's expensive CC subtree
+    // is already frozen by connectedComponents' internal checkpoints
+    // at construction time, so it never re-executes either.
+    val g = SpanDedup.grams(docs, gramLen)
+      .select($"doc_id", xxhash64($"gram").as("gram"))
     def one(assign: DataFrame, scheme: String): DataFrame = {
       val sizes = assign.agg(
         sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),

@@ -2360,18 +2360,20 @@ object Quality {
         "divide by zero and every candidate would score Infinity bits")
     def keyed(nn: Int, key: String, cName: String) =
       cnt.filter($"n" === nn).select($"g".as(key), $"c".as(cName))
+    // Codegen'd gram streams zipped positionally (round 21): the old
+    // per-position interpreted lambda (3 concat_ws + 5 element_at per
+    // trigram slot) built the same five aligned streams; wordGrams +
+    // slice + arrays_zip are all native and byte-identical — tri_i =
+    // grams3[i], ctx2_i = grams2[i], bo2_i = grams2[i+1], w2/w3 the
+    // shifted token slices.
     val tris = candidates.filter(size(toks) >= 3)
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 2),
-        i => struct(
-          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1),
-            element_at($"t", i + 2)).as("tri"),
-          concat_ws(" ", element_at($"t", i), element_at($"t", i + 1))
-            .as("ctx2"),
-          concat_ws(" ", element_at($"t", i + 1), element_at($"t", i + 2))
-            .as("bo2"),
-          element_at($"t", i + 1).as("w2"),
-          element_at($"t", i + 2).as("w3")))).as("s"))
+      .select($"doc_id", explode(arrays_zip(
+        wordGrams($"t", 3).as("tri"),
+        slice(wordGrams($"t", 2), lit(1), size($"t") - 2).as("ctx2"),
+        slice(wordGrams($"t", 2), lit(2), size($"t") - 2).as("bo2"),
+        slice($"t", lit(2), size($"t") - 2).as("w2"),
+        slice($"t", lit(3), size($"t") - 2).as("w3"))).as("s"))
       .select($"doc_id", $"s.tri", $"s.ctx2", $"s.bo2", $"s.w2", $"s.w3")
     val scored = tris
       .join(keyed(3, "tri", "c3"), Seq("tri"), "left")
@@ -2481,9 +2483,11 @@ object Quality {
     val uni = cnt.filter($"n" === 1).select($"g".as("w1"), $"c".as("c1"))
     val pairs = candidates.filter(size(toks) >= 2)
       .select($"doc_id", toks.as("t"))
-      .select($"doc_id", explode(transform(sequence(lit(1), size($"t") - 1),
-        i => struct(element_at($"t", i).as("w1"),
-          element_at($"t", i + 1).as("w2")))).as("s"))
+      // adjacent-token pairs via shifted slices (codegen) instead of
+      // the interpreted per-position struct lambda — same rows
+      .select($"doc_id", explode(arrays_zip(
+        slice($"t", lit(1), size($"t") - 1).as("w1"),
+        slice($"t", lit(2), size($"t") - 1).as("w2"))).as("s"))
       .select($"doc_id", $"s.w1", $"s.w2")
     // association mirrors the oracle EXACTLY (discounted-mass term +
     // interpolation term, the continuation floor divided by the same
