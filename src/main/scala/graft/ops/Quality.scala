@@ -70,33 +70,28 @@ object Quality {
     */
   def lmScore(candidates: DataFrame, reference: DataFrame): DataFrame = {
     import candidates.sparkSession.implicits._
-    import org.apache.spark.sql.graftshim.GraftColumns.charBigramStream
-    // ONE corpus explode: the context counts and vocabulary derive
-    // from the (alphabet-bounded) bigram table — cnt₁(a) = Σ_b
-    // cnt₂(ab), V = |distinct successors| — so the reference scan
-    // runs once, not once per model table. The eager checkpoint
-    // freezes the tiny table; without it each derived aggregate would
-    // re-execute the corpus subtree (plain DataFrame reuse re-runs).
-    val cnt2 = reference.filter(length($"text") >= 2)
-      .select(explode(charBigramStream(lower($"text"))).as("bigram"))
-      .groupBy($"bigram").agg(count(lit(1)).as("c2"))
-      .localCheckpoint(true)
-    val cnt1 = cnt2.groupBy(substring($"bigram", 1, 1).as("ctx"))
-      .agg(sum($"c2").as("c1"))
-    val vocab = cnt2.select(
-      countDistinct(substring($"bigram", 2, 1)).as("v"))
+    // BROADCAST-KERNEL scoring (round 21): the model is alphabet-
+    // bounded by construction ([[charLm]] fits it with the same ONE
+    // reference explode the old frame-shaped path used, then collects
+    // ≤|Σ|²+|Σ| rows — the CCNet deployment shape the scaladoc below
+    // already argued). Scoring is then ONE map stage: the old path
+    // materialized ~1 row per candidate CHARACTER through an explode,
+    // two broadcast joins and a per-doc aggregate — pure overhead at
+    // every scale since the per-doc score is a pure function of the
+    // text. Bit-exactness: [[CharLm.logpParts]] walks the same
+    // code-point stream with the same lowercase semantics, smoothing
+    // algebra and accumulation order as the exploded aggregate (whose
+    // per-doc partial summed the contiguous exploded rows in text
+    // order), and the final negate/log2/round algebra below is the old
+    // expression verbatim — DuckDB parity stays hash-green.
+    val lm = charLm(reference)
+    val b = candidates.sparkSession.sparkContext.broadcast(lm)
+    val parts = udf { text: String => b.value.logpParts(text) }
     candidates.filter(length($"text") >= 2)
-      .select($"doc_id", explode(charBigramStream(lower($"text"))).as("bigram"))
-      .join(broadcast(cnt2), Seq("bigram"), "left")
-      .withColumn("ctx", substring($"bigram", 1, 1))
-      .join(broadcast(cnt1), Seq("ctx"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("logp",
-        log((coalesce($"c2", lit(0L)) + lit(1.0)) /
-          (coalesce($"c1", lit(0L)) + $"v")))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_transitions"),
-        round(-avg($"logp") / log(lit(2.0)), 6).as("bits_per_transition"))
+      .select($"doc_id", parts($"text").as("p"))
+      .select($"doc_id", $"p.n".as("n_transitions"),
+        round(-($"p.s" / $"p.n") / log(lit(2.0)), 6)
+          .as("bits_per_transition"))
   }
 
   /** [[lmScore]]'s model COLLECTED to a broadcast-friendly primitive
@@ -151,7 +146,34 @@ object Quality {
       }
       if (n == 0) 0.0 else -(sum / n) / math.log(2.0)
     }
+
+    /** The raw accumulator behind [[bits]]: transition count and the
+      * Σ log p sum, accumulated in text order — exactly the per-doc
+      * partial the old exploded `avg(logp)` aggregate built (one
+      * contiguous partial per doc), so [[lmScore]]'s batch scores stay
+      * bit-identical on the kernel path. Callers guarantee ≥ 2 code
+      * points (the `length(text) >= 2` gate).
+      */
+    def logpParts(text: String): LmParts = {
+      val t = CharLm.sparkLower(text)
+      var sum = 0.0; var n = 0L
+      var prev = t.codePointAt(0)
+      var idx = Character.charCount(prev)
+      while (idx < t.length) {
+        val cur = t.codePointAt(idx)
+        val c2 = lookup(bigramKeys, bigramCounts, (prev.toLong << 32) | cur)
+        val c1 = lookupCtx(prev)
+        sum += math.log((c2 + 1.0) / (c1 + vocab))
+        n += 1L; prev = cur; idx += Character.charCount(cur)
+      }
+      LmParts(n, sum)
+    }
   }
+
+  /** (transition count, Σ log p) of one document under a [[CharLm]] —
+    * [[lmScore]]'s per-row kernel output.
+    */
+  final case class LmParts(n: Long, s: Double)
 
   object CharLm {
     /** Lowercase with Spark's EXACT `lower()` semantics so kernel and

@@ -428,12 +428,15 @@ class QualitySpec extends SparkTestBase {
       p112.linesIterator.take(30).mkString("\n"))
     val p113 = ops.Quality.q113LmPerplexity(spark, d)
       .queryExecution.executedPlan.toString
-    // both model joins (bigram counts, context counts) broadcast — the
-    // alphabet-bounded-model claim as a plan property; the only
-    // SortMergeJoin-free exchange left is the per-doc aggregate
-    assert(!p113.contains("SortMergeJoin"),
+    // round 21: scoring is the broadcast CharLm kernel — ONE map stage
+    // over the candidate scan, no joins, no per-character explode, no
+    // per-doc aggregate; the only exchange left is the output sort.
+    // (Before: two broadcast model joins + a generator + a keyed agg.)
+    assert(!p113.contains("SortMergeJoin") && !p113.contains("Join"),
       p113.linesIterator.take(30).mkString("\n"))
-    assert("BroadcastHashJoin".r.findAllIn(p113).size >= 2, p113)
+    assert(!p113.contains("Generate"),
+      p113.linesIterator.take(30).mkString("\n"))
+    assert("Exchange".r.findAllIn(p113).size == 1, p113)
   }
 
   test("lm score: bigram stream kernel matches the HOF multiplicity formulation") {
