@@ -561,6 +561,21 @@ object CurationIndex {
     * duplicates are the batch's own [[graft.ops.Text]] dedup pass;
     * periodic full rebuilds refresh the profile (the CCNet/BM25
     * persisted-model posture throughout this engine).
+    *
+    * REFRESH POLICY (round 21, closing the staleness gap): appended
+    * generations never join the hot set, so boilerplate that becomes
+    * common only AFTER build stays in postings and sizes on both
+    * sides of the delta join — shared new boilerplate then inflates
+    * both the intersection and the union, OVERSTATING delta Jaccard
+    * (drift direction: toward false duplicates, i.e. over-aggressive
+    * dedup — demonstrated in SimilaritySpec's frozen-vs-rebuilt drift
+    * arm). The df cap also stops bounding those shingles' posting
+    * lists, so per-batch cost drifts above O(batch × dfCap) in the
+    * worst case. REBUILD TRIGGER: refresh (full rebuild) once
+    * cumulative appends exceed ~25% of the doc count the profile was
+    * built on (meta `n_docs` is the running total — appended mass =
+    * n_docs now minus n_docs in the build manifest); a pipeline that
+    * appends truly boilerplate-free generations can relax it.
     */
   def writeDedupIndex(spark: SparkSession, path: String, docs: DataFrame,
       n: Int = 3, dfCap: Int = 100): Unit = {
@@ -670,7 +685,12 @@ object CurationIndex {
     * and a broadcast-sized hot list would be wrong to assume — the
     * hot table joins as a normal anti-join and Catalyst broadcasts it
     * when small. Per-batch cost is O(batch x dfCap), independent of
-    * corpus size.
+    * corpus size (held flat in the round-21 10x-corpus stress,
+    * PLANS.md). NOTE: the result is frozen through an EAGER
+    * `orderBy(doc_id).localCheckpoint(true)` — a global sort of the
+    * manifest, bounded by the batch size; at very large batches that
+    * sort is the caller's cost to pay (drop the ordering downstream if
+    * a batch manifest need not be id-sorted).
     */
   def dedupDeltaAgainstIndex(spark: SparkSession, path: String,
       newDocs: DataFrame, minJaccard: Double = 0.5): DataFrame = {

@@ -860,6 +860,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(nDocs === 2L)
   }
 
+  test("dedup-index frozen-hot staleness: boilerplate common only among " +
+      "APPENDED docs inflates delta Jaccard vs a rebuilt profile (the " +
+      "documented drift direction behind the 25% rebuild trigger)") {
+    // gen-0: distinct content, no boilerplate -> hot profile is EMPTY
+    val gen0 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "pack my box with five dozen liquor jugs right now please"))
+      .toDF("doc_id", "text")
+    // gen-1: three docs sharing NEW boilerplate (df 3 > cap 2) that the
+    // frozen build-time profile has never seen
+    val boiler2 = "generated by pipeline v2 standard footer"
+    val gen1 = Seq(
+      (20L, s"alpha bravo charlie delta echo foxtrot $boiler2"),
+      (22L, s"golf hotel india juliet kilo lima $boiler2"),
+      (24L, s"mike november oscar papa quebec romeo $boiler2"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"zulu yankee xray whiskey victor uniform $boiler2"))
+      .toDF("doc_id", "text")
+    def verdict(path: String) = ops.CurationIndex
+      .dedupDeltaAgainstIndex(spark, path, batch, minJaccard = 0.2)
+      .select($"best_old_id", $"jaccard", $"is_dup")
+      .as[(Option[Long], Option[Double], Boolean)].head()
+    val frozen = java.nio.file.Files.createTempDirectory("dedup-frz").toString
+    ops.CurationIndex.writeDedupIndex(spark, frozen, gen0, n = 3, dfCap = 2)
+    ops.CurationIndex.appendDedupIndex(spark, frozen, gen1)
+    val rebuilt = java.nio.file.Files.createTempDirectory("dedup-reb2").toString
+    ops.CurationIndex.writeDedupIndex(spark, rebuilt,
+      gen0.unionByName(gen1), n = 3, dfCap = 2)
+    val f = verdict(frozen)
+    val r = verdict(rebuilt)
+    // frozen profile: the shared boilerplate shingles count as content,
+    // so the batch doc "matches" an appended doc above threshold
+    assert(f._1.nonEmpty && f._3,
+      s"frozen-profile delta must over-flag the boilerplate match, got $f")
+    // rebuilt profile: the boilerplate is hot (df 3 > cap 2) and
+    // excluded; no real content is shared
+    assert(r._1.isEmpty && !r._3,
+      s"rebuilt profile must see no match once boilerplate is hot, got $r")
+    assert(f._2.getOrElse(0.0) > r._2.getOrElse(0.0),
+      "drift direction: frozen-profile Jaccard must overstate")
+  }
+
   test("blocked bitext mining: a cacheKey'd repeat serves the quantizer " +
       "from the process cache (no refit) and returns identical rows") {
     val rnd = new scala.util.Random(47)
