@@ -1607,7 +1607,8 @@ object Quality {
     * gram key is an 8-byte hash from birth (counts invariant under
     * injective hashing — the q56 trade, 2⁻⁶⁴ caveat).
     */
-  def ngramRepetitionStats(docs: DataFrame): DataFrame = {
+  def ngramRepetitionStats(docs: DataFrame,
+      freeze: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val thrMicro: Seq[(Int, Long)] = Seq(2 -> 200000L, 3 -> 180000L,
@@ -1628,13 +1629,28 @@ object Quality {
         struct(lit(n).as("n"), xxhash64(gram).as("g"),
           (length(gram) - lit(n - 1)).cast("long").as("len")))
     }
-    val gx = leads
+    // freeze=true (round 21, the standalone-battery mode): gx feeds
+    // THREE consumers (the count aggregate, the dup-coverage left
+    // side, the (doc, n) grid) and gc two (the top family, the dup
+    // gate) — plain DataFrame reuse re-executes the posexplode +
+    // 9-lead window + gram-build subtree four times, and the persist
+    // pair + eager output freeze halves the standalone battery
+    // (q167 7.3 -> ~4 s median). freeze=false keeps the fully LAZY
+    // old plan for composing callers: gopherFullBattery measured
+    // FASTER lazy (q168 ~8.1 vs ~10 s frozen — the eager freeze
+    // serializes a leg its big composed job otherwise overlaps, and
+    // the checkpoint forgets the doc_id partitioning its pivot
+    // reused). Both modes are value-identical; only execution
+    // strategy differs.
+    val gx0 = leads
       .select($"doc_id", $"pos", explode(array(gramCols: _*)).as("gr"))
       .filter($"gr".isNotNull)
       .select($"doc_id", $"pos", $"gr.n".as("n"), $"gr.g".as("g"),
         $"gr.len".as("len"))
-    val gc = gx.groupBy($"doc_id", $"n", $"g", $"len")
+    val gx = if (freeze) gx0.persist() else gx0
+    val gc0 = gx.groupBy($"doc_id", $"n", $"g", $"len")
       .agg(count(lit(1)).as("c"))
+    val gc = if (freeze) gc0.persist() else gc0
     val tops = gc.filter($"n" <= 4)
       .groupBy($"doc_id", $"n")
       .agg(max(struct($"c", $"len")).as("top"))
@@ -1659,7 +1675,7 @@ object Quality {
       $"n".cast("int"))
     val wch = words.groupBy($"doc_id")
       .agg(sum(length($"word")).cast("long").as("w_chars"))
-    tops.unionByName(dups)
+    val out = tops.unionByName(dups)
       .join(wch, Seq("doc_id"))
       .withColumn("frac_micro",
         // greatest(..., 1): all-empty-word docs have w_chars = 0 and
@@ -1670,6 +1686,15 @@ object Quality {
       .withColumn("ok", $"frac_micro" <= $"threshold_micro")
       .select($"doc_id", $"n", $"family", $"w_chars", $"metric_chars",
         $"frac_micro", $"threshold_micro", $"ok")
+    if (!freeze) out
+    else {
+      // freeze the small (doc, n, family) result so both persists can
+      // release before return (the assembleShippedCorpus discipline)
+      val frozen = out.localCheckpoint(true)
+      gx.unpersist(false)
+      gc.unpersist(false)
+      frozen
+    }
   }
 
   /** ORACLED exercise (q167): [[ngramRepetitionStats]] over the
@@ -1722,7 +1747,8 @@ object Quality {
     val okAggs = (2 to 10).map(n =>
       min(when($"n" === n, $"ok")).as(s"ok_n$n"))
     val ngOk = ngramRepetitionStats(
-        docs.select($"doc_id", translate($"text", "\n", " ").as("text")))
+        docs.select($"doc_id", translate($"text", "\n", " ").as("text")),
+        freeze = false)
       .groupBy($"doc_id")
       .agg(okAggs.head, okAggs.tail: _*)
     val okCols = (2 to 10).map(n =>
